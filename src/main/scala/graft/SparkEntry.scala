@@ -1,13 +1,234 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2 (relational
+  * core of the reference sync service) plus the beyond-reference
+  * training-data-pipeline operators (dedup, similarity search, text
+  * analysis, event-stream ops). Each entry with an `oracleSql` row is
+  * hash-compared against DuckDB on the same parquet tables; entries
+  * without one (engine-specific hashing: MinHash/SimHash/LSH/langid)
+  * get the rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — relational core (reference operator inventory, SURVEY §2) —
+    "q1_pricing_summary" -> (CoreQueries.q1PricingSummary _),
+    "s2_filtered_scan" -> (CoreQueries.s2FilteredScan _),
+    "p1_name_synthesis" -> (CoreQueries.p1NameSynthesis _),
+    "p4_coalesce_chain" -> (CoreQueries.p4CoalesceChain _),
+    "p5_cents_to_dollars" -> (CoreQueries.p5CentsToDollars _),
+    "p7_spec_resolver" -> (CoreQueries.p7SpecResolver _),
+    "j1_equi_join" -> (CoreQueries.j1EquiJoin _),
+    "j2_substring_join" -> (CoreQueries.j2SubstringJoin _),
+    "j4_outer_merge" -> (CoreQueries.j4OuterMerge _),
+    "j5_semi_anti" -> (CoreQueries.j5SemiAnti _),
+    "a2_option_agg" -> (CoreQueries.a2OptionAgg _),
+    "a5_summary_rollup" -> (CoreQueries.a5SummaryRollup _),
+    "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
+    // — event-stream ops —
+    "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
+    "e2_sessionize" -> (EventQueries.e2Sessionize _),
+    "e3_asof_join" -> (EventQueries.e3AsofJoin _),
+    "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
+    // — text analysis / dedup —
+    "t_token_count" -> (TextQueries.tTokenCount _),
+    "t_quality_score" -> (TextQueries.tQualityScore _),
+    "t_fingerprint" -> (TextQueries.tFingerprint _),
+    "t_lang_id" -> (TextQueries.tLangId _),
+    "dedup_exact" -> (TextQueries.dedupExact _),
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (TextQueries.dedupMinhash _),
+    "dedup_simhash" -> (TextQueries.dedupSimhash _),
+    // — similarity search —
+    "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
+    "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
+    "emb_near_dup" -> (VectorQueries.embNearDup _),
+    "emb_centroids" -> (VectorQueries.embCentroids _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "s2_filtered_scan" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'""",
+    "p1_name_synthesis" ->
+      """SELECT p_partkey,
+         trim(concat_ws(' ', coalesce(p_brand, ''), coalesce(p_type, ''))) AS display_name,
+         coalesce(p_brand, 'Unknown') AS brand_or_unknown
+         FROM part""",
+    "p4_coalesce_chain" ->
+      """SELECT event_id, coalesce(
+           CASE WHEN event_id % 4 = 0 THEN props END,
+           CASE WHEN event_id % 4 = 1 THEN event_type END,
+           'item_' || CAST(event_id AS VARCHAR)) AS serial
+         FROM events""",
+    "p5_cents_to_dollars" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice) AS BIGINT) AS dollars
+         FROM lineitem""",
+    "p7_spec_resolver" ->
+      """SELECT doc_id,
+         CASE WHEN len(hits) > 0 THEN hits[1] ELSE 'Unknown' END AS variant
+         FROM (SELECT doc_id, list_filter(str_split(text, ' '),
+                 w -> contains(w, 'ag')) AS hits
+               FROM documents)""",
+    "j1_equi_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "j2_substring_join" ->
+      """SELECT kw, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         JOIN (VALUES ('join'), ('window'), ('stream'), ('filter'), ('hash')) AS k(kw)
+           ON contains(lower(text), kw)
+         GROUP BY kw""",
+    "j4_outer_merge" ->
+      """WITH e AS (SELECT l_partkey, sum(l_quantity) AS stock, min(l_extendedprice) AS price
+                    FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_partkey),
+              i AS (SELECT l_partkey, sum(l_quantity) AS stock, min(l_extendedprice) AS price
+                    FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_partkey)
+         SELECT coalesce(e.l_partkey, i.l_partkey) AS l_partkey,
+           round(coalesce(e.stock, 0) + coalesce(i.stock, 0), 2) AS stock,
+           round(least(coalesce(e.price, i.price), coalesce(i.price, e.price)), 2) AS price,
+           CASE WHEN e.stock IS NULL THEN 'insert'
+                WHEN i.stock IS NULL THEN 'keep'
+                ELSE 'merge' END AS action
+         FROM e FULL OUTER JOIN i ON e.l_partkey = i.l_partkey""",
+    "j5_semi_anti" ->
+      """WITH f AS (SELECT c_mktsegment,
+                    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has
+                    FROM customer)
+         SELECT c_mktsegment,
+           CAST(sum(CASE WHEN has THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN has THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+         FROM f GROUP BY c_mktsegment""",
+    "a2_option_agg" ->
+      """SELECT l_suppkey, count(*) AS stock,
+         round(min(l_extendedprice), 2) AS price,
+         array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+         FROM lineitem GROUP BY l_suppkey""",
+    "a5_summary_rollup" ->
+      """SELECT o_orderstatus, count(*) AS total_fetched,
+         count(DISTINCT o_custkey) AS distinct_customers,
+         round(sum(o_totalprice), 2) AS total_value,
+         round(min(o_totalprice), 2) AS min_value,
+         round(max(o_totalprice), 2) AS max_value
+         FROM orders GROUP BY o_orderstatus""",
+    "w1_topk_per_group" ->
+      """SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS c_acctbal
+         FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS rank
+               FROM customer)
+         WHERE rank <= 3""",
+    "e1_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "e2_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value, event_id,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              g AS (SELECT user_id, ts, value, event_id,
+                    CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                    FROM l),
+              s AS (SELECT user_id, value,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+                    FROM g),
+              per AS (SELECT user_id, session_id, count(*) AS n_events,
+                      round(sum(value), 2) AS session_value
+                      FROM s GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(max(session_value), 2) AS max_session_value
+         FROM per GROUP BY user_id""",
+    "e3_asof_join" ->
+      """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""",
+    "e4_salted_rollup" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id, event_type""",
+    "t_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+    "t_quality_score" ->
+      """SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+         round(CAST(len(list_filter(toks,
+           t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(toks), 4)
+           AS stopword_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           / length(text), 4) AS punct_ratio
+         FROM (SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM documents)""",
+    "t_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
+         FROM documents""",
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+         min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang,
+                    list_distinct(string_split_regex(trim(lower(trim(text))), '\s+')) AS toks
+                    FROM documents),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+              p AS (SELECT q.qid, e.vec_id AS nid,
+                    round(list_dot_product(q.qemb, e.emb) /
+                      (sqrt(list_dot_product(q.qemb, q.qemb)) *
+                       sqrt(list_dot_product(e.emb, e.emb))), 4) AS sim
+                    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+              r AS (SELECT qid, nid, sim,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                    FROM p)
+         SELECT qid, rank, nid, sim FROM r WHERE rank <= 5""",
+    "emb_near_dup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+                    round(list_dot_product(a.emb, b.emb) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) *
+                       sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+                    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
+  )
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The reference's relational operator inventory (SURVEY.md §2),
+  * re-expressed Spark-first over the TPC-H-ish star schema.
+  *
+  * Every query here is declarative DataFrame API: Catalyst handles
+  * predicate pushdown, column pruning, join-strategy selection and
+  * AQE re-planning. Money aggregates are rounded at the output
+  * boundary only, so the plan stays codegen-friendly and the DuckDB
+  * oracle compares stably across summation orders.
+  */
+object CoreQueries {
+
+  /** S1+A1: flagship pricing summary (TPC-H Q1 shape).
+    * Composite-key group-by — reference analog: grouping by
+    * (manufacturer, model, grade) at products.js:58-79, kept as real
+    * multi-column keys rather than the reference's collision-prone
+    * string key (SURVEY §7.4#5).
+    * Scale note: partial aggregation (map-side combine) means the
+    * shuffle carries one row per (flag, status) per partition, not
+    * per input row — safe at 100 TB. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** S2: predicate-at-source scan (products.js:430-433
+    * `find({database:"wholecell"})`). The filter + projection must
+    * reach the parquet reader (PushedFilters + ReadSchema pruning). */
+  def s2FilteredScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  /** P1+P3: name synthesis `${manufacturer} ${model}`.trim() with
+    * null-coalescing defaults (products.js:24-26,61-66). */
+  def p1NameSynthesis(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        trim(concat_ws(" ",
+          coalesce(col("p_brand"), lit("")),
+          coalesce(col("p_type"), lit("")))).as("display_name"),
+        coalesce(col("p_brand"), lit("Unknown")).as("brand_or_unknown"))
+
+  /** P4: 4-way identifier coalesce chain
+    * `esn || hex_id || sku || item_${id}` (products.js:185-187).
+    * Nulls are synthesized deterministically from key arithmetic so
+    * every branch of the chain is exercised. */
+  def p4CoalesceChain(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        coalesce(
+          when(col("event_id") % 4 === 0, col("props")),
+          when(col("event_id") % 4 === 1, col("event_type")),
+          concat(lit("item_"), col("event_id").cast("string"))).as("serial"))
+
+  /** P5: cents→dollars `Math.round(x/100)` (products.js:168-170).
+    * Long cents internally, one rounding at the dollars boundary
+    * (SURVEY §7.4#6): JS Math.round and Spark ROUND are both HALF_UP
+    * for positive values. */
+  def p5CentsToDollars(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice")).cast("long").as("dollars"))
+
+  /** P7+P8: storage-spec variant resolver (products.js:90-111) as
+    * codegen'd higher-order functions — split the spec list, keep
+    * entries containing the capacity, first match wins, fall back to
+    * a synthesized literal (products.js:157-161). No UDF: stays
+    * inside whole-stage codegen. */
+  def p7SpecResolver(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val hits = filter(words, w => w.contains("ag"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(size(hits) > 0, element_at(hits, 1))
+          .otherwise(lit("Unknown")).as("variant"))
+  }
+
+  /** J1+J3: equi hash join with broadcast dimensions — the
+    * set-oriented replacement for the reference's sequential N+1
+    * probes (products.js:249-260) and its manual `$in` prefetch
+    * (products.js:113-126). customer/nation are small dims →
+    * broadcast; lineage: orders ⋈ customer ⋈ nation, revenue per
+    * nation. At 100 TB orders shuffles only for the final 25-row
+    * agg; both joins are shuffle-free broadcasts. */
+  def j1EquiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** J2: case-insensitive substring theta-join (products.js:37-48) —
+    * a tiny keyword dimension broadcast against the documents fact;
+    * the non-equi `contains` predicate runs as
+    * BroadcastNestedLoopJoin, never a cartesian sort-merge. */
+  def j2SubstringJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keywords = Seq("join", "window", "stream", "filter", "hash").toDF("kw")
+    Tables.documents(spark, dir)
+      .join(broadcast(keywords), contains(lower(col("text")), col("kw")))
+      .groupBy(col("kw"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** J5: semi-join keep / anti-join count (products.js:245-260 —
+    * keep groups whose product exists in the catalog, count the
+    * skipped rest). */
+  def j5SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_matched"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_skipped"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_skipped"), lit(0L)).as("n_skipped"))
+  }
+
+  /** J4+A4+K1: the MERGE shape — existing sink snapshot FULL OUTER
+    * JOIN incoming aggregates on the business key; matched rows
+    * merge (stock sums, price takes min), unmatched insert
+    * (products.js:285-326, mergeSelectedOptions at 194-223).
+    * Here: two disjoint halves of lineitem aggregated per part then
+    * outer-merged. */
+  def j4OuterMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def half(pred: org.apache.spark.sql.Column) =
+      li.filter(pred).groupBy(col("l_partkey")).agg(
+        sum(col("l_quantity")).as("stock"),
+        min(col("l_extendedprice")).as("price"))
+    val existing = half(col("l_orderkey") % 2 === 0)
+    val incoming = half(col("l_orderkey") % 2 === 1)
+    existing.as("e").join(incoming.as("i"), Seq("l_partkey"), "full_outer")
+      .select(
+        col("l_partkey"),
+        round(coalesce(col("e.stock"), lit(0.0)) + coalesce(col("i.stock"), lit(0.0)), 2).as("stock"),
+        round(least(
+          coalesce(col("e.price"), col("i.price")),
+          coalesce(col("i.price"), col("e.price"))), 2).as("price"),
+        when(col("e.stock").isNull, lit("insert"))
+          .when(col("i.stock").isNull, lit("keep"))
+          .otherwise(lit("merge")).as("action"))
+  }
+
+  /** A2: option-level agg — count(*) as stock, collected serial
+    * list, min price (products.js:134-190). The reference's
+    * first-seen price is nondeterministic Map-insertion order; we
+    * pin min() (SURVEY §7.4#1), and the collect_list is sorted so
+    * output is deterministic, then joined to a string for stable
+    * cross-engine hashing. */
+  def a2OptionAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("stock"),
+        round(min(col("l_extendedprice")), 2).as("price"),
+        array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
+
+  /** A5: per-vendor stats rollup (products.js:343-353) — counters as
+    * one aggregate pass. */
+  def a5SummaryRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("total_fetched"),
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        round(sum(col("o_totalprice")), 2).as("total_value"),
+        round(min(col("o_totalprice")), 2).as("min_value"),
+        round(max(col("o_totalprice")), 2).as("max_value"))
+
+  /** "first match wins" under a *chosen deterministic order*
+    * (products.js:39-44 picks MongoDB natural order; SURVEY §7.4#1):
+    * top-3 customers per market segment by balance, ties broken by
+    * key. Window top-k — the scalable LIMIT-per-group. */
+  def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Time-series / event-stream operators. The reference has no
+  * streaming (SURVEY §2.6) — these are the beyond-reference
+  * operators a training-data pipeline needs, written batch-first so
+  * the identical column expressions lift into Structured Streaming
+  * (`readStream` + watermark) unchanged; see graft.streaming.
+  */
+object EventQueries {
+
+  /** Tumbling-window aggregate: 1-hour buckets per event type.
+    * `window()` is a plain projection before the hash agg — one
+    * shuffle, partial aggregation on the map side. The window start
+    * is emitted as a formatted string so the DuckDB oracle
+    * (`time_bucket`) hashes identically. */
+  def e1TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sessionization: a 30-minute inactivity gap starts a new
+    * session. Classic gaps-and-islands — lag + running conditional
+    * sum, all window functions over one (user_id, ts) sort; scales
+    * as one shuffle by user_id (the per-user partition is the only
+    * ordering scope, never a global sort). */
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(max(col("session_value")), 2).as("max_session_value"))
+  }
+
+  /** As-of join (backward): for every click, the most recent error
+    * at-or-before it for the same user. Spark lacks a native as-of
+    * join; rather than a custom SparkPlan, this composes built-ins:
+    * union both sides tagged, one window sort per user carries the
+    * last error id/ts forward via last(ignoreNulls) — a single
+    * shuffle on user_id, no range explosion, no cartesian. At 100 TB
+    * this beats the naive t1⋈t2-then-max plan (which shuffles the
+    * full pair product); cost is one sort of |clicks|+|errors| per
+    * user partition. */
+  def e3AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
+    val unioned = clicks
+      .withColumn("side", lit(1)).withColumn("err_id", lit(null).cast("long"))
+      .unionByName(errors
+        .withColumn("side", lit(0)).withColumn("event_id", lit(null).cast("long")))
+    // errors (side 0) sort before clicks (side 1) at an identical
+    // timestamp → "<= ts" inclusive as-of, matching ASOF JOIN.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("event_id"), col("err_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("asof_err_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_err_id"))
+  }
+
+  /** Skew-aware heavy-hitter rollup: per (user, event_type) counts
+    * with a two-phase salted aggregation. At local scale AQE handles
+    * skew; the explicit salt documents the 100 TB pattern (hot keys
+    * pre-aggregated across `salt` buckets before the final combine)
+    * and costs one extra narrow agg. */
+  def e4SaltedRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), round(sum(col("v")), 2).as("sum_value"))
+}

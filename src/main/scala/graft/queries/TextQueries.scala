@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token stats, quality scoring, exact and
+  * near-duplicate detection, fingerprinting, language ID.
+  *
+  * Everything is built from codegen'd builtins (split / higher-order
+  * array functions / hash) — no UDFs in any hot path, so whole-stage
+  * codegen spans each pipeline, and the dedup self-joins are always
+  * bucketed first (band key / quarter key / lang) so no join ever
+  * goes quadratic in corpus size.
+  */
+object TextQueries {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace normalization used as the dedup canonical form. */
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Token counting: whitespace tokens plus a BPE-ish sub-token
+    * count (letter runs / digit runs / single punctuation — the
+    * shape of a byte-pair pretokenizer split, RE2-safe so the
+    * DuckDB oracle computes the identical pattern). */
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_subtokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Quality scoring: length / punctuation / stopword ratios —
+    * the standard cheap pre-filters of a corpus pipeline. */
+  def tQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"),
+      round(size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+        size(toks), 4).as("stopword_ratio"),
+      round((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("double") / length(col("text")), 4).as("punct_ratio"))
+  }
+
+  /** Exact dedup by normalized-content hash: one hash-groupBy, the
+    * survivor is min(doc_id). At 100 TB this is the canonical first
+    * dedup pass — the shuffle key is a 128-bit digest, perfectly
+    * uniform, no skew. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(normText(col("text"))).as("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Near-dup detection by token-set Jaccard ≥ 0.9, bucketed by
+    * lang so the self-join is per-bucket, not corpus². The general
+    * scale path is MinHash/LSH (dedupMinhash); this exact variant is
+    * the oracle-checkable ground truth. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      array_distinct(tokens(lower(trim(col("text"))))).as("toks"))
+    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("toks").as("b_toks"))
+    a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))), 4))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 3-word shingle set of the normalized text; empty when the doc
+    * has fewer than 3 tokens. */
+  private def shingles(text: Column): Column = {
+    val toks = tokens(normText(text))
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash + LSH near-dup: 3-word shingles → 32 minhash values
+    * (xxhash64 salted per hash function) → 8 bands × 4 rows → band
+    * buckets → candidate pairs only within identical bands → verify
+    * candidates with true Jaccard on the shingle sets.
+    *
+    * Scale shape: signatures are one narrow pass (no shuffle);
+    * candidate generation shuffles by (band, band_key) — bounded by
+    * data size, not pair count; only candidates pay the exact
+    * set-intersection. The candidate pair set is deduped to bare ids
+    * before re-fetching shingles, so wide arrays never ride through
+    * the pair shuffle twice. Engine-specific hash functions → no SQL
+    * oracle (rows-only check). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 32
+    val bands = 8
+    val rowsPerBand = nHashes / bands
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.select(
+      col("doc_id"),
+      transform(sequence(lit(0), lit(nHashes - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_key"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signature — bit b is the sign of
+    * Σ_tokens (±1 by bit b of xxhash64(token)); computed as 64
+    * map-side-combined sums over the exploded token stream, then
+    * assembled bit-by-bit. Pairs within hamming ≤ 6 found by
+    * pigeonhole bucketing on 16-bit signature quarters (distance ≤ 6
+    * over 4 quarters ⇒ at least one quarter identical), so the
+    * self-join is bucket-local. Rows-only check. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sig = summed.select(col("doc_id"), simhash.as("simhash"))
+    val quartered = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("qkey"))
+    val l = quartered.select(col("q"), col("qkey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val r = quartered.select(col("q"), col("qkey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    l.join(r, Seq("q", "qkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Document fingerprinting: cross-engine-stable md5 content
+    * fingerprint plus its 4-hex-digit prefix as a uniform shard
+    * key — the pattern for stable dedup keys + balanced partitioning
+    * at 100 TB. md5 is byte-identical in DuckDB → full oracle. */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fingerprint"),
+      substring(md5(normText(col("text"))), 1, 4).as("shard_key"))
+
+  /** Language ID by corpus-trained character-trigram profiles: one
+    * distributed pass learns the top-40 trigrams per labeled
+    * language; the tiny profile is broadcast back and each doc is
+    * scored by profile overlap. The "model" is an agg output — no
+    * driver-side state, scales to any corpus. Rows-only check (the
+    * prediction is heuristic, not SQL-canonical). */
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    val tris = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("t")) >= 3,
+          transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3))))
+          .otherwise(array(col("t")))).as("tri"))
+    val topPerLang = tris.groupBy(col("lang"), col("tri")).count()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("count").desc, col("tri"))))
+      .filter(col("rk") <= 40)
+      .select(col("lang").as("profile_lang"), col("tri"))
+    val scored = tris.join(broadcast(topPerLang), Seq("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("hits"))
+    scored.withColumn("rk", row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("profile_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"), col("hits"))
+  }
+}
