@@ -65,9 +65,15 @@ object TextQueries {
     * scale path is MinHash/LSH (dedupMinhash); this exact variant is
     * the oracle-checkable ground truth. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Token sets are xxhash64'd to longs before the pair stage: the
+    // quadratic intersect/union then compares 8-byte values instead
+    // of strings. |distinct hashes| = |distinct tokens| up to 2^-64
+    // collisions, so the Jaccard value is unchanged and the DuckDB
+    // string-token oracle still matches.
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
-      array_distinct(tokens(lower(trim(col("text"))))).as("toks"))
+      array_distinct(transform(tokens(lower(trim(col("text")))), t => xxhash64(t)))
+        .as("toks"))
     val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
     val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("toks").as("b_toks"))
     a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
@@ -78,40 +84,65 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** 3-word shingle set of the normalized text; empty when the doc
-    * has fewer than 3 tokens. */
-  private def shingles(text: Column): Column = {
-    val toks = tokens(normText(text))
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** 3-word shingle sets of the normalized text (docs with <3 tokens
+    * drop out). Tokens are materialized as their own projection so
+    * `element_at` indexes a bound array column: CollapseProject
+    * declines to inline a non-cheap alias referenced 5×, keeping the
+    * tokenizer split OUT of the shingle lambda. (Inlined, the split
+    * re-ran per element_at per position — O(tokens²) per doc,
+    * interpreted: the original single-expression form ran 60× slower
+    * at sf0.1.) */
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    // The <3-token guard filters on size(toks), NOT size(sh): sh is
+    // nonempty iff tokens >= 3, and a size(sh)>0 filter would be
+    // predicate-pushed below the projections with the whole shingle
+    // expression inlined — re-running the quadratic form, single-core
+    // before the fan-out exchange (observed 21s vs 0.5s at sf0.1).
+    // Pushing size(toks)>=3 to the scan inlines only the linear
+    // tokenizer, which is exactly where that filter belongs.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ",
+            element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+          .as("sh"))
   }
 
-  /** MinHash + LSH near-dup: 3-word shingles → 32 minhash values
-    * (xxhash64 salted per hash function) → 8 bands × 4 rows → band
-    * buckets → candidate pairs only within identical bands → verify
-    * candidates with true Jaccard on the shingle sets.
+  /** MinHash + LSH near-dup: 3-word shingles → one xxhash64 per
+    * shingle → 32 minhash values via affine rehash of that long
+    * (h_i = a_i·h + b_i, the universal-hash family MLlib's
+    * MinHashLSH uses — ONE string-hash pass instead of 32; the
+    * salted-xxhash64-per-function form was 5× slower) → 8 bands ×
+    * 4 rows → band buckets → candidate pairs only within identical
+    * bands → verify candidates with Jaccard on the hashed shingle
+    * sets (long arrays; collisions at 2^-64 are noise).
     *
     * Scale shape: signatures are one narrow pass (no shuffle);
     * candidate generation shuffles by (band, band_key) — bounded by
     * data size, not pair count; only candidates pay the exact
     * set-intersection. The candidate pair set is deduped to bare ids
-    * before re-fetching shingles, so wide arrays never ride through
-    * the pair shuffle twice. Engine-specific hash functions → no SQL
-    * oracle (rows-only check). */
+    * before re-fetching shingle hashes, so wide arrays never ride
+    * through the pair shuffle twice. Engine-specific hash functions
+    * → no SQL oracle (rows-only check). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 32
     val bands = 8
     val rowsPerBand = nHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // fixed odd multipliers/offsets — any deterministic odd-a family
+    val rnd = new scala.util.Random(42)
+    val abs_ = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val docs = shingleDocs(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
     val sig = docs.select(
       col("doc_id"),
-      transform(sequence(lit(0), lit(nHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("sig"))
+      array((0 until nHashes).map { i =>
+        val (a, b) = abs_(i)
+        array_min(transform(col("sh"), h => h * lit(a) + lit(b)))
+      }: _*).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))

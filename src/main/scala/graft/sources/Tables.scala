@@ -39,6 +39,17 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** CPU-heavy per-row tables (hashing, vector math) arrive as one
+    * tiny parquet file → one scan partition → one busy core of 32.
+    * Fan the scan out to full parallelism when it's under-split; at
+    * real scale (many files/row-groups ≥ default parallelism) the
+    * guard is false and no shuffle is added. */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, table(spark, dir, "embeddings"))
 }
