@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import scala.util.{Failure, Success}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Schemas, VendorApi, VendorSummary}
+import graft.ops.{CatalogMatch, OptionAgg}
+import graft.sink.MergeWriter
+import graft.sources.HttpSource
+
+/** The full-sync entry point — the §3.1 query lifecycle
+  * (GET /products, products.js:358-421) as ONE Spark job instead of
+  * the reference's per-vendor event-loop fan-out:
+  *
+  *  - K2 backfill: credentials with null `database` default to
+  *    "wholecell" (products.js:370-380);
+  *  - dispatch: non-wholecell vendors become static error rows
+  *    (products.js:388-393); fetch failures become error rows too —
+  *    the Promise.allSettled per-vendor fault isolation
+  *    (products.js:383-395) maps to per-vendor Try around ingest;
+  *  - all fetched vendors' items are unioned with vendorId as a
+  *    column, so grouping/matching/aggregation run set-oriented
+  *    across every vendor at once (partition-parallel at scale,
+  *    where the reference is a sequential per-vendor loop);
+  *  - CatalogMatch (J1/J2), OptionAgg (A1/A2/P*), MergeWriter
+  *    (J4/A4/K1) produce the new sink snapshot;
+  *  - the A5 summary (products.js:343-353) is computed per vendor
+  *    from tagged intermediates.
+  */
+object SyncJob {
+
+  final case class SyncResult(summary: Seq[VendorSummary], sink: DataFrame)
+
+  /** Run a full sync.
+    *
+    * @param vendorApis credentials dimension (Schemas.vendorApi shape)
+    * @param fetch      per-vendor item fetch (HttpSource.httpFetcher
+    *                   in production, fixture JSON in tests)
+    * @param sinkPath   keyed parquet sink table path
+    * @param mode       Accumulate (reference semantics) | Replace
+    * @param filterDb   when set, sync only vendors whose (backfilled)
+    *                   database equals it — the §3.2 filtered route
+    * @param now        injected clock for deterministic P12 stamps
+    */
+  def sync(spark: SparkSession,
+      vendorApis: Dataset[VendorApi],
+      fetch: HttpSource.Fetcher,
+      sinkPath: String,
+      mode: MergeWriter.MergeMode = MergeWriter.Accumulate,
+      filterDb: Option[String] = None,
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): SyncResult = {
+
+    // K2: backfill missing database to "wholecell" (the credentials
+    // dimension is tiny — driver-side by design, like the reference's
+    // single find(); the write-back of backfilled rows is the
+    // caller's concern since credentials live outside the sink).
+    val apis = vendorApis.collect().toSeq.map(a =>
+      a.copy(database = a.database.orElse(Some(Schemas.WholecellDb))))
+    val selected = filterDb match {
+      case Some(db) => apis.filter(_.database.contains(db))
+      case None     => apis
+    }
+
+    // Per-vendor ingest with fault isolation.
+    sealed trait Ingest
+    case class Ok(api: VendorApi, items: DataFrame, fetched: Long) extends Ingest
+    case class Err(api: VendorApi, status: String, msg: String) extends Ingest
+
+    val ingests: Seq[Ingest] = selected.map { api =>
+      if (!api.database.contains(Schemas.WholecellDb))
+        Err(api, "unsupported_database",
+          s"Unsupported database: ${api.database.getOrElse("")}")
+      else fetch(api) match {
+        case Success(json) =>
+          val items = HttpSource.parseItems(spark, api.vendorId, json)
+          Ok(api, items, items.count())
+        case Failure(e) => Err(api, "fetch_failed", String.valueOf(e.getMessage))
+      }
+    }
+
+    val oks = ingests.collect { case o: Ok => o }
+    val allItems = oks.map(_.items) match {
+      case Nil => HttpSource.parseItems(spark, "_none", """{"data": []}""")
+      case seqs => seqs.reduce(_ unionByName _)
+    }
+
+    // Relational core: enrich → match → aggregate.
+    val enriched = OptionAgg.enrich(allItems)
+    val names = enriched.filter(col("vendorName") =!= "")
+      .select(col("vendorName")).distinct()
+    val admin = readAdmin(spark)
+    val matched = CatalogMatch.matchCatalog(names, admin)
+    val withAdmin = enriched.join(matched, Seq("vendorName"), "left")
+    val incoming = OptionAgg.aggregate(withAdmin)
+
+    // J5 accounting: groups (vendorId, vendorName, grade) kept vs
+    // skipped by catalog existence.
+    val groups = enriched.filter(SyncExprsAvailable)
+      .select(col("vendorId"), col("vendorName"), col("grade")).distinct()
+      .join(matched.select(col("vendorName"), col("admin_id")), Seq("vendorName"), "left")
+    val groupStats = groups.groupBy(col("vendorId")).agg(
+      sum(when(col("admin_id").isNotNull, 1L).otherwise(0L)).as("valid"),
+      sum(when(col("admin_id").isNull, 1L).otherwise(0L)).as("skipped"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // MERGE into the sink snapshot.
+    val existing = MergeWriter.readSnapshot(spark, sinkPath)
+    val merged = MergeWriter.merge(existing, incoming, mode, now)
+
+    // A5 per-vendor counters from the merge actions + written stock.
+    // Collected BEFORE the snapshot swap: `merged` lazily reads the
+    // OLD snapshot files, which writeSnapshot deletes.
+    val actionStats = merged.filter(col("action") =!= "keep")
+      .withColumn("stock", aggregate(
+        transform(col("selectedOptions"), o => o.getField("stock").cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vendorId")).agg(
+        sum(when(col("action") === "insert", 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("action") === "merge", 1L).otherwise(0L)).as("updated"),
+        sum(col("stock")).as("stock"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    MergeWriter.writeSnapshot(spark, merged.drop("action"), sinkPath)
+
+    val summaries = ingests.map {
+      case Err(api, status, msg) =>
+        VendorSummary(api.vendorId, api.database.getOrElse(""), status,
+          0, 0, 0, 0, 0, 0, 0, Some(msg))
+      case Ok(api, _, fetched) =>
+        val (valid, skipped) = groupStats.getOrElse(api.vendorId, (0L, 0L))
+        val (ins, upd, stock) = actionStats.getOrElse(api.vendorId, (0L, 0L, 0L))
+        VendorSummary(api.vendorId, api.database.getOrElse(""), "ok",
+          fetched, valid, skipped, ins, upd, stock, ins + upd, None)
+    }
+
+    SyncResult(summaries, MergeWriter.readSnapshot(spark, sinkPath))
+  }
+
+  private val SyncExprsAvailable = graft.expr.SyncExprs.isAvailable(col("status"))
+
+  /** Admin catalog source — overridable for tests via
+    * `graft.sync.admin.path` in the Spark conf; S6's batch keyed
+    * lookup (products.js:122-126) is subsumed by the broadcast join
+    * in CatalogMatch. */
+  def readAdmin(spark: SparkSession): DataFrame = {
+    val path = spark.conf.get("graft.sync.admin.path", "")
+    require(path.nonEmpty, "set graft.sync.admin.path to the admin catalog (json/parquet)")
+    if (path.endsWith(".json"))
+      spark.read.schema(Schemas.adminProduct).option("multiLine", "true").json(path)
+    else spark.read.schema(Schemas.adminProduct).parquet(path)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.ops.OptionMerge
+
+/** K1+J4: the keyed MERGE/upsert sink. Spark has no DataFrame-level
+  * upsert to parquet, so the reference's per-group
+  * `findOne`-then-`bulkWrite` (products.js:285-341 — an N+1 probe
+  * followed by a batch) becomes ONE outer join against the current
+  * sink snapshot followed by a snapshot rewrite:
+  *
+  *   incoming FULL OUTER JOIN existing ON (vendorId, product,
+  *   condition) → matched rows merge options (A4), right-only rows
+  *   keep, left-only rows insert.
+  *
+  * Scale design: the snapshot is parquet partitioned by vendorId, so
+  * a 1000-executor rewrite is partition-parallel, and a sync that
+  * touches few vendors could partition-overwrite only those (the
+  * swap here rewrites the whole keyed table — correct at any scale,
+  * optimal when most vendors change, which is the reference's full-
+  * sync semantics). The join shuffles on the 3-column key with AQE
+  * handling skew.
+  */
+object MergeWriter {
+
+  sealed trait MergeMode
+  /** Reference semantics (SURVEY §7.4#2): stock accumulates across
+    * re-syncs — NOT idempotent, re-running doubles stock. */
+  case object Accumulate extends MergeMode
+  /** Idempotent variant: incoming replaces the matched record. */
+  case object Replace extends MergeMode
+
+  private val keyCols = Seq("vendorId", "product", "condition")
+
+  /** Read the current sink snapshot, or an empty frame with the sink
+    * schema when the table doesn't exist yet. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema(Schemas.vendorProduct).parquet(path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.vendorProduct)
+  }
+
+  /** Compute the merged snapshot plus an `action` column
+    * (insert | merge | keep) used for A5 counters. `now` is injected
+    * for deterministic tests (P12's `new Date()`). */
+  def merge(existing: DataFrame, incoming: DataFrame, mode: MergeMode,
+      now: java.sql.Timestamp): DataFrame = {
+    val key = keyCols.map(col)
+    val e = existing.select(
+      col("vendorId"), col("product"), col("condition"),
+      col("database").as("e_database"),
+      col("selectedOptions").as("e_options"),
+      col("createdAt").as("e_createdAt"))
+    val i = incoming.select(
+      col("vendorId"), col("product"), col("condition"),
+      col("database").as("i_database"),
+      col("selectedOptions").as("i_options"))
+
+    val joined = e.join(i, keyCols, "full_outer")
+      .withColumn("action",
+        when(col("e_options").isNull, lit("insert"))
+          .when(col("i_options").isNull, lit("keep"))
+          .otherwise(lit("merge")))
+
+    val mergedOptions = mode match {
+      case Accumulate =>
+        val both = joined.filter(col("action") === "merge")
+        val m = OptionMerge.merge(
+          both.select(key :+ col("e_options").as("selectedOptions"): _*),
+          both.select(key :+ col("i_options").as("selectedOptions"): _*),
+          keyCols)
+        joined.join(m.withColumnRenamed("selectedOptions", "m_options"),
+          keyCols, "left")
+      case Replace =>
+        joined.withColumn("m_options", col("i_options"))
+    }
+
+    mergedOptions.select(
+      col("vendorId"), col("product"), col("condition"),
+      coalesce(col("i_database"), col("e_database")).as("database"),
+      when(col("action") === "insert", col("i_options"))
+        .when(col("action") === "keep", col("e_options"))
+        .otherwise(coalesce(col("m_options"), col("i_options"))).as("selectedOptions"),
+      coalesce(col("e_createdAt"), lit(now)).as("createdAt"),
+      when(col("action") === "keep", col("e_createdAt")).otherwise(lit(now))
+        .as("updatedAt"),
+      col("action"))
+  }
+
+  /** Atomically replace the snapshot at `path` (write to a temp dir,
+    * then swap) — parquet partitioned by vendorId. */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").partitionBy("vendorId").parquet(tmp.toString)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.Base64
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Schemas, VendorApi}
+
+/** S3: the vendor HTTP REST source (products.js:233-240) — a
+  * driver-side fetch per vendor credential with a Basic-auth header
+  * built from `appId:appSecret`, parsed against the explicit
+  * envelope schema `{data: [...]}` (malformed/missing `data` →
+  * empty, P11's array guard).
+  *
+  * The fetcher is pluggable so tests inject JSON fixtures instead of
+  * sockets. The per-vendor item payload is small relative to the
+  * relational work (the reference loads it into one JS array); the
+  * DataFrame fan-out happens immediately after parse, so everything
+  * downstream is executor-parallel.
+  */
+object HttpSource {
+
+  type Fetcher = VendorApi => Try[String]
+
+  /** Real HTTP fetcher (driver-side, one GET per vendor). */
+  def httpFetcher(baseUrl: String,
+      timeout: Duration = Duration.ofSeconds(30)): Fetcher = { api =>
+    Try {
+      val auth = Base64.getEncoder.encodeToString(
+        s"${api.appId}:${api.appSecret}".getBytes(StandardCharsets.UTF_8))
+      val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+      val req = HttpRequest.newBuilder(URI.create(baseUrl))
+        .timeout(timeout)
+        .header("Authorization", s"Basic $auth")
+        .header("Accept", "application/json")
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()} from $baseUrl")
+      resp.body()
+    }
+  }
+
+  /** Parse one vendor's envelope JSON into items tagged with the
+    * vendorId. Corrupt JSON or a non-array `data` yields zero rows
+    * (P11 guard) rather than failing the whole sync. */
+  def parseItems(spark: SparkSession, vendorId: String, json: String): DataFrame = {
+    import spark.implicits._
+    val raw: Dataset[String] = spark.createDataset(Seq(json))
+    spark.read.schema(Schemas.vendorItemEnvelope).json(raw)
+      .select(explode(coalesce(col("data"),
+        array().cast(Schemas.vendorItemEnvelope("data").dataType))).as("item"))
+      .select(lit(vendorId).as("vendorId"), col("item.*"))
+  }
+}

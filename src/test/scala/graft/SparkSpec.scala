@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for specs — small parallelism (tests run on
+  * tiny data; 32-way shuffle would be pure overhead here). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def resourcePath(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+
+  def resourceText(name: String): String = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader.getResourceAsStream(name), "UTF-8")
+    try src.mkString finally src.close()
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}

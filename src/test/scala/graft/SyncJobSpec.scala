@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.functions._
+import graft.model.VendorApi
+import graft.pipeline.SyncJob
+import graft.sink.MergeWriter
+
+/** End-to-end sync scenario vs hand-derived goldens (SURVEY §5#2):
+  * the full §3.1 DAG over the FIXTURES.md vendor fixtures, covering
+  * P1-P10, J1/J2/J5, A1/A2, J4/A4/K1/K2 and the A5 summary,
+  * including the documented quirks (accumulate-on-resync, error
+  * rows, backfill). */
+class SyncJobSpec extends SparkSpec {
+
+  private val apis = Seq(
+    VendorApi("va-01", "v-100", "app1", "s1", Some("wholecell")),
+    VendorApi("va-02", "v-200", "app2", "s2", None), // K2 backfill path
+    VendorApi("va-03", "v-300", "app3", "s3", Some("other-db")), // error row
+    VendorApi("va-04", "v-400", "app4", "s4", Some("wholecell"))) // fetch fails
+
+  private val fetch: graft.sources.HttpSource.Fetcher = { api =>
+    api.vendorId match {
+      case "v-100" => Success(resourceText("vendor_items_v100.json"))
+      case "v-200" => Success(resourceText("vendor_items_v200.json"))
+      case "v-400" => Failure(new RuntimeException("boom"))
+      case other   => Failure(new IllegalStateException(s"unexpected $other"))
+    }
+  }
+
+  private def run(sinkPath: String, mode: MergeWriter.MergeMode) = {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    SyncJob.sync(spark, apis.toDS(), fetch, sinkPath, mode,
+      now = Timestamp.valueOf("2026-08-12 00:00:00"))
+  }
+
+  test("full sync: sink goldens, summary counters, fault isolation") {
+    val sink = Files.createTempDirectory("graft-sink").toString + "/vp"
+    val res = run(sink, MergeWriter.Accumulate)
+
+    val byVendor = res.summary.map(s => s.vendorId -> s).toMap
+    // v-100: 9 fetched; groups (name×grade among Available):
+    //  (iPhone 12, A), (iPhone 12, B), (Galaxy S21, Unknown) valid;
+    //  (S9, A) unmatched (len<=3 guard blocks substring) → skipped
+    val v100 = byVendor("v-100")
+    assert(v100.totalFetched == 9)
+    assert(v100.validProducts == 3 && v100.skippedProducts == 1)
+    assert(v100.newVendorProducts == 2 && v100.updatedVendorProducts == 0)
+    // stock: ap-0001 (4 Black + 1 Red + 1 Blue) + ap-0002 (1) = 7
+    assert(v100.totalStockProcessed == 7)
+    // v-200: exact-case-insensitive J1 match
+    val v200 = byVendor("v-200")
+    assert(v200.database == "wholecell") // K2 backfill
+    assert(v200.totalFetched == 1 && v200.newVendorProducts == 1)
+    // v-300: unsupported database error row
+    assert(byVendor("v-300").status == "unsupported_database")
+    // v-400: fetch failure isolated
+    assert(byVendor("v-400").status == "fetch_failed")
+    assert(byVendor("v-400").error.exists(_.contains("boom")))
+
+    // sink golden: the merged Black/128GB option of v-100×ap-0001
+    val opts = res.sink
+      .filter(col("vendorId") === "v-100" && col("product") === "ap-0001")
+      .select(explode(col("selectedOptions")).as("o"))
+      .select(col("o.color"), col("o.variant"), col("o.stock"),
+        col("o.price"), col("o.uniqueNumbers"))
+    import spark.implicits._
+    val rows = opts.as[(String, String, Int, Long, Seq[String])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val black = rows(("Black", "128GB 4GB RAM"))
+    assert(black._3 == 4)  // 1001, 1003, 1004 (grade B merged), 1009
+    assert(black._4 == 0L) // min(250, 200, 300, 0): null cents → 0
+    assert(black._5 == Seq("0xBEEF", "ESN-A1", "SKU-B1", "item_1009"))
+    assert(rows(("Red", "Unknown"))._3 == 1)   // null capacity → Unknown
+    assert(rows(("Blue", "Unknown"))._3 == 1)  // no spec hit → Unknown
+    // v-100 Galaxy S21 resolved by substring pass to the Ultra entry
+    val s21 = res.sink.filter(col("vendorId") === "v-100" && col("product") === "ap-0002")
+    assert(s21.count() == 1)
+  }
+
+  test("accumulate mode doubles stock on re-sync; replace mode is idempotent") {
+    import spark.implicits._
+    val accSink = Files.createTempDirectory("graft-acc").toString + "/vp"
+    run(accSink, MergeWriter.Accumulate)
+    val second = run(accSink, MergeWriter.Accumulate)
+    val stock2 = second.sink
+      .filter(col("vendorId") === "v-100" && col("product") === "ap-0001")
+      .select(explode(col("selectedOptions")).as("o"))
+      .filter(col("o.color") === "Black")
+      .select(col("o.stock")).as[Int].head()
+    assert(stock2 == 8) // 4 + 4: the documented non-idempotent accumulate
+    assert(second.summary.find(_.vendorId == "v-100").get.updatedVendorProducts == 2)
+
+    val repSink = Files.createTempDirectory("graft-rep").toString + "/vp"
+    run(repSink, MergeWriter.Replace)
+    val secondRep = run(repSink, MergeWriter.Replace)
+    val stockRep = secondRep.sink
+      .filter(col("vendorId") === "v-100" && col("product") === "ap-0001")
+      .select(explode(col("selectedOptions")).as("o"))
+      .filter(col("o.color") === "Black")
+      .select(col("o.stock")).as[Int].head()
+    assert(stockRep == 4)
+  }
+
+  test("filtered sync (§3.2) only touches vendors of the given database") {
+    val sink = Files.createTempDirectory("graft-filt").toString + "/vp"
+    val res = {
+      import spark.implicits._
+      spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+      SyncJob.sync(spark, apis.toDS(), fetch, sink, MergeWriter.Accumulate,
+        filterDb = Some("wholecell"),
+        now = Timestamp.valueOf("2026-08-12 00:00:00"))
+    }
+    // v-300 (other-db) is excluded entirely, not even an error row
+    assert(!res.summary.exists(_.vendorId == "v-300"))
+    assert(res.summary.map(_.vendorId).toSet == Set("v-100", "v-200", "v-400"))
+  }
+}
