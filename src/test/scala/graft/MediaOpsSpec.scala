@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaOps
+
+/** Multimodal plumbing: schema, deterministic stub decode, feature
+  * shape, resize dims, frame-sampling explode. */
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val rows = Seq(
+      Row(1L, "image", "mem://a", Array.fill[Byte](256)(7),
+        Row(8, 8, null, "fake")),
+      Row(2L, "image", "mem://b", Array.tabulate[Byte](512)(_.toByte),
+        Row(16, 4, null, "fake")),
+      Row(3L, "video", "mem://v", Array.tabulate[Byte](1000)(_.toByte),
+        Row(null, null, 5000, "fakev")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+  }
+
+  test("decode is deterministic and honors meta dimensions") {
+    val d1 = MediaOps.decode(mediaDf).collect().map(d => d.media_id -> d).toMap
+    val d2 = MediaOps.decode(mediaDf).collect().map(d => d.media_id -> d).toMap
+    assert(d1(1L).pixels.length == 64)   // 8*8
+    assert(d1(2L).pixels.length == 64)   // 16*4
+    assert(d1(1L).pixels.toSeq == d2(1L).pixels.toSeq) // deterministic
+    assert(d1(1L).pixels.toSeq != d1(2L).pixels.toSeq) // content-dependent
+  }
+
+  test("extractFeatures: fixed-width normalized embedding") {
+    val f = MediaOps.extractFeatures(mediaDf, dim = 64)
+      .collect().map(x => x.media_id -> x.embedding).toMap
+    assert(f.values.forall(_.length == 64))
+    // histogram is normalized: sums to ~1 for non-empty pixels
+    assert(math.abs(f(1L).map(_.toDouble).sum - 1.0) < 1e-5)
+  }
+
+  test("resize emits the target dimensions") {
+    val r = MediaOps.resize(mediaDf.filter(col("media_id") === 2L), 4, 4).head()
+    assert(r.width == 4 && r.height == 4 && r.pixels.length == 16)
+  }
+
+  test("sampleFrames explodes only video rows at the stride") {
+    val frames = MediaOps.sampleFrames(mediaDf, frameBytes = 100, everyN = 2)
+      .collect()
+    assert(frames.forall(_.media_id == 3L))
+    // 1000 bytes / 100 = 10 frames, every 2nd → frames 0,2,4,6,8
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.content.length == 100))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Streaming semantics via MemoryStream micro-batches: windows
+  * finalize under the watermark, sessions split on the gap, dedup
+  * keeps first-seen, and foreachBatch merges into the keyed sink. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("tumblingCounts finalizes hourly windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(ts("2026-01-01 10:45:00"), 2, "click", 2.0),
+      Ev(ts("2026-01-01 11:05:00"), 1, "view", 5.0))
+    val q = StreamOps.tumblingCounts(in.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // watermark driver: pushes past 12:00 so both windows close
+    in.addData(Ev(ts("2026-01-01 12:01:00"), 3, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("tumbling")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("2026-01-01 10:00:00", "click", 2L)))
+    assert(rows.contains(("2026-01-01 11:00:00", "view", 1L)))
+  }
+
+  test("sessionize splits on the 30-minute inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(ts("2026-01-01 10:10:00"), 1, "click", 1.0), // same session
+      Ev(ts("2026-01-01 11:00:00"), 1, "click", 1.0)) // 50-min gap → new
+    val q = StreamOps.sessionize(in.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(Ev(ts("2026-01-01 20:00:00"), 9, "click", 0.0)) // watermark driver
+    q.processAllAvailable(); q.stop()
+    val sess = spark.table("sessions")
+      .filter(col("user_id") === 1)
+      .select(col("n_events")).as[Long].collect().sorted.toSeq
+    assert(sess == Seq(1L, 2L))
+  }
+
+  test("dedupStream keeps the first occurrence per content key") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(ts: Timestamp, doc_id: Long, text: String)
+    val in = MemoryStream[(Timestamp, Long, String)]
+    in.addData(
+      (ts("2026-01-01 10:00:00"), 1L, "Hello  World"),
+      (ts("2026-01-01 10:01:00"), 2L, "hello world"),   // dup (normalized)
+      (ts("2026-01-01 10:02:00"), 3L, "something else"))
+    val q = StreamOps.dedupStream(
+        in.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup").select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("foreachBatch merges micro-batches into the keyed sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val sinkPath = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/vp"
+    import StreamOpsSpec.Rec
+    def toSink(recs: Seq[Rec]) = recs.toDF()
+      .groupBy(col("vendorId"), col("product"), col("condition"), col("database"))
+      .agg(collect_list(struct(
+        col("serial").as("_id"), col("color"), col("variant"), col("stock"),
+        col("price"), col("price").as("discount"),
+        array(col("serial")).as("uniqueNumbers"))).as("selectedOptions"))
+
+    StreamOps.mergeBatch(sinkPath)(toSink(Seq(
+      Rec("v-1", "p-1", "c", "wholecell", "Black", "128GB", 2, 100, "A"))), 0L)
+    StreamOps.mergeBatch(sinkPath)(toSink(Seq(
+      Rec("v-1", "p-1", "c", "wholecell", "Black", "128GB", 3, 90, "B"),
+      Rec("v-2", "p-9", "c", "wholecell", "Red", "64GB", 1, 50, "C"))), 1L)
+
+    val sink = graft.sink.MergeWriter.readSnapshot(spark, sinkPath)
+    val opt = sink.filter(col("vendorId") === "v-1")
+      .select(explode(col("selectedOptions")).as("o"))
+      .select(col("o.stock"), col("o.price")).as[(Int, Long)].head()
+    assert(opt == ((5, 90L))) // accumulated stock, min price
+    assert(sink.count() == 2)
+  }
+}
+
+object StreamOpsSpec {
+  case class Rec(vendorId: String, product: String, condition: String,
+      database: String, color: String, variant: String, stock: Int,
+      price: Long, serial: String)
+}
