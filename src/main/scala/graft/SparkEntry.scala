@@ -22,7 +22,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — relational core (reference operator inventory, SURVEY §2) —
     "q1_pricing_summary" -> (CoreQueries.q1PricingSummary _),
+    "s1_full_scan" -> (CoreQueries.s1FullScan _),
     "s2_filtered_scan" -> (CoreQueries.s2FilteredScan _),
+    "j3_broadcast_lookup" -> (CoreQueries.j3BroadcastLookup _),
+    "a1_group_collect" -> (CoreQueries.a1GroupCollect _),
+    "a3_sum_reduce" -> (CoreQueries.a3SumReduce _),
+    "p10_zero_stock_skip" -> (CoreQueries.p10ZeroStockSkip _),
+    "k2_backfill" -> (CoreQueries.k2Backfill _),
     "p1_name_synthesis" -> (CoreQueries.p1NameSynthesis _),
     "p4_coalesce_chain" -> (CoreQueries.p4CoalesceChain _),
     "p5_cents_to_dollars" -> (CoreQueries.p5CentsToDollars _),
@@ -65,9 +71,35 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    "s1_full_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s2_filtered_scan" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
          FROM orders WHERE o_orderstatus = 'F'""",
+    "j3_broadcast_lookup" ->
+      """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "a1_group_collect" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+         array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
+         FROM lineitem GROUP BY l_orderkey""",
+    "a3_sum_reduce" ->
+      """SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+         FROM lineitem GROUP BY l_orderkey""",
+    "p10_zero_stock_skip" ->
+      """WITH t AS (SELECT l_partkey,
+                    CASE WHEN l_linenumber % 3 = 0 THEN 0
+                         ELSE CAST(l_quantity AS INT) END AS stock
+                    FROM lineitem)
+         SELECT l_partkey, CAST(sum(stock) AS BIGINT) AS total_stock,
+           count(*) AS n
+         FROM t GROUP BY l_partkey HAVING max(stock) > 0""",
+    "k2_backfill" ->
+      """SELECT event_id,
+         coalesce(CASE WHEN event_id % 5 <> 0 THEN event_type END,
+           'wholecell') AS db
+         FROM events""",
     "p1_name_synthesis" ->
       """SELECT p_partkey,
          trim(concat_ws(' ', coalesce(p_brand, ''), coalesce(p_type, ''))) AS display_name,

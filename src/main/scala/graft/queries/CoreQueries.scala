@@ -190,6 +190,77 @@ object CoreQueries {
         round(min(col("o_totalprice")), 2).as("min_value"),
         round(max(col("o_totalprice")), 2).as("max_value"))
 
+  /** S1: full collection scan (products.js:363-367
+    * `find({}).toArray()`) — all columns, no predicate; the scan
+    * must stay a bare columnar read. */
+  def s1FullScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+  /** J3: pre-fetched hash join (products.js:113-132) — the
+    * reference's manual `$in` batch prefetch + in-memory Map probe is
+    * exactly a broadcast hash join against the small dimension; the
+    * dimension attribute (brand) is resolved during the probe. */
+  def j3BroadcastLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** A1: composite-key group-by collecting member lists
+    * (products.js:58-79) — real multi-column keys, and the collected
+    * list is sorted so output is deterministic (the reference relies
+    * on Map insertion order; SURVEY §7.4#1/#5). */
+  def a1GroupCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          i => i.cast("string")), ",").as("line_numbers"))
+
+  /** A3: sum-reduce over a collected option array
+    * (products.js:329-332 `reduce((s,o) => s+o.stock, 0)`) as the
+    * builtin `aggregate` higher-order function. */
+  def a3SumReduce(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_quantity").cast("long")).as("qs"))
+      .select(col("l_orderkey"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"))
+
+  /** P10: zero-stock group skip (products.js:276-281) — groups whose
+    * option array is empty or all-zero are dropped via
+    * size/exists on the collected structs. Zeros are synthesized
+    * deterministically (line 3,6 of each order). */
+  def p10ZeroStockSkip(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("stock",
+        when(col("l_linenumber") % 3 === 0, lit(0))
+          .otherwise(col("l_quantity").cast("int")))
+      .groupBy(col("l_partkey"))
+      .agg(collect_list(struct(col("stock"))).as("selectedOptions"),
+        count(lit(1)).as("n"))
+      .filter(size(col("selectedOptions")) > 0 &&
+        exists(col("selectedOptions"), o => o.getField("stock") > 0))
+      .select(col("l_partkey"),
+        aggregate(col("selectedOptions"), lit(0L),
+          (acc, o) => acc + o.getField("stock")).as("total_stock"),
+        col("n"))
+
+  /** K2: default-value backfill (products.js:370-380
+    * `database ||= "wholecell"`): nulls synthesized from key
+    * arithmetic, coalesced to the default — the write-back shape of
+    * the credentials backfill. */
+  def k2Backfill(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        coalesce(
+          when(col("event_id") % 5 =!= 0, col("event_type")),
+          lit("wholecell")).as("db"))
+
   /** "first match wins" under a *chosen deterministic order*
     * (products.js:39-44 picks MongoDB natural order; SURVEY §7.4#1):
     * top-3 customers per market segment by balance, ties broken by
