@@ -60,23 +60,39 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Near-dup detection by token-set Jaccard ≥ 0.9, bucketed by
-    * lang so the self-join is per-bucket, not corpus². The general
-    * scale path is MinHash/LSH (dedupMinhash); this exact variant is
-    * the oracle-checkable ground truth. */
+  /** Near-dup detection by token-set Jaccard ≥ 0.9 — EXACT output
+    * (the oracle-checkable ground truth; dedupMinhash is the
+    * approximate scale path), lang-bucketed so the self-join is
+    * per-bucket rather than corpus², with a lossless size prefilter
+    * (J ≥ 0.9 forces min(|A|,|B|) ≥ 0.9·max) ahead of the set
+    * intersection.
+    *
+    * Tokens are xxhash64'd to longs before the pair stage (8-byte
+    * compares; |distinct hashes| = |distinct tokens| up to 2^-64
+    * collisions, so the Jaccard value — and the DuckDB string-token
+    * oracle — is unchanged).
+    *
+    * Scale note: AllPairs/PPJoin prefix filtering was measured here
+    * and LOST — this corpus's vocabulary is tiny, so even the rarest
+    * prefix token appears in thousands of docs and the candidate set
+    * stayed ~3M while adding two extra passes. Prefix filtering pays
+    * off only on heavy-tailed vocabularies; for bounded-vocabulary
+    * corpora the right scale path is MinHash banding (dedupMinhash). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Token sets are xxhash64'd to longs before the pair stage: the
-    // quadratic intersect/union then compares 8-byte values instead
-    // of strings. |distinct hashes| = |distinct tokens| up to 2^-64
-    // collisions, so the Jaccard value is unchanged and the DuckDB
-    // string-token oracle still matches.
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       array_distinct(transform(tokens(lower(trim(col("text")))), t => xxhash64(t)))
         .as("toks"))
-    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
-    val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("toks").as("b_toks"))
+      // both self-join legs reference this — persist so the
+      // tokenize+hash pass runs once, not per leg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+      col("toks").as("a_toks"), size(col("toks")).as("a_n"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang"),
+      col("toks").as("b_toks"), size(col("toks")).as("b_n"))
     a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_n"), col("b_n")) * 10 >=
+        greatest(col("a_n"), col("b_n")) * 9)
       .withColumn("jaccard", round(
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
           size(array_union(col("a_toks"), col("b_toks"))), 4))
@@ -134,9 +150,16 @@ object TextQueries {
     // fixed odd multipliers/offsets — any deterministic odd-a family
     val rnd = new scala.util.Random(42)
     val abs_ = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    // The hashed-shingle table is referenced by the signature pass AND
+    // both candidate-verification legs; unpersisted, the whole
+    // tokenize→shingle→hash pipeline re-ran per leg (the plan scanned
+    // the documents parquet 8×). It is ~50 longs/doc — tiny relative
+    // to the corpus — so persisting it is the standard LSH shape at
+    // any scale (at 100 TB this would be a written intermediate).
     val docs = shingleDocs(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = docs.select(
       col("doc_id"),
       array((0 until nHashes).map { i =>
@@ -147,6 +170,7 @@ object TextQueries {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band", "band_key"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
@@ -184,6 +208,9 @@ object TextQueries {
       posexplode(array((0 until 4).map(q =>
         shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("qkey"))
+      // both self-join legs reference this — persist so the 64-sum
+      // signature agg runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = quartered.select(col("q"), col("qkey"),
       col("doc_id").as("a_id"), col("simhash").as("a_sig"))
     val r = quartered.select(col("q"), col("qkey"),
@@ -212,6 +239,8 @@ object TextQueries {
     * driver-side state, scales to any corpus. Rows-only check (the
     * prediction is heuristic, not SQL-canonical). */
   def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    // referenced by both the profile-training agg and the scoring
+    // join — persist so the trigram explode runs once
     val tris = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), normText(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
@@ -219,6 +248,7 @@ object TextQueries {
           transform(sequence(lit(1), length(col("t")) - 2),
             i => col("t").substr(i, lit(3))))
           .otherwise(array(col("t")))).as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topPerLang = tris.groupBy(col("lang"), col("tri")).count()
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("count").desc, col("tri"))))
