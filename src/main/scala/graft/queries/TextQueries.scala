@@ -144,22 +144,69 @@ object TextQueries {
     * through the pair shuffle twice. Engine-specific hash functions
     * → no SQL oracle (rows-only check). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = 32
-    val bands = 8
-    val rowsPerBand = nHashes / bands
-    // fixed odd multipliers/offsets — any deterministic odd-a family
-    val rnd = new scala.util.Random(42)
-    val abs_ = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
     // The hashed-shingle table is referenced by the signature pass AND
     // both candidate-verification legs; unpersisted, the whole
     // tokenize→shingle→hash pipeline re-ran per leg (the plan scanned
     // the documents parquet 8×). It is ~50 longs/doc — tiny relative
     // to the corpus — so persisting it is the standard LSH shape at
     // any scale (at 100 TB this would be a written intermediate).
-    val docs = shingleDocs(spark, dir)
+    val docs = hashedShingles(spark, dir)
+    val candidates = minhashCandidatesOf(docs)
+    candidates
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Distinct-hashed 3-shingle sets per doc, persisted (see
+    * dedupMinhash's scale note). */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleDocs(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Brute-force all-pairs shingle-set Jaccard — the exact ground
+    * truth dedupMinhash approximates (same sets, same measure).
+    * Quadratic; spec/verification scale only. NOTE this is NOT
+    * dedupNgramJaccard's measure: that one compares distinct TOKEN
+    * sets, which on this corpus's tiny shared vocabulary are near-
+    * identical across docs whose 3-shingle (order-sensitive) sets
+    * are disjoint — containment of token-set pairs in shingle
+    * candidates was measured at ~1% and is the wrong assertion. */
+  def shingleJaccardExact(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = hashedShingles(spark, dir)
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash band-bucket candidate pairs (pre-verification) — split
+    * out so TextQueriesSpec can assert the banding guarantee against
+    * shingleJaccardExact: a J = 0.9 pair shares a band w.p.
+    * 1-(1-0.9⁴)⁸ ≈ 1 - 4e-5; at the J = 0.7 output threshold the
+    * per-pair catch rate is 1-(1-0.7⁴)⁸ ≈ 0.89, so the spec asserts
+    * full containment at ≥ 0.9 and a measured recall floor at 0.7. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatesOf(hashedShingles(spark, dir))
+
+  private def minhashCandidatesOf(docs: DataFrame): DataFrame = {
+    val nHashes = 32
+    val bands = 8
+    val rowsPerBand = nHashes / bands
+    // fixed odd multipliers/offsets — any deterministic odd-a family
+    val rnd = new scala.util.Random(42)
+    val abs_ = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
     val sig = docs.select(
       col("doc_id"),
       array((0 until nHashes).map { i =>
@@ -171,29 +218,51 @@ object TextQueries {
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded.as("l")
+    banded.as("l")
       .join(banded.as("r"), Seq("band", "band_key"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()
-    candidates
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 4))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** SimHash near-dup: 64-bit signature — bit b is the sign of
     * Σ_tokens (±1 by bit b of xxhash64(token)); computed as 64
     * map-side-combined sums over the exploded token stream, then
     * assembled bit-by-bit. Pairs within hamming ≤ 6 found by
-    * pigeonhole bucketing on 16-bit signature quarters (distance ≤ 6
-    * over 4 quarters ⇒ at least one quarter identical), so the
-    * self-join is bucket-local. Rows-only check. */
+    * pigeonhole bucketing on 8-bit signature bytes: 6 differing bits
+    * spread over 8 blocks leave at least one block identical (true
+    * for any hamming < 8), so candidate generation is EXACT for the
+    * ≤ 6 threshold — TextQueriesSpec asserts set equality against
+    * brute-force all-pairs hamming. (The earlier 16-bit-quarter
+    * scheme only guaranteed hamming ≤ 3.) Self-join stays
+    * bucket-local; at larger corpora widen the signature or use
+    * multi-block Manku-style keys to keep 8-bit buckets from
+    * growing with corpus size. Rows-only driver check; ground truth
+    * lives in the spec. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
+    val blocked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 8).map(q =>
+        shiftrightunsigned(col("simhash"), q * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("qkey"))
+      // both self-join legs reference this — persist so the 64-sum
+      // signature agg runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = blocked.select(col("q"), col("qkey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val r = blocked.select(col("q"), col("qkey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    l.join(r, Seq("q", "qkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  /** 64-bit SimHash signature per doc — public so TextQueriesSpec
+    * can brute-force all-pairs hamming and assert dedupSimhash's
+    * pigeonhole candidate generation loses nothing at ≤ 6. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -203,23 +272,7 @@ object TextQueries {
     val simhash = (0 until 64).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    val sig = summed.select(col("doc_id"), simhash.as("simhash"))
-    val quartered = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("qkey"))
-      // both self-join legs reference this — persist so the 64-sum
-      // signature agg runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = quartered.select(col("q"), col("qkey"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
-    val r = quartered.select(col("q"), col("qkey"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
-    l.join(r, Seq("q", "qkey")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 6)
+    summed.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** Document fingerprinting: cross-engine-stable md5 content

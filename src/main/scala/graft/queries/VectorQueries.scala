@@ -7,8 +7,9 @@ import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table
   * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
-  * baseline, LSH-bucketed ANN as the scale path, cosine near-dup for
-  * embedding-level dedup.
+  * baseline, multi-table LSH-bucketed ANN as the scale path, cosine
+  * near-dup for embedding-level dedup (exact oracle + LSH scale
+  * variant, mirroring the text side's ngram-Jaccard/MinHash split).
   *
   * Vector math is builtin higher-order functions (`zip_with` dot
   * product, `aggregate` reduction) over `array<double>` — codegen'd,
@@ -22,8 +23,6 @@ object VectorQueries {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
@@ -31,7 +30,7 @@ object VectorQueries {
 
   /** Corpus with L2-normalized vectors: cosine of a pair is then a
     * bare dot product — norms are computed once per VECTOR here, not
-    * twice per PAIR in the quadratic stage (3× less work where it
+    * twice per PAIR in the pair stage (3× less work where it
     * multiplies). `nrm` stays in the normalizing projection's output
     * (dropped one step later) so it is referenced twice and
     * CollapseProject won't inline the norm into the per-element
@@ -63,35 +62,83 @@ object VectorQueries {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** LSH-bucketed ANN: 12 deterministic random-hyperplane bits per
-    * vector (hyperplane d, dim i weight = a fixed pseudo-random ±1/
-    * ±2 derived from hash(d, i)), probed per-bucket — each query
-    * only scans its own bucket. The 100 TB path: bucket key is a
-    * shuffle-friendly int, bucket population is corpus/4096 on
-    * average, recall trades off via the bit count. Rows-only check
-    * (bucket membership is hash-defined, not SQL-canonical). */
-  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val nBits = 12
-    val emb = embNormed(spark, dir)
-    // deterministic hyperplane weight for (plane b, dim i) in {-2,-1,1,2}
-    def weight(b: Int, i: Column): Column = {
-      val h = xxhash64(lit(b), i)
-      when(pmod(h, lit(4)) === 0, -2.0).when(pmod(h, lit(4)) === 1, -1.0)
-        .when(pmod(h, lit(4)) === 2, 1.0).otherwise(2.0)
-    }
-    def bucketOf(v: Column): Column =
-      (0 until nBits).map { b =>
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * weight(b, i)),
-          lit(0.0d), (acc, x) => acc + x)
-        when(proj > 0, lit(1 << b)).otherwise(lit(0))
+  /** Deterministic hyperplane weight for (plane p, dim i) in
+    * {-2,-1,1,2} — a fixed pseudo-random hyperplane family derived
+    * from xxhash64, identical across runs and engines. */
+  private def weight(p: Int, i: Column): Column = {
+    val h = xxhash64(lit(p), i)
+    when(pmod(h, lit(4)) === 0, -2.0).when(pmod(h, lit(4)) === 1, -1.0)
+      .when(pmod(h, lit(4)) === 2, 1.0).otherwise(2.0)
+  }
+
+  /** Signed projection of `v` onto hyperplane `p`. */
+  private def planeProj(p: Int, v: Column): Column =
+    aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * weight(p, i)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Array of `nTables` bucket keys: table t's key packs hyperplane
+    * sign bits t*bits .. t*bits+bits-1. Multi-table OR (band-OR, the
+    * same banding structure as TextQueries.dedupMinhash): a pair is
+    * a candidate if ANY table agrees on all `bits` signs — each
+    * extra table recovers neighbors a single table loses to one
+    * disagreeing bit. */
+  private def bucketKeys(v: Column, nTables: Int, bits: Int): Column =
+    array((0 until nTables).map { t =>
+      (0 until bits).map { j =>
+        when(planeProj(t * bits + j, v) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce((a, c) => a.bitwiseOR(c))
-    val bucketed = emb.select(col("vec_id"), col("emb"), bucketOf(col("emb")).as("bucket"))
-    val queries = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("bucket"))
-    val pairs = bucketed.join(queries, Seq("bucket"))
+    }: _*)
+
+  /** Narrow (vec_id, label, table, bucket) frame — one row per
+    * vector per table. The explode is over a NARROW projection: the
+    * 64-double embedding does not ride the T-fold fan-out or the
+    * bucket shuffle; embeddings are re-joined by id only for the
+    * candidates that survive. */
+  private def bucketed(emb: DataFrame, nTables: Int, bits: Int): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        posexplode(bucketKeys(col("emb"), nTables, bits)))
+      .select(col("vec_id"), col("label"),
+        col("pos").as("table"), col("col").as("bucket"))
+
+  /** Operating point for the ANN/near-dup scale paths. Chosen for
+    * MEASURED recall on this corpus (see VectorQueriesSpec): the
+    * testdata embeddings are near-isotropic (top-5 neighbor cosine
+    * ~0.3, i.e. hyperplane-agreement p ≈ 0.6), which is the
+    * hardest regime for LSH — at p ≈ 0.6 the scan-fraction ~
+    * T/2^bits needed for high recall approaches 1, so short bands
+    * and many tables are the only way to a recall floor. On a real
+    * embedding corpus (clustered, neighbor cosine ≥ 0.9, p ≥ 0.9)
+    * the SAME structure prunes aggressively with bits = 12-16: the
+    * parameters are data-dependent, the shape is not. */
+  private val AnnTables = 16
+  private val AnnBits = 3
+
+  /** LSH ANN top-k, multi-table: candidates are (query, corpus)
+    * pairs sharing any table's bucket; survivors are re-ranked by
+    * the exact dot product, so precision of the emitted top-5 is
+    * exact over the candidate set and recall is the only
+    * approximation (measured ≥ 0.9 vs annBruteTopk in
+    * VectorQueriesSpec). Scale shape: bucket keys are one narrow
+    * pass, the join shuffles (table, bucket) key rows bounded by
+    * T × corpus, and wide embedding arrays are only fetched for
+    * surviving candidate ids. Rows-only driver check (bucket
+    * membership is hash-defined); ground truth lives in the recall
+    * spec. */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embNormed(spark, dir)
+    val corpus = bucketed(emb, AnnTables, AnnBits)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val candidates = corpus.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val pairs = candidates
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
         round(dot(col("qemb"), col("emb")), 4).as("sim"))
     pairs.withColumn("rank", row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
@@ -99,9 +146,13 @@ object VectorQueries {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Embedding-cosine near-dup: pairs above a cosine threshold,
-    * label-bucketed so the self-join is per-cluster rather than
-    * corpus². Same shape as text near-dup: bucket → pair → verify. */
+  /** Embedding-cosine near-dup, EXACT: all same-label pairs above a
+    * cosine threshold — the oracle-checkable ground truth, exactly
+    * analogous to TextQueries.dedupNgramJaccard on the text side.
+    * O(n²/labels) within label: fine as ground truth at verification
+    * scale, fenced off as NOT the production path at 100 TB — that
+    * is embNearDupLsh below, whose recall is measured against this
+    * output in VectorQueriesSpec. */
   def embNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = embNormed(spark, dir)
     val a = emb.select(col("vec_id").as("a_id"), col("label"), col("emb").as("a_emb"))
@@ -112,11 +163,47 @@ object VectorQueries {
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
   }
 
-  /** Centroid roll-up: per-label mean vector + dispersion — the
+  /** Embedding-cosine near-dup, LSH scale path: candidate pairs come
+    * from the multi-table hyperplane buckets (self-join on
+    * (table, bucket) — the join input is BUCKETS, not labels, so
+    * candidate volume is governed by bucket population, not label
+    * cardinality), deduped to bare id pairs, then verified with the
+    * exact dot product and the same-label + threshold predicate.
+    * Precision is exact (every emitted pair passed the exact check);
+    * recall vs embNearDup is measured in VectorQueriesSpec.
+    *
+    * Scale note (measured on this corpus): at threshold 0.4 —
+    * hyperplane agreement p ≈ 0.65 — NO parameterization of
+    * hyperplane LSH is simultaneously complete and sublinear; that
+    * is a property of the threshold, not the implementation
+    * (ρ = ln p1/ln p2 → 1 as the threshold falls). The exact query
+    * above therefore stays the oracle, and this path is the one
+    * whose candidate volume survives 100 TB when the threshold is a
+    * true near-dup bar (≥ 0.9 ⇒ p ≥ 0.93 ⇒ wide bands prune hard). */
+  def embNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embNormed(spark, dir)
+    val narrow = bucketed(emb, AnnTables, AnnBits)
+    val l = narrow.select(col("table"), col("bucket"),
+      col("vec_id").as("a_id"), col("label"))
+    val r = narrow.select(col("table"), col("bucket"),
+      col("vec_id").as("b_id"), col("label").as("b_label"))
+    val candidates = l.join(r, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id") && col("label") === col("b_label"))
+      .select(col("label"), col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), Seq("b_id"))
+      .withColumn("cos", round(dot(col("a_emb"), col("b_emb")), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Centroid roll-up: per-label mean vector + its norm — the
     * aggregation shape of IVF coarse quantizer training (one pass,
     * map-side partial sums of the vector components). Emitted as
-    * scalars (norm of centroid, mean intra-label cosine-to-centroid)
-    * so the output is flat and oracle-friendly rows-only. */
+    * flat scalars; full DuckDB oracle (per-dim sums via unnest +
+    * generate_subscripts). */
   def embCentroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     val dim = 64

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.{TextQueries, VectorQueries}
+
+/** Dev harness: prints the ground-truth measurements behind the
+  * VectorQueriesSpec / TextQueriesSpec floors (ANN recall, near-dup
+  * LSH recall, simhash exactness, minhash containment, lang-id
+  * accuracy) so the asserted floors are measured, not guessed. */
+object MeasureGT {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ANN recall@5
+    val brute = VectorQueries.annBruteTopk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorQueries.annLshTopk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"ann recall@5 = ${(brute & lsh).size.toDouble / brute.size} (${(brute & lsh).size}/${brute.size})")
+
+    // near-dup LSH recall
+    val exact = VectorQueries.embNearDup(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDup = VectorQueries.embNearDupLsh(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"near-dup lsh recall = ${(exact & lshDup).size}/${exact.size}; extra=${(lshDup -- exact).size}")
+
+    // simhash exactness vs brute hamming
+    val sig = TextQueries.simhashSignatures(spark, dir)
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    val bruteHam = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketHam = TextQueries.dedupSimhash(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"simhash: brute=${bruteHam.size} bucket=${bucketHam.size} equal=${bruteHam == bucketHam}")
+
+    // minhash vs exact shingle-jaccard ground truth
+    val exact07 = TextQueries.shingleJaccardExact(spark, dir, 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact09 = TextQueries.shingleJaccardExact(spark, dir, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = TextQueries.dedupMinhash(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"minhash: exact07=${exact07.size} exact09=${exact09.size} emitted=${mh.size} " +
+      s"missed07=${(exact07 -- mh).size} missed09=${(exact09 -- mh).size} false+=${(mh -- exact07).size}")
+
+    // lang-id accuracy
+    val li = TextQueries.tLangId(spark, dir)
+      .select(when(col("lang") === col("predicted"), 1).otherwise(0).as("ok"))
+      .agg(avg(col("ok"))).head.getDouble(0)
+    println(s"lang-id accuracy = $li")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Ground truth for the hash-defined text-dedup paths (the driver's
+  * oracle can only row-count them) plus language ID. Every assertion
+  * here is against an exact, independently computed baseline — see
+  * tools/MeasureGT for the measured values behind the floors. */
+class TextQueriesSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedupSimhash equals brute-force all-pairs hamming <= 6 (pigeonhole is exact)") {
+    val sig = TextQueries.simhashSignatures(spark, sf01)
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    val brute = pairSet(a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= 6))
+    val bucketed = pairSet(TextQueries.dedupSimhash(spark, sf01))
+    assert(brute.nonEmpty)
+    assert(bucketed == brute,
+      s"missed=${(brute -- bucketed).size} extra=${(bucketed -- brute).size}")
+  }
+
+  test("dedupMinhash equals exact shingle-Jaccard >= 0.7 at verification scale") {
+    // Like-for-like ground truth: same shingle sets, same measure.
+    // (Token-SET Jaccard — dedupNgramJaccard's measure — is the
+    // wrong baseline here: this corpus's tiny shared vocabulary
+    // makes token sets near-identical across docs whose 3-shingle
+    // sets are disjoint; measured containment was ~1%.)
+    val exact = pairSet(TextQueries.shingleJaccardExact(spark, sf01, 0.7))
+    val emitted = pairSet(TextQueries.dedupMinhash(spark, sf01))
+    assert(exact.nonEmpty)
+    assert(emitted == exact,
+      s"missed=${(exact -- emitted).size} extra=${(emitted -- exact).size}")
+  }
+
+  test("minhash banding catches every J >= 0.9 pair (theory: p_miss ~ 4e-5/pair)") {
+    val high = pairSet(TextQueries.shingleJaccardExact(spark, sf01, 0.9))
+    val cands = pairSet(TextQueries.minhashCandidates(spark, sf01))
+    assert(high.nonEmpty)
+    assert((high -- cands).isEmpty, s"banding missed ${(high -- cands).size} high-J pairs")
+  }
+
+  test("tLangId >= 0.9 accuracy on a corpus with real language signal") {
+    // The driver testdata's `lang` label is independent of its text
+    // (all langs draw the same vocabulary — measured trigram-profile
+    // accuracy 0.31 vs 0.44 majority baseline; no classifier can do
+    // better there). Real ground truth needs text that actually
+    // varies by language, so this fixture plants three languages
+    // with distinct character statistics.
+    val en = Seq("the quick brown fox jumps over the lazy dog near the river bank",
+      "a stream of data flows through the query engine every night",
+      "children walk to school along the quiet street in the morning",
+      "the weather this weekend should be warm with clear blue skies")
+    val de = Seq("der schnelle braune fuchs springt über den faulen hund am flussufer",
+      "ein datenstrom fließt jede nacht durch die abfrageverarbeitung",
+      "die kinder gehen morgens die ruhige straße entlang zur schule",
+      "das wetter am wochenende soll warm werden mit klarem blauem himmel")
+    val fr = Seq("le renard brun rapide saute par dessus le chien paresseux près de la rivière",
+      "un flux de données traverse le moteur de requêtes chaque nuit",
+      "les enfants marchent vers l'école le long de la rue calme le matin",
+      "la météo de ce weekend devrait être chaude avec un ciel bleu dégagé")
+    val rows = for {
+      (lang, sents) <- Seq("en" -> en, "de" -> de, "fr" -> fr)
+      i <- 0 until 12
+    } yield (lang.hashCode.toLong * 100 + i,
+      lang, sents(i % sents.size) + " " + sents((i + 1) % sents.size))
+    import spark.implicits._
+    val dir = Files.createTempDirectory("langid").toString
+    rows.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pred = TextQueries.tLangId(spark, dir)
+    val acc = pred.select(when(col("lang") === col("predicted"), 1.0).otherwise(0.0).as("ok"))
+      .agg(avg(col("ok"))).head.getDouble(0)
+    assert(acc >= 0.9, s"lang-id accuracy $acc < 0.9 on signal-bearing fixture")
+  }
+}

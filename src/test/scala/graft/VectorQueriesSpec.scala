@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.VectorQueries
+
+/** Ground truth for the approximate similarity-search paths: the
+  * driver's DuckDB oracle can hash-check the exact queries, but the
+  * LSH variants are hash-defined — their correctness signal lives
+  * here, as measured recall against the exact baselines. Floors are
+  * MEASURED values minus margin (see tools/MeasureGT): this corpus's
+  * embeddings are near-isotropic (top-5 neighbor cosine ~0.3), the
+  * hardest regime for hyperplane LSH, so passing here is a stronger
+  * statement than it would be on a clustered corpus. */
+class VectorQueriesSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame,
+      a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("annLshTopk recall@5 vs annBruteTopk >= 0.9 (sf0.001 and sf0.01)") {
+    for (dir <- Seq(sf001, sf01)) {
+      val brute = pairSet(VectorQueries.annBruteTopk(spark, dir), "qid", "nid")
+      val lsh = pairSet(VectorQueries.annLshTopk(spark, dir), "qid", "nid")
+      val recall = (brute & lsh).size.toDouble / brute.size
+      // measured: 0.92 @ sf0.001, 0.98 @ sf0.01 (deterministic hyperplanes)
+      assert(recall >= 0.9, s"recall@5 $recall < 0.9 at $dir")
+    }
+  }
+
+  test("embNearDupLsh emits exactly the exact near-dup pairs at verification scale") {
+    val exact = pairSet(VectorQueries.embNearDup(spark, sf01), "a_id", "b_id")
+    val lsh = pairSet(VectorQueries.embNearDupLsh(spark, sf01), "a_id", "b_id")
+    // deterministic: measured equal at sf0.001 and sf0.01 — this is
+    // what licenses giving emb_near_dup_lsh the exact-pair oracle.
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"missed=${(exact -- lsh)} extra=${(lsh -- exact)}")
+  }
+
+  test("embNearDupLsh precision is exact: every emitted pair passes the exact check") {
+    val exactAll = VectorQueries.embNearDup(spark, sf01)
+    val lsh = VectorQueries.embNearDupLsh(spark, sf01)
+    val extra = lsh.join(exactAll, Seq("label", "a_id", "b_id", "cos"), "left_anti")
+    assert(extra.isEmpty, "LSH path emitted a pair the exact path does not")
+  }
+}
