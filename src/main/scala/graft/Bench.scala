@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *  "queries_warm":{...},"sf":...}.
+  *
+  * Isolation rules (round-1 bench overstated per-query cost ~3×
+  * without them): `spark.catalog.clearCache()` between queries so one
+  * query's persisted intermediates (MinHash/langid pipelines use
+  * MEMORY_AND_DISK) neither occupy memory during, nor get double-
+  * counted against, the next query. Each query is then timed twice:
+  * `queries` is the COLD run (plan + codegen/JIT + scan), and
+  * `queries_warm` re-runs the same plan immediately after (its own
+  * persists still live), separating steady-state plan cost from
+  * first-touch warmup. `value` totals the cold runs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,22 +34,29 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
+    spark.catalog.clearCache()
     // noop sink forces full materialization of every column — count()
     // would let Catalyst prune projection-only queries to a metadata
     // scan and under-report them.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
-      name -> dt
+      try fn catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      val warm = timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-24s cold $cold%8.2fs  warm $warm%8.2fs")
+      (name, cold, warm)
+    }
+    def jsonMap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cold = jsonMap(results.map(r => r._1 -> r._2))
+    val warm = jsonMap(results.map(r => r._1 -> r._3))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real — schema, per-partition batched
   * decoding (the pattern that amortizes a codec/model handle per
   * partition instead of per row), explode-shaped frame sampling,
-  * fixed-width embedding output ready for VectorQueries — while the
-  * codec itself is a STUB: this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake pixels from
-  * the bytes. Swapping in a real decoder changes ONE function and no
-  * plan shape.
+  * fixed-width embedding output ready for VectorQueries — and the
+  * IMAGE path decodes for real via `javax.imageio` (JDK-bundled:
+  * PNG/BMP/GIF/JPEG, no new dependencies), converting to row-major
+  * 8-bit luminance. Audio/video decoding would need codec libraries
+  * this container lacks, so those kinds fall back to `decodeStub`'s
+  * deterministic fake — swapping in a real codec changes ONE
+  * function and no plan shape.
   *
   * Scale notes: media blobs ride the plan as opaque binary — never
   * shuffled unless an op needs them (feature extraction is a narrow
@@ -41,10 +43,43 @@ object MediaOps {
   case class Feature(media_id: Long, embedding: Array[Float])
   case class Frame(media_id: Long, frame_no: Int, content: Array[Byte])
 
-  /** STUB decoder — deterministic fake standing in for an image
-    * codec (??? in a container with the real library): produces
-    * width*height "pixels" by a rolling hash of the content bytes.
-    * Deterministic in (content, meta) so tests and re-runs agree. */
+  /** Real image decode via the JDK's ImageIO: PNG/BMP/GIF/JPEG bytes
+    * → (width, height, row-major 8-bit luminance). Grayscale images
+    * decode to their exact sample values; color converts by the
+    * ITU-R BT.601 integer luma (299r+587g+114b)/1000. Returns None
+    * when no registered reader accepts the bytes. */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        img.getRaster.getDataElements(0, 0, w, h, out)
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            out(y * w + x) = lum.toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** STUB decoder for the kinds whose codecs aren't in this container
+    * (audio/video — a real implementation would sit exactly here):
+    * produces width*height "pixels" by a rolling hash of the content
+    * bytes. Deterministic in (content, meta) so tests and re-runs
+    * agree. */
   def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
     val n = math.max(width * height, 0)
     val out = new Array[Byte](n)
@@ -61,15 +96,22 @@ object MediaOps {
     * the Scala analog of mapInPandas' iterator-of-batches shape. */
   def decode(media: DataFrame): Dataset[Decoded] = {
     implicit val enc = Encoders.product[Decoded]
-    media.select(col("media_id"), col("content"),
+    media.select(col("media_id"), col("content"), col("kind"),
         col("meta.width").as("w"), col("meta.height").as("h"))
       .mapPartitions { rows =>
-        // (real impl: val codec = Codec.open() — once per partition)
+        // (a stateful codec would open once per partition here)
         rows.map { r =>
-          val w = if (r.isNullAt(2)) 0 else r.getInt(2)
-          val h = if (r.isNullAt(3)) 0 else r.getInt(3)
-          Decoded(r.getLong(0), w, h,
-            decodeStub(r.getAs[Array[Byte]](1), w, h))
+          val id = r.getLong(0)
+          val content = r.getAs[Array[Byte]](1)
+          val kind = if (r.isNullAt(2)) "" else r.getString(2)
+          val w = if (r.isNullAt(3)) 0 else r.getInt(3)
+          val h = if (r.isNullAt(4)) 0 else r.getInt(4)
+          val real =
+            if (kind == "image") decodeImage(content) else None
+          real match {
+            case Some((rw, rh, px)) => Decoded(id, rw, rh, px)
+            case None => Decoded(id, w, h, decodeStub(content, w, h))
+          }
         }
       }
   }

@@ -42,10 +42,18 @@ object CatalogMatch {
     val probes = names.select(
       col("vendorName"), SyncExprs.nameKey(col("vendorName")).as("probe_key"))
 
-    // pass 1 — exact (case/whitespace-insensitive) equi-join
+    // pass 1 — exact (case/whitespace-insensitive) equi-join. The
+    // catalog may hold case/whitespace duplicates of one key; the
+    // reference's findOne returns exactly one match, so pass 1 takes
+    // the same deterministic pick as pass 2 (shortest admin name,
+    // then lexical) — without it, a duplicate admin key would fan
+    // out every item row joined downstream, doubling stock counts.
+    val pick1 = Window.partitionBy(col("vendorName"))
+      .orderBy(length(col("admin_name")).asc, col("admin_name").asc)
     val exact = probes.join(broadcast(adminFlat),
         col("probe_key") === col("admin_key"), "left")
     val matched1 = exact.filter(col("admin_id").isNotNull)
+      .withColumn("rk", row_number().over(pick1)).filter(col("rk") === 1)
       .select(col("vendorName"), col("admin_id"), col("admin_name"), col("admin_storage"))
 
     // pass 2 — substring containment for misses with len > 3

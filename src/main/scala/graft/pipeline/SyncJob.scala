@@ -43,6 +43,16 @@ object SyncJob {
     * @param filterDb   when set, sync only vendors whose (backfilled)
     *                   database equals it — the §3.2 filtered route
     * @param now        injected clock for deterministic P12 stamps
+    * @param credentialsOutPath when set, the K2-backfilled credentials
+    *                   are persisted here as parquet (the reference
+    *                   updateOne-writes the default back,
+    *                   products.js:370-380); happens even under
+    *                   dryRun, matching the reference where backfill
+    *                   precedes — and is independent of — the sink
+    *                   writes
+    * @param dryRun     compute the merge and full summary without
+    *                   touching the sink (the reference's `syncToDb`
+    *                   config flag, config.js:12)
     */
   def sync(spark: SparkSession,
       vendorApis: Dataset[VendorApi],
@@ -50,22 +60,33 @@ object SyncJob {
       sinkPath: String,
       mode: MergeWriter.MergeMode = MergeWriter.Accumulate,
       filterDb: Option[String] = None,
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): SyncResult = {
+      now: Timestamp = new Timestamp(System.currentTimeMillis()),
+      credentialsOutPath: Option[String] = None,
+      dryRun: Boolean = false): SyncResult = {
 
     // K2: backfill missing database to "wholecell" (the credentials
     // dimension is tiny — driver-side by design, like the reference's
-    // single find(); the write-back of backfilled rows is the
-    // caller's concern since credentials live outside the sink).
+    // single find()).
     val apis = vendorApis.collect().toSeq.map(a =>
       a.copy(database = a.database.orElse(Some(Schemas.WholecellDb))))
+    credentialsOutPath.foreach { p =>
+      // Safe to overwrite in place: `apis` is already materialized on
+      // the driver, so this never reads the files it replaces.
+      import spark.implicits._
+      apis.toDS().write.mode("overwrite").parquet(p)
+    }
     val selected = filterDb match {
       case Some(db) => apis.filter(_.database.contains(db))
       case None     => apis
     }
 
-    // Per-vendor ingest with fault isolation.
+    // Per-vendor ingest with fault isolation. No Spark action here:
+    // a per-vendor items.count() would serialize one blocking job per
+    // vendor on the driver (the N+1 shape this engine exists to
+    // kill); per-vendor fetch totals come from ONE aggregation over
+    // the unioned items below.
     sealed trait Ingest
-    case class Ok(api: VendorApi, items: DataFrame, fetched: Long) extends Ingest
+    case class Ok(api: VendorApi, items: DataFrame) extends Ingest
     case class Err(api: VendorApi, status: String, msg: String) extends Ingest
 
     val ingests: Seq[Ingest] = selected.map { api =>
@@ -74,8 +95,7 @@ object SyncJob {
           s"Unsupported database: ${api.database.getOrElse("")}")
       else fetch(api) match {
         case Success(json) =>
-          val items = HttpSource.parseItems(spark, api.vendorId, json)
-          Ok(api, items, items.count())
+          Ok(api, HttpSource.parseItems(spark, api.vendorId, json))
         case Failure(e) => Err(api, "fetch_failed", String.valueOf(e.getMessage))
       }
     }
@@ -85,6 +105,11 @@ object SyncJob {
       case Nil => HttpSource.parseItems(spark, "_none", """{"data": []}""")
       case seqs => seqs.reduce(_ unionByName _)
     }
+
+    // One agg job for every vendor's fetch total (A5's totalFetched),
+    // replacing the reference's (and round 1's) per-vendor counts.
+    val fetchStats = allItems.groupBy(col("vendorId")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // Relational core: enrich → match → aggregate.
     val enriched = OptionAgg.enrich(allItems)
@@ -123,20 +148,28 @@ object SyncJob {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
 
-    MergeWriter.writeSnapshot(spark, merged.drop("action"), sinkPath)
+    if (!dryRun)
+      MergeWriter.writeSnapshot(spark, merged.drop("action"), sinkPath)
 
     val summaries = ingests.map {
       case Err(api, status, msg) =>
         VendorSummary(api.vendorId, api.database.getOrElse(""), status,
           0, 0, 0, 0, 0, 0, 0, Some(msg))
-      case Ok(api, _, fetched) =>
+      case Ok(api, _) =>
+        val fetched = fetchStats.getOrElse(api.vendorId, 0L)
         val (valid, skipped) = groupStats.getOrElse(api.vendorId, (0L, 0L))
         val (ins, upd, stock) = actionStats.getOrElse(api.vendorId, (0L, 0L, 0L))
         VendorSummary(api.vendorId, api.database.getOrElse(""), "ok",
           fetched, valid, skipped, ins, upd, stock, ins + upd, None)
     }
 
-    SyncResult(summaries, MergeWriter.readSnapshot(spark, sinkPath))
+    // Dry-run hands back the computed (unwritten) snapshot: `merged`
+    // still lazily reads the untouched sink files, which is exactly
+    // what the caller should inspect.
+    val sinkView =
+      if (dryRun) merged.drop("action")
+      else MergeWriter.readSnapshot(spark, sinkPath)
+    SyncResult(summaries, sinkView)
   }
 
   private val SyncExprsAvailable = graft.expr.SyncExprs.isAvailable(col("status"))

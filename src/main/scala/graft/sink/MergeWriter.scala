@@ -58,7 +58,8 @@ object MergeWriter {
       col("vendorId"), col("product"), col("condition"),
       col("database").as("e_database"),
       col("selectedOptions").as("e_options"),
-      col("createdAt").as("e_createdAt"))
+      col("createdAt").as("e_createdAt"),
+      col("updatedAt").as("e_updatedAt"))
     val i = incoming.select(
       col("vendorId"), col("product"), col("condition"),
       col("database").as("i_database"),
@@ -90,7 +91,11 @@ object MergeWriter {
         .when(col("action") === "keep", col("e_options"))
         .otherwise(coalesce(col("m_options"), col("i_options"))).as("selectedOptions"),
       coalesce(col("e_createdAt"), lit(now)).as("createdAt"),
-      when(col("action") === "keep", col("e_createdAt")).otherwise(lit(now))
+      // Rows untouched by this sync keep their existing updatedAt —
+      // the reference only $set-updates touched documents
+      // (products.js:309-318), so a snapshot rewrite must not
+      // regress unchanged records' timestamps.
+      when(col("action") === "keep", col("e_updatedAt")).otherwise(lit(now))
         .as("updatedAt"),
       col("action"))
   }

@@ -48,4 +48,22 @@ class CatalogMatchSpec extends SparkSpec {
     val out = CatalogMatch.matchCatalog(names.toDF("vendorName"), admin)
     assert(out.count() == names.size)
   }
+
+  test("pass 1: duplicate-keyed catalog rows yield ONE deterministic match") {
+    // Two admin rows share lower(trim(name)); the reference's findOne
+    // returns one — without the pass-1 pick, each vendorName would
+    // emit two rows and fan out every joined item downstream.
+    val dupAdmin = Seq(
+      ("ap-1", "Apple iPhone 12", "64GB"),
+      ("ap-9", "APPLE IPHONE 12 ", "64GB"))
+      .toDF("_id", "name", "storage")
+      .select(col("_id"), col("name"), struct(col("storage")).as("specifications"))
+    val out = CatalogMatch.matchCatalog(
+      Seq("apple iphone 12").toDF("vendorName"), dupAdmin)
+    val rows = out.as[(String, Option[String], Option[String], Option[String])].collect()
+    assert(rows.length == 1)
+    // tiebreak: shortest admin name then lexical → "APPLE IPHONE 12 "
+    // (16 chars w/ trailing space) loses to "Apple iPhone 12" (15)
+    assert(rows.head._2.contains("ap-1"))
+  }
 }

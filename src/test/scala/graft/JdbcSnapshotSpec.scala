@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import graft.model.Schemas
+import graft.sink.JdbcSnapshot
+
+/** JDBC source/sink path against embedded Derby (bundled with Spark —
+  * no added dependencies): nested-column round-trip fidelity and the
+  * flat-dimension read. */
+class JdbcSnapshotSpec extends SparkSpec {
+
+  private def derbyUrl =
+    s"jdbc:derby:${Files.createTempDirectory("graft-derby")}/db;create=true"
+
+  test("vendorProduct snapshot round-trips through Derby (nested options via JSON)") {
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    val rows = Seq(
+      Row("v-1", "ap-1", "cond-fixed", "wholecell",
+        Seq(Row("id-1", "Black", "128GB 4GB RAM", 4, 250L, 250L,
+          Seq("ESN-1", "ESN-2"))),
+        t0, t0),
+      Row("v-2", "ap-2", "cond-fixed", "wholecell", Seq.empty, t0, t0),
+      Row("v-3", "ap-3", "cond-fixed", null, null, t0, t0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct)
+    val url = derbyUrl
+    JdbcSnapshot.write(df, url, "vendor_products")
+    val back = JdbcSnapshot.read(spark, url, "vendor_products")
+    // compare names/types — the JDBC reader annotates fields with
+    // connector metadata (jdbcClientType etc.), which is fine
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Schemas.vendorProduct.map(f => (f.name, f.dataType)))
+    val byKey = back.collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("v-1", "v-2", "v-3"))
+    val opts = byKey("v-1").getSeq[Row](4)
+    assert(opts.length == 1)
+    assert(opts.head.getString(1) == "Black" && opts.head.getInt(3) == 4)
+    assert(opts.head.getSeq[String](6) == Seq("ESN-1", "ESN-2"))
+    assert(byKey("v-2").getSeq[Row](4).isEmpty)
+    assert(byKey("v-3").isNullAt(3))
+  }
+
+  test("flat dimension read (S1 source shape) returns what was written") {
+    import spark.implicits._
+    val url = derbyUrl
+    val creds = Seq(("va-1", "v-100", "app1", "s1", "wholecell"),
+      ("va-2", "v-200", "app2", "s2", null))
+      .toDF("_id", "vendorId", "appId", "appSecret", "database")
+    creds.write.format("jdbc").option("url", url)
+      .option("dbtable", "apis").mode("overwrite").save()
+    val back = JdbcSnapshot.readTable(spark, url, "apis")
+    assert(back.count() == 2)
+    assert(back.filter($"database".isNull).count() == 1)
+  }
+}

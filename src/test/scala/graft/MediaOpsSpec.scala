@@ -30,6 +30,31 @@ class MediaOpsSpec extends SparkSpec {
     assert(d1(1L).pixels.toSeq != d1(2L).pixels.toSeq) // content-dependent
   }
 
+  test("decode reads a real PNG via ImageIO: exact pixels, dims from the image") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // 2×2 grayscale PNG with known sample values — gray decode is
+    // exact (no luma conversion).
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val samples = Array[Byte](10, 20, 30, 40)
+    img.getRaster.setDataElements(0, 0, 2, 2, samples)
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val rows = Seq(
+      // meta deliberately wrong (9×9): real decode must use the
+      // image's own dimensions, not meta
+      Row(7L, "image", "mem://png", png, Row(9, 9, null, "png")),
+      // same bytes declared as audio: must take the stub path
+      Row(8L, "audio", "mem://aud", png, Row(2, 2, null, "pcm")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val d = MediaOps.decode(df).collect().map(x => x.media_id -> x).toMap
+    assert(d(7L).width == 2 && d(7L).height == 2)
+    assert(d(7L).pixels.toSeq == samples.toSeq)
+    assert(d(8L).pixels.toSeq == MediaOps.decodeStub(png, 2, 2).toSeq)
+  }
+
   test("extractFeatures: fixed-width normalized embedding") {
     val f = MediaOps.extractFeatures(mediaDf, dim = 64)
       .collect().map(x => x.media_id -> x.embedding).toMap

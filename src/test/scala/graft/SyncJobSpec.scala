@@ -106,6 +106,50 @@ class SyncJobSpec extends SparkSpec {
     assert(stockRep == 4)
   }
 
+  test("K2 write-back persists the backfilled database default") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-k2").toString + "/vp"
+    val credPath = Files.createTempDirectory("graft-cred").toString + "/apis"
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    SyncJob.sync(spark, apis.toDS(), fetch, sink, MergeWriter.Accumulate,
+      now = Timestamp.valueOf("2026-08-12 00:00:00"),
+      credentialsOutPath = Some(credPath))
+    // A fresh read (nothing shared with the sync) sees the default.
+    val persisted = spark.read.parquet(credPath).as[VendorApi]
+      .collect().map(a => a.vendorId -> a.database).toMap
+    assert(persisted("v-200") == Some("wholecell")) // was None pre-sync
+    assert(persisted("v-300") == Some("other-db"))  // untouched
+  }
+
+  test("dry-run computes the full summary without touching the sink") {
+    val sink = Files.createTempDirectory("graft-dry").toString + "/vp"
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val res = SyncJob.sync(spark, apis.toDS(), fetch, sink, MergeWriter.Accumulate,
+      now = Timestamp.valueOf("2026-08-12 00:00:00"), dryRun = true)
+    assert(!new java.io.File(sink).exists()) // sink never created
+    val v100 = res.summary.find(_.vendorId == "v-100").get
+    assert(v100.totalFetched == 9 && v100.newVendorProducts == 2)
+    // the returned frame is the computed (unwritten) snapshot
+    assert(res.sink.filter(col("vendorId") === "v-100").count() == 2)
+  }
+
+  test("unchanged rows keep their updatedAt across a later sync") {
+    val sink = Files.createTempDirectory("graft-upd").toString + "/vp"
+    run(sink, MergeWriter.Accumulate)
+    // Second sync touches only v-200's vendors; v-100 rows are 'keep'.
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val later = Timestamp.valueOf("2026-09-01 00:00:00")
+    val res = SyncJob.sync(spark,
+      apis.filter(_.vendorId == "v-200").toDS(), fetch, sink,
+      MergeWriter.Accumulate, now = later)
+    val stamps = res.sink.select(col("vendorId"), col("updatedAt"))
+      .as[(String, Timestamp)].collect().groupBy(_._1)
+    assert(stamps("v-100").forall(_._2 == Timestamp.valueOf("2026-08-12 00:00:00")))
+    assert(stamps("v-200").forall(_._2 == later))
+  }
+
   test("filtered sync (§3.2) only touches vendors of the given database") {
     val sink = Files.createTempDirectory("graft-filt").toString + "/vp"
     val res = {
