@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two routes to the same registry entries:
+  *  - config route: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection point);
+  *  - runtime route: `GraftFunctions.ensureRegistered(spark)` for
+  *    sessions built without the config (tests, tools) — idempotent,
+  *    so hot paths may call it unconditionally.
+  *
+  * After either, `call_function("graft_dot", a, b)` (or SQL
+  * `graft_dot(a, b)`) resolves to the codegen'd expression.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children(0), children(1))
+      }))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -11,22 +11,30 @@ import graft.sources.Tables
   * near-dup for embedding-level dedup (exact oracle + LSH scale
   * variant, mirroring the text side's ngram-Jaccard/MinHash split).
   *
-  * Vector math is builtin higher-order functions (`zip_with` dot
-  * product, `aggregate` reduction) over `array<double>` — codegen'd,
-  * no UDF, and float→double widening happens once at scan time so
-  * cross-engine comparisons are stable.
+  * Vector math is the native `graft_dot` Catalyst expression
+  * (graft.functions.DotProduct — a fused codegen loop over the
+  * ArrayData; the builtin `aggregate(zip_with(...))` form it
+  * replaced materialized an intermediate array per PAIR, the one
+  * place cost multiplies quadratically). Float→double widening
+  * happens once at scan time so cross-engine comparisons are
+  * stable; hyperplane weights are driver-computed literal arrays,
+  * so an LSH projection is just another dot product.
   */
 object VectorQueries {
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  private def embDouble(spark: SparkSession, dir: String): DataFrame = {
+    // every vector path flows through here — idempotent registration
+    // of the native expressions (no-op under the config route)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
+  }
 
   /** Corpus with L2-normalized vectors: cosine of a pair is then a
     * bare dot product — norms are computed once per VECTOR here, not
@@ -62,20 +70,23 @@ object VectorQueries {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Deterministic hyperplane weight for (plane p, dim i) in
-    * {-2,-1,1,2} — a fixed pseudo-random hyperplane family derived
-    * from xxhash64, identical across runs and engines. */
-  private def weight(p: Int, i: Column): Column = {
-    val h = xxhash64(lit(p), i)
-    when(pmod(h, lit(4)) === 0, -2.0).when(pmod(h, lit(4)) === 1, -1.0)
-      .when(pmod(h, lit(4)) === 2, 1.0).otherwise(2.0)
+  private val EmbDim = 64
+
+  /** Deterministic hyperplane for plane `p`: dim weights in
+    * {-2,-1,1,2} from a seeded PRNG, materialized ONCE on the driver
+    * as a literal array — the projection is then a plain `graft_dot`
+    * against a constant, instead of a per-element hash expression
+    * evaluated per row per plane. */
+  private def planeWeights(p: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ p)
+    Seq.fill(EmbDim)(rnd.nextInt(4) match {
+      case 0 => -2.0; case 1 => -1.0; case 2 => 1.0; case _ => 2.0
+    })
   }
 
   /** Signed projection of `v` onto hyperplane `p`. */
   private def planeProj(p: Int, v: Column): Column =
-    aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * weight(p, i)),
-      lit(0.0d), (acc, x) => acc + x)
+    dot(v, typedlit(planeWeights(p)))
 
   /** Array of `nTables` bucket keys: table t's key packs hyperplane
     * sign bits t*bits .. t*bits+bits-1. Multi-table OR (band-OR, the
