@@ -29,11 +29,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup so the first timed query doesn't absorb all the
-    // JIT/codegen/session warmup.
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => }
+    // Untimed warmup so the first timed query doesn't absorb the
+    // JIT/codegen/session warmup. One query per table family:
+    // measured ~8s of one-time JVM JIT (regex/md5/vector codegen
+    // paths) otherwise lands on whichever query touches the family
+    // first and misreports it as plan cost.
+    for (w <- Seq("q1_pricing_summary", "t_fingerprint", "ann_brute_topk"))
+      try SparkEntry.queries(w)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => }
     spark.catalog.clearCache()
     // noop sink forces full materialization of every column — count()
     // would let Catalyst prune projection-only queries to a metadata
