@@ -210,6 +210,77 @@ object VectorQueries {
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k: the centroid-based scale path,
+    * complementing the hyperplane-LSH one.
+    *
+    * Train: k coarse cells from one distributed Lloyd iteration —
+    * seeds are the first k corpus vectors (deterministic), every
+    * vector assigns to its nearest seed by dot product (normalized
+    * corpus, so cosine == dot), per-cell mean vectors are one
+    * map-side-combined agg, and the k×dim result collects to the
+    * driver (tiny at any corpus size: k·dim doubles) to become
+    * literal arrays — the broadcast-quantizer pattern.
+    *
+    * Search: queries rank all k cells by centroid dot and probe the
+    * top `nprobe`; candidates are the corpus rows of the probed
+    * cells, re-ranked by the exact dot product. Recall vs brute
+    * force is measured in VectorQueriesSpec. Scale shape: the
+    * assignment pass is narrow (k dots per row, no shuffle), the
+    * cell join shuffles only (vec_id, cell) pairs, and embeddings
+    * are re-fetched by id for candidates only. nprobe/k trade recall
+    * against the corpus fraction scanned (nprobe/k on average). */
+  def annIvfTopk(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 6): DataFrame = {
+    val emb = embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def cellDots(cents: Seq[Seq[Double]], v: Column): Column =
+      array(cents.map(c => dot(v, typedlit(c))): _*)
+    def assign(cents: Seq[Seq[Double]], v: Column): Column = {
+      val dots = cellDots(cents, v)
+      array_position(dots, array_max(dots)).cast("int")
+    }
+
+    // seeds: first k vectors (deterministic, order-free via vec_id)
+    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
+    // one Lloyd iteration: per-cell component means
+    val assigned = emb.select(col("vec_id"), col("emb"),
+      assign(seeds, col("emb")).as("cell"))
+    val sums = (0 until EmbDim).map(i =>
+      avg(element_at(col("emb"), i + 1)).as(s"c$i"))
+    val trained: Seq[Seq[Double]] = assigned.groupBy(col("cell"))
+      .agg(sums.head, sums.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        (0 until EmbDim).map(i => r.getDouble(i + 1)).toVector).toMap
+      .toSeq.sortBy(_._1).map(_._2)
+
+    val corpus = emb.select(col("vec_id"),
+      assign(trained, col("emb")).as("cell"))
+    val queryCells = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        posexplode(cellDots(trained, col("emb"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("col").desc, col("pos"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("cell"))
+    val candidates = corpus.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val pairs = candidates
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qemb"), col("emb")), 4).as("sim"))
+    pairs.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Centroid roll-up: per-label mean vector + its norm — the
     * aggregation shape of IVF coarse quantizer training (one pass,
     * map-side partial sums of the vector components). Emitted as

@@ -25,6 +25,9 @@ object MeasureGT {
     val lsh = VectorQueries.annLshTopk(spark, dir)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"ann recall@5 = ${(brute & lsh).size.toDouble / brute.size} (${(brute & lsh).size}/${brute.size})")
+    val ivf = VectorQueries.annIvfTopk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"ivf recall@5 = ${(brute & ivf).size.toDouble / brute.size} (${(brute & ivf).size}/${brute.size})")
 
     // near-dup LSH recall
     val exact = VectorQueries.embNearDup(spark, dir)

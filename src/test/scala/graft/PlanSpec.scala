@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.queries.{CoreQueries, TextQueries, VectorQueries}
+
+/** Plan-shape regression tests: the scale properties this engine is
+  * designed around (pushdown reaching the scan, broadcasts on small
+  * dimensions, no cartesian joins) asserted against the ACTUAL
+  * physical plans, so a refactor that silently loses one fails CI
+  * rather than a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    // executedPlan under AQE is the initial plan; strip the adaptive
+    // wrapper and print the full tree including scan metadata
+    val p: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    p.toString
+  }
+
+  test("s2 filtered scan: predicate is pushed to the parquet scan") {
+    val plan = planString(CoreQueries.s2FilteredScan(spark, dir))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("IsNotNull(o_orderstatus)") ||
+      plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
+  }
+
+  test("q1 pricing summary: scan reads only the referenced columns") {
+    val plan = planString(CoreQueries.q1PricingSummary(spark, dir))
+    // ReadSchema must not include untouched wide columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_comment"), "scan reads l_comment it never uses")
+    assert(!plan.contains("l_shipinstruct"), "scan reads l_shipinstruct it never uses")
+  }
+
+  test("j3 lookup: small dimension goes broadcast, not shuffled") {
+    val plan = planString(CoreQueries.j3BroadcastLookup(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("j2 substring theta-join: broadcast nested loop, never cartesian") {
+    val plan = planString(CoreQueries.j2SubstringJoin(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "theta-join fell to a cartesian")
+  }
+
+  test("ann brute force: query side broadcast; dot product is the native expression") {
+    val df = VectorQueries.annBruteTopk(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("graft_dot"), "vector math not using the native expression")
+  }
+
+  test("minhash candidates: self-join is an equi-join on (band, band_key)") {
+    val plan = planString(TextQueries.minhashCandidates(spark, dir))
+    // bucketed candidate generation must hash-join on the band key —
+    // a nested-loop/cartesian here means the bucketing got lost
+    assert(plan.contains("band"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate self-join is not bucket-local")
+  }
+}

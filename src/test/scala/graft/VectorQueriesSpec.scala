@@ -21,13 +21,19 @@ class VectorQueriesSpec extends SparkSpec {
     df.select(col(a), col(b)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("annLshTopk recall@5 vs annBruteTopk >= 0.9 (sf0.001 and sf0.01)") {
+  test("annLshTopk and annIvfTopk recall@5 vs annBruteTopk >= 0.9 (sf0.001 and sf0.01)") {
     for (dir <- Seq(sf001, sf01)) {
       val brute = pairSet(VectorQueries.annBruteTopk(spark, dir), "qid", "nid")
       val lsh = pairSet(VectorQueries.annLshTopk(spark, dir), "qid", "nid")
-      val recall = (brute & lsh).size.toDouble / brute.size
-      // measured: 0.92 @ sf0.001, 0.98 @ sf0.01 (deterministic hyperplanes)
-      assert(recall >= 0.9, s"recall@5 $recall < 0.9 at $dir")
+      val lshRecall = (brute & lsh).size.toDouble / brute.size
+      // measured: 0.98 @ sf0.001, 0.94 @ sf0.01 (deterministic hyperplanes)
+      assert(lshRecall >= 0.9, s"LSH recall@5 $lshRecall < 0.9 at $dir")
+      val ivf = pairSet(VectorQueries.annIvfTopk(spark, dir), "qid", "nid")
+      val ivfRecall = (brute & ivf).size.toDouble / brute.size
+      // measured: 0.98 @ sf0.001, 0.92 @ sf0.01, 1.0 @ sf0.1
+      // (nprobe=6 of k=16 cells ≈ 37% corpus scanned on this
+      // near-isotropic data; clustered real corpora prune harder)
+      assert(ivfRecall >= 0.9, s"IVF recall@5 $ivfRecall < 0.9 at $dir")
     }
   }
 
