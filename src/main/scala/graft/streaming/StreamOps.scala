@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the event/dedup operators.
   *
@@ -56,6 +57,54 @@ object StreamOps {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_key")
+
+  /** A doc tagged with its balancing key (domain, lang, source …). */
+  case class DocKey(doc_id: Long, key: String, ts: java.sql.Timestamp)
+
+  /** Per-key corpus cap — "at most N documents per domain/language"
+    * — the balancing step of a training-data feed. This is genuinely
+    * CUSTOM state: `dropDuplicates` can keep first-1 per key, but
+    * first-N-across-micro-batches needs a counter that survives
+    * batches, i.e. `flatMapGroupsWithState` (the §Streaming escape
+    * hatch used only when built-ins can't express the semantics).
+    *
+    * State = one Long per key (emitted count), evicted by event-time
+    * timeout `retention` past the watermark, so the store is
+    * O(active keys), not O(stream length). Within a batch, docs are
+    * ordered (ts, doc_id) so the kept set is deterministic. After a
+    * key's state is evicted, its budget resets — the cap applies
+    * within the retention horizon, which is what a continuously
+    * ingesting pipeline wants (and the reason eviction is explicit,
+    * not accidental). */
+  def capPerKey(docs: Dataset[DocKey], maxPerKey: Int,
+      watermark: String = "1 hour",
+      retentionMs: Long = 24L * 3600 * 1000): Dataset[DocKey] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DocKey](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[DocKey], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val emitted = state.getOption.getOrElse(0L)
+            val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val take = batch.take(math.max(0, maxPerKey - emitted.toInt))
+            state.update(emitted + take.size)
+            // Timeout anchors on the key's LATEST EVENT, not the
+            // current watermark: on the first batch the watermark is
+            // still epoch-0, and watermark+retention would expire the
+            // key immediately after one batch (observed: the budget
+            // reset every batch).
+            val lastEvent = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastEvent, state.getCurrentWatermarkMs()) + retentionMs)
+            take.iterator
+          }
+      }
+  }
 
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes

@@ -73,6 +73,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("capPerKey: the per-key budget survives micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.DocKey
+    val in = MemoryStream[DocKey]
+    // batch 1: two 'en' docs, one 'de' doc — all under the cap of 3
+    in.addData(
+      DocKey(1, "en", ts("2026-01-01 10:00:00")),
+      DocKey(2, "en", ts("2026-01-01 10:01:00")),
+      DocKey(3, "de", ts("2026-01-01 10:02:00")))
+    val q = StreamOps.capPerKey(in.toDS(), maxPerKey = 3)
+      .writeStream.format("memory").queryName("capped")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: three more 'en' docs — only ONE fits the remaining
+    // budget, which requires the counter to have survived batch 1
+    // (a stateless op would re-admit all three)
+    in.addData(
+      DocKey(4, "en", ts("2026-01-01 10:10:00")),
+      DocKey(5, "en", ts("2026-01-01 10:11:00")),
+      DocKey(6, "en", ts("2026-01-01 10:12:00")))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("capped").select(col("doc_id")).as[Long].collect().toSet
+    // deterministic within-batch order (ts, doc_id): doc 4 is the one
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("foreachBatch merges micro-batches into the keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val sinkPath = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/vp"
