@@ -49,6 +49,7 @@ object SparkEntry {
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
     "t_fingerprint" -> (TextQueries.tFingerprint _),
+    "t_winnow" -> ((s: SparkSession, d: String) => TextQueries.tWinnow(s, d)),
     "t_lang_id" -> (TextQueries.tLangId _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
@@ -231,6 +232,24 @@ object SparkEntry {
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
          substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
          FROM documents""",
+    "t_winnow" ->
+      """WITH n AS (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                    FROM documents),
+              g AS (SELECT doc_id,
+                    list_transform(range(1, length(t) - 6),
+                      i -> md5(substr(t, CAST(i AS INT), 8))) AS hashes
+                    FROM n WHERE length(t) >= 8),
+              s AS (SELECT doc_id,
+                    CASE WHEN len(hashes) >= 4 THEN
+                      list_sort(list_distinct(
+                        list_transform(range(1, len(hashes) - 2),
+                          i -> list_min(hashes[CAST(i AS INT):CAST(i + 3 AS INT)]))))
+                    ELSE [list_min(hashes)] END AS sel
+                    FROM g)
+         SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_selected,
+           md5(array_to_string(sel, ',')) AS winnow_digest
+         FROM s""",
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies

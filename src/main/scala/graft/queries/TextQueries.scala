@@ -285,6 +285,46 @@ object TextQueries {
       md5(normText(col("text"))).as("fingerprint"),
       substring(md5(normText(col("text"))), 1, 4).as("shard_key"))
 
+  /** Winnowing fingerprint (Schleimer et al., MOSS): character
+    * k-grams of the normalized text → one hash per gram → the
+    * minimum hash of every w-gram window is selected → the distinct
+    * selected set is the document's fingerprint. Robust to
+    * insertions/reordering where the whole-document md5
+    * (tFingerprint) is not: any shared substring of length w+k-1
+    * guarantees a shared selected hash — the standard
+    * partial-overlap dedup signal.
+    *
+    * The gram "rolling hash" is md5 with lexicographic min — chosen
+    * because DuckDB computes the identical bytes, making this the
+    * rare fingerprint with a FULL SQL oracle (engine-native hashes
+    * like xxhash64 differ across engines and would force a rows-only
+    * check). Emitted per doc: selected-hash count plus a digest of
+    * the sorted selected set. All codegen'd builtins; one narrow
+    * map, no shuffle. */
+  def tWinnow(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val t = col("t")
+    val grams = col("grams")
+    val hashes = col("hashes")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .filter(length(t) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(t) - (k - 1)),
+          i => t.substr(i, lit(k))).as("grams"))
+      .select(col("doc_id"),
+        transform(grams, g => md5(g)).as("hashes"))
+      .select(col("doc_id"),
+        when(size(hashes) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(hashes) - (w - 1)),
+              i => array_min(slice(hashes, i, lit(w)))))))
+          .otherwise(array(array_min(hashes))).as("sel"))
+      .select(col("doc_id"),
+        size(col("sel")).cast("long").as("n_selected"),
+        md5(concat_ws(",", col("sel"))).as("winnow_digest"))
+  }
+
   /** Language ID by corpus-trained character-trigram profiles: one
     * distributed pass learns the top-40 trigrams per labeled
     * language; the tiny profile is broadcast back and each doc is
