@@ -58,6 +58,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), "vector math not using the native expression")
   }
 
+  test("bucketed co-located join: no shuffle exchange on either side") {
+    import graft.sources.{Bucketing, Tables}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the exchange (or its absence) is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        "li_bucketed", s"$tmp/li", "l_orderkey", 4)
+      Bucketing.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_bucketed", s"$tmp/ord", "l_orderkey", 4)
+      val joined = Bucketing.coLocatedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.take(2000))
+      // and the result is right: every lineitem row finds its order
+      assert(joined.count() ==
+        Tables.lineitem(spark, dir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
     val plan = planString(TextQueries.minhashCandidates(spark, dir))
     // bucketed candidate generation must hash-join on the band key —
