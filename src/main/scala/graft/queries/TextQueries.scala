@@ -302,6 +302,18 @@ object TextQueries {
     * the sorted selected set. All codegen'd builtins; one narrow
     * map, no shuffle. */
   def tWinnow(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowSelected(spark, dir, k, w)
+      .select(col("doc_id"),
+        size(col("sel")).cast("long").as("n_selected"),
+        md5(concat_ws(",", col("sel"))).as("winnow_digest"))
+
+  /** The selected-hash set behind tWinnow — public so the spec can
+    * assert winnowing's guarantee directly: two docs sharing any
+    * normalized substring of length ≥ w+k-1 share at least one
+    * selected hash (one full window of grams fits inside the match,
+    * and its minimum is selected on both sides). */
+  def winnowSelected(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     val t = col("t")
     val grams = col("grams")
@@ -320,9 +332,6 @@ object TextQueries {
             transform(sequence(lit(1), size(hashes) - (w - 1)),
               i => array_min(slice(hashes, i, lit(w)))))))
           .otherwise(array(array_min(hashes))).as("sel"))
-      .select(col("doc_id"),
-        size(col("sel")).cast("long").as("n_selected"),
-        md5(concat_ws(",", col("sel"))).as("winnow_digest"))
   }
 
   /** Language ID by corpus-trained character-trigram profiles: one

@@ -50,6 +50,26 @@ class TextQueriesSpec extends SparkSpec {
     assert((high -- cands).isEmpty, s"banding missed ${(high -- cands).size} high-J pairs")
   }
 
+  test("winnowing guarantee: docs sharing an 11+ char substring share a selected hash") {
+    // k=8, w=4 → any shared normalized substring of length w+k-1=11
+    // contains a full gram window whose minimum is selected on both
+    // sides; docs with NO shared substring share nothing.
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val rows = Seq(
+      (1L, "en", s"completely different opening text $shared and a distinct tail here"),
+      (2L, "en", s"another unrelated prefix words $shared trailing material differs"),
+      (3L, "en", "zero overlap with any of it: purple elephants calculate binary sonnets"))
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    rows.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sel = TextQueries.winnowSelected(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((sel(1L) & sel(2L)).nonEmpty, "shared substring produced no shared hash")
+    assert((sel(1L) & sel(3L)).isEmpty && (sel(2L) & sel(3L)).isEmpty,
+      "disjoint docs share fingerprint hashes")
+  }
+
   test("tLangId >= 0.9 accuracy on a corpus with real language signal") {
     // The driver testdata's `lang` label is independent of its text
     // (all langs draw the same vocabulary — measured trigram-profile
