@@ -40,6 +40,7 @@ object SparkEntry {
     "a2_option_agg" -> (CoreQueries.a2OptionAgg _),
     "a5_summary_rollup" -> (CoreQueries.a5SummaryRollup _),
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
+    "q_profile" -> (CoreQueries.qProfile _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
@@ -175,6 +176,20 @@ object SparkEntry {
                    ORDER BY c_acctbal DESC, c_custkey) AS rank
                FROM customer)
          WHERE rank <= 3""",
+    "q_profile" ->
+      """WITH t AS (SELECT * FROM orders)
+         SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct FROM t
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM t
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM t
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate) FROM t""",
     "e1_tumbling_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                 '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -190,6 +190,30 @@ object CoreQueries {
         round(min(col("o_totalprice")), 2).as("min_value"),
         round(max(col("o_totalprice")), 2).as("max_value"))
 
+  /** Column profile — the standard first pass over any new corpus
+    * (null rates, cardinalities, value ranges drive every downstream
+    * filter/dedup decision). ONE aggregation job computes every
+    * metric for every profiled column (2 passes over no data twice:
+    * all metrics are map-side-combinable partials), then the single
+    * result row is unpivoted driver-side into one row per column.
+    * At 100 TB swap countDistinct for approx_count_distinct (HLL) —
+    * kept exact here so the DuckDB oracle hash-matches. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"))
+    }
+    val row = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("column"),
+      col("n_rows"),
+      (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+      col(s"${c}__nd").as("n_distinct")))
+    row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
   /** S1: full collection scan (products.js:363-367
     * `find({}).toArray()`) — all columns, no predicate; the scan
     * must stay a bare columnar read. */
