@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * fixed-width embedding output ready for VectorQueries — and the
   * IMAGE path decodes for real via `javax.imageio` (JDK-bundled:
   * PNG/BMP/GIF/JPEG, no new dependencies), converting to row-major
-  * 8-bit luminance. Audio/video decoding would need codec libraries
-  * this container lacks, so those kinds fall back to `decodeStub`'s
-  * deterministic fake — swapping in a real codec changes ONE
-  * function and no plan shape.
+  * 8-bit luminance, and the AUDIO path decodes WAV/AIFF PCM via
+  * `javax.sound.sampled` (also JDK-bundled). Compressed audio
+  * (mp3/ogg) and video codecs aren't in the JDK, so those inputs
+  * fall back to `decodeStub`'s deterministic fake — swapping in a
+  * real codec changes ONE function and no plan shape.
   *
   * Scale notes: media blobs ride the plan as opaque binary — never
   * shuffled unless an op needs them (feature extraction is a narrow
@@ -75,6 +76,25 @@ object MediaOps {
     }
   }
 
+  /** Real audio decode via the JDK's AudioSystem: WAV/AIFF bytes →
+    * (frameLength, channels, raw PCM bytes) — the Decoded shape with
+    * width = frame count and height = channel count, pixels = the
+    * PCM byte stream. Returns None for formats the JDK can't read
+    * (mp3/ogg — those need codec libraries). */
+  def decodeAudio(content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        Some((in.getFrameLength.toInt, fmt.getChannels, pcm))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** STUB decoder for the kinds whose codecs aren't in this container
     * (audio/video — a real implementation would sit exactly here):
     * produces width*height "pixels" by a rolling hash of the content
@@ -106,8 +126,11 @@ object MediaOps {
           val kind = if (r.isNullAt(2)) "" else r.getString(2)
           val w = if (r.isNullAt(3)) 0 else r.getInt(3)
           val h = if (r.isNullAt(4)) 0 else r.getInt(4)
-          val real =
-            if (kind == "image") decodeImage(content) else None
+          val real = kind match {
+            case "image" => decodeImage(content)
+            case "audio" => decodeAudio(content)
+            case _ => None
+          }
           real match {
             case Some((rw, rh, px)) => Decoded(id, rw, rh, px)
             case None => Decoded(id, w, h, decodeStub(content, w, h))

@@ -55,6 +55,25 @@ class MediaOpsSpec extends SparkSpec {
     assert(d(8L).pixels.toSeq == MediaOps.decodeStub(png, 2, 2).toSeq)
   }
 
+  test("decode reads a real WAV via AudioSystem: exact PCM bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 100 frames of 16-bit mono PCM with known samples (16-bit WAV is
+    // natively signed; 8-bit WAV is unsigned and would shift by 128)
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 7) % 256 - 128).toByte)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val rows = Seq(Row(9L, "audio", "mem://wav", wav, Row(null, null, 12, "wav")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val d = MediaOps.decode(df).collect().head
+    assert(d.width == 100 && d.height == 1)   // frames × channels
+    assert(d.pixels.toSeq == pcm.toSeq)       // byte-exact PCM
+  }
+
   test("extractFeatures: fixed-width normalized embedding") {
     val f = MediaOps.extractFeatures(mediaDf, dim = 64)
       .collect().map(x => x.media_id -> x.embedding).toMap
