@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** Both registration routes for the native expressions: the
+  * SparkSessionExtensions injection (config route) and the idempotent
+  * runtime hook. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("config route: withExtensions(GraftExtensions) resolves graft_dot in SQL") {
+    // Force a NEW session (sharing the existing SparkContext) so the
+    // extension injection actually runs — getOrCreate would otherwise
+    // return the shared test session.
+    val prev = spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val d = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("runtime route is idempotent and registers the same function") {
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.ensureRegistered(spark) // no-op second time
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 0.0d, 2.0d), array(5.0d, 9.0d, 0.5d)) AS d")
+      .head().getDouble(0)
+    assert(d == 6.0)
+  }
+
+  test("graft_dot truncates to the shorter array (zip semantics)") {
+    GraftFunctions.ensureRegistered(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(2.0d, 3.0d, 100.0d), array(4.0d, 5.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 23.0)
+  }
+}
