@@ -315,9 +315,19 @@ object SparkEntry {
     "emb_centroids" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
-              c AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM u GROUP BY label, dim)
-         SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
-           round(sqrt(sum((sx/n)*(sx/n))), 4) AS centroid_norm
-         FROM c GROUP BY label""",
+              c AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM u GROUP BY label, dim),
+              cent AS (SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
+                       list(sx/n ORDER BY dim) AS cvec,
+                       round(sqrt(sum((sx/n)*(sx/n))), 4) AS centroid_norm
+                       FROM c GROUP BY label),
+              d AS (SELECT e.label,
+                    list_dot_product(e.emb, cent.cvec) /
+                      (sqrt(list_dot_product(e.emb, e.emb)) *
+                       sqrt(list_dot_product(cent.cvec, cent.cvec))) AS cos
+                    FROM e JOIN cent USING (label))
+         SELECT cent.label, cent.n_vectors, cent.centroid_norm,
+           round(avg(d.cos), 4) AS avg_cos_to_centroid
+         FROM cent JOIN d ON cent.label = d.label
+         GROUP BY cent.label, cent.n_vectors, cent.centroid_norm""",
   )
 }

@@ -281,20 +281,33 @@ object VectorQueries {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Centroid roll-up: per-label mean vector + its norm — the
-    * aggregation shape of IVF coarse quantizer training (one pass,
-    * map-side partial sums of the vector components). Emitted as
-    * flat scalars; full DuckDB oracle (per-dim sums via unnest +
+  /** Centroid roll-up: per-label mean vector, its norm, and the
+    * cell-dispersion metric (mean member cosine to the centroid —
+    * the quality number IVF training watches). The centroid pass is
+    * one map-side-combined agg; dispersion is the standard second
+    * pass with the 10-row centroid table broadcast back onto the
+    * corpus. Full DuckDB oracle (per-dim sums via unnest +
     * generate_subscripts). */
   def embCentroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
-    val dim = 64
+    val dim = EmbDim
     val compSums = (0 until dim).map(i =>
       sum(element_at(col("emb"), i + 1)).as(s"s$i"))
     val agged = emb.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), compSums: _*)
     val centroid = array((0 until dim).map(i => col(s"s$i") / col("n")): _*)
-    agged.select(col("label"), col("n").as("n_vectors"),
-      round(norm(centroid), 4).as("centroid_norm"))
+    val cents = agged.select(col("label"), col("n").as("n_vectors"),
+      centroid.as("cvec"))
+    val dispersion = emb.join(broadcast(cents.select(col("label"), col("cvec"))),
+        Seq("label"))
+      .select(col("label"),
+        (dot(col("emb"), col("cvec")) / (norm(col("emb")) * norm(col("cvec"))))
+          .as("cos"))
+      .groupBy(col("label"))
+      .agg(round(avg(col("cos")), 4).as("avg_cos_to_centroid"))
+    cents.join(dispersion, Seq("label"))
+      .select(col("label"), col("n_vectors"),
+        round(norm(col("cvec")), 4).as("centroid_norm"),
+        col("avg_cos_to_centroid"))
   }
 }
