@@ -62,6 +62,21 @@ object SyncJob {
       filterDb: Option[String] = None,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       credentialsOutPath: Option[String] = None,
+      dryRun: Boolean = false): SyncResult =
+    syncStore(spark, vendorApis, fetch, MergeWriter.ParquetStore(sinkPath),
+      mode, filterDb, now, credentialsOutPath, dryRun)
+
+  /** As `sync`, against any snapshot backend (parquet path or JDBC
+    * table — the reference's sink is a live DB, so JdbcStore is the
+    * closest analog). */
+  def syncStore(spark: SparkSession,
+      vendorApis: Dataset[VendorApi],
+      fetch: HttpSource.Fetcher,
+      store: MergeWriter.SnapshotStore,
+      mode: MergeWriter.MergeMode = MergeWriter.Accumulate,
+      filterDb: Option[String] = None,
+      now: Timestamp = new Timestamp(System.currentTimeMillis()),
+      credentialsOutPath: Option[String] = None,
       dryRun: Boolean = false): SyncResult = {
 
     // K2: backfill missing database to "wholecell" (the credentials
@@ -131,7 +146,7 @@ object SyncJob {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // MERGE into the sink snapshot.
-    val existing = MergeWriter.readSnapshot(spark, sinkPath)
+    val existing = store.read(spark)
     val merged = MergeWriter.merge(existing, incoming, mode, now)
 
     // A5 per-vendor counters from the merge actions + written stock.
@@ -149,7 +164,7 @@ object SyncJob {
       .toMap
 
     if (!dryRun)
-      MergeWriter.writeSnapshot(spark, merged.drop("action"), sinkPath)
+      store.write(spark, merged.drop("action"))
 
     val summaries = ingests.map {
       case Err(api, status, msg) =>
@@ -168,7 +183,7 @@ object SyncJob {
     // what the caller should inspect.
     val sinkView =
       if (dryRun) merged.drop("action")
-      else MergeWriter.readSnapshot(spark, sinkPath)
+      else store.read(spark)
     SyncResult(summaries, sinkView)
   }
 

@@ -31,7 +31,11 @@ object JdbcSnapshot {
 
   /** Write a vendorProduct-shaped frame to a JDBC table (full
     * snapshot overwrite — the same semantics as MergeWriter's
-    * parquet swap). */
+    * parquet swap). Strings keep the dialect's default mapping
+    * (CLOB on Derby): forcing VARCHAR via createTableColumnTypes
+    * breaks the writer's setNull (the dialect still declares CLOB
+    * parameters) and caps values at 32k; instead the READ side
+    * disables predicate pushdown (see read). */
   def write(df: DataFrame, url: String, table: String,
       options: Map[String, String] = Map.empty): Unit =
     df.withColumn(optionsJsonCol, to_json(col("selectedOptions")))
@@ -41,13 +45,19 @@ object JdbcSnapshot {
       .options(options)
       .mode("overwrite").save()
 
-  /** Read the snapshot back in vendorProduct shape. */
+  /** Read the snapshot back in vendorProduct shape. Predicate
+    * pushdown is off: Derby stores the strings as CLOB, and a
+    * pushed-down `col = literal` filter dies with "Comparisons
+    * between CLOB and CHAR are not supported" — the MERGE reads the
+    * full snapshot anyway, so filters run engine-side at zero cost
+    * to the actual access pattern. */
   def read(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val optType = Schemas.vendorProduct("selectedOptions")
       .dataType.asInstanceOf[ArrayType]
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
+      .option("pushDownPredicate", "false")
       .options(options)
       .load()
       .withColumn("selectedOptions", from_json(col(optionsJsonCol), optType))

@@ -26,6 +26,43 @@ import graft.ops.OptionMerge
   */
 object MergeWriter {
 
+  /** Pluggable snapshot backend: the merge logic is identical whether
+    * the sink state lives in a keyed parquet table or a JDBC table
+    * (the reference's sink is a live database — JdbcStore is the
+    * closer analog; ParquetStore is the lakehouse form). */
+  trait SnapshotStore {
+    def read(spark: SparkSession): DataFrame
+    def write(spark: SparkSession, df: DataFrame): Unit
+  }
+
+  final case class ParquetStore(path: String) extends SnapshotStore {
+    def read(spark: SparkSession): DataFrame = readSnapshot(spark, path)
+    def write(spark: SparkSession, df: DataFrame): Unit =
+      writeSnapshot(spark, df, path)
+  }
+
+  /** JDBC-backed snapshot (see JdbcSnapshot for type mapping).
+    * `write` materializes the merged frame BEFORE the overwrite:
+    * unlike the parquet tmp+swap, a JDBC overwrite truncates the
+    * table the lazy merge plan is still reading. */
+  final case class JdbcStore(url: String, table: String,
+      options: Map[String, String] = Map.empty) extends SnapshotStore {
+    def read(spark: SparkSession): DataFrame =
+      try JdbcSnapshot.read(spark, url, table, options)
+      catch {
+        // first sync: table doesn't exist yet → empty snapshot
+        case _: Exception => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.vendorProduct)
+      }
+    def write(spark: SparkSession, df: DataFrame): Unit = {
+      val materialized = df.persist()
+      materialized.count()
+      try JdbcSnapshot.write(materialized, url, table, options)
+      finally materialized.unpersist()
+    }
+  }
+
   sealed trait MergeMode
   /** Reference semantics (SURVEY §7.4#2): stock accumulates across
     * re-syncs — NOT idempotent, re-running doubles stock. */

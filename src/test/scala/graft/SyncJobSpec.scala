@@ -150,6 +150,36 @@ class SyncJobSpec extends SparkSpec {
     assert(stamps("v-200").forall(_._2 == later))
   }
 
+  test("full sync against a JDBC-backed sink matches the parquet run") {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val now = Timestamp.valueOf("2026-08-12 00:00:00")
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-sync")}/db;create=true"
+    val store = MergeWriter.JdbcStore(url, "vendor_products")
+    val jdbcRes = SyncJob.syncStore(spark, apis.toDS(), fetch, store,
+      MergeWriter.Accumulate, now = now)
+    val pqSink = Files.createTempDirectory("graft-pq-ref").toString + "/vp"
+    val pqRes = run(pqSink, MergeWriter.Accumulate)
+    // identical summaries...
+    assert(jdbcRes.summary.sortBy(_.vendorId) == pqRes.summary.sortBy(_.vendorId))
+    // ...and identical sink contents (canonicalized row set)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vendorId"), col("product"), col("condition"),
+        col("database"), to_json(col("selectedOptions")).as("opts"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(jdbcRes.sink) == canon(pqRes.sink))
+    // second sync against the SAME JDBC table accumulates (state
+    // really round-trips through Derby)
+    val second = SyncJob.syncStore(spark, apis.toDS(), fetch, store,
+      MergeWriter.Accumulate, now = now)
+    val stock2 = second.sink
+      .filter(col("vendorId") === "v-100" && col("product") === "ap-0001")
+      .select(explode(col("selectedOptions")).as("o"))
+      .filter(col("o.color") === "Black")
+      .select(col("o.stock")).as[Int].head()
+    assert(stock2 == 8)
+  }
+
   test("filtered sync (§3.2) only touches vendors of the given database") {
     val sink = Files.createTempDirectory("graft-filt").toString + "/vp"
     val res = {
