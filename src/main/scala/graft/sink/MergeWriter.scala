@@ -138,13 +138,20 @@ object MergeWriter {
   }
 
   /** Atomically replace the snapshot at `path` (write to a temp dir,
-    * then swap) — parquet partitioned by vendorId. */
+    * then swap) — parquet partitioned by vendorId. The frame is
+    * repartitioned on vendorId first: without it every upstream task
+    * writes a file into every vendor directory it has rows for
+    * (tasks × vendors small files — the classic partitionBy
+    * explosion); with it each vendor's rows land in one task → one
+    * file per partition directory. AQE coalescing keeps the shuffle
+    * cheap when vendors are few. */
   def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
+      .repartition(col("vendorId"))
       .write.mode("overwrite").partitionBy("vendorId").parquet(tmp.toString)
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
