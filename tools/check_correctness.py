@@ -30,6 +30,16 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
+    # queries that THREW in Verify leave no output dir — flag them
+    # instead of silently skipping (queries.json is the full inventory)
+    qlist_path = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qlist_path):
+        expected = set(json.load(open(qlist_path)))
+        present = {n for n in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, n))}
+        for missing in sorted(expected - present):
+            print(f"FAIL {missing}: query threw in Verify (no output dir)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
