@@ -58,6 +58,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), "vector math not using the native expression")
   }
 
+  test("w1 top-k per group: WindowGroupLimit prunes before the shuffle") {
+    // rank <= k over a LOW-cardinality partition key would bottleneck
+    // on k sort partitions at scale; Spark's WindowGroupLimit keeps
+    // each map task's local top-k ahead of the exchange, so the
+    // low-cardinality sort only ever sees tasks*k rows. Pin that the
+    // optimization actually fires for this query shape.
+    val plan = planString(CoreQueries.w1TopkPerGroup(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     import graft.sources.{Bucketing, Tables}
     val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
