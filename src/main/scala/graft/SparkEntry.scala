@@ -41,6 +41,7 @@ object SparkEntry {
     "a5_summary_rollup" -> (CoreQueries.a5SummaryRollup _),
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
     "q_profile" -> (CoreQueries.qProfile _),
+    "s4_set_ops" -> (CoreQueries.s4SetOps _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
@@ -176,6 +177,14 @@ object SparkEntry {
                    ORDER BY c_acctbal DESC, c_custkey) AS rank
                FROM customer)
          WHERE rank <= 3""",
+    "s4_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+              y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         SELECT 'churned_after_1995' AS cohort, o_custkey
+         FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT 'retained_1996', o_custkey
+         FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)""",
     "q_profile" ->
       """WITH t AS (SELECT * FROM orders)
          SELECT 'o_custkey' AS "column", count(*) AS n_rows,

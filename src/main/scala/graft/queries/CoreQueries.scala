@@ -190,6 +190,22 @@ object CoreQueries {
         round(min(col("o_totalprice")), 2).as("min_value"),
         round(max(col("o_totalprice")), 2).as("max_value"))
 
+  /** Set operations: customers ordering in 1995 split by whether they
+    * also ordered in 1996 — EXCEPT (churned) and INTERSECT
+    * (retained). Catalyst plans both as hash anti-/semi-joins over
+    * the deduplicated key sets; no custom handling needed, and the
+    * distinct-before-join keeps the shuffled sides key-sized. */
+  def s4SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(yr: Int) = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val y95 = custsIn(1995)
+    val y96 = custsIn(1996)
+    y95.except(y96).withColumn("cohort", lit("churned_after_1995"))
+      .unionByName(y95.intersect(y96).withColumn("cohort", lit("retained_1996")))
+      .select(col("cohort"), col("o_custkey"))
+  }
+
   /** Column profile — the standard first pass over any new corpus
     * (null rates, cardinalities, value ranges drive every downstream
     * filter/dedup decision). ONE aggregation job computes every

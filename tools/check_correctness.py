@@ -17,6 +17,8 @@ def load_result(dirpath):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:  # apply() on an empty frame yields a DataFrame, not a Series
+        return df.reset_index(drop=True)
     # stringify for stable sort across dtypes
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     df = df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
