@@ -42,15 +42,17 @@ object Bench {
     // noop sink forces full materialization of every column — count()
     // would let Catalyst prune projection-only queries to a metadata
     // scan and under-report them.
-    def timed(fn: => Unit): Double = {
+    def timed(name: String, run: String)(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       try fn catch { case e: Throwable =>
-        System.err.println(s"[bench] failed: ${e.getMessage}") }
+        System.err.println(s"[bench] $name ($run) failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-      val warm = timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      val cold = timed(name, "cold")(
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      val warm = timed(name, "warm")(
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save())
       spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-24s cold $cold%8.2fs  warm $warm%8.2fs")
       (name, cold, warm)

@@ -21,7 +21,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      try {
+      val r = try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
@@ -31,6 +31,11 @@ object Verify {
         println(s"[verify] FAILED $name: ${e.getMessage}")
         Some(name -> String.valueOf(e.getMessage))
       }
+      // several pipelines persist() intermediates; without clearing,
+      // every prior query's cache stays resident for the next one
+      // (same isolation rule Bench applies)
+      spark.catalog.clearCache()
+      r
     }
     if (failures.nonEmpty)
       println(s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED: " +

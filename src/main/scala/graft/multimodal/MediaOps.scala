@@ -50,7 +50,13 @@ object MediaOps {
     * ITU-R BT.601 integer luma (299r+587g+114b)/1000. Returns None
     * when no registered reader accepts the bytes. */
   def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    // ImageIO.read returns null for unrecognized formats but THROWS
+    // for recognized-but-corrupt bytes (truncated PNG etc.) — both
+    // must degrade to the stub, not kill the task: one bad blob in a
+    // bulk ingest must never abort the job.
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
     if (img == null) None
     else {
       val w = img.getWidth
@@ -88,7 +94,11 @@ object MediaOps {
       try {
         val fmt = in.getFormat
         val pcm = in.readAllBytes()
-        Some((in.getFrameLength.toInt, fmt.getChannels, pcm))
+        // frame count from the bytes actually read — getFrameLength
+        // can be NOT_SPECIFIED (-1) for some stream types and its
+        // .toInt would wrap past 2^31 frames
+        val frames = pcm.length / math.max(fmt.getFrameSize, 1)
+        Some((frames, fmt.getChannels, pcm))
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

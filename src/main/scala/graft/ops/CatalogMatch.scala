@@ -42,18 +42,24 @@ object CatalogMatch {
     val probes = names.select(
       col("vendorName"), SyncExprs.nameKey(col("vendorName")).as("probe_key"))
 
+    // Deterministic one-match pick, shared by both passes: shortest
+    // admin name, then lexical, then admin_id — the id is the final
+    // tiebreak so even byte-identical duplicate names (same length,
+    // same name, different _id) resolve identically on every run.
+    val pick = Window.partitionBy(col("vendorName"))
+      .orderBy(length(col("admin_name")).asc, col("admin_name").asc,
+        col("admin_id").asc)
+
     // pass 1 — exact (case/whitespace-insensitive) equi-join. The
     // catalog may hold case/whitespace duplicates of one key; the
     // reference's findOne returns exactly one match, so pass 1 takes
-    // the same deterministic pick as pass 2 (shortest admin name,
-    // then lexical) — without it, a duplicate admin key would fan
-    // out every item row joined downstream, doubling stock counts.
-    val pick1 = Window.partitionBy(col("vendorName"))
-      .orderBy(length(col("admin_name")).asc, col("admin_name").asc)
+    // the same deterministic pick as pass 2 — without it, a duplicate
+    // admin key would fan out every item row joined downstream,
+    // doubling stock counts.
     val exact = probes.join(broadcast(adminFlat),
         col("probe_key") === col("admin_key"), "left")
     val matched1 = exact.filter(col("admin_id").isNotNull)
-      .withColumn("rk", row_number().over(pick1)).filter(col("rk") === 1)
+      .withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
       .select(col("vendorName"), col("admin_id"), col("admin_name"), col("admin_storage"))
 
     // pass 2 — substring containment for misses with len > 3
@@ -61,8 +67,6 @@ object CatalogMatch {
       .select(col("vendorName"), col("probe_key"))
     val sub = missed.filter(length(col("vendorName")) > 3)
       .join(broadcast(adminFlat), col("admin_key").contains(col("probe_key")), "left")
-    val pick = Window.partitionBy(col("vendorName"))
-      .orderBy(length(col("admin_name")).asc, col("admin_name").asc)
     val matched2 = sub.filter(col("admin_id").isNotNull)
       .withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
       .select(col("vendorName"), col("admin_id"), col("admin_name"), col("admin_storage"))

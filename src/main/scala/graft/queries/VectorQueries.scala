@@ -51,6 +51,29 @@ object VectorQueries {
         transform(col("emb"), x => x / col("nrm")).as("emb"), col("nrm"))
       .drop("nrm")
 
+  /** The fixed query set every ANN variant answers for: the first 10
+    * vectors. One definition so the brute/LSH/IVF paths can never
+    * silently diverge on what they are recalled against. */
+  private val QueryPred = col("vec_id") < 10
+
+  /** Shared ANN tail: exact re-rank of candidate (qid, nid) pairs —
+    * fetch both embeddings by id (queries broadcast), exact dot,
+    * deterministic top-k per query. Keeping this in one place means
+    * a change to k / tie-breaking / the query set applies to every
+    * ANN variant, so the recall@5 comparisons stay like-for-like. */
+  private def topkByDot(emb: DataFrame, candidates: DataFrame): DataFrame = {
+    val pairs = candidates
+      .join(broadcast(emb.filter(QueryPred)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qemb"), col("emb")), 4).as("sim"))
+    pairs.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Brute-force cosine top-k: the first 10 vectors as queries,
     * top-5 neighbors each. The query side is broadcast (it is tiny
     * by construction), so the "cross join" is really one
@@ -59,7 +82,7 @@ object VectorQueries {
     * similarity rounded, ties broken by neighbor id. */
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = embNormed(spark, dir)
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(QueryPred)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val pairs = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -139,22 +162,13 @@ object VectorQueries {
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = embNormed(spark, dir)
     val corpus = bucketed(emb, AnnTables, AnnBits)
-    val queries = corpus.filter(col("vec_id") < 10)
+    val queries = corpus.filter(QueryPred)
       .select(col("vec_id").as("qid"), col("table"), col("bucket"))
     val candidates = corpus.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
-    val pairs = candidates
-      .join(broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"))), Seq("qid"))
-      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
-      .select(col("qid"), col("nid"),
-        round(dot(col("qemb"), col("emb")), 4).as("sim"))
-    pairs.withColumn("rank", row_number().over(
-      Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    topkByDot(emb, candidates)
   }
 
   /** Embedding-cosine near-dup, EXACT: all same-label pairs above a
@@ -258,7 +272,7 @@ object VectorQueries {
 
     val corpus = emb.select(col("vec_id"),
       assign(trained, col("emb")).as("cell"))
-    val queryCells = emb.filter(col("vec_id") < 10)
+    val queryCells = emb.filter(QueryPred)
       .select(col("vec_id").as("qid"),
         posexplode(cellDots(trained, col("emb"))))
       .withColumn("rk", row_number().over(
@@ -269,16 +283,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
-    val pairs = candidates
-      .join(broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"))), Seq("qid"))
-      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
-      .select(col("qid"), col("nid"),
-        round(dot(col("qemb"), col("emb")), 4).as("sim"))
-    pairs.withColumn("rank", row_number().over(
-      Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    topkByDot(emb, candidates)
   }
 
   /** Centroid roll-up: per-label mean vector, its norm, and the

@@ -50,11 +50,27 @@ object MergeWriter {
     def read(spark: SparkSession): DataFrame =
       try JdbcSnapshot.read(spark, url, table, options)
       catch {
-        // first sync: table doesn't exist yet → empty snapshot
-        case _: Exception => spark.createDataFrame(
+        // ONLY a missing table means "first sync → empty snapshot".
+        // Anything else (connection refused, auth, network) must
+        // propagate: mapping it to empty would mark every incoming
+        // row 'insert' and the subsequent overwrite would silently
+        // destroy the accumulated sink state.
+        case e: Exception if isTableMissing(e) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Schemas.vendorProduct)
       }
+
+    /** Walk the cause chain for an SQLException whose SQLState is a
+      * table-not-found code (Derby 42X05, SQL-standard/MySQL 42S02,
+      * Postgres 42P01). */
+    private def isTableMissing(t: Throwable): Boolean = {
+      val states = Set("42X05", "42S02", "42P01")
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).exists {
+        case sql: java.sql.SQLException =>
+          states.contains(String.valueOf(sql.getSQLState))
+        case _ => false
+      }
+    }
     def write(spark: SparkSession, df: DataFrame): Unit = {
       val materialized = df.persist()
       materialized.count()
