@@ -42,6 +42,17 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(byKey("v-3").isNullAt(3))
   }
 
+  test("JdbcStore.read: missing table means empty; other failures propagate") {
+    import graft.sink.MergeWriter.JdbcStore
+    // missing table on a healthy connection → first-sync empty snapshot
+    val empty = JdbcStore(derbyUrl, "never_written").read(spark)
+    assert(empty.count() == 0)
+    // unreachable database → must THROW, not read as empty (an empty
+    // snapshot here would let the next write wipe the real sink)
+    val bad = JdbcStore("jdbc:derby:/nonexistent/denied/path/db", "t")
+    intercept[Exception] { bad.read(spark) }
+  }
+
   test("flat dimension read (S1 source shape) returns what was written") {
     import spark.implicits._
     val url = derbyUrl

@@ -55,6 +55,21 @@ class MediaOpsSpec extends SparkSpec {
     assert(d(8L).pixels.toSeq == MediaOps.decodeStub(png, 2, 2).toSeq)
   }
 
+  test("corrupt image bytes fall back to the stub instead of failing the job") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    // valid PNG signature, truncated data → ImageIO.read THROWS
+    val truncated = baos.toByteArray.take(20)
+    val rows = Seq(Row(11L, "image", "mem://bad", truncated, Row(3, 3, null, "png")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val d = MediaOps.decode(df).collect().head
+    assert(d.pixels.toSeq == MediaOps.decodeStub(truncated, 3, 3).toSeq)
+  }
+
   test("decode reads a real WAV via AudioSystem: exact PCM bytes") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 100 frames of 16-bit mono PCM with known samples (16-bit WAV is
