@@ -62,7 +62,12 @@ object Bench {
     val total = results.map(_._2).sum
     val cold = jsonMap(results.map(r => r._1 -> r._2))
     val warm = jsonMap(results.map(r => r._1 -> r._3))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"sf":"$sfDir"}""")
+    // best = per-query min(cold, warm): on a noisy shared box (co-
+    // tenant load spikes measured 2-27s on identical runs) the min of
+    // two real runs is the least-contended estimate of plan cost.
+    val best = jsonMap(results.map(r => r._1 -> math.min(r._2, r._3)))
+    val totalBest = results.map(r => math.min(r._2, r._3)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
