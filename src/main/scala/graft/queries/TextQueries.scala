@@ -108,7 +108,14 @@ object TextQueries {
     * re-ran per element_at per position — O(tokens²) per doc,
     * interpreted: the original single-expression form ran 60× slower
     * at sf0.1.) */
-  private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
+    shingleDocsOf(Tables.documents(spark, dir))
+
+  /** As shingleDocs over any (doc_id, text) frame — the streaming
+    * ingest path (StreamOps.nearDupIngestBatch) builds per-batch
+    * shingles through here so batch and streaming share one
+    * tokenizer/shingler expression tree. */
+  private def shingleDocsOf(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     // The <3-token guard filters on size(toks), NOT size(sh): sh is
     // nonempty iff tokens >= 3, and a size(sh)>0 filter would be
@@ -117,7 +124,7 @@ object TextQueries {
     // before the fan-out exchange (observed 21s vs 0.5s at sf0.1).
     // Pushing size(toks)>=3 to the scan inlines only the linear
     // tokenizer, which is exactly where that filter belongs.
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
       .filter(size(toks) >= 3)
       .select(col("doc_id"),
@@ -126,6 +133,13 @@ object TextQueries {
             element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
           .as("sh"))
   }
+
+  /** Distinct-hashed 3-shingle sets from any (doc_id, text) frame —
+    * no persist (callers manage caching for their own lifecycle). */
+  def hashedShinglesOf(docs: DataFrame): DataFrame =
+    shingleDocsOf(docs)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
 
   /** MinHash + LSH near-dup: 3-word shingles → one xxhash64 per
     * shingle → 32 minhash values via affine rehash of that long
@@ -200,23 +214,35 @@ object TextQueries {
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatesOf(hashedShingles(spark, dir))
 
-  private def minhashCandidatesOf(docs: DataFrame): DataFrame = {
-    val nHashes = 32
-    val bands = 8
-    val rowsPerBand = nHashes / bands
-    // fixed odd multipliers/offsets — any deterministic odd-a family
+  // MinHash family parameters — ONE definition so batch queries and
+  // the streaming ingest index always hash into the same bands.
+  private val MinhashHashes = 32
+  private val MinhashBands = 8
+  // fixed odd multipliers/offsets — any deterministic odd-a family
+  private val minhashAbs: IndexedSeq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    val abs_ = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    IndexedSeq.fill(MinhashHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** (doc_id, band, band_key) from hashed-shingle sets — the LSH
+    * index rows. Public so the streaming ingest path can persist the
+    * same band space as a lake table. */
+  def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashHashes / MinhashBands
     val sig = docs.select(
       col("doc_id"),
-      array((0 until nHashes).map { i =>
-        val (a, b) = abs_(i)
+      array((0 until MinhashHashes).map { i =>
+        val (a, b) = minhashAbs(i)
         array_min(transform(col("sh"), h => h * lit(a) + lit(b)))
       }: _*).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+  }
+
+  private def minhashCandidatesOf(docs: DataFrame): DataFrame = {
+    val banded = minhashBandsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("l")
       .join(banded.as("r"), Seq("band", "band_key"))

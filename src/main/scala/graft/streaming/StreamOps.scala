@@ -106,6 +106,90 @@ object StreamOps {
       }
   }
 
+  /** Streaming NEAR-dup ingestion: each micro-batch of (doc_id, text)
+    * is MinHash-banded, checked against the accumulated corpus index
+    * AND against itself, and only novel docs survive — the
+    * production shape of continuous corpus building.
+    *
+    * The LSH state (band rows + hashed shingle sets of every accepted
+    * doc) lives as parquet tables under `indexPath`, NOT in the
+    * streaming state store: at 100 TB the index is far too large for
+    * per-executor state, and a lake table is shared by parallel
+    * ingest jobs, batch backfills, and the batch dedup queries (the
+    * band space is identical — TextQueries.minhashBandsOf is the one
+    * definition). Candidate generation is bucket-local exactly as in
+    * the batch path; only band-colliding pairs pay the exact
+    * shingle-Jaccard verification.
+    *
+    * In-batch duplicates resolve greedily: a doc is dropped if it
+    * matches any surviving doc with a smaller doc_id (transitive
+    * chains drop everything but the smallest — conservative and
+    * deterministic). Returns the surviving (doc_id, text) rows after
+    * appending their index rows. Wire as
+    * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
+    * with the caller persisting survivors wherever the clean corpus
+    * lands. */
+  def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    import graft.queries.TextQueries
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("text"))
+    val sh = TextQueries.hashedShinglesOf(docs).persist()
+    val bands = TextQueries.minhashBandsOf(sh).persist()
+
+    def readIfExists(sub: String, schemaOf: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaOf.schema)
+    }
+    val idxBands = readIfExists("bands", bands)
+    val idxSh = readIfExists("shingles", sh)
+
+    def verified(cands: DataFrame, otherSh: DataFrame): DataFrame =
+      cands
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("n_sh")), Seq("new_id"))
+        .join(otherSh.select(col("doc_id").as("old_id"), col("sh").as("o_sh")), Seq("old_id"))
+        .filter(size(array_intersect(col("n_sh"), col("o_sh"))).cast("double") /
+          size(array_union(col("n_sh"), col("o_sh"))) >= threshold)
+        .select(col("new_id")).distinct()
+
+    // vs the accumulated index (self-pairs excluded so a replayed
+    // micro-batch — exactly-once is at-least-once under retries —
+    // doesn't match docs against their own earlier index rows)
+    val candIdx = bands.as("n")
+      .join(idxBands.as("o"), Seq("band", "band_key"))
+      .filter(col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val dupVsIndex = verified(candIdx, idxSh)
+    // within the batch: drop the larger id of any matching pair
+    val candIn = bands.as("l").join(bands.as("r"), Seq("band", "band_key"))
+      .filter(col("l.doc_id") > col("r.doc_id"))
+      .select(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
+      .distinct()
+    val dupInBatch = verified(candIn, sh)
+
+    val dropped = dupVsIndex.unionByName(dupInBatch).distinct()
+    // Eager localCheckpoint TRUNCATES LINEAGE before the index append:
+    // the survivors plan is rooted in the index parquet read, and the
+    // append below refreshes/invalidates that path — a merely-cached
+    // plan would recompute against the just-appended files, every doc
+    // would match its own new index rows, and survivors would
+    // re-evaluate to empty (observed).
+    val survivors = docs.join(dropped.withColumnRenamed("new_id", "doc_id"),
+      Seq("doc_id"), "left_anti").localCheckpoint(true)
+
+    val survivorIds = survivors.select(col("doc_id"))
+    bands.join(survivorIds, Seq("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    sh.join(survivorIds, Seq("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/shingles")
+    sh.unpersist(); bands.unpersist()
+    survivors
+  }
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

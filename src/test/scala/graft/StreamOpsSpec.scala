@@ -99,6 +99,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("nearDupIngestBatch: index state dedups across and within micro-batches") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndx").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon long"
+    // batch 1: two distinct docs + an in-batch near-copy of doc 1
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different content about query engines and shuffles at scale today"),
+      (3L, base + " extra")).toDF("doc_id", "text")
+    val s1 = StreamOps.nearDupIngestBatch(idx)(b1, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 2L)) // 3 dropped: in-batch near-dup of 1
+    // batch 2: a near-copy of doc 1 (vs INDEX, across batches) + one novel doc
+    val b2 = Seq(
+      (10L, base + " tail"),
+      (11L, "a genuinely novel document with entirely new words nothing shares")).toDF("doc_id", "text")
+    val s2 = StreamOps.nearDupIngestBatch(idx)(b2, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(11L)) // 10 dropped against the accumulated index
+    // index holds exactly the survivors
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 11L))
+  }
+
   test("foreachBatch merges micro-batches into the keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val sinkPath = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/vp"
