@@ -208,9 +208,12 @@ object TextQueries {
   /** MinHash band-bucket candidate pairs (pre-verification) — split
     * out so TextQueriesSpec can assert the banding guarantee against
     * shingleJaccardExact: a J = 0.9 pair shares a band w.p.
-    * 1-(1-0.9⁴)⁸ ≈ 1 - 4e-5; at the J = 0.7 output threshold the
-    * per-pair catch rate is 1-(1-0.7⁴)⁸ ≈ 0.89, so the spec asserts
-    * full containment at ≥ 0.9 and a measured recall floor at 0.7. */
+    * 1-(1-0.9⁴)⁸ ≈ 1 - 4e-5 (the spec asserts full containment
+    * there), while at the J = 0.7 output threshold the theoretical
+    * per-pair catch rate is 1-(1-0.7⁴)⁸ ≈ 0.89 — on THIS corpus the
+    * near-dup pairs are all J ≥ 0.9, so the spec can assert the
+    * stronger set EQUALITY of dedupMinhash vs the exact J ≥ 0.7
+    * pairs (measured, deterministic). */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatesOf(hashedShingles(spark, dir))
 

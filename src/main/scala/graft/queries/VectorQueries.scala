@@ -7,9 +7,10 @@ import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table
   * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
-  * baseline, multi-table LSH-bucketed ANN as the scale path, cosine
-  * near-dup for embedding-level dedup (exact oracle + LSH scale
-  * variant, mirroring the text side's ngram-Jaccard/MinHash split).
+  * baseline with TWO scale paths — multi-table hyperplane LSH and a
+  * centroid IVF — plus cosine near-dup for embedding-level dedup
+  * (exact oracle + LSH scale variant, mirroring the text side's
+  * ngram-Jaccard/MinHash split) and centroid/dispersion roll-ups.
   *
   * Vector math is the native `graft_dot` Catalyst expression
   * (graft.functions.DotProduct — a fused codegen loop over the
