@@ -177,11 +177,11 @@ object TextQueries {
   }
 
   /** Distinct-hashed 3-shingle sets per doc, persisted (see
-    * dedupMinhash's scale note). */
+    * dedupMinhash's scale note) — the dir-based wrapper over
+    * hashedShinglesOf, so batch and streaming share ONE hashing
+    * expression tree. */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
-    shingleDocs(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    hashedShinglesOf(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force all-pairs shingle-set Jaccard — the exact ground

@@ -168,10 +168,13 @@ object MergeWriter {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
       .repartition(col("vendorId"))
-      // sorted by the probe key within each vendor file → parquet
-      // row-group min/max stats let point lookups (J4's existence
-      // probes, S7) skip row groups instead of scanning the vendor
-      .sortWithinPartitions(col("product"))
+      // sorted by (vendorId, product): the dynamic-partition write
+      // REQUIRES ordering by the partition column — matching that
+      // prefix means the planner injects no extra sort, and the
+      // product suffix gives each vendor file row-group min/max
+      // stats so point lookups (J4's existence probes, S7) skip row
+      // groups instead of scanning the vendor
+      .sortWithinPartitions(col("vendorId"), col("product"))
       .write.mode("overwrite").partitionBy("vendorId").parquet(tmp.toString)
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)

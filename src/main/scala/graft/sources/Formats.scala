@@ -15,6 +15,10 @@ import org.apache.spark.sql.types.StructType
   * Timestamp fidelity: CSV/JSON serialize timestamps as ISO-8601
   * microseconds; nanosecond precision (the events table) does not
   * survive a text round-trip — callers needing nanos stay on parquet.
+  * CSV additionally conflates empty string with null on read (both
+  * serialize to an empty field) — a lossy corner inherent to the
+  * format; data that distinguishes "" from null must use JSON or
+  * parquet.
   */
 object Formats {
 
@@ -28,6 +32,11 @@ object Formats {
   def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      // multiLine: quoted fields containing raw newlines span
+      // physical lines; the default line-based splitter would break
+      // them into malformed records. (Costs input splittability —
+      // moot here, the writer gzips.)
+      .option("multiLine", "true")
       // malformed rows fail loudly rather than silently nulling —
       // interchange files are producer bugs waiting to be noticed
       .option("mode", "FAILFAST")

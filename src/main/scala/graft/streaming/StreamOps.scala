@@ -114,18 +114,28 @@ object StreamOps {
     * The LSH state (band rows + hashed shingle sets of every accepted
     * doc) lives as parquet tables under `indexPath`, NOT in the
     * streaming state store: at 100 TB the index is far too large for
-    * per-executor state, and a lake table is shared by parallel
-    * ingest jobs, batch backfills, and the batch dedup queries (the
-    * band space is identical — TextQueries.minhashBandsOf is the one
-    * definition). Candidate generation is bucket-local exactly as in
-    * the batch path; only band-colliding pairs pay the exact
-    * shingle-Jaccard verification.
+    * per-executor state, and a lake table is readable by batch
+    * backfills and the batch dedup queries (the band space is
+    * identical — TextQueries.minhashBandsOf is the one definition).
+    * WRITE discipline is single-writer: plain parquet append has no
+    * commit protocol, so concurrent ingest jobs would collide in the
+    * staging directory and race past each other's dedup window — run
+    * one ingest query per index, or back the index with a
+    * transactional table format. The index joins broadcast the
+    * (tiny) batch side, so the accumulated index is streamed through
+    * a shuffle-free broadcast join rather than shuffled per batch;
+    * the per-batch full scan of the index is the remaining cost, and
+    * the production fix is a band-bucketed transactional table.
+    * Candidate generation is bucket-local exactly as in the batch
+    * path; only band-colliding pairs pay the exact shingle-Jaccard
+    * verification.
     *
     * In-batch duplicates resolve greedily: a doc is dropped if it
-    * matches any surviving doc with a smaller doc_id (transitive
-    * chains drop everything but the smallest — conservative and
-    * deterministic). Returns the surviving (doc_id, text) rows after
-    * appending their index rows. Wire as
+    * matches ANY smaller-id doc in the batch, surviving or not
+    * (transitive chains keep only the smallest member — conservative
+    * and deterministic; a chain's middle doc being itself a dup does
+    * not resurrect its neighbors). Returns the surviving
+    * (doc_id, text) rows after appending their index rows. Wire as
     * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
     * with the caller persisting survivors wherever the clean corpus
     * lands. */
@@ -148,8 +158,8 @@ object StreamOps {
     val idxSh = readIfExists("shingles", sh)
 
     def verified(cands: DataFrame, otherSh: DataFrame): DataFrame =
-      cands
-        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("n_sh")), Seq("new_id"))
+      broadcast(cands
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("n_sh")), Seq("new_id")))
         .join(otherSh.select(col("doc_id").as("old_id"), col("sh").as("o_sh")), Seq("old_id"))
         .filter(size(array_intersect(col("n_sh"), col("o_sh"))).cast("double") /
           size(array_union(col("n_sh"), col("o_sh"))) >= threshold)
@@ -157,8 +167,10 @@ object StreamOps {
 
     // vs the accumulated index (self-pairs excluded so a replayed
     // micro-batch — exactly-once is at-least-once under retries —
-    // doesn't match docs against their own earlier index rows)
-    val candIdx = bands.as("n")
+    // doesn't match docs against their own earlier index rows). The
+    // batch side broadcasts: the big index scan streams through a
+    // shuffle-free broadcast hash join.
+    val candIdx = broadcast(bands).as("n")
       .join(idxBands.as("o"), Seq("band", "band_key"))
       .filter(col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
