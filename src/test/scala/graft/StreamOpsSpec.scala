@@ -124,6 +124,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 11L))
   }
 
+  test("nearDupIngestBatch agrees with batch dedupMinhash invariants on real data") {
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndx2").toString + "/index"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // ingest the corpus in two micro-batches (even ids then odd)
+    StreamOps.nearDupIngestBatch(idx)(docs.filter(col("doc_id") % 2 === 0), 0L)
+    StreamOps.nearDupIngestBatch(idx)(docs.filter(col("doc_id") % 2 === 1), 1L)
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // batch ground truth: the oracle-verified near-dup pair set
+    val pairs = TextQueries.dedupMinhash(spark, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // (1) no duplicate pair survives whole: at most one member indexed
+    val bothIn = pairs.filter(p => indexed(p._1) && indexed(p._2))
+    assert(bothIn.isEmpty, s"both members indexed for ${bothIn.take(5).toSeq}")
+    // (2) every shingled doc in NO duplicate pair must be indexed
+    val inAnyPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val allShingled = TextQueries.hashedShinglesOf(docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val singletons = allShingled -- inAnyPair
+    assert((singletons -- indexed).isEmpty,
+      s"non-duplicate docs missing from index: ${(singletons -- indexed).take(5)}")
+  }
+
   test("foreachBatch merges micro-batches into the keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val sinkPath = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/vp"
