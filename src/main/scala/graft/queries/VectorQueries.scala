@@ -172,6 +172,32 @@ object VectorQueries {
     topkByDot(emb, candidates)
   }
 
+  /** Exact top-k scoring of EXTERNAL query vectors against the
+    * corpus — the serving shape (a stream of incoming embeddings
+    * ranked against a static index; see StreamOps.annScoreBatch).
+    * Queries (`qid`, `qemb` as array<double>) are normalized here
+    * and broadcast; the corpus streams through one broadcast
+    * nested-loop scan, exactly like annBruteTopk. Unlike the
+    * in-corpus ANN queries there is no self-exclusion: an incoming
+    * vector identical to a corpus vector SHOULD report it at
+    * sim 1.0 (that is the near-dup signal). */
+  def scoreQueries(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val emb = embNormed(spark, dir)
+    val q = queries
+      .select(col("qid"), col("qemb").cast("array<double>").as("qemb"))
+      .select(col("qid"), col("qemb"), norm(col("qemb")).as("qn"))
+      .filter(col("qn") > 0)
+      .select(col("qid"), transform(col("qemb"), x => x / col("qn")).as("qemb"))
+    val pairs = emb.join(broadcast(q), lit(true))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qemb"), col("emb")), 4).as("sim"))
+    pairs.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup, EXACT: all same-label pairs above a
     * cosine threshold — the oracle-checkable ground truth, exactly
     * analogous to TextQueries.dedupNgramJaccard on the text side.

@@ -202,6 +202,18 @@ object StreamOps {
     survivors
   }
 
+  /** Streaming similarity serving: each micro-batch of query
+    * embeddings (`qid`, `qemb`) is exact-scored against the static
+    * corpus at `corpusDir` — the queries broadcast, the corpus
+    * streams, no state. Wire the result wherever scored matches land
+    * (`foreachBatch { (b, id) => sink(annScoreBatch(dir)(b, id)) }`);
+    * swapping in the LSH/IVF candidate generation is a drop-in once
+    * query volume per batch outgrows brute force. */
+  def annScoreBatch(corpusDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): DataFrame =
+    graft.queries.VectorQueries.scoreQueries(
+      batch.sparkSession, corpusDir, batch, k)
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

@@ -46,6 +46,26 @@ class VectorQueriesSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${(exact -- lsh)} extra=${(lsh -- exact)}")
   }
 
+  test("scoreQueries: a corpus vector as external query finds itself, then brute's neighbors") {
+    import org.apache.spark.sql.functions.col
+    val qid = 3L
+    val qvec = graft.sources.Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    import spark.implicits._
+    val queries = Seq((qid, qvec)).toDF("qid", "qemb")
+    val scored = VectorQueries.scoreQueries(spark, sf01, queries)
+      .orderBy(col("rank")).collect()
+    // rank 1 = the vector itself at similarity 1.0
+    assert(scored.head.getLong(2) == qid && scored.head.getDouble(3) == 1.0)
+    // ranks 2..5 = annBruteTopk's ranks 1..4 for the same qid
+    val brute = VectorQueries.annBruteTopk(spark, sf01)
+      .filter(col("qid") === qid).orderBy(col("rank"))
+      .select(col("nid")).as[Long].collect().take(4).toSeq
+    assert(scored.drop(1).map(_.getLong(2)).toSeq == brute)
+  }
+
   test("embNearDupLsh precision is exact: every emitted pair passes the exact check") {
     val exactAll = VectorQueries.embNearDup(spark, sf01)
     val lsh = VectorQueries.embNearDupLsh(spark, sf01)
