@@ -46,4 +46,29 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d == 23.0)
   }
+
+  test("graft_dot is bit-identical to the builtin aggregate(zip_with) composition") {
+    // Same left-to-right fold order → EXACT equality, not tolerance:
+    // the native expression must be a pure performance substitution.
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    GraftFunctions.ensureRegistered(spark)
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1e6, 1e6))
+    val cases = (0 until 200).flatMap { i =>
+      for {
+        a <- gen.apply(Gen.Parameters.default, Seed(i * 2L))
+        b <- gen.apply(Gen.Parameters.default, Seed(i * 2L + 1))
+      } yield (a, b)
+    }
+    import spark.implicits._
+    val df = cases.toDF("a", "b")
+    val diff = df.select(
+      (call_function("graft_dot", col("a"), col("b")) =!=
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff == 0, s"$diff of ${cases.size} cases diverge from the builtin form")
+    assert(cases.size >= 150) // generator actually produced cases
+  }
 }
