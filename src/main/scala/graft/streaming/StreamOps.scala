@@ -214,6 +214,34 @@ object StreamOps {
     graft.queries.VectorQueries.scoreQueries(
       batch.sparkSession, corpusDir, batch, k)
 
+  /** Compact the near-dup index tables: every micro-batch append adds
+    * a few small parquet files, and after thousands of batches the
+    * per-batch index scan pays file-open overhead per tiny file (the
+    * classic streaming small-files problem). Rewrites each table to
+    * `targetPartitions` files via tmp+swap — run periodically from a
+    * maintenance schedule, NOT concurrently with ingest (same
+    * single-writer discipline as the appends). */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPartitions: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("bands", "shingles")) {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.parquet(p.toString)
+          .repartition(targetPartitions)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
+        if (fs.exists(old)) fs.delete(old, true)
+        fs.rename(p, old)
+        fs.rename(tmp, p)
+        fs.delete(old, true)
+      }
+    }
+  }
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

@@ -124,6 +124,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 11L))
   }
 
+  test("compactNearDupIndex rewrites to few files and dedup behavior is unchanged") {
+    import StreamOps._
+    val idx = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    nearDupIngestBatch(idx)(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    nearDupIngestBatch(idx)(Seq(
+      (2L, "unrelated words about columnar shuffles and broadcast joins today")).toDF("doc_id", "text"), 1L)
+    compactNearDupIndex(spark, idx, targetPartitions = 1)
+    def files(sub: String) = new java.io.File(s"$idx/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("bands") == 1 && files("shingles") == 1)
+    // the compacted index still rejects a near-dup of doc 1
+    val s = nearDupIngestBatch(idx)(Seq(
+      (9L, base + " tail")).toDF("doc_id", "text"), 2L)
+    assert(s.count() == 0)
+  }
+
   test("nearDupIngestBatch agrees with batch dedupMinhash invariants on real data") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.001"
