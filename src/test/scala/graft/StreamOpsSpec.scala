@@ -124,6 +124,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 11L))
   }
 
+  test("file-source streaming: windowed counts over readStream equal the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    // the file source requires a DIRECTORY of same-schema files —
+    // stage the events file into one (testdata itself is read-only
+    // and mixes table schemas)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-evdir")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source needs the same nanos→timestamp conversion
+    // Tables.events applies on the batch side
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = StreamOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_e1")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("file_e1")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.queries.EventQueries.e1TumblingWindow(spark, dir)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("compactNearDupIndex rewrites to few files and dedup behavior is unchanged") {
     import StreamOps._
     val idx = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/index"
