@@ -106,6 +106,32 @@ object StreamOps {
       }
   }
 
+  /** Bucket-partition count of the lake-table LSH index. Both index
+    * tables are written `partitionBy("bkt")` so per-batch joins read
+    * only the partitions the batch can possibly touch (below). 64 is
+    * sized for partition-count hygiene, not pruning ratio: at 100 TB
+    * each bucket is still millions of docs, but a micro-batch of a
+    * few hundred docs touches a bounded, enumerable set of buckets
+    * and the scan skips every other partition's files entirely. */
+  val IndexBuckets = 64
+
+  /** Partition bucket of a band row: derived from `band_key` (the
+    * xxhash64 band signature — already uniform), NOT from `band`
+    * (only 8 values, every batch touches all of them — zero
+    * pruning). Candidates require band_key EQUALITY, so an index row
+    * matching any batch row must share its bucket: pruning to the
+    * batch's bucket set is lossless. */
+  def bandBucket(bandKey: Column): Column =
+    pmod(bandKey, lit(IndexBuckets)).cast("int")
+
+  /** Partition bucket of a shingle-set row: hash of doc_id (raw ids
+    * may be sequential or strided — hashing keeps buckets uniform
+    * under any id-assignment scheme). Verification fetches shingle
+    * sets by exact old_id, so pruning to the candidate ids' bucket
+    * set is lossless. */
+  def docBucket(docId: Column): Column =
+    pmod(xxhash64(docId), lit(IndexBuckets)).cast("int")
+
   /** Streaming NEAR-dup ingestion: each micro-batch of (doc_id, text)
     * is MinHash-banded, checked against the accumulated corpus index
     * AND against itself, and only novel docs survive — the
@@ -123,11 +149,19 @@ object StreamOps {
     * one ingest query per index, or back the index with a
     * transactional table format. The index joins broadcast the
     * (tiny) batch side, so the accumulated index is streamed through
-    * a shuffle-free broadcast join rather than shuffled per batch;
-    * the per-batch full scan of the index is the remaining cost, and
-    * the production fix is a band-bucketed transactional table.
-    * Candidate generation is bucket-local exactly as in the batch
-    * path; only band-colliding pairs pay the exact shingle-Jaccard
+    * a shuffle-free broadcast join rather than shuffled per batch.
+    *
+    * Both index tables are PARTITION-PRUNED per batch: they are
+    * written `partitionBy("bkt")` (bandBucket / docBucket above) and
+    * each batch reads them through an `isin` filter over the bucket
+    * set the batch actually touches — the band join prunes to the
+    * batch band-keys' buckets, the shingle fetch prunes to the
+    * surviving candidates' old-id buckets. At 100 TB of accumulated
+    * index this is the difference between a micro-batch scanning the
+    * whole index and scanning a bounded bucket subset (PlanSpec pins
+    * that the partition filters reach the scan). Candidate
+    * generation is bucket-local exactly as in the batch path; only
+    * band-colliding pairs pay the exact shingle-Jaccard
     * verification.
     *
     * In-batch duplicates resolve greedily: a doc is dropped if it
@@ -139,23 +173,37 @@ object StreamOps {
     * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
     * with the caller persisting survivors wherever the clean corpus
     * lands. */
+  /** Read one index table pruned to `bkts` — the `isin` over the
+    * partition column becomes a static PartitionFilter at the scan,
+    * so only those buckets' files are listed and read (pinned in
+    * PlanSpec). An absent table reads as empty with `schemaOf`'s
+    * schema (batch 0). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(p.toString).filter(col("bkt").isin(bkts: _*))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaOf.schema)
+  }
+
   def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7)(
       batch: DataFrame, batchId: Long): DataFrame = {
     import graft.queries.TextQueries
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
-    val sh = TextQueries.hashedShinglesOf(docs).persist()
-    val bands = TextQueries.minhashBandsOf(sh).persist()
+    val sh = TextQueries.hashedShinglesOf(docs)
+      .withColumn("bkt", docBucket(col("doc_id"))).persist()
+    val bands = TextQueries.minhashBandsOf(sh.drop("bkt"))
+      .withColumn("bkt", bandBucket(col("band_key"))).persist()
 
-    def readIfExists(sub: String, schemaOf: DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(p.toString)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schemaOf.schema)
-    }
-    val idxBands = readIfExists("bands", bands)
-    val idxSh = readIfExists("shingles", sh)
+    // The batch's bucket footprint — tiny (≤ IndexBuckets ints) and
+    // already materialized by the persist, so the collect is cheap.
+    // These sets drive the partition pruning on both index reads.
+    val bandBkts = bands.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idxBands = readIndex(spark, indexPath, "bands", bands, bandBkts)
 
     def verified(cands: DataFrame, otherSh: DataFrame): DataFrame =
       broadcast(cands
@@ -168,14 +216,18 @@ object StreamOps {
     // vs the accumulated index (self-pairs excluded so a replayed
     // micro-batch — exactly-once is at-least-once under retries —
     // doesn't match docs against their own earlier index rows). The
-    // batch side broadcasts: the big index scan streams through a
-    // shuffle-free broadcast hash join.
+    // batch side broadcasts: the pruned index scan streams through a
+    // shuffle-free broadcast hash join. Persisted because it feeds
+    // both the shingle-bucket footprint and the verification join.
     val candIdx = broadcast(bands).as("n")
       .join(idxBands.as("o"), Seq("band", "band_key"))
       .filter(col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-      .distinct()
-    val dupVsIndex = verified(candIdx, idxSh)
+      .distinct().persist()
+    val oldBkts = candIdx.select(docBucket(col("old_id")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idxSh = readIndex(spark, indexPath, "shingles", sh, oldBkts)
+    val dupVsIndex = verified(candIdx, idxSh.drop("bkt"))
     // within the batch: drop the larger id of any matching pair
     val candIn = bands.as("l").join(bands.as("r"), Seq("band", "band_key"))
       .filter(col("l.doc_id") > col("r.doc_id"))
@@ -193,12 +245,18 @@ object StreamOps {
     val survivors = docs.join(dropped.withColumnRenamed("new_id", "doc_id"),
       Seq("doc_id"), "left_anti").localCheckpoint(true)
 
+    // Shingles append BEFORE bands: a crash between the two appends
+    // must not leave a band row whose doc has no shingle set — such a
+    // doc would generate candidates that fail verification forever,
+    // silently losing dedup coverage. An orphan SHINGLE row (crash
+    // after the first append) is harmless: it generates no candidates
+    // without band rows, and a replay re-indexes the doc.
     val survivorIds = survivors.select(col("doc_id"))
-    bands.join(survivorIds, Seq("doc_id"))
-      .write.mode("append").parquet(s"$indexPath/bands")
     sh.join(survivorIds, Seq("doc_id"))
-      .write.mode("append").parquet(s"$indexPath/shingles")
-    sh.unpersist(); bands.unpersist()
+      .write.mode("append").partitionBy("bkt").parquet(s"$indexPath/shingles")
+    bands.join(survivorIds, Seq("doc_id"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$indexPath/bands")
+    sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
   }
 
@@ -215,12 +273,15 @@ object StreamOps {
       batch.sparkSession, corpusDir, batch, k)
 
   /** Compact the near-dup index tables: every micro-batch append adds
-    * a few small parquet files, and after thousands of batches the
-    * per-batch index scan pays file-open overhead per tiny file (the
-    * classic streaming small-files problem). Rewrites each table to
-    * `targetPartitions` files via tmp+swap — run periodically from a
-    * maintenance schedule, NOT concurrently with ingest (same
-    * single-writer discipline as the appends). */
+    * a few small parquet files per touched bucket, and after
+    * thousands of batches the per-batch index scan pays file-open
+    * overhead per tiny file (the classic streaming small-files
+    * problem). Rewrites each table via tmp+swap, PRESERVING the
+    * `bkt` partitioning the per-batch pruning depends on — the
+    * repartition hashes on `bkt` so each bucket directory ends up
+    * with ~targetPartitions/IndexBuckets files (min 1). Run
+    * periodically from a maintenance schedule, NOT concurrently with
+    * ingest (same single-writer discipline as the appends). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -231,8 +292,8 @@ object StreamOps {
         val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         spark.read.parquet(p.toString)
-          .repartition(targetPartitions)
-          .write.mode("overwrite").parquet(tmp.toString)
+          .repartition(targetPartitions, col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
         val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
         if (fs.exists(old)) fs.delete(old, true)
         fs.rename(p, old)

@@ -97,6 +97,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index: per-batch bucket pruning reaches the scan and skips files") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/index"
+    StreamOps.nearDupIngestBatch(idx)(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and naps all afternoon"),
+      (2L, "columnar shuffles and broadcast joins make query engines go fast")).toDF("doc_id", "text"), 0L)
+    StreamOps.nearDupIngestBatch(idx)(Seq(
+      (3L, "a genuinely novel document with entirely new words nothing shares")).toDF("doc_id", "text"), 1L)
+
+    def executedFiles(df: DataFrame): Long = {
+      df.collect()
+      val flat = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      flat.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    for (sub <- Seq("bands", "shingles")) {
+      val full = spark.read.parquet(s"$idx/$sub")
+      val bkts = full.select("bkt").distinct().collect().map(_.getInt(0)).sorted
+      assert(bkts.length > 1, s"$sub: need >1 bucket to observe pruning")
+      val pruned = StreamOps.readIndex(spark, idx, sub, full, Seq(bkts.head))
+      val plan = planString(pruned)
+      // the isin over the partition column must surface as a
+      // PartitionFilter on the scan, NOT a post-scan Filter
+      assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+        s"$sub pruning lost:\n" + plan.take(2000))
+      // and it actually skips files: the scan's numFiles metric reads
+      // strictly fewer files than the unpruned table holds
+      val prunedFiles = executedFiles(pruned)
+      val fullFiles = executedFiles(full)
+      assert(prunedFiles > 0 && prunedFiles < fullFiles,
+        s"$sub: pruned scan read $prunedFiles of $fullFiles files")
+    }
+  }
+
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
     val plan = planString(TextQueries.minhashCandidates(spark, dir))
     // bucketed candidate generation must hash-join on the band key —

@@ -163,9 +163,16 @@ class StreamOpsSpec extends SparkSpec {
     nearDupIngestBatch(idx)(Seq(
       (2L, "unrelated words about columnar shuffles and broadcast joins today")).toDF("doc_id", "text"), 1L)
     compactNearDupIndex(spark, idx, targetPartitions = 1)
-    def files(sub: String) = new java.io.File(s"$idx/$sub")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files("bands") == 1 && files("shingles") == 1)
+    // partitioned layout: parquet files live under bkt=* directories;
+    // compaction must leave exactly one file per populated bucket
+    def bucketDirs(sub: String) = new java.io.File(s"$idx/$sub")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    def files(sub: String) = bucketDirs(sub)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(bucketDirs("bands").nonEmpty && bucketDirs("shingles").nonEmpty,
+      "index lost its bkt= partitioning through compaction")
+    assert(files("bands") == bucketDirs("bands").length)
+    assert(files("shingles") == bucketDirs("shingles").length)
     // the compacted index still rejects a near-dup of doc 1
     val s = nearDupIngestBatch(idx)(Seq(
       (9L, base + " tail")).toDF("doc_id", "text"), 2L)
