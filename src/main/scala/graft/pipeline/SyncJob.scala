@@ -33,6 +33,15 @@ object SyncJob {
 
   final case class SyncResult(summary: Seq[VendorSummary], sink: DataFrame)
 
+  /** Width of the vendor-fetch pool: enough to overlap hundreds of
+    * vendors' network waits without stampeding the remote API (the
+    * reference fires ALL vendors at once via Promise.allSettled —
+    * unbounded; a bound is the polite production version). */
+  val FetchParallelism = 16
+
+  private final case class VendorCounters(fetched: Long, valid: Long,
+      skipped: Long, inserted: Long, updated: Long, stock: Long)
+
   /** Run a full sync.
     *
     * @param vendorApis credentials dimension (Schemas.vendorApi shape)
@@ -100,31 +109,51 @@ object SyncJob {
     // vendor on the driver (the N+1 shape this engine exists to
     // kill); per-vendor fetch totals come from ONE aggregation over
     // the unioned items below.
+    //
+    // Fetches run CONCURRENTLY on a bounded pool — the reference
+    // overlaps vendor syncs with Promise.allSettled
+    // (products.js:383-395), and a sequential loop here serializes N
+    // network round-trips on the driver before any Spark work starts.
+    // Future.sequence preserves input order, so the summary stays
+    // deterministic; per-vendor isolation is unchanged (fetch returns
+    // Try — a vendor's failure becomes its error row, never a job
+    // failure).
     sealed trait Ingest
     case class Ok(api: VendorApi, items: DataFrame) extends Ingest
     case class Err(api: VendorApi, status: String, msg: String) extends Ingest
 
-    val ingests: Seq[Ingest] = selected.map { api =>
-      if (!api.database.contains(Schemas.WholecellDb))
-        Err(api, "unsupported_database",
-          s"Unsupported database: ${api.database.getOrElse("")}")
-      else fetch(api) match {
-        case Success(json) =>
-          Ok(api, HttpSource.parseItems(spark, api.vendorId, json))
-        case Failure(e) => Err(api, "fetch_failed", String.valueOf(e.getMessage))
-      }
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(FetchParallelism, math.max(1, selected.size)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-vendor-fetch"); t.setDaemon(true); t
+      })
+    val ingests: Seq[Ingest] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = selected.map { api =>
+          if (!api.database.contains(Schemas.WholecellDb))
+            scala.concurrent.Future.successful(Err(api, "unsupported_database",
+              s"Unsupported database: ${api.database.getOrElse("")}"))
+          else scala.concurrent.Future {
+            fetch(api) match {
+              case Success(json) =>
+                Ok(api, HttpSource.parseItems(spark, api.vendorId, json))
+              case Failure(e) =>
+                Err(api, "fetch_failed", String.valueOf(e.getMessage))
+            }
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
 
     val oks = ingests.collect { case o: Ok => o }
     val allItems = oks.map(_.items) match {
       case Nil => HttpSource.parseItems(spark, "_none", """{"data": []}""")
       case seqs => seqs.reduce(_ unionByName _)
     }
-
-    // One agg job for every vendor's fetch total (A5's totalFetched),
-    // replacing the reference's (and round 1's) per-vendor counts.
-    val fetchStats = allItems.groupBy(col("vendorId")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // Relational core: enrich → match → aggregate.
     val enriched = OptionAgg.enrich(allItems)
@@ -140,28 +169,46 @@ object SyncJob {
     val groups = enriched.filter(SyncExprsAvailable)
       .select(col("vendorId"), col("vendorName"), col("grade")).distinct()
       .join(matched.select(col("vendorName"), col("admin_id")), Seq("vendorName"), "left")
-    val groupStats = groups.groupBy(col("vendorId")).agg(
-      sum(when(col("admin_id").isNotNull, 1L).otherwise(0L)).as("valid"),
-      sum(when(col("admin_id").isNull, 1L).otherwise(0L)).as("skipped"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // MERGE into the sink snapshot.
     val existing = store.read(spark)
     val merged = MergeWriter.merge(existing, incoming, mode, now)
 
-    // A5 per-vendor counters from the merge actions + written stock.
-    // Collected BEFORE the snapshot swap: `merged` lazily reads the
-    // OLD snapshot files, which writeSnapshot deletes.
-    val actionStats = merged.filter(col("action") =!= "keep")
-      .withColumn("stock", aggregate(
+    // ALL per-vendor A5 counters in ONE action: the three stat
+    // families (fetch totals, valid/skipped groups, merge actions +
+    // written stock) are tagged into one union and aggregated in a
+    // single job — one driver round-trip per sync instead of three.
+    // Collected BEFORE the snapshot swap: the merge leg lazily reads
+    // the OLD snapshot files, which writeSnapshot deletes.
+    val zero = lit(0L)
+    val fetchLeg = allItems.groupBy(col("vendorId"))
+      .agg(count(lit(1)).as("fetched"))
+      .select(col("vendorId"), col("fetched"), zero.as("valid"), zero.as("skipped"),
+        zero.as("inserted"), zero.as("updated"), zero.as("stock"))
+    val groupLeg = groups.groupBy(col("vendorId")).agg(
+        sum(when(col("admin_id").isNotNull, 1L).otherwise(0L)).as("valid"),
+        sum(when(col("admin_id").isNull, 1L).otherwise(0L)).as("skipped"))
+      .select(col("vendorId"), zero.as("fetched"), col("valid"), col("skipped"),
+        zero.as("inserted"), zero.as("updated"), zero.as("stock"))
+    val actionLeg = merged.filter(col("action") =!= "keep")
+      .withColumn("optStock", aggregate(
         transform(col("selectedOptions"), o => o.getField("stock").cast("long")),
         lit(0L), (acc, x) => acc + x))
       .groupBy(col("vendorId")).agg(
         sum(when(col("action") === "insert", 1L).otherwise(0L)).as("inserted"),
         sum(when(col("action") === "merge", 1L).otherwise(0L)).as("updated"),
-        sum(col("stock")).as("stock"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toMap
+        sum(col("optStock")).as("stock"))
+      .select(col("vendorId"), zero.as("fetched"), zero.as("valid"), zero.as("skipped"),
+        col("inserted"), col("updated"), col("stock"))
+    val stats: Map[String, VendorCounters] =
+      fetchLeg.unionByName(groupLeg).unionByName(actionLeg)
+        .groupBy(col("vendorId")).agg(
+          sum(col("fetched")).as("fetched"), sum(col("valid")).as("valid"),
+          sum(col("skipped")).as("skipped"), sum(col("inserted")).as("inserted"),
+          sum(col("updated")).as("updated"), sum(col("stock")).as("stock"))
+        .collect().map(r => r.getString(0) -> VendorCounters(
+          r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
 
     if (!dryRun)
       store.write(spark, merged.drop("action"))
@@ -171,11 +218,10 @@ object SyncJob {
         VendorSummary(api.vendorId, api.database.getOrElse(""), status,
           0, 0, 0, 0, 0, 0, 0, Some(msg))
       case Ok(api, _) =>
-        val fetched = fetchStats.getOrElse(api.vendorId, 0L)
-        val (valid, skipped) = groupStats.getOrElse(api.vendorId, (0L, 0L))
-        val (ins, upd, stock) = actionStats.getOrElse(api.vendorId, (0L, 0L, 0L))
+        val c = stats.getOrElse(api.vendorId, VendorCounters(0, 0, 0, 0, 0, 0))
         VendorSummary(api.vendorId, api.database.getOrElse(""), "ok",
-          fetched, valid, skipped, ins, upd, stock, ins + upd, None)
+          c.fetched, c.valid, c.skipped, c.inserted, c.updated, c.stock,
+          c.inserted + c.updated, None)
     }
 
     // Dry-run hands back the computed (unwritten) snapshot: `merged`

@@ -82,6 +82,44 @@ class SyncJobSpec extends SparkSpec {
     assert(s21.count() == 1)
   }
 
+  test("vendor fetches overlap: N slow vendors complete in ~max, not ~sum") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-par").toString + "/vp"
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val slowApis = (1 to 6).map(i =>
+      VendorApi(s"sa-$i", s"sv-$i", "app", "s", Some("wholecell")))
+    val json = resourceText("vendor_items_v200.json")
+    // instrument the fetcher: the timing assertion covers ONLY the
+    // fetch intervals (Spark work and JIT are excluded, so a noisy
+    // box can't flake this), and observed concurrency is tracked
+    // directly
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val slowFetch: graft.sources.HttpSource.Fetcher = { _ =>
+      val t0 = System.nanoTime()
+      maxInFlight.getAndAccumulate(inFlight.incrementAndGet(), math.max)
+      Thread.sleep(1000)
+      inFlight.decrementAndGet()
+      spans.add((t0, System.nanoTime()))
+      Success(json)
+    }
+    val res = SyncJob.sync(spark, slowApis.toDS(), slowFetch, sink,
+      MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-12 00:00:00"))
+    // 6 × 1s sequential would span ≥ 6s of sleeps; overlapped they
+    // span ~1s. The 4s bar is impossible for a serialized loop.
+    import scala.jdk.CollectionConverters._
+    val all = spans.asScala.toSeq
+    val fetchSpanMs = (all.map(_._2).max - all.map(_._1).min) / 1000000
+    assert(fetchSpanMs < 4000,
+      s"6 one-second fetches spanned ${fetchSpanMs}ms — fetch loop is serialized")
+    assert(maxInFlight.get() >= 2,
+      s"never saw two fetches in flight (max ${maxInFlight.get()})")
+    // determinism: summaries come back in input order, all fetched
+    assert(res.summary.map(_.vendorId) == slowApis.map(_.vendorId))
+    assert(res.summary.forall(s => s.status == "ok" && s.totalFetched == 1))
+  }
+
   test("accumulate mode doubles stock on re-sync; replace mode is idempotent") {
     import spark.implicits._
     val accSink = Files.createTempDirectory("graft-acc").toString + "/vp"
