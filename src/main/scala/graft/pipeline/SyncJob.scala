@@ -170,8 +170,22 @@ object SyncJob {
       .select(col("vendorId"), col("vendorName"), col("grade")).distinct()
       .join(matched.select(col("vendorName"), col("admin_id")), Seq("vendorName"), "left")
 
-    // MERGE into the sink snapshot.
-    val existing = store.read(spark)
+    // MERGE into the sink snapshot. When the store supports partial
+    // writes (parquet partitioned by vendorId), the snapshot READ is
+    // pre-filtered to this sync's vendors — partition pruning skips
+    // every other vendor's files — and the WRITE below swaps only
+    // those vendors' partition directories. A sync touching k of N
+    // vendors then scans and rewrites k partitions, not N (at 100 TB
+    // of sink the difference between a bounded incremental sync and a
+    // full-table rewrite per sync). Untouched vendors never enter the
+    // merge: their rows would all be action=keep, which the stats job
+    // ignores, so the summary is identical on both paths.
+    val okIds = oks.map(_.api.vendorId)
+    val partial = store.supportsPartialWrite && !dryRun
+    val existingAll = store.read(spark)
+    val existing =
+      if (partial) existingAll.filter(col("vendorId").isin(okIds: _*))
+      else existingAll
     val merged = MergeWriter.merge(existing, incoming, mode, now)
 
     // ALL per-vendor A5 counters in ONE action: the three stat
@@ -210,8 +224,10 @@ object SyncJob {
           r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5), r.getLong(6))).toMap
 
-    if (!dryRun)
-      store.write(spark, merged.drop("action"))
+    if (!dryRun) {
+      if (partial) store.writeVendors(spark, merged.drop("action"), okIds)
+      else store.write(spark, merged.drop("action"))
+    }
 
     val summaries = ingests.map {
       case Err(api, status, msg) =>

@@ -65,6 +65,46 @@ object JdbcSnapshot {
       .select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Write via STAGING TABLE + RENAME swap: the overwrite of `table`
+    * itself would TRUNCATE the table a lazy merge plan is still
+    * reading — on a cluster, an executor losing its cached blocks
+    * after the truncate would silently recompute partitions from the
+    * now-empty source and corrupt the accumulated sink state. Staging
+    * first means the live table stays readable (and is the recompute
+    * source) until every row is durably written; the swap is then
+    * metadata-only renames.
+    *
+    * The rename is `RENAME TABLE a TO b` (Derby/MySQL) with an
+    * `ALTER TABLE a RENAME TO b` fallback (Postgres et al). The swap
+    * window (old dropped → staging renamed) is not transactional on
+    * engines without DDL transactions — a crash inside it leaves the
+    * data intact in `<table>_stg`; re-running the sync repairs it. */
+  def writeStaged(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val staging = table + "_stg"
+    val old = table + "_old"
+    write(df, url, staging, options)
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      def exec(sql: String): Unit = {
+        val st = conn.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      def tryExec(sql: String): Boolean =
+        try { exec(sql); true } catch { case _: java.sql.SQLException => false }
+      def rename(from: String, to: String): Boolean =
+        tryExec(s"RENAME TABLE $from TO $to") ||
+          tryExec(s"ALTER TABLE $from RENAME TO $to")
+      tryExec(s"DROP TABLE $old")
+      rename(table, old) // fails harmlessly on the first sync
+      require(rename(staging, table),
+        s"could not rename staging table $staging to $table")
+      tryExec(s"DROP TABLE $old")
+    } finally conn.close()
+  }
+
   /** Read any JDBC table as-is (the S1/S2 source path for flat
     * dimensions like credentials or the admin catalog). */
   def readTable(spark: SparkSession, url: String, table: String,

@@ -17,12 +17,13 @@ import graft.ops.OptionMerge
   *   keep, left-only rows insert.
   *
   * Scale design: the snapshot is parquet partitioned by vendorId, so
-  * a 1000-executor rewrite is partition-parallel, and a sync that
-  * touches few vendors could partition-overwrite only those (the
-  * swap here rewrites the whole keyed table — correct at any scale,
-  * optimal when most vendors change, which is the reference's full-
-  * sync semantics). The join shuffles on the 3-column key with AQE
-  * handling skew.
+  * a 1000-executor rewrite is partition-parallel. A sync that touches
+  * k of N vendors goes through writeSnapshotVendors — only those k
+  * vendors' partition directories are rewritten and (via SyncJob's
+  * pre-filtered snapshot read) only their files scanned; the
+  * full-table swap remains for full-sync semantics and
+  * non-partitionable stores. The join shuffles on the 3-column key
+  * with AQE handling skew.
   */
 object MergeWriter {
 
@@ -33,12 +34,30 @@ object MergeWriter {
   trait SnapshotStore {
     def read(spark: SparkSession): DataFrame
     def write(spark: SparkSession, df: DataFrame): Unit
+    /** Whether writeVendors is implemented. When true, a sync that
+      * touches k of N vendors can hand this store a frame holding
+      * ONLY those k vendors' merged rows — the other N-k vendors'
+      * stored rows must survive untouched. When false, callers must
+      * always write the FULL snapshot through `write` (handing a
+      * partial frame to `write` would erase the missing vendors). */
+    def supportsPartialWrite: Boolean = false
+    /** Replace only `vendors`' rows with `df` (which holds exactly
+      * those vendors' rows); every other vendor is left untouched.
+      * Only callable when supportsPartialWrite. */
+    def writeVendors(spark: SparkSession, df: DataFrame,
+        vendors: Seq[String]): Unit =
+      throw new UnsupportedOperationException(
+        s"$this does not support partial writes")
   }
 
   final case class ParquetStore(path: String) extends SnapshotStore {
     def read(spark: SparkSession): DataFrame = readSnapshot(spark, path)
     def write(spark: SparkSession, df: DataFrame): Unit =
       writeSnapshot(spark, df, path)
+    override def supportsPartialWrite: Boolean = true
+    override def writeVendors(spark: SparkSession, df: DataFrame,
+        vendors: Seq[String]): Unit =
+      writeSnapshotVendors(spark, df, path, vendors)
   }
 
   /** JDBC-backed snapshot (see JdbcSnapshot for type mapping).
@@ -71,12 +90,14 @@ object MergeWriter {
         case _ => false
       }
     }
-    def write(spark: SparkSession, df: DataFrame): Unit = {
-      val materialized = df.persist()
-      materialized.count()
-      try JdbcSnapshot.write(materialized, url, table, options)
-      finally materialized.unpersist()
-    }
+    def write(spark: SparkSession, df: DataFrame): Unit =
+      // Staging-table + rename swap: the lazy merge plan reads `table`,
+      // and overwriting it in place would truncate its own source (a
+      // persist()+count() barrier only protects until an executor
+      // loses cached blocks and recomputes from the truncated table —
+      // safe in local mode only). The staged write leaves the live
+      // table untouched until every merged row is durable.
+      JdbcSnapshot.writeStaged(df, url, table, options)
   }
 
   sealed trait MergeMode
@@ -181,5 +202,51 @@ object MergeWriter {
     if (fs.exists(p)) fs.rename(p, old)
     fs.rename(tmp, p)
     if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Partition-overwrite variant of writeSnapshot: rewrites ONLY the
+    * given vendors' `vendorId=` partition directories and leaves every
+    * other vendor's files byte-identical — the optimal write path when
+    * a sync touches k of N vendors (the reference's bulkWrite likewise
+    * only touches changed documents, products.js:339-341). `df` must
+    * hold exactly `vendors`' rows (the caller pre-filters; at 100 TB
+    * the caller also pre-filters the snapshot READ to those vendors,
+    * so a k-vendor sync scans and writes k partitions, not N).
+    *
+    * Each vendor directory swaps via the same tmp+rename discipline as
+    * the full-snapshot path. The swap is atomic per vendor but not
+    * across vendors: a crash mid-loop leaves some vendors new and some
+    * old — each still a consistent snapshot of SOME sync, which is the
+    * same guarantee class as the reference's non-transactional
+    * bulkWrite batches. Single-writer, like every sink path here. */
+  def writeSnapshotVendors(spark: SparkSession, df: DataFrame, path: String,
+      vendors: Seq[String]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__vtmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
+      .filter(col("vendorId").isin(vendors: _*))
+      .repartition(col("vendorId"))
+      .sortWithinPartitions(col("vendorId"), col("product"))
+      .write.mode("overwrite").partitionBy("vendorId").parquet(tmp.toString)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    // swap the partition dirs the write actually produced (listing tmp
+    // rather than constructing names keeps Spark's partition-value
+    // escaping out of our hands)
+    val written = fs.listStatus(tmp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("vendorId="))
+    for (st <- written) {
+      val name = st.getPath.getName
+      val target = new Path(p, name)
+      // old dir moves aside before the new one moves in — no window
+      // where the vendor's data exists only in tmp
+      val old = new Path(path + "__vold_" + name)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(target)) fs.rename(target, old)
+      fs.rename(st.getPath, target)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
   }
 }

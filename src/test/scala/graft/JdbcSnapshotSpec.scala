@@ -53,6 +53,31 @@ class JdbcSnapshotSpec extends SparkSpec {
     intercept[Exception] { bad.read(spark) }
   }
 
+  test("staged write: a lazy plan reading the live table survives its own overwrite") {
+    import graft.sink.MergeWriter.JdbcStore
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    def vp(id: String) = Row(id, s"ap-$id", "c", "wholecell",
+      Seq(Row("o", "Black", "128GB", 1, 10L, 10L, Seq("ESN"))), t0, t0)
+    val url = derbyUrl
+    val store = JdbcStore(url, "vendor_products")
+    store.write(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(vp("v-1"))), Schemas.vendorProduct))
+    // merged-snapshot shape: a LAZY union of the live table with new
+    // rows, handed straight to write with NO materialization barrier.
+    // An in-place overwrite would truncate the table this plan reads
+    // (silently losing v-1 on recompute); the staging swap must not.
+    val merged = store.read(spark).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(vp("v-2"))), Schemas.vendorProduct))
+    store.write(spark, merged)
+    val after = store.read(spark).collect().map(_.getString(0)).toSet
+    assert(after == Set("v-1", "v-2"))
+    // and the staging/backup tables are gone
+    intercept[Exception] { JdbcSnapshot.readTable(spark, url,
+      "vendor_products_stg").collect() }
+    intercept[Exception] { JdbcSnapshot.readTable(spark, url,
+      "vendor_products_old").collect() }
+  }
+
   test("flat dimension read (S1 source shape) returns what was written") {
     import spark.implicits._
     val url = derbyUrl

@@ -120,6 +120,49 @@ class SyncJobSpec extends SparkSpec {
     assert(res.summary.forall(s => s.status == "ok" && s.totalFetched == 1))
   }
 
+  test("partial write: a one-vendor sync leaves other vendors' partition files byte-identical") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-partial").toString + "/vp"
+    run(sink, MergeWriter.Accumulate) // both vendors land
+
+    def fingerprint(sub: String): Map[String, String] = {
+      val dir = new java.io.File(s"$sink/$sub")
+      assert(dir.isDirectory, s"$sub missing")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val v100Before = fingerprint("vendorId=v-100")
+    assert(v100Before.nonEmpty)
+
+    // second sync touches ONLY v-200 — v-100's partition must not be
+    // rewritten (not even to identical contents: the file set and
+    // bytes stay the same because the swap never visits it)
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val res2 = SyncJob.sync(spark,
+      apis.filter(_.vendorId == "v-200").toDS(), fetch, sink,
+      MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-13 00:00:00"))
+    assert(fingerprint("vendorId=v-100") == v100Before,
+      "untouched vendor's files were rewritten")
+
+    // and accumulate semantics still hold for the touched vendor:
+    // the re-synced group merges (updated=1), its option stock doubles
+    assert(res2.summary.map(s => s.vendorId -> s).toMap
+      .apply("v-200").updatedVendorProducts == 1)
+    val stock = res2.sink.filter(col("vendorId") === "v-200")
+      .select(explode(col("selectedOptions")).as("o"))
+      .select(col("o.stock")).as[Int].collect().sum
+    val stockOnce = run(
+      Files.createTempDirectory("graft-partial2").toString + "/vp",
+      MergeWriter.Accumulate).sink
+      .filter(col("vendorId") === "v-200")
+      .select(explode(col("selectedOptions")).as("o"))
+      .select(col("o.stock")).as[Int].collect().sum
+    assert(stock == 2 * stockOnce)
+  }
+
   test("accumulate mode doubles stock on re-sync; replace mode is idempotent") {
     import spark.implicits._
     val accSink = Files.createTempDirectory("graft-acc").toString + "/vp"
