@@ -41,6 +41,7 @@ object SparkEntry {
     "a5_summary_rollup" -> (CoreQueries.a5SummaryRollup _),
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
     "q_profile" -> (CoreQueries.qProfile _),
+    "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),

@@ -230,6 +230,32 @@ object CoreQueries {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The 100 TB form of qProfile: identical shape, with every exact
+    * countDistinct swapped for approx_count_distinct (HyperLogLog++,
+    * rsd = 0.02). The exact version shuffles each column's full
+    * distinct set; the HLL sketch is a fixed ~kilobytes-per-column
+    * map-side-combinable partial, so this plan's shuffle volume is
+    * CONSTANT in row count — the difference between profiling and
+    * re-sorting the corpus. Hash-defined output → no SQL oracle;
+    * ground truth is CoreQueriesSpec asserting every estimate within
+    * the documented relative error of qProfile's exact counts. */
+  def qProfileApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame = {
+    val cols = Seq("o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd"))
+    }
+    val row = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("column"),
+      col("n_rows"),
+      (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+      col(s"${c}__nd").as("n_distinct")))
+    row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
   /** S1: full collection scan (products.js:363-367
     * `find({}).toArray()`) — all columns, no predicate; the scan
     * must stay a bare columnar read. */

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries
+
+/** Ground truth for the hash-defined relational variants (the
+  * oracle-checked queries live in CORRECTNESS; this covers the ones a
+  * SQL oracle cannot express). */
+class CoreQueriesSpec extends SparkSpec {
+
+  test("qProfileApprox estimates every distinct count within the documented error") {
+    // HLL++ at rsd=0.02 has std error 2%; 5× that is a generous
+    // deterministic bound (the sketch is seed-free, so this is a
+    // stable measurement, not a flaky probabilistic assertion). Both
+    // SFs guard against a bound that only holds at one cardinality
+    // range.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = CoreQueries.qProfile(spark, dir)
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val approx = CoreQueries.qProfileApprox(spark, dir)
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(approx.keySet == exact.keySet)
+      for ((c, (nRows, nNull, nd)) <- exact) {
+        val (aRows, aNull, and) = approx(c)
+        // row/null counts are exact on both paths — identical
+        assert(aRows == nRows && aNull == nNull, s"$dir/$c exact counters diverge")
+        val relErr = math.abs(and - nd).toDouble / math.max(nd, 1L)
+        assert(relErr <= 0.10,
+          s"$dir/$c: approx $and vs exact $nd (rel err $relErr)")
+      }
+    }
+  }
+}
