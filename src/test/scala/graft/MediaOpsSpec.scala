@@ -89,6 +89,78 @@ class MediaOpsSpec extends SparkSpec {
     assert(d.pixels.toSeq == pcm.toSeq)       // byte-exact PCM
   }
 
+  test("G.711 μ-law and A-law expansion matches the JDK's own codec bit-for-bit") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // all 256 code points — exhaustive, and the oracle is the JDK's
+    // independent FormatConversionProvider, not our own math
+    val data = Array.tabulate[Byte](256)(_.toByte)
+    for ((alaw, enc) <- Seq(
+        false -> AudioFormat.Encoding.ULAW, true -> AudioFormat.Encoding.ALAW)) {
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), data.length)
+      val expected = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), src).readAllBytes()
+      assert(MediaOps.decodeG711(data, alaw).toSeq == expected.toSeq,
+        s"alaw=$alaw diverges from the JDK codec")
+    }
+  }
+
+  test("μ-law WAV decodes through the audio path to expanded 16-bit PCM") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val ulaw = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(ulaw), fmt, ulaw.length),
+      AudioFileFormat.Type.WAVE, baos)
+    val got = MediaOps.decodeAudio(baos.toByteArray)
+    assert(got.isDefined)
+    val (frames, channels, pcm) = got.get
+    assert(frames == 64 && channels == 1)
+    assert(pcm.toSeq == MediaOps.decodeG711(ulaw, alaw = false).toSeq)
+  }
+
+  test("IMA ADPCM block decode matches the hand-computed known answer") {
+    // pred=0, idx=0, nibbles [7,7,0,8] stepped by hand through the
+    // published IMA algorithm (step table 7,16,34,31; shift cascade):
+    //   header→0, then 0+11=11, 11+30=41, 41+4=45, 45-3=42
+    val block = Array[Byte](0, 0, 0, 0, (7 | (7 << 4)).toByte, (0 | (8 << 4)).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    MediaOps.decodeImaAdpcmBlock(block, out)
+    val pcm = out.toByteArray
+    def s16(i: Int) = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+    assert(pcm.length == 10)
+    assert((0 until 5).map(s16) == Seq(0, 11, 41, 45, 42))
+  }
+
+  test("IMA ADPCM WAV (format the JDK cannot read) decodes end-to-end") {
+    // hand-built RIFF/WAVE: fmt tag 0x11, mono, blockAlign 6, 2 blocks
+    val blocks = Array[Byte](
+      0, 0, 0, 0, (7 | (7 << 4)).toByte, (0 | (8 << 4)).toByte,
+      100, 0, 2, 0, 0x33, 0x11) // second block: pred=100, idx=2
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16((v >> 16) & 0xFFFF)
+    val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(0x11) ++ le16(1) ++ le32(8000) ++ le32(4000) ++ le16(6) ++ le16(4)
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(blocks.length) ++ blocks
+    val body = "WAVE".getBytes("US-ASCII") ++ fmtChunk ++ dataChunk
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    // the JDK itself rejects this format — our decoder is the only path
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+    val got = MediaOps.decodeAudio(wav)
+    assert(got.isDefined)
+    val (frames, channels, pcm) = got.get
+    assert(frames == 10 && channels == 1) // 2 blocks × (1 header + 4 nibbles)
+    def s16(i: Int) = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+    assert((0 until 5).map(s16) == Seq(0, 11, 41, 45, 42))
+    assert(s16(5) == 100) // second block starts from ITS header predictor
+  }
+
   test("extractFeatures: fixed-width normalized embedding") {
     val f = MediaOps.extractFeatures(mediaDf, dim = 64)
       .collect().map(x => x.media_id -> x.embedding).toMap
