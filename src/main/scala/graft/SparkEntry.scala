@@ -42,6 +42,10 @@ object SparkEntry {
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
+    "q_quantiles" -> (CoreQueries.qQuantiles _),
+    "a6_rollup" -> (CoreQueries.a6Rollup _),
+    "a7_pivot" -> (CoreQueries.a7Pivot _),
+    "t_redact_pii" -> (CoreQueries.tRedactPii _),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
@@ -51,6 +55,8 @@ object SparkEntry {
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
+    "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
+    "t_corpus_mix" -> (TextQueries.tCorpusMix _),
     "t_fingerprint" -> (TextQueries.tFingerprint _),
     "t_winnow" -> ((s: SparkSession, d: String) => TextQueries.tWinnow(s, d)),
     "t_lang_id" -> (TextQueries.tLangId _),
@@ -178,6 +184,39 @@ object SparkEntry {
                    ORDER BY c_acctbal DESC, c_custkey) AS rank
                FROM customer)
          WHERE rank <= 3""",
+    "a6_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "a7_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+         round(max(o_totalprice), 2) AS pmax
+         FROM orders GROUP BY o_orderstatus""",
+    "t_redact_pii" ->
+      """SELECT c_custkey,
+         regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_masked,
+         CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket,
+         c_mktsegment
+         FROM customer""",
+    "t_stratified_sample" ->
+      """SELECT lang, doc_id, rk
+         FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(text), doc_id) AS rk
+               FROM documents)
+         WHERE rk <= 20""",
+    "t_corpus_mix" ->
+      """SELECT lang, doc_id FROM documents
+         WHERE substr(md5(text), 1, 2) <
+           (CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE 'g0' END)""",
     "s4_set_ops" ->
       """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
               y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)

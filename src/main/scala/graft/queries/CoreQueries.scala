@@ -256,6 +256,63 @@ object CoreQueries {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Grouping-sets rollup: revenue/quantity at every level of the
+    * (returnflag, linestatus) hierarchy in ONE pass — `rollup` plans
+    * a single Expand + hash aggregate, so the subtotal and
+    * grand-total rows cost one extra shuffle row per group, not a
+    * re-scan per level (the hand-rolled alternative unions L
+    * aggregations = L scans of the fact table; at 100 TB that
+    * multiplier is the whole game). Null group keys mark the
+    * rolled-up levels, exactly as SQL ROLLUP defines. */
+  def a6Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Pivot (long→wide): per-returnflag quantity split into one column
+    * per linestatus. Values are ENUMERATED (F/O) rather than
+    * discovered: an un-enumerated pivot needs an extra distinct pass
+    * over the fact table AND makes the output schema data-dependent —
+    * both wrong at scale. Plans as one conditional aggregation, the
+    * same single-pass shape the SQL oracle spells with CASE WHEN. */
+  def a7Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
+  /** Exact distribution profile: quartiles of order value per status
+    * via the `percentile` aggregate (sort-based exact interpolation,
+    * matching SQL quantile_cont). Exact percentiles sort each
+    * group's values; the 100 TB swap is `approx_percentile`
+    * (t-digest sketch, map-side combinable, rel-error bounded) the
+    * same way qProfile swaps to HLL — kept exact here so the oracle
+    * hash-matches. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+        round(max(col("o_totalprice")), 2).as("pmax"))
+
+  /** PII scrubbing for a training-data release: digit-run redaction
+    * (the regex is codegen'd `regexp_replace` — a narrow map, no
+    * shuffle) plus numeric generalization (account balance coarsened
+    * to hundreds — the k-anonymity-style bucketing step). The shape
+    * every corpus-cleaning pass uses: pure column expressions, so it
+    * composes with any scan and pushes nothing to the driver. */
+  def tRedactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("name_masked"),
+        (floor(col("c_acctbal") / 100) * 100).cast("double").as("acctbal_bucket"),
+        col("c_mktsegment"))
+
   /** S1: full collection scan (products.js:363-367
     * `find({}).toArray()`) — all columns, no predicate; the scan
     * must stay a bare columnar read. */

@@ -50,6 +50,41 @@ object TextQueries {
         .cast("double") / length(col("text")), 4).as("punct_ratio"))
   }
 
+  /** Stratified sampling: at most k docs per language, selected by
+    * HASH ORDER (md5 of content, doc_id tiebreak) — deterministic
+    * across runs, engines, and partitionings, which `rand()`-based
+    * sampling is not; a re-run of the pipeline reproduces the exact
+    * corpus. Plans as one window per stratum with WindowGroupLimit
+    * keeping each map task's local top-k ahead of the shuffle
+    * (pinned in PlanSpec), so the per-language sort sees tasks×k
+    * rows, never the stratum. The batch twin of the streaming
+    * capPerKey. */
+  def tStratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("rk"))
+
+  /** Weighted corpus mixture: per-language inclusion rates applied by
+    * DETERMINISTIC hash thresholding — a doc is in the mix iff the
+    * first byte of md5(text) falls under its language's threshold
+    * (256ths: en keeps ~128/256, zh ~64/256, the rest everything;
+    * 'g0' is lexicographically above every hex pair). The
+    * sampling-by-source step every LLM data recipe ends with, as a
+    * pure narrow filter: no shuffle, no RNG state, reproducible and
+    * portable (the oracle spells the identical predicate), and a
+    * doc's fate never depends on partitioning or row order. */
+  def tCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("lang") === "en", lit("80"))
+      .when(col("lang") === "zh", lit("40"))
+      .otherwise(lit("g0"))
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("text")), 1, 2) < threshold)
+      .select(col("lang"), col("doc_id"))
+  }
+
   /** Exact dedup by normalized-content hash: one hash-groupBy, the
     * survivor is min(doc_id). At 100 TB this is the canonical first
     * dedup pass — the shuffle key is a 128-bit digest, perfectly

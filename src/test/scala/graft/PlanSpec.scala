@@ -97,6 +97,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: WindowGroupLimit prunes each stratum map-side") {
+    val plan = planString(TextQueries.tStratifiedSample(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("near-dup index: per-batch bucket pruning reaches the scan and skips files") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.FileSourceScanExec
