@@ -43,6 +43,7 @@ object SparkEntry {
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
+    "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
     "a6_rollup" -> (CoreQueries.a6Rollup _),
     "a7_pivot" -> (CoreQueries.a7Pivot _),
     "t_redact_pii" -> (CoreQueries.tRedactPii _),

@@ -300,6 +300,23 @@ object CoreQueries {
         round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
         round(max(col("o_totalprice")), 2).as("pmax"))
 
+  /** The 100 TB form of qQuantiles: `approx_percentile` (a
+    * quantile-summary sketch — bounded size, map-side combinable, so
+    * shuffle volume is constant in row count where the exact form
+    * sorts each group). `accuracy` is the inverse relative-rank
+    * error (10000 ⇒ rank within 0.01%). Hash-defined output → ground
+    * truth is CoreQueriesSpec bounding each estimate against the
+    * exact quartiles. */
+  def qQuantilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.25), lit(accuracy)), 2).as("p25"),
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(accuracy)), 2).as("p50"),
+        round(approx_percentile(col("o_totalprice"), lit(0.75), lit(accuracy)), 2).as("p75"),
+        round(max(col("o_totalprice")), 2).as("pmax"))
+
   /** PII scrubbing for a training-data release: digit-run redaction
     * (the regex is codegen'd `regexp_replace` — a narrow map, no
     * shuffle) plus numeric generalization (account balance coarsened

@@ -105,6 +105,65 @@ object JdbcSnapshot {
     } finally conn.close()
   }
 
+  /** Partial write: replace ONLY `vendors`' rows, leaving every other
+    * vendor's stored rows untouched — the JDBC analog of the parquet
+    * partition-directory swap. The touched rows stage
+    * executor-parallel into `<table>_vstg`, then ONE driver-side
+    * transaction deletes the old vendor rows and INSERT..SELECTs the
+    * staged ones server-side — other vendors are never read, written,
+    * or locked beyond the row deletes, and a crash before commit
+    * rolls back to the pre-sync state (strictly better than the
+    * parquet path's per-vendor window). Falls back to a fresh full
+    * write when the table doesn't exist yet (first sync: every vendor
+    * is a touched vendor). */
+  def writeVendors(df: DataFrame, url: String, table: String,
+      vendors: Seq[String], options: Map[String, String] = Map.empty): Unit = {
+    val staging = table + "_vstg"
+    write(df, url, staging, options)
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
+      if (!exists) {
+        // first sync: the staged rows ARE the whole snapshot
+        val st = conn.createStatement()
+        try st.executeUpdate(s"RENAME TABLE $staging TO $table")
+        catch { case _: java.sql.SQLException =>
+          st.executeUpdate(s"ALTER TABLE $staging RENAME TO $table")
+        } finally st.close()
+      } else {
+        // column list from the JSON-projected frame, quoted exactly as
+        // the Spark JDBC writer created them (case-preserving quotes)
+        val cols = df.withColumn(optionsJsonCol, to_json(col("selectedOptions")))
+          .drop("selectedOptions")
+          .schema.fieldNames.map(n => "\"" + n + "\"").mkString(", ")
+        conn.setAutoCommit(false)
+        // Derby stores Spark-written strings as CLOB, and CLOB
+        // equality is unsupported — the CAST forces a comparable
+        // VARCHAR (Derby's documented workaround; harmless on
+        // engines that store plain VARCHAR)
+        val del = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE CAST("vendorId" AS VARCHAR(512)) = ?""")
+        try vendors.foreach { v => del.setString(1, v); del.executeUpdate() }
+        finally del.close()
+        val ins = conn.createStatement()
+        try ins.executeUpdate(
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+        finally ins.close()
+        conn.commit()
+        conn.setAutoCommit(true)
+        val drop = conn.createStatement()
+        try drop.executeUpdate(s"DROP TABLE $staging") finally drop.close()
+      }
+    } finally conn.close()
+  }
+
   /** Read any JDBC table as-is (the S1/S2 source path for flat
     * dimensions like credentials or the admin catalog). */
   def readTable(spark: SparkSession, url: String, table: String,

@@ -98,6 +98,10 @@ object MergeWriter {
       // safe in local mode only). The staged write leaves the live
       // table untouched until every merged row is durable.
       JdbcSnapshot.writeStaged(df, url, table, options)
+    override def supportsPartialWrite: Boolean = true
+    override def writeVendors(spark: SparkSession, df: DataFrame,
+        vendors: Seq[String]): Unit =
+      JdbcSnapshot.writeVendors(df, url, table, vendors, options)
   }
 
   sealed trait MergeMode

@@ -8,6 +8,24 @@ import graft.queries.CoreQueries
   * SQL oracle cannot express). */
 class CoreQueriesSpec extends SparkSpec {
 
+  test("qQuantilesApprox brackets the exact quartiles within the documented rank error") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def byStatus(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val exact = byStatus(CoreQueries.qQuantiles(spark, dir))
+      val approx = byStatus(CoreQueries.qQuantilesApprox(spark, dir))
+      assert(approx.keySet == exact.keySet)
+      for ((status, e) <- exact; (ev, av) <- e.zip(approx(status))) {
+        // rank error ≤ 1/accuracy maps to a small value error on this
+        // smooth distribution; 1% relative value error is generous
+        // and deterministic (the sketch is seed-free)
+        assert(math.abs(av - ev) <= math.abs(ev) * 0.01 + 1.0,
+          s"$dir/$status: approx $av vs exact $ev")
+      }
+    }
+  }
+
   test("qProfileApprox estimates every distinct count within the documented error") {
     // HLL++ at rsd=0.02 has std error 2%; 5× that is a generous
     // deterministic bound (the sketch is seed-free, so this is a

@@ -78,6 +78,32 @@ class JdbcSnapshotSpec extends SparkSpec {
       "vendor_products_old").collect() }
   }
 
+  test("JDBC partial write replaces only the touched vendors' rows") {
+    import graft.sink.MergeWriter.JdbcStore
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    val t1 = Timestamp.valueOf("2026-08-13 00:00:00")
+    def vp(id: String, stock: Int, ts: Timestamp) = Row(id, s"ap-$id", "c",
+      "wholecell", Seq(Row("o", "Black", "128GB", stock, 10L, 10L, Seq("ESN"))), ts, ts)
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct)
+    val url = derbyUrl
+    val store = JdbcStore(url, "vendor_products")
+    assert(store.supportsPartialWrite)
+    // first sync through the partial path: creates the table
+    store.writeVendors(spark, df(vp("v-1", 1, t0), vp("v-2", 1, t0)), Seq("v-1", "v-2"))
+    // second sync touches only v-2 (new stock, new timestamp)
+    store.writeVendors(spark, df(vp("v-2", 9, t1)), Seq("v-2"))
+    val after = store.read(spark).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Row](4).head.getInt(3), r.getTimestamp(6)))
+      .toMap
+    assert(after.keySet == Set("v-1", "v-2"))
+    assert(after("v-1") == ((1, t0)), "untouched vendor's row changed")
+    assert(after("v-2") == ((9, t1)))
+    // staging table cleaned up
+    intercept[Exception] { JdbcSnapshot.readTable(spark, url,
+      "vendor_products_vstg").collect() }
+  }
+
   test("flat dimension read (S1 source shape) returns what was written") {
     import spark.implicits._
     val url = derbyUrl
