@@ -82,7 +82,10 @@ object Bench {
       if (ws.size >= 2) Some(ws.max / ws.min) else None
     }.foldLeft(1.0)(math.max)
     val noisy = loadVariance > 3.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":${f"$loadVariance%.2f"},"noisy":$noisy,"sf":"$sfDir"}""")
+    // Double.toString is locale-independent; the f-interpolator is NOT
+    // (a comma-decimal locale would emit "1,43" and break the JSON)
+    val loadVarStr = (math.round(loadVariance * 100) / 100.0).toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":$loadVarStr,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -225,6 +225,10 @@ object MediaOps {
       while (off + 8 <= content.length) {
         val id = new String(content, off, 4, "US-ASCII")
         val sz = le32(off + 4)
+        // a corrupt/crafted size field (negative, or ≤ -8 making the
+        // step zero) would walk backwards or spin forever — treat any
+        // non-advancing chunk as end-of-parse, not an infinite loop
+        if (sz < 0) return None
         if (id == "fmt ") {
           tag = le16(off + 8); channels = le16(off + 10)
           blockAlign = le16(off + 20)

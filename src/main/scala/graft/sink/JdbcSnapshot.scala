@@ -65,6 +65,56 @@ object JdbcSnapshot {
       .select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
   }
 
+  private def withConnection[A](url: String, options: Map[String, String])(
+      f: java.sql.Connection => A): A = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def exec(conn: java.sql.Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+
+  private def tryExec(conn: java.sql.Connection, sql: String): Boolean =
+    try { exec(conn, sql); true } catch { case _: java.sql.SQLException => false }
+
+  /** `RENAME TABLE a TO b` (Derby/MySQL) with an `ALTER TABLE a
+    * RENAME TO b` fallback (Postgres et al) — the ONE definition both
+    * staged-write paths share, so a dialect fix lands everywhere. */
+  private def renameTable(conn: java.sql.Connection,
+      from: String, to: String): Boolean =
+    tryExec(conn, s"RENAME TABLE $from TO $to") ||
+      tryExec(conn, s"ALTER TABLE $from RENAME TO $to")
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean =
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      finally st.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  /** Repair an interrupted staged swap. The ONLY state in which the
+    * live table can be missing while staging artifacts exist is a
+    * crash between rename(table→_old) and rename(_stg→table) — and
+    * at that point `_stg` is by construction a COMPLETE new snapshot
+    * (every rename happens strictly after the staging write
+    * finishes), so completing the swap is always safe. Called before
+    * every staged write AND before JdbcStore.read, so a crashed sync
+    * self-heals instead of reading table-missing as an empty
+    * snapshot and erasing the accumulated state on the next write. */
+  def recoverStagedSwap(url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    withConnection(url, options) { conn =>
+      if (!tableExists(conn, table) && tableExists(conn, table + "_stg")) {
+        require(renameTable(conn, table + "_stg", table),
+          s"crashed swap recovery: could not rename ${table}_stg to $table")
+        tryExec(conn, s"DROP TABLE ${table}_old")
+      }
+    }
+
   /** Write via STAGING TABLE + RENAME swap: the overwrite of `table`
     * itself would TRUNCATE the table a lazy merge plan is still
     * reading — on a cluster, an executor losing its cached blocks
@@ -72,37 +122,23 @@ object JdbcSnapshot {
     * now-empty source and corrupt the accumulated sink state. Staging
     * first means the live table stays readable (and is the recompute
     * source) until every row is durably written; the swap is then
-    * metadata-only renames.
-    *
-    * The rename is `RENAME TABLE a TO b` (Derby/MySQL) with an
-    * `ALTER TABLE a RENAME TO b` fallback (Postgres et al). The swap
-    * window (old dropped → staging renamed) is not transactional on
-    * engines without DDL transactions — a crash inside it leaves the
-    * data intact in `<table>_stg`; re-running the sync repairs it. */
+    * metadata-only renames. A crash inside the swap window leaves the
+    * complete new snapshot in `_stg`; recoverStagedSwap (run before
+    * every staged write and every JdbcStore.read) completes the
+    * interrupted swap. */
   def writeStaged(df: DataFrame, url: String, table: String,
       options: Map[String, String] = Map.empty): Unit = {
+    recoverStagedSwap(url, table, options)
     val staging = table + "_stg"
     val old = table + "_old"
     write(df, url, staging, options)
-    val props = new java.util.Properties()
-    options.foreach { case (k, v) => props.setProperty(k, v) }
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      def exec(sql: String): Unit = {
-        val st = conn.createStatement()
-        try st.executeUpdate(sql) finally st.close()
-      }
-      def tryExec(sql: String): Boolean =
-        try { exec(sql); true } catch { case _: java.sql.SQLException => false }
-      def rename(from: String, to: String): Boolean =
-        tryExec(s"RENAME TABLE $from TO $to") ||
-          tryExec(s"ALTER TABLE $from RENAME TO $to")
-      tryExec(s"DROP TABLE $old")
-      rename(table, old) // fails harmlessly on the first sync
-      require(rename(staging, table),
+    withConnection(url, options) { conn =>
+      tryExec(conn, s"DROP TABLE $old")
+      renameTable(conn, table, old) // fails harmlessly on the first sync
+      require(renameTable(conn, staging, table),
         s"could not rename staging table $staging to $table")
-      tryExec(s"DROP TABLE $old")
-    } finally conn.close()
+      tryExec(conn, s"DROP TABLE $old")
+    }
   }
 
   /** Partial write: replace ONLY `vendors`' rows, leaving every other
@@ -118,25 +154,14 @@ object JdbcSnapshot {
     * is a touched vendor). */
   def writeVendors(df: DataFrame, url: String, table: String,
       vendors: Seq[String], options: Map[String, String] = Map.empty): Unit = {
+    recoverStagedSwap(url, table, options)
     val staging = table + "_vstg"
     write(df, url, staging, options)
-    val props = new java.util.Properties()
-    options.foreach { case (k, v) => props.setProperty(k, v) }
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val exists =
-        try {
-          val st = conn.createStatement()
-          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
-          finally st.close()
-        } catch { case _: java.sql.SQLException => false }
-      if (!exists) {
+    withConnection(url, options) { conn =>
+      if (!tableExists(conn, table)) {
         // first sync: the staged rows ARE the whole snapshot
-        val st = conn.createStatement()
-        try st.executeUpdate(s"RENAME TABLE $staging TO $table")
-        catch { case _: java.sql.SQLException =>
-          st.executeUpdate(s"ALTER TABLE $staging RENAME TO $table")
-        } finally st.close()
+        require(renameTable(conn, staging, table),
+          s"could not rename staging table $staging to $table")
       } else {
         // column list from the JSON-projected frame, quoted exactly as
         // the Spark JDBC writer created them (case-preserving quotes)
@@ -158,10 +183,9 @@ object JdbcSnapshot {
         finally ins.close()
         conn.commit()
         conn.setAutoCommit(true)
-        val drop = conn.createStatement()
-        try drop.executeUpdate(s"DROP TABLE $staging") finally drop.close()
+        exec(conn, s"DROP TABLE $staging")
       }
-    } finally conn.close()
+    }
   }
 
   /** Read any JDBC table as-is (the S1/S2 source path for flat

@@ -66,7 +66,12 @@ object MergeWriter {
     * table the lazy merge plan is still reading. */
   final case class JdbcStore(url: String, table: String,
       options: Map[String, String] = Map.empty) extends SnapshotStore {
-    def read(spark: SparkSession): DataFrame =
+    def read(spark: SparkSession): DataFrame = {
+      // A crashed staged swap leaves the live table missing with the
+      // complete new snapshot still in _stg — complete it BEFORE
+      // reading, or table-missing would be misread as "first sync →
+      // empty" and the next write would erase the accumulated state.
+      JdbcSnapshot.recoverStagedSwap(url, table, options)
       try JdbcSnapshot.read(spark, url, table, options)
       catch {
         // ONLY a missing table means "first sync → empty snapshot".
@@ -78,6 +83,7 @@ object MergeWriter {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Schemas.vendorProduct)
       }
+    }
 
     /** Walk the cause chain for an SQLException whose SQLState is a
       * table-not-found code (Derby 42X05, SQL-standard/MySQL 42S02,
@@ -227,6 +233,7 @@ object MergeWriter {
       vendors: Seq[String]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverVendorSwaps(fs, p)
     val tmp = new Path(path + "__vtmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.select(Schemas.vendorProduct.fieldNames.map(col).toSeq: _*)
@@ -243,14 +250,44 @@ object MergeWriter {
     for (st <- written) {
       val name = st.getPath.getName
       val target = new Path(p, name)
-      // old dir moves aside before the new one moves in — no window
-      // where the vendor's data exists only in tmp
+      // old dir moves aside before the new one moves in; every rename
+      // result is CHECKED — Hadoop FileSystem.rename reports most
+      // failures as `false`, not an exception, and ignoring one here
+      // could delete a vendor's only surviving copy
       val old = new Path(path + "__vold_" + name)
       if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(target)) fs.rename(target, old)
-      fs.rename(st.getPath, target)
+      if (fs.exists(target) && !fs.rename(target, old))
+        throw new java.io.IOException(s"could not move $target aside to $old")
+      if (!fs.rename(st.getPath, target)) {
+        // restore the backup before failing: the vendor must never be
+        // left with data in no live location
+        if (fs.exists(old)) fs.rename(old, target)
+        throw new java.io.IOException(s"could not move new $name into $target")
+      }
       if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(tmp, true)
+  }
+
+  /** Heal an interrupted per-vendor swap: a crash between the
+    * move-aside and move-in renames leaves `<path>__vold_<dir>` as a
+    * vendor's only copy. Restoring any backup whose live dir is
+    * missing runs before every partial write (and is a no-op
+    * otherwise), so the table never silently loses a vendor to a
+    * mid-swap crash — the vendor reverts to its pre-sync state and
+    * the re-run syncs it again. */
+  private def recoverVendorSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = p.getName + "__vold_"
+    for (st <- fs.listStatus(parent) if st.getPath.getName.startsWith(prefix)) {
+      val target = new Path(p, st.getPath.getName.stripPrefix(prefix))
+      if (!fs.exists(target)) {
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"crashed swap recovery: could not restore ${st.getPath} to $target")
+      } else fs.delete(st.getPath, true) // stale backup, live dir intact
+    }
   }
 }

@@ -25,9 +25,18 @@ import graft.model.{Schemas, VendorApi}
   */
 object HttpSource {
 
+  /** Per-vendor payload fetch. MUST BE THREAD-SAFE: SyncJob invokes
+    * it from a bounded pool (up to SyncJob.FetchParallelism
+    * concurrent calls) to overlap vendors' network waits. A stateless
+    * fetcher like httpFetcher below (one connection per call) is safe
+    * by construction; implementations holding shared mutable state
+    * (token refresh, rate limiter, reused session) must synchronize
+    * it. */
   type Fetcher = VendorApi => Try[String]
 
-  /** Real HTTP fetcher (driver-side, one GET per vendor). */
+  /** Real HTTP fetcher (driver-side, one GET per vendor; stateless —
+    * each call opens its own connection, so concurrent invocation is
+    * safe). */
   def httpFetcher(baseUrl: String,
       timeout: Duration = Duration.ofSeconds(30)): Fetcher = { api =>
     Try {

@@ -182,9 +182,16 @@ object StreamOps {
       sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(p.toString).filter(col("bkt").isin(bkts: _*))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    if (fs.exists(p)) {
+      val t = spark.read.parquet(p.toString)
+      // LEGACY index (written before bucket partitioning): no bkt
+      // column — fall back to the old full scan, derive bkt so
+      // downstream joins see one schema. compactNearDupIndex migrates
+      // such a table to the partitioned layout in place.
+      if (t.columns.contains("bkt")) t.filter(col("bkt").isin(bkts: _*))
+      else t.withColumn("bkt",
+        if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
+    } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schemaOf.schema)
   }
 
@@ -251,13 +258,31 @@ object StreamOps {
     // silently losing dedup coverage. An orphan SHINGLE row (crash
     // after the first append) is harmless: it generates no candidates
     // without band rows, and a replay re-indexes the doc.
+    //
+    // Appends match the INDEX'S OWN layout: a legacy (pre-bucketing)
+    // table keeps receiving flat files — mixing bkt= partition dirs
+    // into a flat table would corrupt partition discovery for every
+    // later read. compactNearDupIndex migrates legacy → partitioned.
     val survivorIds = survivors.select(col("doc_id"))
-    sh.join(survivorIds, Seq("doc_id"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$indexPath/shingles")
-    bands.join(survivorIds, Seq("doc_id"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$indexPath/bands")
+    def append(rows: DataFrame, sub: String): Unit = {
+      val target = s"$indexPath/$sub"
+      if (isLegacyIndexTable(spark, target))
+        rows.drop("bkt").write.mode("append").parquet(target)
+      else rows.write.mode("append").partitionBy("bkt").parquet(target)
+    }
+    append(sh.join(survivorIds, Seq("doc_id")), "shingles")
+    append(bands.join(survivorIds, Seq("doc_id")), "bands")
     sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
+  }
+
+  /** True when `path` holds a pre-bucketing index table (exists, no
+    * `bkt` partition column) — schema-only probe, no data read. */
+  private def isLegacyIndexTable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && !spark.read.parquet(path).columns.contains("bkt")
   }
 
   /** Streaming similarity serving: each micro-batch of query
@@ -291,8 +316,14 @@ object StreamOps {
       if (fs.exists(p)) {
         val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        spark.read.parquet(p.toString)
-          .repartition(targetPartitions, col("bkt"))
+        val raw = spark.read.parquet(p.toString)
+        // compaction doubles as the legacy→partitioned migration:
+        // derive bkt when the table predates bucket partitioning
+        val t =
+          if (raw.columns.contains("bkt")) raw
+          else raw.withColumn("bkt",
+            if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
+        t.repartition(targetPartitions, col("bkt"))
           .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
         val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
         if (fs.exists(old)) fs.delete(old, true)

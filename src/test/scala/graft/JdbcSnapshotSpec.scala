@@ -104,6 +104,26 @@ class JdbcSnapshotSpec extends SparkSpec {
       "vendor_products_vstg").collect() }
   }
 
+  test("a crashed staged swap self-heals on the next read instead of reading empty") {
+    import graft.sink.MergeWriter.JdbcStore
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    val rows = Seq(Row("v-1", "ap-1", "c", "wholecell",
+      Seq(Row("o", "Black", "128GB", 4, 250L, 250L, Seq("ESN-1"))), t0, t0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct)
+    val url = derbyUrl
+    // simulate the crash window: staging fully written, live table
+    // missing (crash happened after rename(table→_old) — the only
+    // state where the table can be absent while _stg exists)
+    JdbcSnapshot.write(df, url, "vendor_products_stg")
+    val recovered = JdbcStore(url, "vendor_products").read(spark)
+    assert(recovered.collect().map(_.getString(0)).toSeq == Seq("v-1"),
+      "read did not complete the interrupted swap")
+    // staging renamed into place, not copied
+    intercept[Exception] { JdbcSnapshot.readTable(spark, url,
+      "vendor_products_stg").collect() }
+  }
+
   test("flat dimension read (S1 source shape) returns what was written") {
     import spark.implicits._
     val url = derbyUrl

@@ -179,6 +179,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.count() == 0)
   }
 
+  test("a legacy unpartitioned index still dedups, and compaction migrates it") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val idx = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    // hand-write a LEGACY index (pre-bucketing layout: no bkt column,
+    // no partition dirs) holding doc 1
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    val sh = TextQueries.hashedShinglesOf(docs)
+    sh.write.parquet(s"$idx/shingles")
+    TextQueries.minhashBandsOf(sh).write.parquet(s"$idx/bands")
+    // ingest against the legacy index: a near-dup of doc 1 must still
+    // be caught (full-scan fallback), and the novel doc accepted
+    val s = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (9L, base + " tail"),
+      (10L, "entirely different words about columnar engines today")).toDF("doc_id", "text"), 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s == Set(10L))
+    // appends respected the legacy layout (no mixed flat+partitioned
+    // table, which would corrupt partition discovery)
+    for (sub <- Seq("bands", "shingles"))
+      assert(!new java.io.File(s"$idx/$sub").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("bkt=")),
+        s"$sub mixed partitioned files into a legacy table")
+    // compaction migrates to the partitioned layout in place
+    StreamOps.compactNearDupIndex(spark, idx, targetPartitions = 1)
+    for (sub <- Seq("bands", "shingles"))
+      assert(new java.io.File(s"$idx/$sub").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("bkt=")),
+        s"$sub not migrated to bkt= partitioning")
+    // and the migrated index still rejects a near-dup of doc 1
+    val after = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (11L, base + " coda")).toDF("doc_id", "text"), 1L)
+    assert(after.count() == 0)
+  }
+
   test("nearDupIngestBatch agrees with batch dedupMinhash invariants on real data") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.001"

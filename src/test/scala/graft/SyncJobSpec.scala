@@ -163,6 +163,28 @@ class SyncJobSpec extends SparkSpec {
     assert(stock == 2 * stockOnce)
   }
 
+  test("a crashed per-vendor swap restores the backup dir on the next partial write") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-heal").toString + "/vp"
+    run(sink, MergeWriter.Accumulate)
+    // simulate the crash window: v-100's live dir moved aside to the
+    // __vold_ backup, new dir never moved in
+    val live = new java.io.File(s"$sink/vendorId=v-100")
+    val backup = new java.io.File(s"${sink}__vold_vendorId=v-100")
+    assert(live.isDirectory)
+    java.nio.file.Files.move(live.toPath, backup.toPath)
+    assert(!live.exists())
+    // next partial sync (touching only v-200) must first restore v-100
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val res = SyncJob.sync(spark, apis.filter(_.vendorId == "v-200").toDS(),
+      fetch, sink, MergeWriter.Accumulate,
+      now = Timestamp.valueOf("2026-08-13 00:00:00"))
+    assert(live.isDirectory && !backup.exists(),
+      "crashed swap backup was not restored")
+    assert(res.sink.filter(col("vendorId") === "v-100").count() > 0,
+      "restored vendor missing from the snapshot")
+  }
+
   test("accumulate mode doubles stock on re-sync; replace mode is idempotent") {
     import spark.implicits._
     val accSink = Files.createTempDirectory("graft-acc").toString + "/vp"
