@@ -55,6 +55,28 @@ object HttpSource {
     }
   }
 
+  /** Wrap any fetcher with bounded retry + exponential backoff —
+    * beyond-reference hardening (the reference's one-shot fetch turns
+    * every transient 5xx/reset into a failed vendor sync; at hundreds
+    * of vendors per run some transient is near-certain). Retries are
+    * per-vendor and sleep ON THE FETCH POOL'S thread, so one flaky
+    * vendor delays only its own slot, never the other 15. Total worst
+    * case stays bounded: attempts × (timeout + backoff). Statelessness
+    * (and thus thread-safety) is inherited from the wrapped fetcher. */
+  def withRetry(fetch: Fetcher, attempts: Int = 3,
+      backoff: Duration = Duration.ofMillis(500),
+      sleep: Long => Unit = Thread.sleep): Fetcher = { api =>
+    require(attempts >= 1, "attempts must be >= 1")
+    var result = fetch(api)
+    var attempt = 1
+    while (result.isFailure && attempt < attempts) {
+      sleep(backoff.toMillis << (attempt - 1)) // 1×, 2×, 4×, …
+      result = fetch(api)
+      attempt += 1
+    }
+    result
+  }
+
   /** Parse one vendor's envelope JSON into items tagged with the
     * vendorId. Corrupt JSON or a non-array `data` yields zero rows
     * (P11 guard) rather than failing the whole sync. */
