@@ -268,7 +268,14 @@ object StreamOps {
       val target = s"$indexPath/$sub"
       if (isLegacyIndexTable(spark, target))
         rows.drop("bkt").write.mode("append").parquet(target)
-      else rows.write.mode("append").partitionBy("bkt").parquet(target)
+      else rows
+        // align tasks with the partition column before the partitioned
+        // write: without this every shuffle task writes a file into
+        // every bucket dir it touches (tasks × buckets small files per
+        // batch — measured 2 000+ at 500-doc batches); with it, one
+        // file per touched bucket per batch
+        .repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(target)
     }
     append(sh.join(survivorIds, Seq("doc_id")), "shingles")
     append(bands.join(survivorIds, Seq("doc_id")), "bands")
