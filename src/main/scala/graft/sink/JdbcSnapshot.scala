@@ -96,19 +96,23 @@ object JdbcSnapshot {
       finally st.close()
     } catch { case _: java.sql.SQLException => false }
 
-  /** Repair an interrupted staged swap. The ONLY state in which the
-    * live table can be missing while staging artifacts exist is a
-    * crash between rename(table→_old) and rename(_stg→table) — and
-    * at that point `_stg` is by construction a COMPLETE new snapshot
-    * (every rename happens strictly after the staging write
-    * finishes), so completing the swap is always safe. Called before
-    * every staged write AND before JdbcStore.read, so a crashed sync
-    * self-heals instead of reading table-missing as an empty
-    * snapshot and erasing the accumulated state on the next write. */
+  /** Repair an interrupted staged swap. `_stg` is only promoted when
+    * `_old` ALSO exists: the old-table rename happens strictly after
+    * the staging write completes, so table-missing + _old-present
+    * proves the crash hit the swap window and `_stg` is a COMPLETE
+    * new snapshot. Without `_old` (a first-ever sync whose staging
+    * write itself crashed) `_stg` may be PARTIAL — promoting it would
+    * turn half-written rows into accumulated state — so it is left
+    * for the next write to overwrite and the read correctly sees
+    * first-sync-empty. Called before every staged write AND before
+    * JdbcStore.read, so a crashed sync self-heals instead of reading
+    * table-missing as an empty snapshot and erasing the accumulated
+    * state on the next write. */
   def recoverStagedSwap(url: String, table: String,
       options: Map[String, String] = Map.empty): Unit =
     withConnection(url, options) { conn =>
-      if (!tableExists(conn, table) && tableExists(conn, table + "_stg")) {
+      if (!tableExists(conn, table) && tableExists(conn, table + "_stg") &&
+          tableExists(conn, table + "_old")) {
         require(renameTable(conn, table + "_stg", table),
           s"crashed swap recovery: could not rename ${table}_stg to $table")
         tryExec(conn, s"DROP TABLE ${table}_old")

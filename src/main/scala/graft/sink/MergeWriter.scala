@@ -120,10 +120,15 @@ object MergeWriter {
   private val keyCols = Seq("vendorId", "product", "condition")
 
   /** Read the current sink snapshot, or an empty frame with the sink
-    * schema when the table doesn't exist yet. */
+    * schema when the table doesn't exist yet. Heals any interrupted
+    * per-vendor swap FIRST: a crashed partial write leaves a vendor
+    * only in its `__vold_` backup, and reading without restoring it
+    * would hand the merge a snapshot missing that vendor — the next
+    * write would then reset its accumulated state to `insert`. */
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverVendorSwaps(fs, p)
     if (fs.exists(p))
       spark.read.schema(Schemas.vendorProduct).parquet(path)
     else

@@ -65,8 +65,12 @@ object HttpSource {
     * (and thus thread-safety) is inherited from the wrapped fetcher. */
   def withRetry(fetch: Fetcher, attempts: Int = 3,
       backoff: Duration = Duration.ofMillis(500),
-      sleep: Long => Unit = Thread.sleep): Fetcher = { api =>
+      sleep: Long => Unit = Thread.sleep): Fetcher = {
+    // validated at WRAP time: throwing inside the returned fetcher
+    // would escape the per-vendor Try isolation and abort the whole
+    // sync from the fetch pool
     require(attempts >= 1, "attempts must be >= 1")
+    api =>
     var result = fetch(api)
     var attempt = 1
     while (result.isFailure && attempt < attempts) {

@@ -173,26 +173,56 @@ object StreamOps {
     * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
     * with the caller persisting survivors wherever the clean corpus
     * lands. */
+  /** One listing of an index table per batch: the raw frame plus its
+    * legacy flag (pre-bucketing layout, no `bkt` column). `None` for
+    * an absent table OR a schema-less directory (an empty micro-batch
+    * can leave `_SUCCESS` with no parquet files — that must read as
+    * "no index yet", not crash every later batch). */
+  private def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      target: String): Option[(DataFrame, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (!fs.exists(p)) None
+    else try {
+      val t = spark.read.parquet(target)
+      Some((t, !t.columns.contains("bkt")))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Heal an interrupted compaction swap: table dir missing while the
+    * complete pre-compaction copy sits in `__old` (the only state a
+    * crash inside compactNearDupIndex's rename pair leaves). Without
+    * this the next batch would read batch-0 semantics and silently
+    * lose the entire accumulated dedup index. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(
+          s"crashed compaction recovery: could not restore $old to $p")
+    }
+  }
+
   /** Read one index table pruned to `bkts` — the `isin` over the
     * partition column becomes a static PartitionFilter at the scan,
     * so only those buckets' files are listed and read (pinned in
-    * PlanSpec). An absent table reads as empty with `schemaOf`'s
-    * schema (batch 0). */
+    * PlanSpec). An absent/empty table reads as empty with `schemaOf`'s
+    * schema (batch 0); a legacy table falls back to the full scan
+    * with `bkt` derived (compactNearDupIndex migrates it in place). */
   def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val t = spark.read.parquet(p.toString)
-      // LEGACY index (written before bucket partitioning): no bkt
-      // column — fall back to the old full scan, derive bkt so
-      // downstream joins see one schema. compactNearDupIndex migrates
-      // such a table to the partitioned layout in place.
-      if (t.columns.contains("bkt")) t.filter(col("bkt").isin(bkts: _*))
-      else t.withColumn("bkt",
-        if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
-    } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schemaOf.schema)
+      sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame =
+    prunedIndex(spark, loadIndex(spark, s"$indexPath/$sub"), sub, schemaOf, bkts)
+
+  private def prunedIndex(spark: org.apache.spark.sql.SparkSession,
+      loaded: Option[(DataFrame, Boolean)], sub: String,
+      schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = loaded match {
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
+    case Some((t, false)) => t.filter(col("bkt").isin(bkts: _*))
+    case Some((t, true)) => t.withColumn("bkt",
+      if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
   }
 
   def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7)(
@@ -205,12 +235,19 @@ object StreamOps {
     val bands = TextQueries.minhashBandsOf(sh.drop("bkt"))
       .withColumn("bkt", bandBucket(col("band_key"))).persist()
 
+    // ONE listing per index table per batch — reused for the pruned
+    // reads AND the append-layout decision below (re-listing a 100 TB
+    // table's files for a schema probe would be O(files) driver work
+    // done twice for nothing).
+    val bandsLoaded = loadIndex(spark, s"$indexPath/bands")
+    val shLoaded = loadIndex(spark, s"$indexPath/shingles")
+
     // The batch's bucket footprint — tiny (≤ IndexBuckets ints) and
     // already materialized by the persist, so the collect is cheap.
     // These sets drive the partition pruning on both index reads.
     val bandBkts = bands.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idxBands = readIndex(spark, indexPath, "bands", bands, bandBkts)
+    val idxBands = prunedIndex(spark, bandsLoaded, "bands", bands, bandBkts)
 
     def verified(cands: DataFrame, otherSh: DataFrame): DataFrame =
       broadcast(cands
@@ -233,7 +270,7 @@ object StreamOps {
       .distinct().persist()
     val oldBkts = candIdx.select(docBucket(col("old_id")).as("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idxSh = readIndex(spark, indexPath, "shingles", sh, oldBkts)
+    val idxSh = prunedIndex(spark, shLoaded, "shingles", sh, oldBkts)
     val dupVsIndex = verified(candIdx, idxSh.drop("bkt"))
     // within the batch: drop the larger id of any matching pair
     val candIn = bands.as("l").join(bands.as("r"), Seq("band", "band_key"))
@@ -264,10 +301,9 @@ object StreamOps {
     // into a flat table would corrupt partition discovery for every
     // later read. compactNearDupIndex migrates legacy → partitioned.
     val survivorIds = survivors.select(col("doc_id"))
-    def append(rows: DataFrame, sub: String): Unit = {
+    def append(rows: DataFrame, sub: String, legacy: Boolean): Unit = {
       val target = s"$indexPath/$sub"
-      if (isLegacyIndexTable(spark, target))
-        rows.drop("bkt").write.mode("append").parquet(target)
+      if (legacy) rows.drop("bkt").write.mode("append").parquet(target)
       else rows
         // align tasks with the partition column before the partitioned
         // write: without this every shuffle task writes a file into
@@ -277,19 +313,17 @@ object StreamOps {
         .repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt").parquet(target)
     }
-    append(sh.join(survivorIds, Seq("doc_id")), "shingles")
-    append(bands.join(survivorIds, Seq("doc_id")), "bands")
+    // An empty batch appends nothing: writing a zero-row frame would
+    // create a schema-less directory (only _SUCCESS) that every later
+    // batch's read would choke on.
+    if (!survivors.isEmpty) {
+      append(sh.join(survivorIds, Seq("doc_id")), "shingles",
+        shLoaded.exists(_._2))
+      append(bands.join(survivorIds, Seq("doc_id")), "bands",
+        bandsLoaded.exists(_._2))
+    }
     sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
-  }
-
-  /** True when `path` holds a pre-bucketing index table (exists, no
-    * `bkt` partition column) — schema-only probe, no data read. */
-  private def isLegacyIndexTable(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && !spark.read.parquet(path).columns.contains("bkt")
   }
 
   /** Streaming similarity serving: each micro-batch of query
@@ -320,6 +354,7 @@ object StreamOps {
     for (sub <- Seq("bands", "shingles")) {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       val fs = p.getFileSystem(hconf)
+      recoverCompaction(fs, p) // heal a previously interrupted swap first
       if (fs.exists(p)) {
         val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
         if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -332,10 +367,17 @@ object StreamOps {
             if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
         t.repartition(targetPartitions, col("bkt"))
           .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
+        // rename results are CHECKED (Hadoop reports most failures as
+        // `false`, not an exception); a failed move-in restores the
+        // old table so the index is never left absent
         val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
         if (fs.exists(old)) fs.delete(old, true)
-        fs.rename(p, old)
-        fs.rename(tmp, p)
+        if (!fs.rename(p, old))
+          throw new java.io.IOException(s"could not move $p aside to $old")
+        if (!fs.rename(tmp, p)) {
+          fs.rename(old, p) // restore before failing
+          throw new java.io.IOException(s"could not move compacted $tmp into $p")
+        }
         fs.delete(old, true)
       }
     }

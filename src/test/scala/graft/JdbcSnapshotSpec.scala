@@ -112,16 +112,39 @@ class JdbcSnapshotSpec extends SparkSpec {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Schemas.vendorProduct)
     val url = derbyUrl
-    // simulate the crash window: staging fully written, live table
-    // missing (crash happened after rename(table→_old) — the only
-    // state where the table can be absent while _stg exists)
+    // simulate the crash window: staging fully written AND the old
+    // table renamed aside (the _old marker proves the swap — not the
+    // staging write — was interrupted), live table missing
+    val oldRows = Seq(Row("v-0", "ap-0", "c", "wholecell",
+      Seq(Row("o", "Red", "64GB", 1, 50L, 50L, Seq("E"))), t0, t0))
+    JdbcSnapshot.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(oldRows), Schemas.vendorProduct),
+      url, "vendor_products_old")
     JdbcSnapshot.write(df, url, "vendor_products_stg")
     val recovered = JdbcStore(url, "vendor_products").read(spark)
     assert(recovered.collect().map(_.getString(0)).toSeq == Seq("v-1"),
       "read did not complete the interrupted swap")
-    // staging renamed into place, not copied
+    // staging renamed into place, not copied; stale backup dropped
     intercept[Exception] { JdbcSnapshot.readTable(spark, url,
       "vendor_products_stg").collect() }
+    intercept[Exception] { JdbcSnapshot.readTable(spark, url,
+      "vendor_products_old").collect() }
+  }
+
+  test("a PARTIAL first-sync staging table is never promoted to live") {
+    import graft.sink.MergeWriter.JdbcStore
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    val rows = Seq(Row("v-9", "ap-9", "c", "wholecell",
+      Seq(Row("o", "Black", "128GB", 4, 250L, 250L, Seq("E"))), t0, t0))
+    val url = derbyUrl
+    // _stg exists but NO _old and NO live table: a first-ever sync
+    // crashed mid-staging-write — _stg may hold half the rows, and
+    // promoting it would turn them into accumulated state
+    JdbcSnapshot.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct),
+      url, "vendor_products_stg")
+    val snap = JdbcStore(url, "vendor_products").read(spark)
+    assert(snap.count() == 0, "partial staging table was promoted to live")
   }
 
   test("flat dimension read (S1 source shape) returns what was written") {

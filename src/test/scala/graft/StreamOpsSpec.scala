@@ -179,6 +179,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.count() == 0)
   }
 
+  test("an empty first micro-batch leaves no poisoned index directory behind") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-empty").toString + "/index"
+    // batch 0 fires with zero rows (idle source) — must not create a
+    // schema-less dir that breaks every later batch's index read
+    val none = StreamOps.nearDupIngestBatch(idx)(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(none.count() == 0)
+    // the real first batch must ingest normally afterwards
+    val s = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and naps")).toDF("doc_id", "text"), 1L)
+    assert(s.count() == 1)
+    assert(spark.read.parquet(s"$idx/shingles").count() == 1)
+  }
+
   test("a legacy unpartitioned index still dedups, and compaction migrates it") {
     import spark.implicits._
     import graft.queries.TextQueries

@@ -174,15 +174,24 @@ class SyncJobSpec extends SparkSpec {
     assert(live.isDirectory)
     java.nio.file.Files.move(live.toPath, backup.toPath)
     assert(!live.exists())
-    // next partial sync (touching only v-200) must first restore v-100
+    // the prescribed recovery is "re-run the sync" — for the CRASHED
+    // vendor itself. The snapshot READ must restore the backup before
+    // listing files, or the merge would see v-100 as absent, mark all
+    // its rows insert, and the write would erase the accumulated
+    // stock while deleting the backup.
     spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
-    val res = SyncJob.sync(spark, apis.filter(_.vendorId == "v-200").toDS(),
-      fetch, sink, MergeWriter.Accumulate,
-      now = Timestamp.valueOf("2026-08-13 00:00:00"))
+    val res = SyncJob.sync(spark, apis.toDS(), fetch, sink,
+      MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-13 00:00:00"))
     assert(live.isDirectory && !backup.exists(),
       "crashed swap backup was not restored")
-    assert(res.sink.filter(col("vendorId") === "v-100").count() > 0,
-      "restored vendor missing from the snapshot")
+    // accumulate-on-resync over the RESTORED state: stock doubles
+    // (7 → 14 per the golden) and the re-synced groups merge, not
+    // insert — both impossible if the read had seen v-100 as missing
+    val v100 = res.summary.map(s => s.vendorId -> s).toMap.apply("v-100")
+    assert(v100.newVendorProducts == 0 && v100.updatedVendorProducts == 2,
+      s"v-100 treated as new after crash recovery: $v100")
+    assert(v100.totalStockProcessed == 14,
+      s"v-100 accumulated stock lost: ${v100.totalStockProcessed}")
   }
 
   test("accumulate mode doubles stock on re-sync; replace mode is idempotent") {
