@@ -40,6 +40,8 @@ object SparkEntry {
     "a2_option_agg" -> (CoreQueries.a2OptionAgg _),
     "a5_summary_rollup" -> (CoreQueries.a5SummaryRollup _),
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
+    "w2_running_total" -> (CoreQueries.w2RunningTotal _),
+    "w3_order_gaps" -> (CoreQueries.w3OrderGaps _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
@@ -185,6 +187,19 @@ object SparkEntry {
                    ORDER BY c_acctbal DESC, c_custkey) AS rank
                FROM customer)
          WHERE rank <= 3""",
+    "w2_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
+    "w3_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         date_diff('day',
+           CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap_days
+         FROM orders""",
     "a6_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows

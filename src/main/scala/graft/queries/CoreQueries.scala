@@ -256,6 +256,36 @@ object CoreQueries {
     row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Running total per customer — the cumulative-window family
+    * (frame `ROWS UNBOUNDED PRECEDING..CURRENT ROW`). One sort per
+    * customer partition, streamed in a single WindowExec with no
+    * self-join (the naive `t1 JOIN t1 ON date <=` form is quadratic
+    * per key). Order is (date, orderkey) so ties are deterministic
+    * and the oracle hash-matches. Scale: partition key is customer —
+    * high cardinality, uniform; never a global sort. */
+  def w2RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** Inter-order gap per customer via `lag` — the offset-window
+    * family (lead/lag). The gap-days distribution is the standard
+    * churn/recency signal; NULL marks each customer's first order,
+    * exactly as SQL defines. Same single-sort-per-partition shape as
+    * w2. */
+  def w3OrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"))
+  }
+
   /** Grouping-sets rollup: revenue/quantity at every level of the
     * (returnflag, linestatus) hierarchy in ONE pass — `rollup` plans
     * a single Expand + hash aggregate, so the subtotal and
