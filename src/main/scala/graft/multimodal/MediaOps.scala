@@ -175,43 +175,83 @@ object MediaOps {
   private val AdpcmIndexTable: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
+  /** Per-channel IMA ADPCM decoder state: the canonical shift
+    * cascade (step>>3 + b2·step + b1·step>>1 + b0·step>>2) — NOT the
+    * (2m+1)·step>>3 approximation, whose truncation differs. */
+  private final class AdpcmState(var pred: Int, var idx: Int) {
+    def decode(nib: Int): Int = {
+      val step = AdpcmStepTable(idx)
+      var diff = step >> 3
+      if ((nib & 4) != 0) diff += step
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 1) != 0) diff += step >> 2
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      pred = math.min(math.max(pred, -32768), 32767)
+      idx = math.min(math.max(idx + AdpcmIndexTable(nib & 7), 0), 88)
+      pred
+    }
+  }
+
   /** IMA/DVI4 ADPCM nibble stream → 16-bit LE PCM, one WAV data block
     * (mono): 4-byte header (initial predictor int16 LE, step index,
-    * reserved) then two low-nibble-first samples per byte. The shift
-    * cascade (step>>3 + b2·step + b1·step>>1 + b0·step>>2) is the
-    * canonical IMA form — NOT the (2m+1)·step>>3 approximation, whose
-    * truncation differs. */
-  def decodeImaAdpcmBlock(block: Array[Byte], out: java.io.ByteArrayOutputStream): Unit = {
-    var pred = ((block(1) << 8) | (block(0) & 0xFF)).toShort.toInt
-    var idx = math.min(math.max(block(2) & 0xFF, 0), 88)
+    * reserved) then two low-nibble-first samples per byte. */
+  def decodeImaAdpcmBlock(block: Array[Byte], out: java.io.ByteArrayOutputStream): Unit =
+    decodeImaAdpcmBlockN(block, 1, out)
+
+  /** Multi-channel IMA ADPCM block: one 4-byte header per channel
+    * (channel order), then nibble data in 4-byte groups alternating
+    * channels — each group holds 8 consecutive samples of ONE
+    * channel, and the decoded output interleaves channels
+    * frame-by-frame (the WAV tag-0x11 layout). Mono additionally
+    * tolerates a trailing partial group (byte-wise processing);
+    * multi-channel ignores a trailing fragment that can't hold one
+    * full group per channel. */
+  def decodeImaAdpcmBlockN(block: Array[Byte], channels: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
     def emit(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    emit(pred) // the header predictor IS the block's first sample
-    var i = 4
-    while (i < block.length) {
-      val b = block(i) & 0xFF
-      var half = 0
-      while (half < 2) {
-        val nib = if (half == 0) b & 0x0F else (b >> 4) & 0x0F
-        val step = AdpcmStepTable(idx)
-        var diff = step >> 3
-        if ((nib & 4) != 0) diff += step
-        if ((nib & 2) != 0) diff += step >> 1
-        if ((nib & 1) != 0) diff += step >> 2
-        pred = if ((nib & 8) != 0) pred - diff else pred + diff
-        pred = math.min(math.max(pred, -32768), 32767)
-        idx = math.min(math.max(idx + AdpcmIndexTable(nib & 7), 0), 88)
-        emit(pred)
-        half += 1
+    val st = Array.tabulate(channels) { c =>
+      val o = 4 * c
+      new AdpcmState(((block(o + 1) << 8) | (block(o) & 0xFF)).toShort.toInt,
+        math.min(math.max(block(o + 2) & 0xFF, 0), 88))
+    }
+    // the header predictors ARE the block's first frame
+    st.foreach(s => emit(s.pred))
+    var base = 4 * channels
+    if (channels == 1) {
+      while (base < block.length) {
+        val b = block(base) & 0xFF
+        emit(st(0).decode(b & 0x0F)); emit(st(0).decode((b >> 4) & 0x0F))
+        base += 1
       }
-      i += 1
+    } else {
+      val group = 4 * channels
+      val frame = Array.ofDim[Int](channels, 8)
+      while (base + group <= block.length) {
+        var c = 0
+        while (c < channels) {
+          var j = 0
+          while (j < 4) {
+            val b = block(base + c * 4 + j) & 0xFF
+            frame(c)(2 * j) = st(c).decode(b & 0x0F)
+            frame(c)(2 * j + 1) = st(c).decode((b >> 4) & 0x0F)
+            j += 1
+          }
+          c += 1
+        }
+        var s = 0
+        while (s < 8) {
+          c = 0
+          while (c < channels) { emit(frame(c)(s)); c += 1 }
+          s += 1
+        }
+        base += group
+      }
     }
   }
 
   /** Parse a RIFF/WAVE container holding IMA ADPCM (format tag 0x11,
-    * mono) and decode every data block. Returns None for anything
-    * else — stereo ADPCM interleaves 4-byte channel groups and is not
-    * implemented (mono covers the fixture + typical telephony/speech
-    * corpora; the per-block decode above is channel-agnostic). */
+    * mono or multi-channel) and decode every data block. Returns
+    * None for anything else. */
   def decodeImaAdpcmWav(content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
       if (content.length < 12 ||
@@ -235,18 +275,19 @@ object MediaOps {
         } else if (id == "data") data = Some((off + 8, sz))
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      if (tag != 0x11 || channels != 1 || blockAlign < 5) None
+      if (tag != 0x11 || channels < 1 || blockAlign < 4 * channels + 1) None
       else data.map { case (start, sz) =>
         val end = math.min(start + sz, content.length)
         val out = new java.io.ByteArrayOutputStream()
         var p = start
         while (p + blockAlign <= end) {
-          decodeImaAdpcmBlock(
-            java.util.Arrays.copyOfRange(content, p, p + blockAlign), out)
+          decodeImaAdpcmBlockN(
+            java.util.Arrays.copyOfRange(content, p, p + blockAlign),
+            channels, out)
           p += blockAlign
         }
         val pcm = out.toByteArray
-        (pcm.length / 2, 1, pcm)
+        (pcm.length / 2 / channels, channels, pcm)
       }
     } catch { case _: Exception => None }
 

@@ -161,6 +161,41 @@ class MediaOpsSpec extends SparkSpec {
     assert(s16(5) == 100) // second block starts from ITS header predictor
   }
 
+  test("stereo IMA ADPCM interleaves channel groups to frame-interleaved PCM") {
+    // left: pred=0 idx=0, nibbles [7,7,0,8,0,0,0,0] — continues the
+    // mono known-answer by hand: 11,41,45,42 then step 28,25,23,21
+    // gives +3,+3,+2,+2 → 45,48,50,52
+    // right: pred=100 idx=2, nibbles all 0 — steps 9,8,7,... give
+    // +1,+1,+0,... → 101,102,102,102,102,102,102,102
+    val block = Array[Byte](
+      0, 0, 0, 0,                      // left header
+      100, 0, 2, 0,                    // right header
+      0x77.toByte, 0x80.toByte, 0, 0,  // left 4-byte group
+      0, 0, 0, 0)                      // right 4-byte group
+    val out = new java.io.ByteArrayOutputStream()
+    MediaOps.decodeImaAdpcmBlockN(block, 2, out)
+    val pcm = out.toByteArray
+    def s16(i: Int) = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+    assert(pcm.length == 9 * 2 * 2) // 1 header frame + 8 frames, 2ch, 16-bit
+    val frames = (0 until 9).map(f => (s16(2 * f), s16(2 * f + 1)))
+    assert(frames == Seq((0, 100), (11, 101), (41, 102), (45, 102), (42, 102),
+      (45, 102), (48, 102), (50, 102), (52, 102)))
+
+    // and end-to-end through a hand-built stereo WAV
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16((v >> 16) & 0xFFFF)
+    val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(0x11) ++ le16(2) ++ le32(8000) ++ le32(8000) ++ le16(16) ++ le16(4)
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(block.length) ++ block
+    val body = "WAVE".getBytes("US-ASCII") ++ fmtChunk ++ dataChunk
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val got = MediaOps.decodeAudio(wav)
+    assert(got.isDefined)
+    val (nFrames, nCh, pcm2) = got.get
+    assert(nFrames == 9 && nCh == 2)
+    assert(pcm2.toSeq == pcm.toSeq)
+  }
+
   test("extractFeatures: fixed-width normalized embedding") {
     val f = MediaOps.extractFeatures(mediaDf, dim = 64)
       .collect().map(x => x.media_id -> x.embedding).toMap
