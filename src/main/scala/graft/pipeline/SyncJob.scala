@@ -251,14 +251,34 @@ object SyncJob {
 
   private val SyncExprsAvailable = graft.expr.SyncExprs.isAvailable(col("status"))
 
-  /** Admin catalog source — overridable for tests via
-    * `graft.sync.admin.path` in the Spark conf; S6's batch keyed
-    * lookup (products.js:122-126) is subsumed by the broadcast join
-    * in CatalogMatch. */
+  /** Admin catalog source — `graft.sync.admin.path` in the Spark
+    * conf selects the backend by shape: a `jdbc:` URL reads the
+    * table named by `graft.sync.admin.table` (the closest analog of
+    * the reference's Mongo-resident catalog, products.js:122-126), a
+    * `.json` path reads JSON, anything else reads parquet. All three
+    * project to the one adminProduct schema, so CatalogMatch and the
+    * rest of the pipeline never see which backend fed them. S6's
+    * batch keyed lookup is subsumed by the broadcast join in
+    * CatalogMatch. */
   def readAdmin(spark: SparkSession): DataFrame = {
     val path = spark.conf.get("graft.sync.admin.path", "")
-    require(path.nonEmpty, "set graft.sync.admin.path to the admin catalog (json/parquet)")
-    if (path.endsWith(".json"))
+    require(path.nonEmpty,
+      "set graft.sync.admin.path to the admin catalog (jdbc:URL/json/parquet)")
+    if (path.startsWith("jdbc:")) {
+      val table = spark.conf.get("graft.sync.admin.table", "")
+      require(table.nonEmpty,
+        "set graft.sync.admin.table when graft.sync.admin.path is a jdbc: URL")
+      // pushdown off for the same reason JdbcSnapshot.read documents:
+      // Derby maps strings to CLOB and a pushed-down equality throws;
+      // the catalog is broadcast-joined in full anyway. Relational
+      // projection: the nested `specifications` struct travels as a
+      // flat `storage` column (JDBC carries no structs) and is
+      // rebuilt here, so downstream code sees the one schema.
+      graft.sink.JdbcSnapshot.readTable(spark, path, table,
+        Map("pushDownPredicate" -> "false"))
+        .select(col("_id"), col("name"),
+          struct(col("storage")).as("specifications"))
+    } else if (path.endsWith(".json"))
       spark.read.schema(Schemas.adminProduct).option("multiLine", "true").json(path)
     else spark.read.schema(Schemas.adminProduct).parquet(path)
   }

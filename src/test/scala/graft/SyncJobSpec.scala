@@ -292,6 +292,30 @@ class SyncJobSpec extends SparkSpec {
     assert(stock2 == 8)
   }
 
+  test("JDBC-backed admin catalog yields the same sync as the JSON one") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-admin")}/db;create=true"
+    // the JSON fixture, flattened to the relational projection
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val admin = SyncJob.readAdmin(spark)
+    admin.select(col("_id"), col("name"),
+        col("specifications.storage").as("storage"))
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "admin_products").mode("overwrite").save()
+
+    val jsonRun = run(
+      Files.createTempDirectory("graft-aj").toString + "/vp", MergeWriter.Accumulate)
+    spark.conf.set("graft.sync.admin.path", url)
+    spark.conf.set("graft.sync.admin.table", "admin_products")
+    try {
+      val jdbcRun = SyncJob.sync(spark, apis.toDS(), fetch,
+        Files.createTempDirectory("graft-ad").toString + "/vp",
+        MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-12 00:00:00"))
+      assert(jdbcRun.summary == jsonRun.summary,
+        "JDBC-admin sync diverged from the JSON-admin sync")
+    } finally spark.conf.unset("graft.sync.admin.table")
+  }
+
   test("filtered sync (§3.2) only touches vendors of the given database") {
     val sink = Files.createTempDirectory("graft-filt").toString + "/vp"
     val res = {
