@@ -97,6 +97,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partial-sync snapshot read: vendor filter prunes partition directories") {
+    import graft.sink.MergeWriter
+    import org.apache.spark.sql.Row
+    import graft.model.Schemas
+    val sink = java.nio.file.Files.createTempDirectory("graft-snapprune").toString + "/vp"
+    val t0 = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    val rows = Seq("v-1", "v-2", "v-3").map(v => Row(v, s"ap-$v", "c", "wholecell",
+      Seq(Row("o", "Black", "128GB", 1, 10L, 10L, Seq("E"))), t0, t0))
+    MergeWriter.writeSnapshot(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct), sink)
+    // the k-of-N sync pre-filters the snapshot read on vendorId —
+    // that filter must reach the scan as a PartitionFilter, so a
+    // one-vendor sync lists one vendor directory, not N
+    val pruned = MergeWriter.readSnapshot(spark, sink)
+      .filter(org.apache.spark.sql.functions.col("vendorId").isin("v-2"))
+    val plan = planString(pruned)
+    assert(plan.contains("PartitionFilters") && plan.contains("vendorId"),
+      plan.take(2000))
+    assert(pruned.count() == 1)
+  }
+
   test("stratified sample: WindowGroupLimit prunes each stratum map-side") {
     val plan = planString(TextQueries.tStratifiedSample(spark, dir))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
