@@ -94,9 +94,9 @@ object MediaOps {
     * arithmetic implementable exactly offline:
     *  - G.711 μ-law / A-law (WAV format tags 7/6): logarithmic 8-bit
     *    companding → 16-bit LE PCM (decodeG711, ITU-T G.711 tables);
-    *  - IMA/DVI4 ADPCM (WAV format tag 0x11, mono): 4-bit adaptive
-    *    differential nibbles → 16-bit LE PCM (decodeImaAdpcm) — a
-    *    codec the JDK itself cannot read.
+    *  - IMA/DVI4 ADPCM (WAV format tag 0x11, mono or multi-channel):
+    *    4-bit adaptive differential nibbles → 16-bit LE PCM
+    *    (decodeImaAdpcm) — a codec the JDK itself cannot read.
     * mp3/ogg/video remain out of reach offline — they need an
     * entropy-coding + psychoacoustic/DCT stack (LAME/libvorbis-class,
     * thousands of lines against a bitstream spec) that no jar in this

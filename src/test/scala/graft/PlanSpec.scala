@@ -14,6 +14,19 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Execute `df` and total its parquet scans' numFiles metric — the
+    * ground truth for "partition pruning actually skipped files". */
+  private def executedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.collect()
+    val flat = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    flat.collect { case s: FileSourceScanExec => s }
+      .map(_.metrics("numFiles").value).sum
+  }
+
   private def planString(df: DataFrame): String = {
     // executedPlan under AQE is the initial plan; strip the adaptive
     // wrapper and print the full tree including scan metadata
@@ -109,13 +122,16 @@ class PlanSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows), Schemas.vendorProduct), sink)
     // the k-of-N sync pre-filters the snapshot read on vendorId —
     // that filter must reach the scan as a PartitionFilter, so a
-    // one-vendor sync lists one vendor directory, not N
+    // one-vendor sync lists one vendor directory, not N. The string
+    // check alone is vacuous (the metadata line prints even when
+    // empty) — the numFiles metric proves files were actually skipped
     val pruned = MergeWriter.readSnapshot(spark, sink)
       .filter(org.apache.spark.sql.functions.col("vendorId").isin("v-2"))
-    val plan = planString(pruned)
-    assert(plan.contains("PartitionFilters") && plan.contains("vendorId"),
-      plan.take(2000))
     assert(pruned.count() == 1)
+    val prunedFiles = executedFiles(pruned)
+    val fullFiles = executedFiles(MergeWriter.readSnapshot(spark, sink))
+    assert(prunedFiles > 0 && prunedFiles < fullFiles,
+      s"snapshot read scanned $prunedFiles of $fullFiles files — pruning lost")
   }
 
   test("stratified sample: WindowGroupLimit prunes each stratum map-side") {
@@ -133,16 +149,6 @@ class PlanSpec extends SparkSpec {
       (2L, "columnar shuffles and broadcast joins make query engines go fast")).toDF("doc_id", "text"), 0L)
     StreamOps.nearDupIngestBatch(idx)(Seq(
       (3L, "a genuinely novel document with entirely new words nothing shares")).toDF("doc_id", "text"), 1L)
-
-    def executedFiles(df: DataFrame): Long = {
-      df.collect()
-      val flat = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
-      }
-      flat.collect { case s: FileSourceScanExec => s }
-        .map(_.metrics("numFiles").value).sum
-    }
 
     for (sub <- Seq("bands", "shingles")) {
       val full = spark.read.parquet(s"$idx/$sub")

@@ -313,7 +313,13 @@ class SyncJobSpec extends SparkSpec {
         MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-12 00:00:00"))
       assert(jdbcRun.summary == jsonRun.summary,
         "JDBC-admin sync diverged from the JSON-admin sync")
-    } finally spark.conf.unset("graft.sync.admin.table")
+    } finally {
+      // restore BOTH keys: leaving path at the jdbc URL with table
+      // unset would leak the one combination readAdmin rejects into
+      // the shared session
+      spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+      spark.conf.unset("graft.sync.admin.table")
+    }
   }
 
   test("filtered sync (§3.2) only touches vendors of the given database") {
