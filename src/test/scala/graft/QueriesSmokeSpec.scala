@@ -27,4 +27,30 @@ class QueriesSmokeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
+
+  // Queries WITHOUT a SQL oracle (hash-defined outputs) and where
+  // their exact ground truth lives instead. A new query must either
+  // ship an oracle or be added here WITH a real spec — this test is
+  // the tripwire that keeps "rows-only" from quietly meaning
+  // "unverified".
+  private val groundTruthSpecs = Map(
+    "ann_lsh_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
+    "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
+    "dedup_minhash_lsh" -> "TextQueriesSpec set-EQUAL to exact shingle-J >= 0.7",
+    "dedup_simhash" -> "TextQueriesSpec set-equal to brute hamming <= 6",
+    "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
+    "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
+    "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs")
+
+  test("every query has ground truth: a SQL oracle or a named exact spec") {
+    val unverified = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- groundTruthSpecs.keySet
+    assert(unverified.isEmpty,
+      s"queries with neither oracle nor ground-truth spec: $unverified")
+    // and the allowlist carries no stale entries
+    val stale = groundTruthSpecs.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"ground-truth entries for absent queries: $stale")
+    val doubled = groundTruthSpecs.keySet.intersect(SparkEntry.oracleSql.keySet)
+    assert(doubled.isEmpty, s"oracle-checked queries needlessly allowlisted: $doubled")
+  }
 }
