@@ -55,8 +55,19 @@ object Bench {
     // of plan cost, and the warm-run spread is a per-run LOAD
     // VARIANCE signal: identical plans re-run back-to-back only
     // diverge under external load.
-    val runsPerQuery = math.max(2,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Non-numeric values fall back to 3 rather than crashing the whole
+    // bench; values below 2 are clamped (min/variance need one cold +
+    // one warm run) and both conditions are logged so the env var's
+    // apparent no-op is explained.
+    val runsRequested = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { raw =>
+      scala.util.Try(raw.toInt).getOrElse {
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_RUNS='$raw' is not a number; using 3")
+        3
+      }
+    }.getOrElse(3)
+    if (runsRequested < 2)
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_RUNS=$runsRequested clamped to 2 (need cold+warm)")
+    val runsPerQuery = math.max(2, runsRequested)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timed(name, "cold")(
         fn(spark, sfDir).write.mode("overwrite").format("noop").save())

@@ -270,6 +270,11 @@ object MediaOps {
         // non-advancing chunk as end-of-parse, not an infinite loop
         if (sz < 0) return None
         if (id == "fmt ") {
+          // the fields below sit at fmt offsets 0/2/12 — a chunk
+          // declaring fewer than the 16 standard PCM-header bytes
+          // would read the NEXT chunk's bytes as blockAlign and
+          // mis-decode garbage instead of rejecting the file
+          if (sz < 16 || off + 8 + 16 > content.length) return None
           tag = le16(off + 8); channels = le16(off + 10)
           blockAlign = le16(off + 20)
         } else if (id == "data") data = Some((off + 8, sz))

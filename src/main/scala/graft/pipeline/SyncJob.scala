@@ -39,6 +39,16 @@ object SyncJob {
     * unbounded; a bound is the polite production version). */
   val FetchParallelism = 16
 
+  /** Default overall deadline for the concurrent vendor-fetch phase.
+    * `httpFetcher` has its own per-request timeout and bounded
+    * retries, but `fetch` is caller-pluggable and a custom fetcher
+    * with no internal timeout would otherwise hang the entire sync
+    * forever on one vendor with no diagnostic — the deadline converts
+    * that into a per-vendor `fetch_timeout` error row and the sync
+    * proceeds with the vendors that did answer. */
+  val DefaultFetchDeadline: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES)
+
   private final case class VendorCounters(fetched: Long, valid: Long,
       skipped: Long, inserted: Long, updated: Long, stock: Long)
 
@@ -71,9 +81,10 @@ object SyncJob {
       filterDb: Option[String] = None,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       credentialsOutPath: Option[String] = None,
-      dryRun: Boolean = false): SyncResult =
+      dryRun: Boolean = false,
+      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline): SyncResult =
     syncStore(spark, vendorApis, fetch, MergeWriter.ParquetStore(sinkPath),
-      mode, filterDb, now, credentialsOutPath, dryRun)
+      mode, filterDb, now, credentialsOutPath, dryRun, fetchDeadline)
 
   /** As `sync`, against any snapshot backend (parquet path or JDBC
     * table — the reference's sink is a live DB, so JdbcStore is the
@@ -86,7 +97,8 @@ object SyncJob {
       filterDb: Option[String] = None,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       credentialsOutPath: Option[String] = None,
-      dryRun: Boolean = false): SyncResult = {
+      dryRun: Boolean = false,
+      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline): SyncResult = {
 
     // K2: backfill missing database to "wholecell" (the credentials
     // dimension is tiny — driver-side by design, like the reference's
@@ -144,9 +156,22 @@ object SyncJob {
             }
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futures),
-          scala.concurrent.duration.Duration.Inf)
+        // ONE shared deadline across all vendors, harvested per future
+        // in input order (order keeps the summary deterministic). A
+        // vendor that misses the deadline becomes its own error row —
+        // never a hung sync, never a job failure. The abandoned fetch
+        // thread keeps running in the daemon pool until its own
+        // timeout or JVM exit; it is never joined again.
+        val deadlineNanos = System.nanoTime() + fetchDeadline.toNanos
+        selected.zip(futures).map { case (api, f) =>
+          val remaining = math.max(0L, deadlineNanos - System.nanoTime())
+          try scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.fromNanos(remaining))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            Err(api, "fetch_timeout",
+              s"vendor fetch incomplete after $fetchDeadline (overall fetch deadline)")
+          }
+        }
       } finally pool.shutdown()
 
     val oks = ingests.collect { case o: Ok => o }

@@ -160,7 +160,12 @@ object JdbcSnapshot {
       vendors: Seq[String], options: Map[String, String] = Map.empty): Unit = {
     recoverStagedSwap(url, table, options)
     val staging = table + "_vstg"
-    write(df, url, staging, options)
+    // Defensive contract guard, mirroring the parquet twin
+    // (MergeWriter.writeSnapshotVendors): the DELETE below touches
+    // only `vendors`' rows, so a frame smuggling an extra vendor
+    // would INSERT duplicates for keys that were never deleted —
+    // filter staging to the declared vendors instead.
+    write(df.filter(col("vendorId").isin(vendors: _*)), url, staging, options)
     withConnection(url, options) { conn =>
       if (!tableExists(conn, table)) {
         // first sync: the staged rows ARE the whole snapshot

@@ -121,16 +121,16 @@ object StreamOps {
     * pruning). Candidates require band_key EQUALITY, so an index row
     * matching any batch row must share its bucket: pruning to the
     * batch's bucket set is lossless. */
-  def bandBucket(bandKey: Column): Column =
-    pmod(bandKey, lit(IndexBuckets)).cast("int")
+  def bandBucket(bandKey: Column, buckets: Int = IndexBuckets): Column =
+    pmod(bandKey, lit(buckets)).cast("int")
 
   /** Partition bucket of a shingle-set row: hash of doc_id (raw ids
     * may be sequential or strided — hashing keeps buckets uniform
     * under any id-assignment scheme). Verification fetches shingle
     * sets by exact old_id, so pruning to the candidate ids' bucket
     * set is lossless. */
-  def docBucket(docId: Column): Column =
-    pmod(xxhash64(docId), lit(IndexBuckets)).cast("int")
+  def docBucket(docId: Column, buckets: Int = IndexBuckets): Column =
+    pmod(xxhash64(docId), lit(buckets)).cast("int")
 
   /** Streaming NEAR-dup ingestion: each micro-batch of (doc_id, text)
     * is MinHash-banded, checked against the accumulated corpus index
@@ -173,20 +173,59 @@ object StreamOps {
     * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
     * with the caller persisting survivors wherever the clean corpus
     * lands. */
+  /** The persisted-layout descriptor of one index table: the raw
+    * frame, its legacy flag (pre-bucketing layout, no `bkt` column),
+    * and the bucket count its `bkt` values were computed with. */
+  private case class IndexTable(df: DataFrame, legacy: Boolean, buckets: Int)
+
+  /** Name of the per-table meta file recording the bucket count the
+    * table's `bkt` partition values were computed with. The count is
+    * BAKED INTO THE DATA (`pmod(hash, n)`), so pruning with a
+    * different live `IndexBuckets` would silently drop matching rows
+    * — near-dups would slip through with no error. The meta file
+    * makes the mismatch detectable: reads fall back to a lossless
+    * full scan until `compactNearDupIndex` rewrites the table (and
+    * its meta) under the current constant. */
+  private val BucketsMetaFile = "_graft_buckets"
+
+  private def readBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile)
+    if (!fs.exists(m)) None
+    else {
+      val len = fs.getFileStatus(m).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(m)
+      try in.readFully(0, buf) finally in.close()
+      scala.util.Try(new String(buf, "UTF-8").trim.toInt).toOption
+    }
+  }
+
+  private def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val m = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile)
+    val out = fs.create(m, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** One listing of an index table per batch: the raw frame plus its
-    * legacy flag (pre-bucketing layout, no `bkt` column). `None` for
-    * an absent table OR a schema-less directory (an empty micro-batch
-    * can leave `_SUCCESS` with no parquet files — that must read as
-    * "no index yet", not crash every later batch). */
+    * layout descriptor. `None` for an absent table OR a schema-less
+    * directory (an empty micro-batch can leave `_SUCCESS` with no
+    * parquet files — that must read as "no index yet", not crash
+    * every later batch). A partitioned table without a meta file
+    * predates meta tracking; every such table was written with the
+    * only count ever shipped (64), so that is the recorded default —
+    * the next append stamps the file. */
   private def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      target: String): Option[(DataFrame, Boolean)] = {
+      target: String): Option[IndexTable] = {
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
     if (!fs.exists(p)) None
     else try {
       val t = spark.read.parquet(target)
-      Some((t, !t.columns.contains("bkt")))
+      val legacy = !t.columns.contains("bkt")
+      Some(IndexTable(t, legacy, readBucketMeta(fs, p).getOrElse(64)))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
@@ -210,18 +249,24 @@ object StreamOps {
     * so only those buckets' files are listed and read (pinned in
     * PlanSpec). An absent/empty table reads as empty with `schemaOf`'s
     * schema (batch 0); a legacy table falls back to the full scan
-    * with `bkt` derived (compactNearDupIndex migrates it in place). */
+    * with `bkt` derived (compactNearDupIndex migrates it in place).
+    * A table whose recorded bucket count differs from the live
+    * `IndexBuckets` ALSO falls back to the full scan: its `bkt`
+    * values came from a different modulus, so pruning by the current
+    * bucket function would be lossy — compaction re-buckets it. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame =
     prunedIndex(spark, loadIndex(spark, s"$indexPath/$sub"), sub, schemaOf, bkts)
 
   private def prunedIndex(spark: org.apache.spark.sql.SparkSession,
-      loaded: Option[(DataFrame, Boolean)], sub: String,
+      loaded: Option[IndexTable], sub: String,
       schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = loaded match {
     case None => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
-    case Some((t, false)) => t.filter(col("bkt").isin(bkts: _*))
-    case Some((t, true)) => t.withColumn("bkt",
+    case Some(IndexTable(t, false, n)) if n == IndexBuckets =>
+      t.filter(col("bkt").isin(bkts: _*))
+    case Some(IndexTable(t, false, _)) => t // bucket-count mismatch: lossless full scan
+    case Some(IndexTable(t, true, _)) => t.withColumn("bkt",
       if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
   }
 
@@ -299,28 +344,45 @@ object StreamOps {
     // Appends match the INDEX'S OWN layout: a legacy (pre-bucketing)
     // table keeps receiving flat files — mixing bkt= partition dirs
     // into a flat table would corrupt partition discovery for every
-    // later read. compactNearDupIndex migrates legacy → partitioned.
+    // later read — and a table recorded under a DIFFERENT bucket
+    // count keeps receiving rows bucketed with ITS modulus, so the
+    // recorded meta stays true for every row and the full-scan
+    // fallback stays lossless. compactNearDupIndex migrates either
+    // shape to the current layout.
     val survivorIds = survivors.select(col("doc_id"))
-    def append(rows: DataFrame, sub: String, legacy: Boolean): Unit = {
+    def append(rows: DataFrame, sub: String, loaded: Option[IndexTable]): Unit = {
       val target = s"$indexPath/$sub"
-      if (legacy) rows.drop("bkt").write.mode("append").parquet(target)
-      else rows
-        // align tasks with the partition column before the partitioned
-        // write: without this every shuffle task writes a file into
-        // every bucket dir it touches (tasks × buckets small files per
-        // batch — measured 2 000+ at 500-doc batches); with it, one
-        // file per touched bucket per batch
-        .repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt").parquet(target)
+      if (loaded.exists(_.legacy))
+        rows.drop("bkt").write.mode("append").parquet(target)
+      else {
+        val tableBuckets = loaded.map(_.buckets).getOrElse(IndexBuckets)
+        val aligned =
+          if (tableBuckets == IndexBuckets) rows
+          else rows.withColumn("bkt",
+            if (sub == "bands") bandBucket(col("band_key"), tableBuckets)
+            else docBucket(col("doc_id"), tableBuckets))
+        aligned
+          // align tasks with the partition column before the partitioned
+          // write: without this every shuffle task writes a file into
+          // every bucket dir it touches (tasks × buckets small files per
+          // batch — measured 2 000+ at 500-doc batches); with it, one
+          // file per touched bucket per batch
+          .repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt").parquet(target)
+        // Stamp the bucket count the table's rows actually use —
+        // absent on brand-new tables and on pre-meta tables (which
+        // were all written with 64, the default loadIndex assumes).
+        val p = new org.apache.hadoop.fs.Path(target)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (readBucketMeta(fs, p).isEmpty) writeBucketMeta(fs, p, tableBuckets)
+      }
     }
     // An empty batch appends nothing: writing a zero-row frame would
     // create a schema-less directory (only _SUCCESS) that every later
     // batch's read would choke on.
     if (!survivors.isEmpty) {
-      append(sh.join(survivorIds, Seq("doc_id")), "shingles",
-        shLoaded.exists(_._2))
-      append(bands.join(survivorIds, Seq("doc_id")), "bands",
-        bandsLoaded.exists(_._2))
+      append(sh.join(survivorIds, Seq("doc_id")), "shingles", shLoaded)
+      append(bands.join(survivorIds, Seq("doc_id")), "bands", bandsLoaded)
     }
     sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
@@ -359,14 +421,16 @@ object StreamOps {
         val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         val raw = spark.read.parquet(p.toString)
-        // compaction doubles as the legacy→partitioned migration:
-        // derive bkt when the table predates bucket partitioning
-        val t =
-          if (raw.columns.contains("bkt")) raw
-          else raw.withColumn("bkt",
-            if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
+        // compaction doubles as the layout migration: bkt is ALWAYS
+        // re-derived under the live IndexBuckets, which upgrades both
+        // a legacy (no-bkt) table and a table recorded under an older
+        // bucket count — keeping stale bkt values while stamping the
+        // new meta would make pruning silently lossy
+        val t = raw.drop("bkt").withColumn("bkt",
+          if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
         t.repartition(targetPartitions, col("bkt"))
           .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
+        writeBucketMeta(fs, tmp, IndexBuckets)
         // rename results are CHECKED (Hadoop reports most failures as
         // `false`, not an exception); a failed move-in restores the
         // old table so the index is never left absent
