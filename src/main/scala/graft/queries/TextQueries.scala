@@ -176,6 +176,57 @@ object TextQueries {
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
 
+  /** Exact digest of a hashed-shingle SET: order-normalized before
+    * hashing so any two docs with equal shingle sets — i.e. exact
+    * duplicates up to shingle order, which is J = 1.0 by definition —
+    * get equal digests. The digest is what lets every LSH stage run
+    * over DISTINCT sets (digest collapse below): a corpus with a
+    * million copies of one boilerplate page contributes ONE
+    * representative to banding instead of a million rows in the same
+    * band bucket — the classic hot-bucket quadratic at web scale. */
+  private[graft] def shingleDigest(sh: Column): Column =
+    xxhash64(array_sort(sh))
+
+  /** Digest collapse: (digests, repDocs) where `digests` maps every
+    * doc to its shingle-set digest and `repDocs` keeps one
+    * representative doc (min doc_id) per DISTINCT set, carrying
+    * (doc_id, sh, dig). Jaccard depends only on the sets, so running
+    * candidate generation + verification over representatives and
+    * expanding digest-level pairs back to members afterwards changes
+    * NOTHING about the output pair set — it only removes duplicated
+    * work, turning the mass-duplicate hot-band blowup into an
+    * output-bound expansion join. `digests` is persisted: it feeds
+    * the rep selection and both sides of the expansion. */
+  private[graft] def digestCollapse(docs: DataFrame): (DataFrame, DataFrame) = {
+    val digests = docs
+      .select(col("doc_id"), shingleDigest(col("sh")).as("dig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDocs = docs
+      .join(digests.groupBy(col("dig")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("doc_id"))
+    (digests, repDocs)
+  }
+
+  /** Expand digest-level verified pairs (a_dig, b_dig, jaccard) back
+    * to member doc pairs, plus the within-digest pairs (identical
+    * sets, J = 1.0 by definition). Output-bound: each emitted row IS
+    * a result pair, so this join can never exceed the size of the
+    * answer — the irreducible cost of reporting n² pairs among n
+    * copies, paid only in id-pair space (no shingle arrays ride
+    * through it). */
+  private def expandDigestPairs(pairs: DataFrame, digests: DataFrame): DataFrame = {
+    val cross = pairs
+      .join(digests.select(col("dig").as("a_dig"), col("doc_id").as("a_m")), Seq("a_dig"))
+      .join(digests.select(col("dig").as("b_dig"), col("doc_id").as("b_m")), Seq("b_dig"))
+      .select(least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"), col("jaccard"))
+    val within = digests.as("l").join(digests.as("r"), Seq("dig"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** MinHash + LSH near-dup: 3-word shingles → one xxhash64 per
     * shingle → 32 minhash values via affine rehash of that long
     * (h_i = a_i·h + b_i, the universal-hash family MLlib's
@@ -190,25 +241,48 @@ object TextQueries {
     * data size, not pair count; only candidates pay the exact
     * set-intersection. The candidate pair set is deduped to bare ids
     * before re-fetching shingle hashes, so wide arrays never ride
-    * through the pair shuffle twice. Engine-specific hash functions
-    * → no SQL oracle (rows-only check). */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    * through the pair shuffle twice. Two guards keep a degenerate
+    * band bucket from going quadratic at web scale: exact duplicates
+    * are digest-collapsed to one representative BEFORE banding (so a
+    * million copies of a boilerplate page are one band row, and their
+    * n² output pairs are produced by an output-bound expansion join,
+    * not an n²-row bucket self-join), and residual buckets above
+    * MaxBandBucket distinct sets are excluded from the pairwise join
+    * (degenerate band; the other 7 bands keep the recall). Engine-
+    * specific hash functions → no SQL oracle (rows-only check). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashOf(hashedShingles(spark, dir))
+
+  /** dedupMinhash over any hashed-shingle frame, with the band-bucket
+    * cap exposed for specs. Pipeline: digest collapse (exact dups →
+    * one representative — see digestCollapse) → banding + capped
+    * candidate join over representatives → exact Jaccard verification
+    * → expansion back to member pairs. The output pair set is
+    * IDENTICAL to the uncollapsed form (Jaccard is a set function);
+    * only the quadratic work inside a band bucket shrinks. */
+  private[graft] def dedupMinhashOf(docs: DataFrame,
+      cap: Int = MaxBandBucket): DataFrame = {
     // The hashed-shingle table is referenced by the signature pass AND
     // both candidate-verification legs; unpersisted, the whole
     // tokenize→shingle→hash pipeline re-ran per leg (the plan scanned
     // the documents parquet 8×). It is ~50 longs/doc — tiny relative
     // to the corpus — so persisting it is the standard LSH shape at
     // any scale (at 100 TB this would be a written intermediate).
-    val docs = hashedShingles(spark, dir)
-    val candidates = minhashCandidatesOf(docs)
-    candidates
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    val (digests, repDocs0) = digestCollapse(docs)
+    val repDocs = repDocs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minhashCandidatesOf(repDocs.select("doc_id", "sh"), cap)
+    val verified = candidates
+      .join(repDocs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("dig").as("a_dig")), Seq("a_id"))
+      .join(repDocs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("dig").as("b_dig")), Seq("b_id"))
       .withColumn("jaccard", round(
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))), 4))
       .filter(col("jaccard") >= 0.7)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(col("a_dig"), col("b_dig"), col("jaccard"))
+    expandDigestPairs(verified, digests)
   }
 
   /** Distinct-hashed 3-shingle sets per doc, persisted (see
@@ -249,13 +323,42 @@ object TextQueries {
     * near-dup pairs are all J ≥ 0.9, so the spec can assert the
     * stronger set EQUALITY of dedupMinhash vs the exact J ≥ 0.7
     * pairs (measured, deterministic). */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
-    minhashCandidatesOf(hashedShingles(spark, dir))
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val (digests, repDocs) = digestCollapse(hashedShingles(spark, dir))
+    val dig = repDocs.select(col("doc_id"), col("dig"))
+    val digPairs = minhashCandidatesOf(repDocs.select("doc_id", "sh"))
+      .join(dig.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
+      .join(dig.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
+      .select(col("a_dig"), col("b_dig"), lit(0.0).as("jaccard"))
+    expandDigestPairs(digPairs, digests).drop("jaccard")
+  }
 
   // MinHash family parameters — ONE definition so batch queries and
   // the streaming ingest index always hash into the same bands.
   private val MinhashHashes = 32
   private val MinhashBands = 8
+
+  /** Frequency cap on a (band, band_key) bucket admitted to the
+    * pairwise candidate join, applied AFTER digest collapse — so only
+    * buckets holding > MaxBandBucket DISTINCT shingle sets are
+    * excluded. Such a bucket means one band's 4 minhash minima are
+    * shared by hundreds of genuinely different docs — a degenerate
+    * (low-selectivity) band, the O(n²)-in-one-key scale-killer at
+    * web scale. Excluded members keep their 7 other bands, so a true
+    * J ≥ 0.7 pair is lost only if EVERY band it collides in is
+    * saturated; exact duplicates are immune entirely (the digest
+    * path catches them before banding). 256² bounds any bucket's
+    * pair fan-out at 64k — a task-sized unit of work. */
+  val MaxBandBucket = 256
+
+  /** Band buckets whose DISTINCT-set population exceeds `cap` — the
+    * buckets minhashCandidatesOf would exclude. Spec/observability
+    * surface: (band, band_key, bucket_n). */
+  private[graft] def minhashHotBuckets(docs: DataFrame, cap: Int): DataFrame =
+    minhashBandsOf(digestCollapse(docs)._2.select("doc_id", "sh"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
   // fixed odd multipliers/offsets — any deterministic odd-a family
   private val minhashAbs: IndexedSeq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
@@ -279,11 +382,26 @@ object TextQueries {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
   }
 
-  private def minhashCandidatesOf(docs: DataFrame): DataFrame = {
+  /** Candidate pairs over a (digest-collapsed) shingle frame, with
+    * the hot-bucket cap: per-bucket populations are counted first (a
+    * map-side-combinable agg on the same shuffle key as the join), and
+    * buckets above `cap` are excluded from the self-join — see
+    * MaxBandBucket for why that is the right trade at scale. The
+    * count join shares the (band, band_key) partitioning with the
+    * self-join, so the cap costs one agg over data already shuffled,
+    * never a second full shuffle. */
+  private[graft] def minhashCandidatesOf(docs: DataFrame,
+      cap: Int = MaxBandBucket): DataFrame = {
     val banded = minhashBandsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("l")
-      .join(banded.as("r"), Seq("band", "band_key"))
+    val admitted = banded.join(
+      banded.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+    admitted.as("l")
+      .join(admitted.as("r"), Seq("band", "band_key"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()

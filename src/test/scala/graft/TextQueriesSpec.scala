@@ -50,6 +50,62 @@ class TextQueriesSpec extends SparkSpec {
     assert((high -- cands).isEmpty, s"banding missed ${(high -- cands).size} high-J pairs")
   }
 
+  test("hot-band cap: mass duplication collapses, saturated buckets drop, pairs unchanged") {
+    // Three populations:
+    //  - 30 exact copies of one doc → digest collapse must reduce them
+    //    to ONE banding representative (the web-scale boilerplate
+    //    case), with their 435 J=1.0 pairs produced by the expansion;
+    //  - 60 "boundary" docs sharing a 40-token common block plus 14
+    //    unique tokens each → pairwise J ≈ 0.58 (below threshold, so
+    //    they are NOT result pairs) but ~29% of them keep the common
+    //    block's minima in any given band → band buckets well above
+    //    the test cap of 8 — the degenerate-band hot bucket;
+    //  - 5 genuine near-dup pairs (J ≈ 0.97) on disjoint vocabulary →
+    //    their buckets hold 2 docs, far under the cap.
+    // The cap must FIRE (hot buckets exist, candidate join shrinks)
+    // while the output pair set stays EXACTLY the brute-force ground
+    // truth — losslessness of the cap on this corpus.
+    import spark.implicits._
+    val common = (0 until 40).map(i => s"common$i").mkString(" ")
+    val boundary = (0 until 60).map(i =>
+      (100L + i, "en", common + " " + (0 until 14).map(j => s"u${i}w$j").mkString(" ")))
+    val dupText = (0 until 30).map(i => s"dup$i").mkString(" ")
+    val massDup = (0 until 30).map(i => (300L + i, "en", dupText))
+    val truePairs = (0 until 5).flatMap { k =>
+      val base = (0 until 30).map(j => s"p${k}t$j").mkString(" ")
+      Seq((200L + 2 * k, "en", base), (201L + 2 * k, "en", base + s" extra$k"))
+    }
+    val rows = boundary ++ massDup ++ truePairs
+    val dir = Files.createTempDirectory("hotband").toString
+    rows.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val docsDf = rows.toDF("doc_id", "lang", "text").select(col("doc_id"), col("text"))
+    val sh = TextQueries.hashedShinglesOf(docsDf)
+    val cap = 8
+
+    // (a) the cap fires: saturated buckets exist at rep level, and
+    // excluding them strictly shrinks the candidate join
+    val hot = TextQueries.minhashHotBuckets(sh, cap).count()
+    assert(hot > 0, "fixture produced no hot band bucket — cap never exercised")
+    val reps = TextQueries.digestCollapse(sh)._2.select("doc_id", "sh")
+    val capped = TextQueries.minhashCandidatesOf(reps, cap).count()
+    val uncapped = TextQueries.minhashCandidatesOf(reps, Int.MaxValue).count()
+    assert(capped < uncapped,
+      s"cap did not shrink the candidate join ($capped vs $uncapped)")
+
+    // (b) digest collapse: the 30 copies are ONE representative
+    val nReps = reps.count()
+    assert(nReps == rows.size - 29, s"expected ${rows.size - 29} reps, got $nReps")
+
+    // (c) losslessness: capped output == exact brute-force ground truth
+    val exact = pairSet(TextQueries.shingleJaccardExact(spark, dir, 0.7))
+    val emitted = pairSet(TextQueries.dedupMinhashOf(sh, cap))
+    assert(exact.size >= 435 + 5, s"ground truth unexpectedly small: ${exact.size}")
+    assert(emitted == exact,
+      s"missed=${(exact -- emitted).size} extra=${(emitted -- exact).size}")
+  }
+
   test("winnowing guarantee: docs sharing an 11+ char substring share a selected hash") {
     // k=8, w=4 → any shared normalized substring of length w+k-1=11
     // contains a full gram window whose minimum is selected on both
