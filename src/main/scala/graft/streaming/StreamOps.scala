@@ -173,10 +173,29 @@ object StreamOps {
     * `writeStream.foreachBatch { (b, id) => nearDupIngestBatch(path)(b, id) }`
     * with the caller persisting survivors wherever the clean corpus
     * lands. */
+  /** Bucket count assumed for a partitioned table whose meta file is
+    * ABSENT: such tables predate meta tracking, and every one of them
+    * was written with the only count ever shipped. FROZEN FOREVER —
+    * unlike the live `IndexBuckets`, this constant describes data
+    * already on disk and must never follow an `IndexBuckets` change. */
+  private[graft] val PreMetaBuckets = 64
+
+  /** Outcome of reading a table's bucket-meta file. `MetaAbsent` and
+    * `MetaCorrupt` are deliberately distinct states: absent means
+    * "pre-meta table, layout known to be PreMetaBuckets", while a
+    * present-but-unparseable file (or an orphaned `.tmp` from a
+    * mid-write crash) means the recorded layout is UNKNOWN — reads
+    * must fall back to a lossless full scan and appends must not
+    * stamp a value that would lie about historical rows. */
+  private sealed trait MetaRead
+  private case object MetaAbsent extends MetaRead
+  private case object MetaCorrupt extends MetaRead
+  private final case class MetaValue(n: Int) extends MetaRead
+
   /** The persisted-layout descriptor of one index table: the raw
     * frame, its legacy flag (pre-bucketing layout, no `bkt` column),
-    * and the bucket count its `bkt` values were computed with. */
-  private case class IndexTable(df: DataFrame, legacy: Boolean, buckets: Int)
+    * and the recorded bucket-meta state. */
+  private case class IndexTable(df: DataFrame, legacy: Boolean, meta: MetaRead)
 
   /** Name of the per-table meta file recording the bucket count the
     * table's `bkt` partition values were computed with. The count is
@@ -189,33 +208,57 @@ object StreamOps {
   private val BucketsMetaFile = "_graft_buckets"
 
   private def readBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+      dir: org.apache.hadoop.fs.Path): MetaRead = {
     val m = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile)
-    if (!fs.exists(m)) None
-    else {
-      val len = fs.getFileStatus(m).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(m)
-      try in.readFully(0, buf) finally in.close()
-      scala.util.Try(new String(buf, "UTF-8").trim.toInt).toOption
+    val tmp = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile + ".tmp")
+    if (!fs.exists(m)) {
+      // an orphaned tmp means writeBucketMeta crashed mid-swap: the
+      // table HAD a recorded count we can no longer trust — that is
+      // corrupt (full-scan fallback), NOT a pre-meta table
+      if (fs.exists(tmp)) MetaCorrupt else MetaAbsent
+    } else {
+      // Try covers BOTH an unparseable payload and a failed read
+      // (checksum mismatch, truncation, IO error): a 2-byte meta file
+      // being unreadable must degrade to the lossless full scan, not
+      // kill the ingest batch.
+      scala.util.Try {
+        val len = fs.getFileStatus(m).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(m)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim.toInt
+      }.toOption match {
+        case Some(n) => MetaValue(n)
+        case None => MetaCorrupt // garbage/unreadable: layout unknown
+      }
     }
   }
 
+  /** Stamp the meta file via tmp + rename. Every crash window is
+    * covered by readBucketMeta: mid-tmp-write leaves the old file
+    * intact; between delete and rename the orphaned tmp reads as
+    * MetaCorrupt (full scan) rather than MetaAbsent (which would
+    * assume PreMetaBuckets and prune lossily on a non-64 table). */
   private def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
     val m = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile)
-    val out = fs.create(m, true)
+    val tmp = new org.apache.hadoop.fs.Path(dir, BucketsMetaFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(m)) fs.delete(m, false)
+    if (!fs.rename(tmp, m))
+      throw new java.io.IOException(s"could not move bucket meta $tmp into place")
   }
 
   /** One listing of an index table per batch: the raw frame plus its
     * layout descriptor. `None` for an absent table OR a schema-less
     * directory (an empty micro-batch can leave `_SUCCESS` with no
     * parquet files — that must read as "no index yet", not crash
-    * every later batch). A partitioned table without a meta file
-    * predates meta tracking; every such table was written with the
-    * only count ever shipped (64), so that is the recorded default —
-    * the next append stamps the file. */
+    * every later batch; the same path covers a meta file stamped
+    * just before a crashed first append). A partitioned table whose
+    * meta file is absent predates meta tracking and reads as
+    * PreMetaBuckets; an unparseable meta reads as MetaCorrupt, which
+    * forces the lossless full scan. */
   private def loadIndex(spark: org.apache.spark.sql.SparkSession,
       target: String): Option[IndexTable] = {
     val p = new org.apache.hadoop.fs.Path(target)
@@ -225,7 +268,7 @@ object StreamOps {
     else try {
       val t = spark.read.parquet(target)
       val legacy = !t.columns.contains("bkt")
-      Some(IndexTable(t, legacy, readBucketMeta(fs, p).getOrElse(64)))
+      Some(IndexTable(t, legacy, readBucketMeta(fs, p)))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
@@ -258,25 +301,47 @@ object StreamOps {
       sub: String, schemaOf: DataFrame, bkts: Seq[Int]): DataFrame =
     prunedIndex(spark, loadIndex(spark, s"$indexPath/$sub"), sub, schemaOf, bkts)
 
+  /** The bucket count a table's `bkt` values are KNOWN to use, or
+    * None when unknowable (corrupt meta) — the one place the
+    * absent-means-PreMetaBuckets rule is encoded. */
+  private def recordedBuckets(meta: MetaRead): Option[Int] = meta match {
+    case MetaValue(n) => Some(n)
+    case MetaAbsent => Some(PreMetaBuckets)
+    case MetaCorrupt => None
+  }
+
   private def prunedIndex(spark: org.apache.spark.sql.SparkSession,
       loaded: Option[IndexTable], sub: String,
       schemaOf: DataFrame, bkts: Seq[Int]): DataFrame = loaded match {
     case None => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
-    case Some(IndexTable(t, false, n)) if n == IndexBuckets =>
+    case Some(IndexTable(t, false, meta))
+        if recordedBuckets(meta).contains(IndexBuckets) =>
       t.filter(col("bkt").isin(bkts: _*))
-    case Some(IndexTable(t, false, _)) => t // bucket-count mismatch: lossless full scan
+    // bucket-count mismatch OR corrupt meta: lossless full scan
+    case Some(IndexTable(t, false, _)) => t
     case Some(IndexTable(t, true, _)) => t.withColumn("bkt",
       if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
   }
 
-  def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7)(
+  def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7,
+      maxBandBucket: Int = graft.queries.TextQueries.MaxBandBucket)(
       batch: DataFrame, batchId: Long): DataFrame = {
     import graft.queries.TextQueries
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
-    val sh = TextQueries.hashedShinglesOf(docs)
+    // In-batch digest collapse (same guard as the batch path): only
+    // one representative per DISTINCT shingle set reaches banding, so
+    // a micro-batch full of copies of one page can never inflate a
+    // band bucket. Non-representatives are by definition J = 1.0
+    // duplicates of a smaller-id batch doc — dropped under exactly
+    // the existing in-batch rule, with no verification join needed.
+    val shAll = TextQueries.hashedShinglesOf(docs)
+      .withColumn("dig", TextQueries.shingleDigest(col("sh")))
       .withColumn("bkt", docBucket(col("doc_id"))).persist()
+    val repIds = shAll.groupBy(col("dig")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sh = shAll.join(repIds, Seq("doc_id")).drop("dig").persist()
     val bands = TextQueries.minhashBandsOf(sh.drop("bkt"))
       .withColumn("bkt", bandBucket(col("band_key"))).persist()
 
@@ -302,13 +367,28 @@ object StreamOps {
           size(array_union(col("n_sh"), col("o_sh"))) >= threshold)
         .select(col("new_id")).distinct()
 
+    // Index-side hot-bucket cap: one narrow count pass over the SAME
+    // pruned index read finds (band, band_key) buckets holding more
+    // than maxBandBucket index rows, and batch band rows landing in
+    // them are withheld from the join — otherwise one degenerate band
+    // (the index never stores exact dups, so a saturated bucket means
+    // a low-selectivity band signature) fans every colliding batch
+    // doc out against millions of index rows. A doc withheld in one
+    // band keeps its other 7 bands, exactly the batch-path trade
+    // (TextQueries.MaxBandBucket). The extra pass reads only the two
+    // join columns of the already-pruned partitions.
+    val hotBuckets = idxBands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("idx_n")).filter(col("idx_n") > maxBandBucket)
+      .select(col("band"), col("band_key"))
+    val admitted = bands.join(hotBuckets, Seq("band", "band_key"), "left_anti")
+
     // vs the accumulated index (self-pairs excluded so a replayed
     // micro-batch — exactly-once is at-least-once under retries —
     // doesn't match docs against their own earlier index rows). The
     // batch side broadcasts: the pruned index scan streams through a
     // shuffle-free broadcast hash join. Persisted because it feeds
     // both the shingle-bucket footprint and the verification join.
-    val candIdx = broadcast(bands).as("n")
+    val candIdx = broadcast(admitted).as("n")
       .join(idxBands.as("o"), Seq("band", "band_key"))
       .filter(col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
@@ -324,7 +404,13 @@ object StreamOps {
       .distinct()
     val dupInBatch = verified(candIn, sh)
 
-    val dropped = dupVsIndex.unionByName(dupInBatch).distinct()
+    // exact in-batch duplicates: every non-representative is J = 1.0
+    // with its (smaller-id) representative — dropped without joining
+    val inBatchExact = shAll.select(col("doc_id"))
+      .join(repIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("new_id"))
+    val dropped = dupVsIndex.unionByName(dupInBatch)
+      .unionByName(inBatchExact).distinct()
     // Eager localCheckpoint TRUNCATES LINEAGE before the index append:
     // the survivors plan is rooted in the index parquet read, and the
     // append below refreshes/invalidates that path — a merely-cached
@@ -355,7 +441,26 @@ object StreamOps {
       if (loaded.exists(_.legacy))
         rows.drop("bkt").write.mode("append").parquet(target)
       else {
-        val tableBuckets = loaded.map(_.buckets).getOrElse(IndexBuckets)
+        val p = new org.apache.hadoop.fs.Path(target)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // The modulus this append must use: the table's RECORDED one
+        // (absent meta = pre-meta table = PreMetaBuckets; no table at
+        // all = brand-new under the live constant). Corrupt meta means
+        // the historical modulus is unknowable: append under the live
+        // constant WITHOUT stamping — reads already full-scan, so the
+        // mixed moduli stay lossless until compaction re-buckets
+        // everything and repairs the meta.
+        val recorded = loaded.map(_.meta).map(recordedBuckets)
+          .getOrElse(Some(IndexBuckets))
+        val tableBuckets = recorded.getOrElse(IndexBuckets)
+        // Stamp BEFORE the append (tmp+rename inside): stamping after
+        // left a crash window where rows written under a non-default
+        // modulus would later read as PreMetaBuckets and prune lossily.
+        // A meta-only directory from a crash right here is harmless —
+        // loadIndex's AnalysisException path reads it as "no table".
+        // Skip only when a valid equal stamp is already on disk.
+        if (recorded.isDefined && !loaded.exists(_.meta == MetaValue(tableBuckets)))
+          writeBucketMeta(fs, p, tableBuckets)
         val aligned =
           if (tableBuckets == IndexBuckets) rows
           else rows.withColumn("bkt",
@@ -369,24 +474,40 @@ object StreamOps {
           // file per touched bucket per batch
           .repartition(col("bkt"))
           .write.mode("append").partitionBy("bkt").parquet(target)
-        // Stamp the bucket count the table's rows actually use —
-        // absent on brand-new tables and on pre-meta tables (which
-        // were all written with 64, the default loadIndex assumes).
-        val p = new org.apache.hadoop.fs.Path(target)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (readBucketMeta(fs, p).isEmpty) writeBucketMeta(fs, p, tableBuckets)
       }
     }
+    // REPLAY GUARD: under at-least-once foreachBatch semantics a
+    // crashed-and-replayed batch re-runs this function with the same
+    // batchId. Survivors recompute identically (self-pairs are
+    // excluded above, and in-batch dups were never indexed), but
+    // re-APPENDING their index rows would duplicate them — inflating
+    // every later batch's candidate set a little more per replay. A
+    // marker file per applied batchId makes the append idempotent:
+    // present → skip. The marker lands AFTER both appends, so a crash
+    // between appends replays them (duplicate shingle rows for this
+    // batch's survivors at worst — candidates are distinct()-ed, so
+    // correctness is unaffected and compaction can dedup later).
+    val fsRoot = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$BatchMarkersDir/b$batchId")
+    val alreadyApplied = fsRoot.exists(marker)
     // An empty batch appends nothing: writing a zero-row frame would
     // create a schema-less directory (only _SUCCESS) that every later
     // batch's read would choke on.
-    if (!survivors.isEmpty) {
+    if (!alreadyApplied && !survivors.isEmpty) {
       append(sh.join(survivorIds, Seq("doc_id")), "shingles", shLoaded)
       append(bands.join(survivorIds, Seq("doc_id")), "bands", bandsLoaded)
     }
-    sh.unpersist(); bands.unpersist(); candIdx.unpersist()
+    if (!alreadyApplied) fsRoot.create(marker, true).close()
+    shAll.unpersist(); sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
   }
+
+  /** Directory (under the index root, beside the two tables) holding
+    * one empty marker file per successfully applied batchId — the
+    * replay-idempotency ledger for nearDupIngestBatch's appends. */
+  private val BatchMarkersDir = "_graft_batches"
 
   /** Streaming similarity serving: each micro-batch of query
     * embeddings (`qid`, `qemb`) is exact-scored against the static

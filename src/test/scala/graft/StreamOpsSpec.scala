@@ -230,6 +230,138 @@ class StreamOpsSpec extends SparkSpec {
     assert(after.count() == 0)
   }
 
+  test("a replayed batchId does not re-append index rows (at-least-once idempotency)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-replay").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different content about query engines and shuffles at scale")).toDF("doc_id", "text")
+    val first = StreamOps.nearDupIngestBatch(idx)(b1, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    def counts = (spark.read.parquet(s"$idx/shingles").count(),
+      spark.read.parquet(s"$idx/bands").count())
+    val once = counts
+    // the replay: same frame, same batchId — survivors must be
+    // byte-identical and the index must NOT grow
+    val replayed = StreamOps.nearDupIngestBatch(idx)(b1, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == first, s"replay changed survivors: $replayed vs $first")
+    assert(counts == once, s"replay re-appended index rows: $counts vs $once")
+    // a NEW batchId still appends normally afterwards
+    StreamOps.nearDupIngestBatch(idx)(Seq(
+      (9L, "a genuinely novel document with entirely new words nothing shares")).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$idx/shingles").count() == once._1 + 1)
+  }
+
+  test("corrupt bucket meta forces the lossless full scan; compaction repairs it") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-badmeta").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    StreamOps.nearDupIngestBatch(idx)(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    // trash both meta files: a present-but-unparseable meta must read
+    // as "layout unknown" (full scan), NOT as the pre-meta default 64
+    // — under a changed IndexBuckets that default would prune lossily
+    for (sub <- Seq("bands", "shingles"))
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(s"$idx/$sub/_graft_buckets"),
+        Array[Byte](0x7f, 'x', 'y'))
+    val s = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (9L, base + " tail"),
+      (10L, "entirely different words about columnar engines today")).toDF("doc_id", "text"), 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s == Set(10L), "near-dup slipped through under corrupt meta")
+    // corrupt meta is never overwritten by appends (a fresh stamp
+    // would lie about the rows already on disk) …
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$idx/bands/_graft_buckets")), "UTF-8")
+    assert(scala.util.Try(raw.trim.toInt).isFailure, "append stamped over corrupt meta")
+    // … but compaction re-buckets every row and repairs it
+    StreamOps.compactNearDupIndex(spark, idx, targetPartitions = 1)
+    for (sub <- Seq("bands", "shingles")) {
+      val healed = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$idx/$sub/_graft_buckets")), "UTF-8")
+      assert(healed.trim.toInt == StreamOps.IndexBuckets)
+    }
+    val after = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (11L, base + " coda")).toDF("doc_id", "text"), 2L)
+    assert(after.count() == 0)
+  }
+
+  test("a table recorded under a different bucket count full-scans and appends aligned") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val idx = java.nio.file.Files.createTempDirectory("graft-modulus").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    // hand-write an index bucketed with modulus 3 (as if IndexBuckets
+    // had once been 3) and record that in the meta files
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    val sh = TextQueries.hashedShinglesOf(docs)
+      .withColumn("bkt", StreamOps.docBucket(col("doc_id"), 3))
+    sh.write.partitionBy("bkt").parquet(s"$idx/shingles")
+    TextQueries.minhashBandsOf(sh.drop("bkt"))
+      .withColumn("bkt", StreamOps.bandBucket(col("band_key"), 3))
+      .write.partitionBy("bkt").parquet(s"$idx/bands")
+    for (sub <- Seq("bands", "shingles"))
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(s"$idx/$sub/_graft_buckets"), "3".getBytes("UTF-8"))
+    // pruning by the live 64-modulus over 3-modulus bkt values would
+    // read the wrong partitions and the near-dup would slip through —
+    // the recorded-count mismatch must force the full scan instead
+    val s = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (9L, base + " tail"),
+      (10L, "entirely different words about columnar engines today")).toDF("doc_id", "text"), 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s == Set(10L), "near-dup slipped through under a bucket-count mismatch")
+    // the append stayed aligned with the TABLE's modulus: every bkt
+    // value (old and new rows) is still < 3, and the meta still says 3
+    for (sub <- Seq("bands", "shingles")) {
+      val maxBkt = spark.read.parquet(s"$idx/$sub")
+        .agg(max(col("bkt"))).head.getInt(0)
+      assert(maxBkt < 3, s"$sub append used the live modulus on a 3-modulus table")
+    }
+    // compaction migrates to the live layout and the index still works
+    StreamOps.compactNearDupIndex(spark, idx, targetPartitions = 1)
+    val healed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$idx/bands/_graft_buckets")), "UTF-8")
+    assert(healed.trim.toInt == StreamOps.IndexBuckets)
+    val after = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (11L, base + " coda")).toDF("doc_id", "text"), 1L)
+    assert(after.count() == 0)
+  }
+
+  test("streaming hot-band cap withholds saturated index buckets, other bands keep recall") {
+    import spark.implicits._
+    // 40 boundary docs: a shared 40-token block + 14 unique tokens
+    // each → pairwise J ≈ 0.58 (all survive ingestion as non-dups)
+    // but ~29% of them keep the common block's minima in any given
+    // band, so the index accumulates band buckets far above a cap of
+    // 2 — the degenerate-band shape, which the index can hold because
+    // it stores near-dup-DISTINCT docs (exact dups never accumulate).
+    val common = (0 until 40).map(i => s"common$i").mkString(" ")
+    val boundary = (0 until 40).map(i =>
+      (100L + i, common + " " + (0 until 14).map(j => s"u${i}w$j").mkString(" ")))
+    val idx = java.nio.file.Files.createTempDirectory("graft-hotidx").toString + "/index"
+    val cap = 2
+    val s0 = StreamOps.nearDupIngestBatch(idx, maxBandBucket = cap)(
+      boundary.toDF("doc_id", "text"), 0L)
+    assert(s0.count() == 40, "boundary docs are not near-dups; all must survive")
+    // the fixture really did saturate buckets beyond the cap
+    val maxBucket = spark.read.parquet(s"$idx/bands")
+      .groupBy(col("band"), col("band_key")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxBucket > cap, s"no index bucket exceeds cap=$cap (max $maxBucket)")
+    // an exact copy of an indexed doc collides in that doc's OWN
+    // buckets too (population 1 — under the cap), so it is still
+    // caught even with the saturated buckets withheld; the novel doc
+    // still passes
+    val s1 = StreamOps.nearDupIngestBatch(idx, maxBandBucket = cap)(Seq(
+      (900L, boundary.head._2),
+      (901L, "entirely fresh vocabulary nothing else in the corpus mentions")).toDF("doc_id", "text"), 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(901L), s"cap broke dedup: survivors $s1")
+  }
+
   test("nearDupIngestBatch agrees with batch dedupMinhash invariants on real data") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.001"
