@@ -104,6 +104,29 @@ class JdbcSnapshotSpec extends SparkSpec {
       "vendor_products_vstg").collect() }
   }
 
+  test("partial write filters out smuggled rows of undeclared vendors") {
+    import graft.sink.MergeWriter.JdbcStore
+    val t0 = Timestamp.valueOf("2026-08-12 00:00:00")
+    def vp(id: String, stock: Int) = Row(id, s"ap-$id", "c", "wholecell",
+      Seq(Row("o", "Black", "128GB", stock, 10L, 10L, Seq("ESN"))), t0, t0)
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.vendorProduct)
+    val url = derbyUrl
+    val store = JdbcStore(url, "vendor_products")
+    store.writeVendors(spark, df(vp("v-1", 1), vp("v-2", 1)), Seq("v-1", "v-2"))
+    // this write DECLARES only v-1 but the frame smuggles a v-2 row:
+    // v-2's old row is never deleted, so inserting the smuggled row
+    // would leave a duplicate (vendorId, product) key — the contract
+    // guard must drop it from staging instead
+    store.writeVendors(spark, df(vp("v-1", 5), vp("v-2", 99)), Seq("v-1"))
+    val rows = store.read(spark).collect()
+      .map(r => r.getString(0) -> r.getSeq[Row](4).head.getInt(3))
+    assert(rows.length == 2, s"duplicate keys after smuggled write: ${rows.toSeq}")
+    val m = rows.toMap
+    assert(m("v-1") == 5, "declared vendor's row not updated")
+    assert(m("v-2") == 1, "smuggled undeclared row replaced the stored one")
+  }
+
   test("a crashed staged swap self-heals on the next read instead of reading empty") {
     import graft.sink.MergeWriter.JdbcStore
     val t0 = Timestamp.valueOf("2026-08-12 00:00:00")

@@ -120,6 +120,40 @@ class SyncJobSpec extends SparkSpec {
     assert(res.summary.forall(s => s.status == "ok" && s.totalFetched == 1))
   }
 
+  test("a hung vendor fetch becomes a fetch_timeout error row, not a hung sync") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val sink = Files.createTempDirectory("graft-timeout").toString + "/vp"
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val json = resourceText("vendor_items_v200.json")
+    // a fetcher with NO internal timeout that simply never returns —
+    // the exact caller-pluggable hazard the shared deadline exists for
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val hangingFetch: graft.sources.HttpSource.Fetcher = { api =>
+      if (api.vendorId == "hang-1") {
+        latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        Failure(new RuntimeException("woke late"))
+      } else Success(json)
+    }
+    val apis2 = Seq(
+      VendorApi("ta-1", "hang-1", "app", "s", Some("wholecell")),
+      VendorApi("ta-2", "ok-1", "app", "s", Some("wholecell")))
+    val t0 = System.nanoTime()
+    val res = try SyncJob.sync(spark, apis2.toDS(), hangingFetch, sink,
+      MergeWriter.Accumulate, now = Timestamp.valueOf("2026-08-12 00:00:00"),
+      fetchDeadline = 2.seconds)
+    finally latch.countDown() // release the abandoned daemon thread
+    val byVendor = res.summary.map(s => s.vendorId -> s).toMap
+    assert(byVendor("hang-1").status == "fetch_timeout")
+    assert(byVendor("hang-1").error.exists(_.contains("deadline")))
+    // the healthy vendor is unaffected by its neighbor's hang
+    assert(byVendor("ok-1").status == "ok" && byVendor("ok-1").totalFetched == 1)
+    // and the sync returned promptly — bounded by the deadline, not
+    // the hung fetch (generous bar so a loaded box can't flake it)
+    assert((System.nanoTime() - t0) / 1e9 < 60,
+      "sync wall time tracked the hung fetch, not the deadline")
+  }
+
   test("partial write: a one-vendor sync leaves other vendors' partition files byte-identical") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft-partial").toString + "/vp"
