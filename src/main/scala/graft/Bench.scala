@@ -16,6 +16,35 @@ import org.apache.spark.sql.SparkSession
   * first-touch warmup. `value` totals the cold runs.
   */
 object Bench {
+
+  /** One measured query: (name, cold seconds, warm seconds per rerun). */
+  private[graft] type Measured = Seq[(String, Double, Seq[Double])]
+
+  /** Warm-run spread above which the whole bench is considered
+    * load-polluted: warm re-runs of an identical plan only diverge
+    * under external load. Two recorded rounds shipped numbers above
+    * this before the auto-retry existed; both re-measured at
+    * round-baseline levels on a calm box. */
+  private[graft] val NoisyThreshold = 3.0
+
+  /** Worst warm/warm ratio across queries — the per-run load-variance
+    * signal. Sub-50ms runs are excluded (pure noise floor: their
+    * ratios measure scheduler jitter, not load). 1.0 when no query
+    * has two above-floor warm runs. */
+  private[graft] def loadVarianceOf(results: Measured): Double =
+    results.flatMap { r =>
+      val ws = r._3.filter(_ > 0.05)
+      if (ws.size >= 2) Some(ws.max / ws.min) else None
+    }.foldLeft(1.0)(math.max)
+
+  /** Pick the calmer of two full-suite measurements (the auto-retry
+    * decision): the run with the LOWER load variance is the one whose
+    * absolute numbers are least contended. Ties keep the first. */
+  private[graft] def pickCalmer(first: Measured, second: Measured): (Measured, Double) = {
+    val (v1, v2) = (loadVarianceOf(first), loadVarianceOf(second))
+    if (v2 < v1) (second, v2) else (first, v1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,16 +97,33 @@ object Bench {
     if (runsRequested < 2)
       System.err.println(s"[bench] SPARK_GRAFT_BENCH_RUNS=$runsRequested clamped to 2 (need cold+warm)")
     val runsPerQuery = math.max(2, runsRequested)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timed(name, "cold")(
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-      val warms = (1 until runsPerQuery).map(i => timed(name, s"warm$i")(
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()))
-      spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-24s cold $cold%8.2fs  warm " +
-        warms.map(w => f"$w%.2fs").mkString(" "))
-      (name, cold, warms)
+    def measureAll(): Measured = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val cold = timed(name, "cold")(
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        val warms = (1 until runsPerQuery).map(i => timed(name, s"warm$i")(
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()))
+        spark.catalog.clearCache()
+        System.err.println(f"[bench] $name%-24s cold $cold%8.2fs  warm " +
+          warms.map(w => f"$w%.2fs").mkString(" "))
+        (name, cold, warms)
     }
+    // AUTO-RETRY on load pollution: two recorded rounds shipped
+    // numbers measured under co-tenant spikes (variance 22.8 and
+    // 28.8) that re-measured at baseline on a calm box. When the
+    // first pass trips NoisyThreshold, rerun the WHOLE suite once and
+    // report whichever pass was calmer — the retry is a fresh
+    // same-JVM pass (warm JIT, cold caches via clearCache), i.e. the
+    // same measurement protocol as the warm runs it is judged by.
+    val firstPass = measureAll()
+    val firstVar = loadVarianceOf(firstPass)
+    val retried = firstVar > NoisyThreshold
+    val (results, loadVariance) =
+      if (retried) {
+        System.err.println(f"[bench] load_variance $firstVar%.2f > " +
+          f"$NoisyThreshold%.1f — box contended; retrying the full suite once")
+        pickCalmer(firstPass, measureAll())
+      } else (firstPass, firstVar)
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -85,18 +131,11 @@ object Bench {
     val warm = jsonMap(results.map(r => r._1 -> r._3.min))
     val best = jsonMap(results.map(r => r._1 -> (r._2 +: r._3).min))
     val totalBest = results.map(r => (r._2 +: r._3).min).sum
-    // load variance: worst warm/warm spread across queries (warm runs
-    // of the same plan should be ~identical; ratios ≫1 mean the box
-    // was contended during this bench and absolute numbers are suspect)
-    val loadVariance = results.flatMap { r =>
-      val ws = r._3.filter(_ > 0.05) // sub-50ms queries are all noise-floor
-      if (ws.size >= 2) Some(ws.max / ws.min) else None
-    }.foldLeft(1.0)(math.max)
-    val noisy = loadVariance > 3.0
+    val noisy = loadVariance > NoisyThreshold
     // Double.toString is locale-independent; the f-interpolator is NOT
     // (a comma-decimal locale would emit "1,43" and break the JSON)
     val loadVarStr = (math.round(loadVariance * 100) / 100.0).toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":$loadVarStr,"noisy":$noisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":$loadVarStr,"noisy":$noisy,"retried":$retried,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
