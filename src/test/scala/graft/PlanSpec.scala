@@ -169,6 +169,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a deliberately skewed join key triggers AQE's skew-join split (j1/j4 shapes)") {
+    // e4 pins the AGG-side skew answer (salting); this pins the JOIN
+    // side: when one key dominates a shuffle join, AQE must split the
+    // oversized partition (SortMergeJoin(skew=true)) instead of
+    // letting one task process the whole hot key — the runtime guard
+    // the j1 equi-join and the j4 merge probe rely on at 100 TB.
+    // Thresholds are lowered to make a test-sized fixture skewed; the
+    // MECHANISM asserted is exactly the production one.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def executedString(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot vendor holds ~2/3 of the fact rows (the j1 shape:
+      // item names joined to a catalog key)
+      val skewed = spark.range(0, 150000).select(
+        when(col("id") < 100000, lit("hot-vendor"))
+          .otherwise(concat(lit("v"), col("id") % 1000)).as("vendorName"),
+        concat(lit("payload-padding-to-give-rows-bytes-"), col("id")).as("payload"))
+      val dim = spark.range(0, 1000)
+        .select(concat(lit("v"), col("id")).as("vendorName"),
+          col("id").as("admin_id"))
+        .unionByName(Seq(("hot-vendor", -1L)).toDF("vendorName", "admin_id"))
+      val inner = executedString(skewed.join(dim, Seq("vendorName")))
+      assert(inner.contains("skew=true"),
+        "inner equi-join did not skew-split:\n" + inner.take(2000))
+      // the j4 shape: sink-existence probe as a left-outer merge join
+      val outer = executedString(skewed.join(dim, Seq("vendorName"), "left_outer"))
+      assert(outer.contains("skew=true"),
+        "left-outer merge join did not skew-split:\n" + outer.take(2000))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
     val plan = planString(TextQueries.minhashCandidates(spark, dir))
     // bucketed candidate generation must hash-join on the band key —
