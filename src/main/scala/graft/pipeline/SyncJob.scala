@@ -72,6 +72,15 @@ object SyncJob {
     * @param dryRun     compute the merge and full summary without
     *                   touching the sink (the reference's `syncToDb`
     *                   config flag, config.js:12)
+    * @param executorFetch opt-in EXECUTOR-SIDE fetch fan-out
+    *                   (HttpSource.fetchOnExecutors): payloads land
+    *                   distributed and never transit the driver — for
+    *                   vendor counts / payload sizes that outgrow one
+    *                   machine. The fetcher must then be serializable;
+    *                   `fetchDeadline` does not apply (bound hangs via
+    *                   the fetcher's own timeouts). Default stays the
+    *                   driver pool: reference semantics, an overall
+    *                   deadline, no serialization demands.
     */
   def sync(spark: SparkSession,
       vendorApis: Dataset[VendorApi],
@@ -82,9 +91,10 @@ object SyncJob {
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       credentialsOutPath: Option[String] = None,
       dryRun: Boolean = false,
-      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline): SyncResult =
+      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline,
+      executorFetch: Boolean = false): SyncResult =
     syncStore(spark, vendorApis, fetch, MergeWriter.ParquetStore(sinkPath),
-      mode, filterDb, now, credentialsOutPath, dryRun, fetchDeadline)
+      mode, filterDb, now, credentialsOutPath, dryRun, fetchDeadline, executorFetch)
 
   /** As `sync`, against any snapshot backend (parquet path or JDBC
     * table — the reference's sink is a live DB, so JdbcStore is the
@@ -98,7 +108,8 @@ object SyncJob {
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       credentialsOutPath: Option[String] = None,
       dryRun: Boolean = false,
-      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline): SyncResult = {
+      fetchDeadline: scala.concurrent.duration.FiniteDuration = DefaultFetchDeadline,
+      executorFetch: Boolean = false): SyncResult = {
 
     // K2: backfill missing database to "wholecell" (the credentials
     // dimension is tiny — driver-side by design, like the reference's
@@ -131,16 +142,44 @@ object SyncJob {
     // Try — a vendor's failure becomes its error row, never a job
     // failure).
     sealed trait Ingest
-    case class Ok(api: VendorApi, items: DataFrame) extends Ingest
+    case class Ok(api: VendorApi, items: Option[DataFrame]) extends Ingest
     case class Err(api: VendorApi, status: String, msg: String) extends Ingest
+
+    // EXECUTOR-SIDE branch (opt-in): one fetch job over the
+    // credentials, payload statuses collected (tiny projection), the
+    // payloads themselves parsed in place by the distributed twin of
+    // parseItems. Persisted: the one fetch feeds both the status
+    // collect and the items leg. The frame stays cached for the
+    // lifetime of the sync (dry-run hands back a plan rooted in it).
+    def executorIngests(): (Seq[Ingest], Option[DataFrame]) = {
+      val fetchable = selected.filter(_.database.contains(Schemas.WholecellDb))
+      val fetched = HttpSource.fetchOnExecutors(spark, fetchable, fetch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val errs = fetched.filter(col("error").isNotNull)
+        .select(col("vendorId"), col("error")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val items = HttpSource.parseItemsDistributed(
+        fetched.filter(col("error").isNull).select(col("vendorId"), col("payload")))
+      val ing = selected.map { api =>
+        if (!api.database.contains(Schemas.WholecellDb))
+          Err(api, "unsupported_database",
+            s"Unsupported database: ${api.database.getOrElse("")}")
+        else errs.get(api.vendorId) match {
+          case Some(msg) => Err(api, "fetch_failed", msg)
+          case None => Ok(api, None)
+        }
+      }
+      (ing, Some(items))
+    }
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(FetchParallelism, math.max(1, selected.size)),
       (r: Runnable) => {
         val t = new Thread(r, "graft-vendor-fetch"); t.setDaemon(true); t
       })
-    val ingests: Seq[Ingest] =
-      try {
+    val (ingests: Seq[Ingest], distItems: Option[DataFrame]) =
+      if (executorFetch) try executorIngests() finally pool.shutdown()
+      else (try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val futures = selected.map { api =>
@@ -150,7 +189,7 @@ object SyncJob {
           else scala.concurrent.Future {
             fetch(api) match {
               case Success(json) =>
-                Ok(api, HttpSource.parseItems(spark, api.vendorId, json))
+                Ok(api, Some(HttpSource.parseItems(spark, api.vendorId, json)))
               case Failure(e) =>
                 Err(api, "fetch_failed", String.valueOf(e.getMessage))
             }
@@ -172,13 +211,13 @@ object SyncJob {
               s"vendor fetch incomplete after $fetchDeadline (overall fetch deadline)")
           }
         }
-      } finally pool.shutdown()
+      } finally pool.shutdown(), None)
 
     val oks = ingests.collect { case o: Ok => o }
-    val allItems = oks.map(_.items) match {
+    val allItems = distItems.getOrElse(oks.flatMap(_.items) match {
       case Nil => HttpSource.parseItems(spark, "_none", """{"data": []}""")
       case seqs => seqs.reduce(_ unionByName _)
-    }
+    })
 
     // Relational core: enrich → match → aggregate.
     val enriched = OptionAgg.enrich(allItems)

@@ -92,4 +92,55 @@ object HttpSource {
         array().cast(Schemas.vendorItemEnvelope("data").dataType))).as("item"))
       .select(lit(vendorId).as("vendorId"), col("item.*"))
   }
+
+  /** One executor-side fetch outcome: exactly one of payload/error is
+    * null. */
+  final case class FetchResult(vendorId: String, payload: String, error: String)
+
+  /** EXECUTOR-SIDE fetch fan-out — the scale alternative to the
+    * driver pool: the credentials are distributed one vendor per task
+    * and each task runs the fetcher on its executor, so payload bytes
+    * land distributed and never transit the driver. Right when
+    * vendors × payload outgrow one machine's NIC/heap; the driver
+    * pool remains the default (reference semantics, simpler failure
+    * model, an overall deadline).
+    *
+    * The fetcher must be SERIALIZABLE (capture plain values, not
+    * enclosing test/session state) in addition to thread-safe. A
+    * failed task is retried by Spark — fetches are at-least-once,
+    * safe for the idempotent GETs this source models. Per-vendor
+    * fault isolation is preserved: a vendor's failure is its row's
+    * `error`, never a task failure. The result is persisted by the
+    * caller's first action; one fetch feeds both the status collect
+    * and the items parse. */
+  def fetchOnExecutors(spark: SparkSession, apis: Seq[VendorApi],
+      fetch: Fetcher): DataFrame = {
+    import spark.implicits._
+    if (apis.isEmpty)
+      return spark.emptyDataset[FetchResult].toDF()
+    spark.createDataset(apis)
+      .repartition(apis.size) // one vendor per task: full overlap
+      .mapPartitions(_.map { api =>
+        fetch(api) match {
+          case scala.util.Success(json) => FetchResult(api.vendorId, json, null)
+          case scala.util.Failure(e) =>
+            FetchResult(api.vendorId, null, String.valueOf(e.getMessage))
+        }
+      }).toDF()
+  }
+
+  /** Distributed twin of parseItems over (vendorId, payload) rows:
+    * the same envelope schema and P11 array guard, expressed as a
+    * `from_json` projection so parsing runs where the payload lives.
+    * Corrupt JSON → null struct → zero rows, exactly the driver
+    * path's PERMISSIVE behavior (equivalence is spec-pinned). */
+  def parseItemsDistributed(fetched: DataFrame): DataFrame = {
+    val dataType = Schemas.vendorItemEnvelope("data").dataType
+    fetched
+      .select(col("vendorId"),
+        from_json(col("payload"), Schemas.vendorItemEnvelope).as("env"))
+      .select(col("vendorId"),
+        explode(coalesce(col("env.data"), array().cast(dataType))).as("item"))
+      .select(col("vendorId"), col("item.*"))
+  }
 }

@@ -154,6 +154,40 @@ class SyncJobSpec extends SparkSpec {
       "sync wall time tracked the hung fetch, not the deadline")
   }
 
+  test("executor-side fetch produces the identical sync as the driver pool") {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    // a SERIALIZABLE fetcher: captures plain strings, never the spec
+    // instance — the executor path ships the closure into tasks
+    val v100 = resourceText("vendor_items_v100.json")
+    val v200 = resourceText("vendor_items_v200.json")
+    val serializableFetch: graft.sources.HttpSource.Fetcher = { api =>
+      api.vendorId match {
+        case "v-100" => Success(v100)
+        case "v-200" => Success(v200)
+        case "v-400" => Failure(new RuntimeException("boom"))
+        case other   => Failure(new IllegalStateException(s"unexpected $other"))
+      }
+    }
+    val now = Timestamp.valueOf("2026-08-12 00:00:00")
+    val execSink = Files.createTempDirectory("graft-exec").toString + "/vp"
+    val execRes = SyncJob.sync(spark, apis.toDS(), serializableFetch, execSink,
+      MergeWriter.Accumulate, now = now, executorFetch = true)
+    val drvSink = Files.createTempDirectory("graft-drv").toString + "/vp"
+    val drvRes = SyncJob.sync(spark, apis.toDS(), serializableFetch, drvSink,
+      MergeWriter.Accumulate, now = now)
+    // identical summaries — statuses (ok / unsupported_database /
+    // fetch_failed), counters, and input order all line up
+    assert(execRes.summary == drvRes.summary,
+      s"summaries diverged:\n${execRes.summary}\nvs\n${drvRes.summary}")
+    // identical sink contents
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vendorId"), col("product"), col("condition"),
+        col("database"), to_json(col("selectedOptions")).as("opts"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(execRes.sink) == canon(drvRes.sink))
+  }
+
   test("partial write: a one-vendor sync leaves other vendors' partition files byte-identical") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft-partial").toString + "/vp"
