@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * 8-bit luminance. The AUDIO path decodes WAV/AIFF PCM via
   * `javax.sound.sampled` (also JDK-bundled) plus real COMPRESSED
   * audio where the codec is exact published integer arithmetic:
-  * G.711 μ-law/A-law companding and IMA/DVI4 ADPCM (which the JDK
-  * itself cannot read). mp3/ogg/video stay out of reach offline (see
+  * G.711 μ-law/A-law companding, IMA/DVI4 ADPCM (which the JDK
+  * itself cannot read), and lossless FLAC (`Flac.decode`, pure JVM
+  * from the published format). mp3/ogg/video stay out of reach offline (see
   * decodeAudio's note) and fall back to `decodeStub`'s deterministic
   * fake — swapping in a real codec changes ONE function and no plan
   * shape.
@@ -96,13 +97,17 @@ object MediaOps {
     *    companding → 16-bit LE PCM (decodeG711, ITU-T G.711 tables);
     *  - IMA/DVI4 ADPCM (WAV format tag 0x11, mono or multi-channel):
     *    4-bit adaptive differential nibbles → 16-bit LE PCM
-    *    (decodeImaAdpcm) — a codec the JDK itself cannot read.
+    *    (decodeImaAdpcm) — a codec the JDK itself cannot read;
+    *  - FLAC (native "fLaC" streams): lossless rice + fixed/LPC
+    *    prediction decoded bit-exactly by `Flac.decode` (pure JVM,
+    *    from the published format — RFC 9639), including all four
+    *    stereo decorrelation modes and CRC verification.
     * mp3/ogg/video remain out of reach offline — they need an
     * entropy-coding + psychoacoustic/DCT stack (LAME/libvorbis-class,
-    * thousands of lines against a bitstream spec) that no jar in this
-    * container provides and that is not reasonably re-derivable here;
-    * those inputs return None and fall to decodeStub, and swapping a
-    * real codec in still changes only this function. */
+    *    thousands of lines against a bitstream spec) that no jar in
+    * this container provides and that is not reasonably re-derivable
+    * here; those inputs return None and fall to decodeStub, and
+    * swapping a real codec in still changes only this function. */
   def decodeAudio(content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -123,7 +128,8 @@ object MediaOps {
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException =>
-        decodeImaAdpcmWav(content) // the JDK can't parse tag-0x11 WAVs
+        // formats the JDK can't parse: tag-0x11 WAVs, native FLAC
+        decodeImaAdpcmWav(content).orElse(Flac.decode(content))
       case _: java.io.IOException => None
     }
 
