@@ -187,26 +187,6 @@ object TextQueries {
   private[graft] def shingleDigest(sh: Column): Column =
     xxhash64(array_sort(sh))
 
-  /** Digest collapse: (digests, repDocs) where `digests` maps every
-    * doc to its shingle-set digest and `repDocs` keeps one
-    * representative doc (min doc_id) per DISTINCT set, carrying
-    * (doc_id, sh, dig). Jaccard depends only on the sets, so running
-    * candidate generation + verification over representatives and
-    * expanding digest-level pairs back to members afterwards changes
-    * NOTHING about the output pair set — it only removes duplicated
-    * work, turning the mass-duplicate hot-band blowup into an
-    * output-bound expansion join. `digests` is persisted: it feeds
-    * the rep selection and both sides of the expansion. */
-  private[graft] def digestCollapse(docs: DataFrame): (DataFrame, DataFrame) = {
-    val digests = docs
-      .select(col("doc_id"), shingleDigest(col("sh")).as("dig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repDocs = docs
-      .join(digests.groupBy(col("dig")).agg(min(col("doc_id")).as("doc_id")),
-        Seq("doc_id"))
-    (digests, repDocs)
-  }
-
   /** Expand digest-level verified pairs (a_dig, b_dig, jaccard) back
     * to member doc pairs, plus the within-digest pairs (identical
     * sets, J = 1.0 by definition). Output-bound: each emitted row IS
@@ -268,19 +248,23 @@ object TextQueries {
     // the documents parquet 8×). It is ~50 longs/doc — tiny relative
     // to the corpus — so persisting it is the standard LSH shape at
     // any scale (at 100 TB this would be a written intermediate).
-    val (digests, repDocs0) = digestCollapse(docs)
-    val repDocs = repDocs0
+    //
+    // Candidate generation is digest-collapsed WITHOUT ever shuffling
+    // the wide shingle arrays (minhashCandidatesOf collapses narrow
+    // band rows); only verified candidate ids re-fetch their arrays,
+    // exactly as before the collapse existed.
+    val digests = docs
+      .select(col("doc_id"), shingleDigest(col("sh")).as("dig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = minhashCandidatesOf(repDocs.select("doc_id", "sh"), cap)
-    val verified = candidates
-      .join(repDocs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        col("dig").as("a_dig")), Seq("a_id"))
-      .join(repDocs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        col("dig").as("b_dig")), Seq("b_id"))
+    val verified = minhashCandidatesOf(docs, cap)
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", round(
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))), 4))
       .filter(col("jaccard") >= 0.7)
+      .join(digests.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
+      .join(digests.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
       .select(col("a_dig"), col("b_dig"), col("jaccard"))
     expandDigestPairs(verified, digests)
   }
@@ -324,11 +308,13 @@ object TextQueries {
     * stronger set EQUALITY of dedupMinhash vs the exact J ≥ 0.7
     * pairs (measured, deterministic). */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val (digests, repDocs) = digestCollapse(hashedShingles(spark, dir))
-    val dig = repDocs.select(col("doc_id"), col("dig"))
-    val digPairs = minhashCandidatesOf(repDocs.select("doc_id", "sh"))
-      .join(dig.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
-      .join(dig.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
+    val docs = hashedShingles(spark, dir)
+    val digests = docs
+      .select(col("doc_id"), shingleDigest(col("sh")).as("dig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val digPairs = minhashCandidatesOf(docs)
+      .join(digests.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
+      .join(digests.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
       .select(col("a_dig"), col("b_dig"), lit(0.0).as("jaccard"))
     expandDigestPairs(digPairs, digests).drop("jaccard")
   }
@@ -355,7 +341,7 @@ object TextQueries {
     * buckets minhashCandidatesOf would exclude. Spec/observability
     * surface: (band, band_key, bucket_n). */
   private[graft] def minhashHotBuckets(docs: DataFrame, cap: Int): DataFrame =
-    minhashBandsOf(digestCollapse(docs)._2.select("doc_id", "sh"))
+    collapsedBands(docs)
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
@@ -368,31 +354,54 @@ object TextQueries {
   /** (doc_id, band, band_key) from hashed-shingle sets — the LSH
     * index rows. Public so the streaming ingest path can persist the
     * same band space as a lake table. */
-  def minhashBandsOf(docs: DataFrame): DataFrame = {
+  def minhashBandsOf(docs: DataFrame): DataFrame = bandsOf(docs, withDig = false)
+
+  /** Shared band-row pipeline; `withDig` additionally carries the
+    * exact set digest through the narrow pass (for the collapsed
+    * candidate generation — no extra shuffle, just one more column
+    * riding the projection). */
+  private def bandsOf(docs: DataFrame, withDig: Boolean): DataFrame = {
     val rowsPerBand = MinhashHashes / MinhashBands
-    val sig = docs.select(
-      col("doc_id"),
+    val keyCols =
+      if (withDig) Seq(col("doc_id"), shingleDigest(col("sh")).as("dig"))
+      else Seq(col("doc_id"))
+    val sig = docs.select(keyCols :+
       array((0 until MinhashHashes).map { i =>
         val (a, b) = minhashAbs(i)
         array_min(transform(col("sh"), h => h * lit(a) + lit(b)))
-      }: _*).as("sig"))
-    sig.select(col("doc_id"),
+      }: _*).as("sig"): _*)
+    val carried = if (withDig) Seq(col("doc_id"), col("dig")) else Seq(col("doc_id"))
+    sig.select(carried :+
       posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))): _*)
+      .select(carried ++ Seq(col("pos").as("band"), col("col").as("band_key")): _*)
   }
 
-  /** Candidate pairs over a (digest-collapsed) shingle frame, with
-    * the hot-bucket cap: per-bucket populations are counted first (a
-    * map-side-combinable agg on the same shuffle key as the join), and
-    * buckets above `cap` are excluded from the self-join — see
-    * MaxBandBucket for why that is the right trade at scale. The
-    * count join shares the (band, band_key) partitioning with the
-    * self-join, so the cap costs one agg over data already shuffled,
-    * never a second full shuffle. */
+  /** One band row per (band, band_key, DISTINCT shingle set): bands
+    * are computed for every doc in one narrow pass and collapsed by
+    * a map-side-combinable min(doc_id) per (band, band_key, digest)
+    * — a million exact copies combine down to one row per band
+    * INSIDE their map tasks, and the wide shingle arrays never enter
+    * any shuffle. The surviving doc_id is the set's global
+    * representative (identical sets produce identical band rows, so
+    * the per-bucket min is the group min everywhere). */
+  private def collapsedBands(docs: DataFrame): DataFrame =
+    bandsOf(docs, withDig = true)
+      .groupBy(col("band"), col("band_key"), col("dig"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
+  /** REPRESENTATIVE candidate pairs over a hashed-shingle frame, with
+    * the hot-bucket cap: band rows are digest-collapsed
+    * (collapsedBands — one row per distinct set per bucket), bucket
+    * populations are counted (a map-side-combinable agg on the same
+    * shuffle key as the join), and buckets above `cap` are excluded
+    * from the self-join — see MaxBandBucket for why that is the
+    * right trade at scale. Pairs between exact-duplicate members are
+    * NOT here by construction; dedupMinhashOf's expansion adds them
+    * back output-bound. */
   private[graft] def minhashCandidatesOf(docs: DataFrame,
       cap: Int = MaxBandBucket): DataFrame = {
-    val banded = minhashBandsOf(docs)
+    val banded = collapsedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val admitted = banded.join(
       banded.groupBy(col("band"), col("band_key"))

@@ -88,14 +88,13 @@ class TextQueriesSpec extends SparkSpec {
     // excluding them strictly shrinks the candidate join
     val hot = TextQueries.minhashHotBuckets(sh, cap).count()
     assert(hot > 0, "fixture produced no hot band bucket — cap never exercised")
-    val reps = TextQueries.digestCollapse(sh)._2.select("doc_id", "sh")
-    val capped = TextQueries.minhashCandidatesOf(reps, cap).count()
-    val uncapped = TextQueries.minhashCandidatesOf(reps, Int.MaxValue).count()
+    val capped = TextQueries.minhashCandidatesOf(sh, cap).count()
+    val uncapped = TextQueries.minhashCandidatesOf(sh, Int.MaxValue).count()
     assert(capped < uncapped,
       s"cap did not shrink the candidate join ($capped vs $uncapped)")
 
-    // (b) digest collapse: the 30 copies are ONE representative
-    val nReps = reps.count()
+    // (b) digest collapse: the 30 copies are ONE distinct set
+    val nReps = sh.select(TextQueries.shingleDigest(col("sh"))).distinct().count()
     assert(nReps == rows.size - 29, s"expected ${rows.size - 29} reps, got $nReps")
 
     // (c) losslessness: capped output == exact brute-force ground truth
