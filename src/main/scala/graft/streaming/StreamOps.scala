@@ -546,8 +546,13 @@ object StreamOps {
         // re-derived under the live IndexBuckets, which upgrades both
         // a legacy (no-bkt) table and a table recorded under an older
         // bucket count — keeping stale bkt values while stamping the
-        // new meta would make pruning silently lossy
-        val t = raw.drop("bkt").withColumn("bkt",
+        // new meta would make pruning silently lossy. distinct()
+        // additionally drops the duplicate rows a crash between the
+        // shingles and bands appends can leave behind on replay (the
+        // batch-marker guard documents that window): duplicates are
+        // harmless for correctness (candidates are deduped) but
+        // inflate every later batch's join input until removed here.
+        val t = raw.drop("bkt").distinct().withColumn("bkt",
           if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
         t.repartition(targetPartitions, col("bkt"))
           .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)

@@ -254,6 +254,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/shingles").count() == once._1 + 1)
   }
 
+  test("compaction removes duplicate index rows left by a crash-window replay") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-dupidx").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    val b = Seq(
+      (1L, base),
+      (2L, "completely different content about query engines and shuffles at scale")).toDF("doc_id", "text")
+    StreamOps.nearDupIngestBatch(idx)(b, 0L)
+    def counts = (spark.read.parquet(s"$idx/shingles").count(),
+      spark.read.parquet(s"$idx/bands").count())
+    val once = counts
+    // simulate a crash AFTER the appends but BEFORE the batch marker:
+    // the replay re-appends and duplicates every index row
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(s"$idx/_graft_batches/b0"))
+    StreamOps.nearDupIngestBatch(idx)(b, 0L)
+    assert(counts == ((once._1 * 2, once._2 * 2)),
+      "fixture did not reproduce the duplicate-row window")
+    // compaction dedups back to the once-run state
+    StreamOps.compactNearDupIndex(spark, idx, targetPartitions = 1)
+    assert(counts == once, s"compaction left duplicates: $counts vs $once")
+    // and the compacted index still dedups
+    val s = StreamOps.nearDupIngestBatch(idx)(Seq(
+      (9L, base + " tail")).toDF("doc_id", "text"), 1L)
+    assert(s.count() == 0)
+  }
+
   test("corrupt bucket meta forces the lossless full scan; compaction repairs it") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-badmeta").toString + "/index"
