@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhash _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
+    "dedup_clusters" -> (TextQueries.dedupClusters _),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -343,6 +344,25 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
                     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+    // connected components of the near-dup pair graph: a recursive
+    // CTE computes every node's reachable set and labels it with the
+    // minimum — the unique fixpoint label propagation converges to
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+              t AS (SELECT doc_id, lang,
+                    list_distinct(string_split_regex(trim(lower(trim(text))), '\s+')) AS toks
+                    FROM documents),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                    WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.9),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              walk(id, lbl) AS (
+                    SELECT src, src FROM e
+                    UNION
+                    SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),

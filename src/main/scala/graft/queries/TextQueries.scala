@@ -135,6 +135,67 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Duplicate CLUSTERING: connected components over the exact
+    * near-dup pair graph (dedupNgramJaccard's J ≥ 0.9 edges), labeled
+    * by each component's minimum doc_id — the step a production dedup
+    * pipeline runs after pair detection, because transitive chains
+    * (A≈B≈C with A̸≈C) must dedup as ONE group, not two independent
+    * pairs. Output: (doc_id, cluster_id) for every doc in a
+    * non-trivial component; keep-rule = "doc_id == cluster_id".
+    * Deterministic (the fixpoint is unique), and SQL-expressible, so
+    * the DuckDB oracle checks it with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(dedupNgramJaccard(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** Connected components by iterative min-label propagation:
+    * L(v) ← min(L(v), min of neighbors' labels) until fixpoint —
+    * converges in O(component diameter) rounds, and near-dup
+    * components are clique-ish (every member shares most content),
+    * so 2-4 rounds in practice. Each round is ONE narrow
+    * shuffle-join of the (id, label) frame against the edge list plus
+    * a map-side-combinable min — no collect, no driver-side graph.
+    * `localCheckpoint(true)` per round truncates the lineage an
+    * iterative plan would otherwise grow without bound (the standard
+    * Spark iteration discipline). For adversarial diameters beyond
+    * the round cap the method REFUSES (require) rather than return a
+    * partially merged labeling; the documented fix at that scale is
+    * the large-star/small-star variant, which converges in
+    * O(log² n) rounds on any graph shape. */
+  private[graft] def clustersOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
+      // every node in `labels` has >= 1 edge (ids come from the edge
+      // list), so the neighbor-min inner join covers all of them
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("n_lbl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("n_lbl")).as("n_min"))
+        .select(col("src").as("id"), col("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"))
+        .select(col("id"),
+          least(col("cluster_id"), col("n_min")).as("new_lbl"),
+          (col("n_min") < col("cluster_id")).as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("new_lbl").as("cluster_id"))
+      rounds += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "component diameter pathological; switch to large-star/small-star")
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** 3-word shingle sets of the normalized text (docs with <3 tokens
     * drop out). Tokens are materialized as their own projection so
     * `element_at` indexes a bound array column: CollapseProject

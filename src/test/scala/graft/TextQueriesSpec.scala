@@ -105,6 +105,29 @@ class TextQueriesSpec extends SparkSpec {
       s"missed=${(exact -- emitted).size} extra=${(emitted -- exact).size}")
   }
 
+  test("dedupClusters: label propagation equals hand-computed components") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a transitive chain (1-2, 2-3, 3-4 —
+    // no direct 1-4 edge, the case pairwise dedup gets wrong),
+    // {10,11} a plain pair, {20,21,22} a triangle with redundant
+    // edges, and an 8-node chain to force several propagation rounds
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (30L until 37L).map(i => (i, i + 1))
+    val got = TextQueries.clustersOf(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want =
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L) ++
+        (30L to 37L).map(_ -> 30L)
+    assert(got == want.toMap)
+    // empty pair set → empty clustering, not a crash
+    assert(TextQueries.clustersOf(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
   test("winnowing guarantee: docs sharing an 11+ char substring share a selected hash") {
     // k=8, w=4 → any shared normalized substring of length w+k-1=11
     // contains a full gram window whose minimum is selected on both
