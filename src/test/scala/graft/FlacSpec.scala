@@ -24,16 +24,16 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
-  /** Interleaved little-endian expected PCM for 16-bit channels. */
-  private def pcm16(chans: Array[Array[Long]]): Array[Byte] = {
+  /** Interleaved little-endian expected PCM at `bytesPer` width. */
+  private def pcmN(chans: Array[Array[Long]], bytesPer: Int): Array[Byte] = {
     val n = chans(0).length
     val out = new java.io.ByteArrayOutputStream()
-    for (i <- 0 until n; c <- chans.indices) {
-      val v = chans(c)(i)
-      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
-    }
+    for (i <- 0 until n; c <- chans.indices; b <- 0 until bytesPer)
+      out.write(((chans(c)(i) >> (8 * b)) & 0xFF).toInt)
     out.toByteArray
   }
+
+  private def pcm16(chans: Array[Array[Long]]): Array[Byte] = pcmN(chans, 2)
 
   private def roundTrip(chans: Array[Array[Long]], label: String,
       stereo: String = "independent",
@@ -92,6 +92,29 @@ class FlacSpec extends AnyFunSuite {
     roundTrip(s, "partitions", blockSize = 512, partOrder = 2)
     roundTrip(s, "escape", escape = true)
     roundTrip(s, "escape+partitions", blockSize = 512, partOrder = 1, escape = true)
+  }
+
+  test("rice method 1 (5-bit parameters) decodes identically to method 0") {
+    val s = Array(signal(600, 91))
+    val m0 = Flac.decode(encode(s, 16, 256, riceMethod = 0)).get._3
+    val m1 = Flac.decode(encode(s, 16, 256, riceMethod = 1)).get._3
+    assert(java.util.Arrays.equals(m0, m1), "methods disagree")
+    assert(java.util.Arrays.equals(m1, pcm16(s)))
+    // the 5-bit escape code (31) must also round-trip
+    val esc = Flac.decode(encode(s, 16, 256, riceMethod = 1, escape = true)).get._3
+    assert(java.util.Arrays.equals(esc, pcm16(s)))
+  }
+
+  test("8-bit and 24-bit depths round-trip at their own byte widths") {
+    val s8 = Array(Array.tabulate(400)(i => ((i * 37 + 11) % 256 - 128).toLong))
+    val f8 = Flac.decode(encode(s8, 8, 128)).get
+    assert(f8._1 == 400 && f8._2 == 1)
+    assert(java.util.Arrays.equals(f8._3, pcmN(s8, 1)), "8-bit PCM mismatch")
+    val rnd = new scala.util.Random(97)
+    val s24 = Array(Array.fill(400)((rnd.nextInt(1 << 24) - (1 << 23)).toLong))
+    val f24 = Flac.decode(encode(s24, 24, 128, mode = (_, _) => Verbatim)).get
+    assert(f24._1 == 400 && f24._2 == 1)
+    assert(java.util.Arrays.equals(f24._3, pcmN(s24, 3)), "24-bit PCM mismatch")
   }
 
   test("wasted bits: left-shifted samples are restored exactly") {

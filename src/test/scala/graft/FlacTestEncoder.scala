@@ -46,7 +46,8 @@ object FlacTestEncoder {
       mode: (Int, Int) => Mode = (_, _) => Fixed(2),
       partOrder: Int = 0,
       escape: Boolean = false,
-      wasted: Int = 0): Array[Byte] = {
+      wasted: Int = 0,
+      riceMethod: Int = 0): Array[Byte] = {
     val nCh = channels.length
     val total = channels(0).length.toLong
     require(channels.forall(_.length == total))
@@ -70,7 +71,7 @@ object FlacTestEncoder {
       val n = math.min(blockSize, (total - pos).toInt)
       val slice = channels.map(_.slice(pos, pos + n))
       out.write(encodeFrame(slice, bps, n, frameIdx, stereo, mode, partOrder,
-        escape, wasted))
+        escape, wasted, riceMethod))
       pos += n
       frameIdx += 1
     }
@@ -79,7 +80,7 @@ object FlacTestEncoder {
 
   private def encodeFrame(chans: Array[Array[Long]], bps: Int, n: Int,
       frameIdx: Int, stereo: String, mode: (Int, Int) => Mode,
-      partOrder: Int, escape: Boolean, wasted: Int): Array[Byte] = {
+      partOrder: Int, escape: Boolean, wasted: Int, riceMethod: Int): Array[Byte] = {
     val nCh = chans.length
     val (asgn, stored): (Int, Array[Array[Long]]) = stereo match {
       case "independent" => (nCh - 1, chans)
@@ -115,7 +116,7 @@ object FlacTestEncoder {
         case _ => 0
       }
       encodeSubframe(w, stored(c), bps + extra, mode(frameIdx, c), partOrder,
-        escape, wasted)
+        escape, wasted, riceMethod)
       c += 1
     }
     w.align()
@@ -128,7 +129,8 @@ object FlacTestEncoder {
     w.writeBits(nb, v & ((1L << nb) - 1))
 
   private def encodeSubframe(w: BitWriter, s0: Array[Long], bps: Int,
-      mode: Mode, partOrder: Int, escape: Boolean, wasted: Int): Unit = {
+      mode: Mode, partOrder: Int, escape: Boolean, wasted: Int,
+      riceMethod: Int): Unit = {
     // wasted-bits form: samples must all be divisible by 2^wasted;
     // the coded stream carries s >> wasted in (bps - wasted) bits
     val s = if (wasted == 0) s0 else s0.map { v =>
@@ -162,7 +164,7 @@ object FlacTestEncoder {
             case 4 => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
           }
         }
-        writeResidual(w, res, n, order, partOrder, escape)
+        writeResidual(w, res, n, order, partOrder, escape, riceMethod)
       case Lpc(coefs, shift, precision) =>
         val order = coefs.size
         w.writeBits(6, 0x20 | (order - 1))
@@ -178,7 +180,7 @@ object FlacTestEncoder {
           while (j < order) { acc += coefs(j) * s(i - 1 - j); j += 1 }
           s(i) - (acc >> shift)
         }
-        writeResidual(w, res, n, order, partOrder, escape)
+        writeResidual(w, res, n, order, partOrder, escape, riceMethod)
     }
   }
 
@@ -199,9 +201,11 @@ object FlacTestEncoder {
       v >= -(1L << (nb - 1)) && v <= (1L << (nb - 1)) - 1)).get
 
   private def writeResidual(w: BitWriter, res: Array[Long], blockSize: Int,
-      order: Int, partOrder: Int, escape: Boolean): Unit = {
-    w.writeBits(2, 0) // method 0: 4-bit rice parameters
+      order: Int, partOrder: Int, escape: Boolean, riceMethod: Int): Unit = {
+    w.writeBits(2, riceMethod) // 0: 4-bit rice params, 1: 5-bit
     w.writeBits(4, partOrder)
+    val pBits = if (riceMethod == 0) 4 else 5
+    val escapeCode = (1 << pBits) - 1
     val parts = 1 << partOrder
     require(blockSize % parts == 0)
     val perPart = blockSize / parts
@@ -211,13 +215,13 @@ object FlacTestEncoder {
       val count = if (p == 0) perPart - order else perPart
       val part = res.slice(idx, idx + count)
       if (escape) {
-        w.writeBits(4, 15)
+        w.writeBits(pBits, escapeCode)
         val raw = signedWidth(part.toSeq)
         w.writeBits(5, raw)
         part.foreach(v => sbits(w, raw, v))
       } else {
-        val param = bestRice(part)
-        w.writeBits(4, param)
+        val param = bestRice(part, escapeCode - 1)
+        w.writeBits(pBits, param)
         part.foreach { v =>
           val u = zigzag(v)
           val q = (u >>> param).toInt
@@ -230,8 +234,8 @@ object FlacTestEncoder {
     }
   }
 
-  private def bestRice(part: Array[Long]): Int =
-    (0 to 14).minBy { p =>
+  private def bestRice(part: Array[Long], maxParam: Int): Int =
+    (0 to maxParam).minBy { p =>
       part.foldLeft(0L)((acc, v) => acc + (zigzag(v) >>> p) + 1 + p)
     }
 }
