@@ -156,12 +156,12 @@ object TextQueries {
     * a map-side-combinable min — no collect, no driver-side graph.
     * `localCheckpoint(true)` per round truncates the lineage an
     * iterative plan would otherwise grow without bound (the standard
-    * Spark iteration discipline). For adversarial diameters beyond
-    * the round cap the method REFUSES (require) rather than return a
-    * partially merged labeling; the documented fix at that scale is
-    * the large-star/small-star variant, which converges in
-    * O(log² n) rounds on any graph shape. */
-  private[graft] def clustersOf(pairs: DataFrame): DataFrame = {
+    * Spark iteration discipline). Components with ADVERSARIAL
+    * diameters (a long chain of pairwise near-dups) would need one
+    * round per hop; past the round cap this hands off to
+    * clustersOfStar, the large-star/small-star algorithm that
+    * converges in O(log² n) rounds on any graph shape. */
+  private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -171,7 +171,6 @@ object TextQueries {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    val maxRounds = 64
     while (changed > 0 && rounds < maxRounds) {
       // every node in `labels` has >= 1 edge (ids come from the edge
       // list), so the neighbor-min inner join covers all of them
@@ -189,11 +188,71 @@ object TextQueries {
       labels = updated.select(col("id"), col("new_lbl").as("cluster_id"))
       rounds += 1
     }
-    require(changed == 0,
-      s"label propagation did not converge in $maxRounds rounds — " +
-        "component diameter pathological; switch to large-star/small-star")
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    if (changed > 0) clustersOfStar(pairs) // pathological diameter
+    else labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log² n) rounds on ANY graph shape, including the
+    * long chains that make per-hop label propagation quadratic in
+    * wall-clock. Each round is two narrow groupBy+join passes over
+    * the canonical (u > v) edge list:
+    *   large-star: every neighbor v > u relinks to min(Γ(u) ∪ {u});
+    *   small-star: every downward neighbor (and u itself) relinks to
+    *   the minimum downward neighbor.
+    * The fixpoint is the star graph per component (every node →
+    * component min). Convergence is detected by (count, hash-sum)
+    * stability of the edge set — the standard trick that avoids a
+    * full set-difference per round. Used as clustersOf's fallback;
+    * spec-verified equivalent to label propagation AND to a
+    * driver-side union-find on randomized graphs. */
+  private[graft] def clustersOfStar(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = (-1L, Option.empty[Long])
+    var converged = false
+    var rounds = 0
+    val maxRounds = 40
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR over symmetric neighborhoods
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(minN, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // canonical: v_old > u_old >= m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR over the downward orientation (every u here has a
+      // smaller neighbor, so min(Γ_small ∪ {u}) = min(Γ_small))
+      val minDown = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val next = large.join(minDown, Seq("u"))
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionByName(minDown.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val stats = next.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head
+      val cur = (stats.getLong(0),
+        if (stats.isNullAt(1)) Option.empty[Long] else Some(stats.getLong(1)))
+      converged = cur == prev
+      prev = cur
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxRounds rounds")
+    // fixpoint edges are (node → component root); roots label themselves
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(roots.select(col("id").as("doc_id"), col("id").as("cluster_id")))
   }
 
   /** 3-word shingle sets of the normalized text (docs with <3 tokens

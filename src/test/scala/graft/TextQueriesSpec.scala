@@ -123,9 +123,63 @@ class TextQueriesSpec extends SparkSpec {
         20L -> 20L, 21L -> 20L, 22L -> 20L) ++
         (30L to 37L).map(_ -> 30L)
     assert(got == want.toMap)
-    // empty pair set → empty clustering, not a crash
+    // empty pair set → empty clustering, not a crash (both algorithms)
     assert(TextQueries.clustersOf(
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+    assert(TextQueries.clustersOfStar(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
+  /** Driver-side union-find — the independent ground truth for the
+    * two distributed clustering algorithms. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("both clustering algorithms equal union-find on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    for (g <- 0 until 8) {
+      val ids = rnd.shuffle((0L until 1000L).toList).take(8 + rnd.nextInt(22))
+      val pairs = for {
+        i <- ids; j <- ids if i < j && rnd.nextDouble() < 0.12
+      } yield (i, j)
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a_id", "b_id")
+        val want = unionFind(pairs)
+        val star = TextQueries.clustersOfStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = TextQueries.clustersOf(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == want, s"graph $g: large/small-star != union-find")
+        assert(prop == want, s"graph $g: label propagation != union-find")
+      }
+    }
+  }
+
+  test("pathological diameter: star algorithm converges, propagation falls back") {
+    import spark.implicits._
+    // a pure chain is the worst case for per-hop propagation: the min
+    // label travels one hop per round
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val want = (0L to 120L).map(_ -> 0L).toMap
+    val star = TextQueries.clustersOfStar(chain.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == want, "star algorithm wrong on the chain")
+    // propagation with a tiny round cap must hand off to the star
+    // fallback and still return the exact clustering
+    val viaFallback = TextQueries.clustersOf(chain.toDF("a_id", "b_id"), maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == want, "fallback handoff returned a wrong clustering")
   }
 
   test("winnowing guarantee: docs sharing an 11+ char substring share a selected hash") {
