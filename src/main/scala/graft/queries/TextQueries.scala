@@ -147,21 +147,61 @@ object TextQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersOf(dedupNgramJaccard(spark, dir).select(col("a_id"), col("b_id")))
 
-  /** Connected components by iterative min-label propagation:
-    * L(v) ← min(L(v), min of neighbors' labels) until fixpoint —
-    * converges in O(component diameter) rounds, and near-dup
-    * components are clique-ish (every member shares most content),
-    * so 2-4 rounds in practice. Each round is ONE narrow
-    * shuffle-join of the (id, label) frame against the edge list plus
-    * a map-side-combinable min — no collect, no driver-side graph.
-    * `localCheckpoint(true)` per round truncates the lineage an
-    * iterative plan would otherwise grow without bound (the standard
-    * Spark iteration discipline). Components with ADVERSARIAL
-    * diameters (a long chain of pairwise near-dups) would need one
-    * round per hop; past the round cap this hands off to
-    * clustersOfStar, the large-star/small-star algorithm that
+  /** Connected components: one CONTRACTION pass (dense near-dup
+    * cliques collapse to single super-nodes) followed by min-label
+    * propagation over the contracted remainder — each round is ONE
+    * narrow shuffle-join of the (id, label) frame against the edge
+    * list plus a map-side-combinable min; no collect, no driver-side
+    * graph; `localCheckpoint(true)` per round truncates the lineage
+    * an iterative plan would otherwise grow without bound (the
+    * standard Spark iteration discipline). Components with
+    * ADVERSARIAL diameters (a long chain of pairwise near-dups)
+    * would need one round per hop; past the round cap the loop hands
+    * off to clustersOfStar, the large-star/small-star algorithm that
     * converges in O(log² n) rounds on any graph shape. */
   private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CONTRACTION FIRST: near-dup graphs are dense (a group of k
+    // near-identical docs contributes k²/2 pairs — measured 246k
+    // pairs over 2.5k nodes at sf0.1), and iterating over the full
+    // edge list pays that density every round. One neighborhood-min
+    // pass labels every node with min(Γ(v) ∪ {v}); nodes sharing a
+    // label are connected (both adjacent to the common min), so the
+    // graph CONTRACTS to super-edges between DISTINCT labels — a
+    // clique collapses to zero super-edges — and only the contracted
+    // remainder iterates. The overall component min survives
+    // contraction as itself (it has no smaller neighbor), so
+    // composing the contracted labeling back over l0 yields exactly
+    // the component-min labels.
+    val l0 = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val superEdges = edges
+      .join(l0.select(col("id").as("src"), col("lbl").as("a_lbl")), Seq("src"))
+      .join(l0.select(col("id").as("dst"), col("lbl").as("b_lbl")), Seq("dst"))
+      .filter(col("a_lbl") =!= col("b_lbl"))
+      .select(least(col("a_lbl"), col("b_lbl")).as("a_id"),
+        greatest(col("a_lbl"), col("b_lbl")).as("b_id"))
+      .distinct()
+      .localCheckpoint(true)
+    edges.unpersist()
+    if (superEdges.isEmpty)
+      l0.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    else {
+      val superLabels = propagateOrStar(superEdges, maxRounds)
+      l0.join(superLabels.select(col("doc_id").as("lbl"), col("cluster_id")),
+          Seq("lbl"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
+    }
+  }
+
+  /** Min-label propagation over a (pre-contracted) pair graph, with
+    * the large-star/small-star handoff when the round cap is hit. */
+  private def propagateOrStar(pairs: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
