@@ -68,6 +68,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhash _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
     "dedup_clusters" -> (TextQueries.dedupClusters _),
+    "dedup_clusters_lsh" -> (TextQueries.dedupClustersLsh _),
+    "t_shard_shuffle" -> (TextQueries.tShardShuffle _),
+    "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
+    "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
+    "t_repetition" -> (TextQueries.tRepetition _),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -363,6 +368,66 @@ object SparkEntry {
                     UNION
                     SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""",
+    // deterministic corpus shuffle: shard = first md5 nibble, pos =
+    // hash rank within shard (Spark computes the nibble via conv,
+    // DuckDB via strpos — same value)
+    "t_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                    md5(concat(CAST(doc_id AS VARCHAR), ':s42')) AS hx
+                    FROM documents)
+         SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) AS shard,
+           row_number() OVER (PARTITION BY substr(hx, 1, 1)
+                              ORDER BY hx, doc_id) AS pos
+         FROM h""",
+    "t_pack_chunks" ->
+      """WITH h AS (SELECT doc_id,
+                    md5(concat(CAST(doc_id AS VARCHAR), ':s42')) AS hx,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              s AS (SELECT doc_id, hx, n_tokens,
+                    CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) AS shard
+                    FROM h),
+              c AS (SELECT doc_id, shard, n_tokens,
+                    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                    FROM s)
+         SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS chunk_first,
+           CAST(floor((cum_before + n_tokens - 1) / 256.0) AS BIGINT) AS chunk_last
+         FROM c""",
+    // decontamination: count per training doc of its distinct word
+    // 5-grams that appear anywhere in the benchmark slice
+    // (doc_id % 97 = 0); Spark joins on xxhash64(gram), the oracle
+    // on the gram string — equal counts up to 64-bit collisions
+    "t_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              grams AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS gram
+                    FROM toks, UNNEST(range(1, len(w) - 3)) AS t(g)),
+              bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+              hits AS (SELECT g.doc_id, count(*) AS n_hit_grams
+                    FROM grams g JOIN bench USING (gram)
+                    WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+         SELECT d.doc_id, CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0""",
+    "t_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM toks),
+              bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
+                    FROM toks, UNNEST(range(1, len(w))) AS t(g)),
+              cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+              top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1)
+         SELECT b.doc_id, b.n_tokens,
+           round(CAST(b.n_uniq AS DOUBLE) / b.n_tokens, 4) AS uniq_token_frac,
+           round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
+             / greatest(b.n_tokens - 1, 1), 4) AS top_bigram_frac
+         FROM base b LEFT JOIN top t USING (doc_id)""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),

@@ -715,4 +715,132 @@ object TextQueries {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"), col("hits"))
   }
+
+  // ——— training-set assembly: deterministic shuffle-shard, context-
+  //     window packing, benchmark decontamination, repetition stats,
+  //     and clustering over the LSH (scale-path) pair graph ———
+
+  /** Deterministic per-doc shuffle key under a named seed. md5 (not
+    * xxhash64) so the DuckDB oracle computes the identical bytes —
+    * the portability argument of tStratifiedSample applied to the
+    * global corpus shuffle every training run starts with. */
+  private def shuffleHash(seed: String): Column =
+    md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+
+  /** Global deterministic shuffle + sharding — the "shuffle the
+    * corpus, write N shards" step of training-data prep, with zero
+    * RNG state: shard = first hex nibble of md5(doc_id:seed) (16
+    * shards; at 100 TB take k nibbles for 16^k shards), position =
+    * rank of the hash within the shard. A re-run, on any cluster
+    * size or partitioning, reproduces byte-identical shard files.
+    * Plans as one hash-partitioned exchange + per-shard sort — the
+    * minimum any global shuffle pays; no global ordering, no
+    * single-partition window. */
+  def tShardShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shuffleHash("s42").as("hx"))
+      .withColumn("shard", conv(substring(col("hx"), 1, 1), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Context-window packing under concatenation: lay the shuffled
+    * corpus (tShardShuffle order) end to end and split into
+    * `budget`-token chunks; each doc reports the first and last
+    * chunk index it lands in. This is the concat-and-split packing
+    * every pretraining pipeline runs (doc boundaries ignored, chunk
+    * = attention-window worth of tokens); the doc→chunk map is what
+    * sample-level provenance needs. Chunk indices are per-shard, so
+    * the cumulative sum is a per-shard window (never a global one)
+    * and each shard packs independently — exactly how N writers
+    * would pack N shards in parallel at 100 TB. */
+  def tPackChunks(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shuffleHash("s42").as("hx"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", conv(substring(col("hx"), 1, 1), 16, 10).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / budget).cast("long").as("chunk_first"),
+        floor((col("cum_before") + col("n_tokens") - 1) / budget).cast("long")
+          .as("chunk_last"))
+  }
+
+  /** Benchmark decontamination — the n-gram-overlap check (GPT-3
+    * appendix C / Llama style) every training corpus runs before a
+    * model ships: a training doc is contaminated to the degree its
+    * word n-grams appear in the held-out benchmark set. Benchmark
+    * membership here is the deterministic doc_id % `benchMod` == 0
+    * slice (a stand-in for the real eval suites); output is every
+    * training doc with its count of distinct contaminated n-grams
+    * (0 = clean — the filter threshold is the caller's policy
+    * knob). Grams are xxhash64'd before the join (8-byte keys, same
+    * trick as dedupNgramJaccard) and the benchmark gram set is
+    * BROADCAST: real benchmarks are a few MB against 100 TB of
+    * training text, so the contamination check is a map-side
+    * semi-join — the full corpus is never shuffled. */
+  def tDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
+      benchMod: Int = 97): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % benchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+  }
+
+  /** Gopher-style repetition quality stats: distinct-token fraction
+    * and the share of bigrams taken by the most frequent bigram —
+    * the cheap repetition filters (Rae et al. 2021 §A1.1) that kill
+    * boilerplate/spam before any model-based scoring. Per-doc
+    * aggregation keyed by doc_id: uniform shuffle, no skew; the
+    * token arrays stay inside one narrow projection (never shuffled
+    * — only (doc_id, gram-hash) rows move). */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = docs.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+    val top = docs
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => xxhash64(concat_ws(" ",
+              element_at(col("w"), i), element_at(col("w"), i + lit(1))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 4)
+          .as("uniq_token_frac"),
+        round(coalesce(col("top_c"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_frac"))
+  }
+
+  /** Duplicate clustering over the LSH pair graph — dedupClusters'
+    * production twin: pairs come from the capped MinHash banding
+    * (dedupMinhash) instead of the exact quadratic join, so the
+    * WHOLE path — candidate generation, verification, clustering —
+    * is the one that survives 100 TB. Spec-verified set-equal to
+    * clustering the exact shingle-Jaccard pairs (no SQL oracle: the
+    * pair source is hash-defined). */
+  def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")))
 }

