@@ -73,6 +73,8 @@ object SparkEntry {
     "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
     "t_repetition" -> (TextQueries.tRepetition _),
+    "t_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tTfidf(s, d)),
+    "t_inverted_index" -> ((s: SparkSession, d: String) => TextQueries.tInvertedIndex(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -428,6 +430,35 @@ object SparkEntry {
            round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
              / greatest(b.n_tokens - 1, 1), 4) AS top_bigram_frac
          FROM base b LEFT JOIN top t USING (doc_id)""",
+    // tf-idf with the un-logged (N+1)/(df+1) idf: the score is one
+    // IEEE division, bit-identical across engines (ln's last-ulp
+    // libm differences could flip a rounded 4th decimal)
+    "t_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              scored AS (SELECT doc_id, term, tf, df,
+                    tf * (n + 1.0) / (df + 1) AS score
+                    FROM tf JOIN dfreq USING (term), n),
+              ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk FROM scored)
+         SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rk
+         FROM ranked WHERE rk <= 3""",
+    "t_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              tf AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM toks),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              capped AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+                    ORDER BY doc_id) AS rk FROM tf),
+              p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+                    FROM capped WHERE rk <= 100 GROUP BY term)
+         SELECT term, df, postings FROM dfreq JOIN p USING (term)""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),

@@ -834,6 +834,65 @@ object TextQueries {
           greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_frac"))
   }
 
+  /** TF-IDF keyword extraction: top-k terms per doc. Classic corpus
+    * statistics as two uniform-key aggs (term frequency per doc,
+    * document frequency per term) joined back on `term` — the df
+    * side is vocabulary-sized, so AQE broadcasts it when the
+    * vocabulary is bounded and falls back to a term-keyed shuffle
+    * when it is not (web-scale vocabularies don't fit a broadcast).
+    *
+    * idf is the UN-LOGGED (N+1)/(df+1): monotone in df exactly like
+    * log-idf (so per-doc rankings only reorder across extreme
+    * tf/df trades), chosen because the whole score is then one IEEE
+    * division — bit-identical in any engine — where ln's last-ulp
+    * differences between libm implementations could flip a rounded
+    * 4th decimal and break the cross-engine hash compare. */
+  def tTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).count()
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * (lit(nDocs) + lit(1.0)) / (col("df") + 1))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rk"))
+  }
+
+  /** Inverted-index build: per term, its document frequency and a
+    * posting list CAPPED at the first `cap` doc_ids — hot terms
+    * (stopwords) are exactly the skewed keys whose full posting
+    * list must never ride through a single reducer, so the cap is
+    * applied by a rank window WindowGroupLimit prunes map-side
+    * (each task forwards ≤ cap rows per term before the shuffle,
+    * same plan shape PlanSpec pins for tStratifiedSample), and only
+    * the capped rows are collected. True df comes from the uncapped
+    * count agg — map-side-combinable, never a list. At 100 TB the
+    * full lists would be written sharded ((term, doc_id-range)
+    * partitioned), with this cap as the serving-tier head. */
+  def tInvertedIndex(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .groupBy(col("term"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        i => i.cast("string")), ",").as("postings"))
+    dfreq.join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   /** Duplicate clustering over the LSH pair graph — dedupClusters'
     * production twin: pairs come from the capped MinHash banding
     * (dedupMinhash) instead of the exact quadratic join, so the
