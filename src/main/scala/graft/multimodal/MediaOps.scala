@@ -390,6 +390,70 @@ object MediaOps {
     }
   }
 
+  case class ImageHash(media_id: Long, phash: Long)
+
+  /** Perceptual image hash (dHash, 64-bit — Krawetz's "difference
+    * hash"): the decoded luminance plane is nearest-neighbor-sampled
+    * onto a 9×8 grid and bit (y*8+x) records whether sample (x,y)
+    * is brighter than its right neighbor. Gradient signs survive
+    * resize / re-encode / brightness shifts, which byte-exact dedup
+    * does not. Integer-only — bit-reproducible on any platform. */
+  def dHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    def sample(gx: Int, gy: Int): Int = {
+      val sx = if (w <= 0) 0 else math.min(gx * w / 9, w - 1)
+      val sy = if (h <= 0) 0 else math.min(gy * h / 8, h - 1)
+      val idx = sy * w + sx
+      if (idx >= 0 && idx < pixels.length) pixels(idx) & 0xFF else 0
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (sample(x, y) > sample(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-row perceptual hashes of the decoded plane (real pixels for
+    * image rows, the deterministic stub plane otherwise). */
+  def imageHashes(media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    decode(media).map(d => ImageHash(d.media_id, dHash64(d.pixels, d.width, d.height)))
+  }
+
+  /** Near-duplicate images: pairs with dHash hamming ≤ `maxDist` —
+    * the multimodal twin of text near-dup, using the same 8-bit
+    * pigeonhole block join as TextQueries.dedupSimhash: any pair
+    * within hamming < 8 leaves at least one of the 8 signature
+    * bytes identical, so candidate generation is EXACT for the
+    * threshold and the self-join stays bucket-local, never corpus².
+    * Media blobs are projected away before the shuffle — only
+    * (id, 64-bit hash) rows move. */
+  def imageNearDup(media: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist < 8,
+      s"pigeonhole blocks are exact only for maxDist < 8, got $maxDist")
+    val sig: DataFrame = imageHashes(media).toDF()
+    val blocked = sig.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 8).map(q =>
+        shiftrightunsigned(col("phash"), q * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .select(col("media_id"), col("phash"), col("pos").as("q"), col("col").as("qkey"))
+      // both self-join legs re-decode the blobs otherwise
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = blocked.select(col("q"), col("qkey"),
+      col("media_id").as("a_id"), col("phash").as("a_sig"))
+    val r = blocked.select(col("q"), col("qkey"),
+      col("media_id").as("b_id"), col("phash").as("b_sig"))
+    l.join(r, Seq("q", "qkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Frame sampling for video rows: every Nth fixed-stride slice of
     * the blob becomes a frame row (explode shape — one input row to
     * many frame rows, source blob projected away before any

@@ -217,4 +217,73 @@ class MediaOpsSpec extends SparkSpec {
     assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4, 6, 8))
     assert(frames.forall(_.content.length == 100))
   }
+
+  test("dHash64: gradient known answers, scale and brightness invariance") {
+    val w = 18; val h = 16
+    // strictly increasing left→right at every grid sample → no
+    // left>right comparison fires → hash 0
+    val ramp = Array.tabulate[Byte](w * h)(i => ((i % w) * 14).toByte)
+    assert(MediaOps.dHash64(ramp, w, h) == 0L)
+    // reversed: strictly decreasing → all 64 bits set
+    assert(MediaOps.dHash64(ramp.reverse, w, h) == -1L)
+    // a textured plane: 2× pixel-replication upscale samples the
+    // same source pixels (floor(floor(2a)/2) = floor(a)) → same hash
+    val tex = Array.tabulate[Byte](w * h)(i =>
+      (((i % w) * 31 + (i / w) * 17) % 180 + 10).toByte)
+    val up = Array.tabulate[Byte](w * 2 * h * 2) { i =>
+      val x = (i % (w * 2)) / 2; val y = (i / (w * 2)) / 2; tex(y * w + x)
+    }
+    val hTex = MediaOps.dHash64(tex, w, h)
+    assert(MediaOps.dHash64(up, w * 2, h * 2) == hTex)
+    // uniform brightness shift preserves every gradient sign
+    val bright = tex.map(b => (b + 20).toByte)
+    assert(MediaOps.dHash64(bright, w, h) == hTex)
+    assert(hTex != 0L && hTex != -1L)
+  }
+
+  test("imageNearDup equals brute-force hamming over real PNG fixtures") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val w = 16; val h = 16
+    def texture(a: Int, b: Int, c: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h)(i =>
+        (((i % w) * a + (i / w) * b + c) % 180 + 10).toByte)
+    val base = texture(31, 17, 0)
+    // a small local edit: one 2×2 block blown out — touches exactly
+    // one 9×8 grid sample, so at most 2 comparisons flip
+    val edited = base.clone()
+    for (y <- 5 to 6; x <- 5 to 6) edited(y * w + x) = -1 // 255
+    val brighter = base.map(v => (v + 15).toByte) // hash-identical re-grade
+    val rows = Seq(
+      Row(1L, "image", "mem://base", png(base, w, h), Row(w, h, null, "png")),
+      Row(2L, "image", "mem://copy", png(base.clone(), w, h), Row(w, h, null, "png")),
+      Row(3L, "image", "mem://edit", png(edited, w, h), Row(w, h, null, "png")),
+      Row(4L, "image", "mem://grade", png(brighter, w, h), Row(w, h, null, "png")),
+      Row(5L, "image", "mem://tex2", png(texture(53, 29, 7), w, h), Row(w, h, null, "png")),
+      Row(6L, "image", "mem://tex3", png(texture(7, 101, 77), w, h), Row(w, h, null, "png")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val hashes = MediaOps.imageHashes(df).collect().map(x => x.media_id -> x.phash).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    val got = MediaOps.imageNearDup(df, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+    // the fixture carries signal: copy and re-grade at hamming 0,
+    // the local edit within threshold, unrelated textures beyond it
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.contains((1L, 4L, 0)))
+    assert(got.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(5L)) > 6,
+      "unrelated texture unexpectedly near base")
+  }
 }
