@@ -148,18 +148,31 @@ object TextQueries {
     clustersOf(dedupNgramJaccard(spark, dir).select(col("a_id"), col("b_id")))
 
   /** Connected components: one CONTRACTION pass (dense near-dup
-    * cliques collapse to single super-nodes) followed by min-label
-    * propagation over the contracted remainder — each round is ONE
-    * narrow shuffle-join of the (id, label) frame against the edge
-    * list plus a map-side-combinable min; no collect, no driver-side
-    * graph; `localCheckpoint(true)` per round truncates the lineage
-    * an iterative plan would otherwise grow without bound (the
-    * standard Spark iteration discipline). Components with
+    * cliques collapse to single super-nodes), then the contracted
+    * remainder is clustered by whichever engine its size warrants:
+    * ≤ LocalFinishEdges edges finish as a driver union-find (one
+    * collect — the broadcast-join argument; near-dup graphs are
+    * clique-heavy, so the remainder is tiny even when the pair set
+    * is not), larger remainders run min-label propagation — each
+    * round ONE narrow shuffle-join of the (id, label) frame against
+    * the edge list plus a map-side-combinable min, with
+    * `localCheckpoint(true)` truncating the lineage an iterative
+    * plan would otherwise grow without bound. Components with
     * ADVERSARIAL diameters (a long chain of pairwise near-dups)
     * would need one round per hop; past the round cap the loop hands
     * off to clustersOfStar, the large-star/small-star algorithm that
     * converges in O(log² n) rounds on any graph shape. */
-  private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  /** Contracted-remainder size (edges) below which clustering
+    * finishes driver-side — the broadcast-join argument: 100k edges
+    * is ~2 MB, and one collect + union-find replaces O(log n)
+    * distributed rounds of shuffle+action each. Contraction first
+    * collapses the dense near-dup cliques, so even web-scale corpora
+    * leave remainders far under this bound; above it, the
+    * distributed iteration runs unchanged. */
+  private[graft] val LocalFinishEdges = 100000
+
+  private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64,
+      localFinish: Int = LocalFinishEdges): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -188,15 +201,45 @@ object TextQueries {
       .distinct()
       .localCheckpoint(true)
     edges.unpersist()
-    if (superEdges.isEmpty)
+    val nSuper = superEdges.count()
+    if (nSuper == 0)
       l0.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     else {
-      val superLabels = propagateOrStar(superEdges, maxRounds)
+      val superLabels =
+        if (nSuper <= localFinish) unionFindLocal(superEdges)
+        else propagateOrStar(superEdges, maxRounds)
       l0.join(superLabels.select(col("doc_id").as("lbl"), col("cluster_id")),
           Seq("lbl"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
     }
+  }
+
+  /** Driver-side union-find over a collected (bounded — see
+    * LocalFinishEdges) edge list. Union always roots at the smaller
+    * id and roots are only ever replaced by smaller roots, so the
+    * final root of every node IS its component minimum — the same
+    * labeling the distributed paths produce. */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    val edges = pairs.select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "cluster_id")
   }
 
   /** Min-label propagation over a (pre-contracted) pair graph, with

@@ -42,6 +42,22 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) == canon(part))
   }
 
+  test("orders round-trip through ORC, and filters push down to the ORC scan") {
+    val orders = Tables.orders(spark, dir)
+    val tmp = Files.createTempDirectory("fmt-orc").toString
+    Formats.writeOrc(orders, tmp)
+    val back = Formats.readOrc(spark, orders.schema, tmp)
+    assert(back.schema == orders.schema)
+    assert(canon(back) == canon(orders))
+    // predicate pushdown + column pruning reach the ORC scan, same
+    // plan quality as parquet (PlanSpec's s2 assertion, ORC edition)
+    val q = back.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"pushdown missing from ORC scan:\n$scan")
+    assert(!scan.contains("o_totalprice"), "column pruning failed on ORC scan")
+  }
+
   test("FAILFAST surfaces malformed interchange rows instead of nulling them") {
     val tmp = Files.createTempDirectory("fmt-bad").toString
     Files.writeString(java.nio.file.Path.of(tmp, "bad.json"),

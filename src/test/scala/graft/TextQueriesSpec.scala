@@ -212,10 +212,17 @@ class TextQueriesSpec extends SparkSpec {
         val want = unionFind(pairs)
         val star = TextQueries.clustersOfStar(df)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val prop = TextQueries.clustersOf(df)
+        // localFinish = 0 forces the distributed propagation path;
+        // the default path (bounded driver union-find finish) is the
+        // same algorithm as `want` but must agree through the
+        // contraction composition too
+        val prop = TextQueries.clustersOf(df, localFinish = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val local = TextQueries.clustersOf(df)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(star == want, s"graph $g: large/small-star != union-find")
         assert(prop == want, s"graph $g: label propagation != union-find")
+        assert(local == want, s"graph $g: local-finish != union-find")
       }
     }
   }
@@ -231,7 +238,10 @@ class TextQueriesSpec extends SparkSpec {
     assert(star == want, "star algorithm wrong on the chain")
     // propagation with a tiny round cap must hand off to the star
     // fallback and still return the exact clustering
-    val viaFallback = TextQueries.clustersOf(chain.toDF("a_id", "b_id"), maxRounds = 3)
+    // (localFinish = 0: the default bounded local finish would absorb
+    // a 120-edge remainder before propagation ever iterated)
+    val viaFallback = TextQueries.clustersOf(chain.toDF("a_id", "b_id"),
+        maxRounds = 3, localFinish = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFallback == want, "fallback handoff returned a wrong clustering")
   }
