@@ -82,6 +82,7 @@ object SparkEntry {
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_centroids" -> (VectorQueries.embCentroids _),
+    "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -479,6 +480,24 @@ object SparkEntry {
                        sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
                     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
+    // connected components over the (oracle-exact) cosine near-dup
+    // graph: same recursive-CTE reachability as dedup_clusters
+    "emb_dedup_clusters" ->
+      """WITH RECURSIVE
+              e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                    FROM e0 a JOIN e0 b ON a.label = b.label AND a.vec_id < b.vec_id
+                    WHERE round(list_dot_product(a.emb, b.emb) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) *
+                       sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              walk(id, lbl) AS (
+                    SELECT src, src FROM e
+                    UNION
+                    SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS vec_id, min(lbl) AS cluster_id FROM walk GROUP BY id""",
     // The LSH scale path is verified against the same exact-pair
     // oracle: at verification scale its measured recall is 1.0
     // (deterministic hyperplanes; VectorQueriesSpec holds the

@@ -362,4 +362,16 @@ object VectorQueries {
         round(norm(col("cvec")), 4).as("centroid_norm"),
         col("avg_cos_to_centroid"))
   }
+
+  /** Duplicate clustering over the embedding near-dup graph — the
+    * same clustersOf engine (contraction → bounded local finish /
+    * distributed propagation) applied to the modality where
+    * near-duplication is cosine similarity instead of token
+    * overlap. The pair graph is oracle-exact (embNearDup), so the
+    * clustering is oracle-checked end to end via DuckDB's recursive
+    * reachability CTE — the cross-modality proof that the clustering
+    * engine is pair-source-agnostic. */
+  def embDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.clustersOf(embNearDup(spark, dir).select(col("a_id"), col("b_id")))
+      .withColumnRenamed("doc_id", "vec_id")
 }

@@ -10,7 +10,8 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // queries whose sf0.001 output could legitimately be empty
   private val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "emb_near_dup", "dedup_clusters", "dedup_clusters_lsh")
+    "dedup_simhash", "emb_near_dup", "dedup_clusters", "dedup_clusters_lsh",
+    "emb_dedup_clusters")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
