@@ -55,6 +55,7 @@ object SparkEntry {
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
     "e3_asof_join" -> (EventQueries.e3AsofJoin _),
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
+    "e5_range_join" -> (EventQueries.e5RangeJoin _),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -298,6 +299,19 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY user_id, event_type""",
+    // the oracle is the naive theta join (DuckDB IEJoin handles it at
+    // oracle scale); ts cast to microsecond TIMESTAMP to match the
+    // engine's nanos→micros read (Tables.events)
+    "e5_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS s
+                    FROM events WHERE event_type = 'error'),
+              clk AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click')
+         SELECT e.err_id, count(c.event_id) AS n_clicks,
+           round(coalesce(sum(c.value), 0), 2) AS click_value
+         FROM err e LEFT JOIN clk c
+           ON c.ts >= e.s AND c.ts < e.s + INTERVAL 10 MINUTE
+         GROUP BY e.err_id""",
     "t_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

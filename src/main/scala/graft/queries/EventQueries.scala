@@ -93,4 +93,43 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
       .groupBy(col("user_id"), col("event_type"))
       .agg(sum(col("n")).as("n_events"), round(sum(col("v")), 2).as("sum_value"))
+
+  /** E5: range join with NO equi key — every error event opens a
+    * global 10-minute incident window; count the clicks (any user)
+    * landing inside it. Spark plans a bare interval predicate as a
+    * broadcast-nested-loop join — the pair product, quadratic at
+    * scale. The scale path used here quantizes time into
+    * interval-width buckets: a window [s, s+W) covers exactly two
+    * bucket keys, so intervals explode ×2, probes key by their own
+    * single bucket, and the theta join becomes an EQUI join on the
+    * bucket followed by the exact range filter. A probe's one bucket
+    * matches at most one of an interval's two rows — no dedup
+    * needed. Shuffle volume is 2·|intervals| + |probes| rows, never
+    * the product (the bucketed rewrite behind industrial range-join
+    * optimizations, made explicit and planner-independent; PlanSpec
+    * pins the no-BNLJ/no-cartesian plan shape). */
+  def e5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windowSec = 600L
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("s"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("value"))
+    val bErr = errors.withColumn("bkt",
+      explode(array(
+        floor(col("s").cast("double") / windowSec).cast("long"),
+        floor(col("s").cast("double") / windowSec).cast("long") + 1)))
+    val bClk = clicks.withColumn("bkt",
+      floor(col("ts").cast("double") / windowSec).cast("long"))
+    val matched = bErr.join(bClk, Seq("bkt"))
+      .filter(col("ts") >= col("s") &&
+        col("ts") < col("s") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    errors.select(col("err_id"))
+      .join(matched, Seq("err_id"), "left")
+      .select(col("err_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"),
+        round(coalesce(col("v"), lit(0.0)), 2).as("click_value"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import graft.queries.{CoreQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorQueries}
 
 /** Plan-shape regression tests: the scale properties this engine is
   * designed around (pushdown reaching the scan, broadcasts on small
@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
   test("j3 lookup: small dimension goes broadcast, not shuffled") {
     val plan = planString(CoreQueries.j3BroadcastLookup(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("e5 range join: bucketed equi-join, never a nested-loop pair product") {
+    val plan = planString(EventQueries.e5RangeJoin(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join fell to the quadratic nested-loop plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("j2 substring theta-join: broadcast nested loop, never cartesian") {
