@@ -58,6 +58,41 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_key")
 
+  /** E5 streaming: stream-stream INTERVAL join — clicks matched to
+    * the global error windows [err_ts, err_ts + windowSec) they fall
+    * in. Spark REFUSES a stream-stream join with no equality
+    * predicate (there is no key to symmetric-hash the state on), so
+    * the batch range-join rewrite (EventQueries.e5RangeJoin) is what
+    * makes the streaming form EXIST at all: both sides key by the
+    * interval-width time bucket (errors explode onto their two
+    * covering buckets), giving the engine an equi key for
+    * StreamingSymmetricHashJoin, and the exact range predicate rides
+    * in the join condition where — together with the two watermarks —
+    * it bounds both state stores: a buffered row is evicted as soon
+    * as the other side's watermark passes its last possible match.
+    * Inner join, append mode; each match emits once (a click's
+    * single bucket meets at most one of an error's two rows). */
+  def rangeJoinStream(clicks: DataFrame, errors: DataFrame,
+      windowSec: Int = 600, watermark: String = "1 hour"): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withColumn("ebkt", explode(array(
+        floor(col("err_ts").cast("double") / windowSec).cast("long"),
+        floor(col("err_ts").cast("double") / windowSec).cast("long") + 1)))
+      .withWatermark("err_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value"))
+      .withColumn("cbkt",
+        floor(col("click_ts").cast("double") / windowSec).cast("long"))
+      .withWatermark("click_ts", watermark)
+    c.join(e,
+        col("cbkt") === col("ebkt") &&
+        col("click_ts") >= col("err_ts") &&
+        col("click_ts") < col("err_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("err_id"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** A doc tagged with its balancing key (domain, lang, source …). */
   case class DocKey(doc_id: Long, key: String, ts: java.sql.Timestamp)
 

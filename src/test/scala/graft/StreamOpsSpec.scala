@@ -56,6 +56,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(sess == Seq(1L, 2L))
   }
 
+  case class Tev(event_id: Long, ts: Timestamp, value: Double)
+
+  test("rangeJoinStream: bucketed stream-stream interval join, exact boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[Tev]
+    val clks = MemoryStream[Tev]
+    val q = StreamOps.rangeJoinStream(clks.toDF(), errs.toDF())
+      .writeStream.format("memory").queryName("rjoin")
+      .outputMode("append").start()
+    // error window [10:00:00, 10:10:00)
+    errs.addData(Tev(100L, ts("2026-01-01 10:00:00"), 0.0))
+    clks.addData(
+      Tev(1L, ts("2026-01-01 10:00:00"), 1.0), // start boundary: in
+      Tev(2L, ts("2026-01-01 10:09:59"), 2.0), // in (crosses NO bucket)
+      Tev(3L, ts("2026-01-01 10:10:00"), 3.0)) // end boundary: out
+    q.processAllAvailable()
+    // a click in a LATER micro-batch still meets the buffered window
+    clks.addData(Tev(4L, ts("2026-01-01 10:05:00"), 4.0))
+    q.processAllAvailable()
+    // an error window nothing falls in
+    errs.addData(Tev(200L, ts("2026-01-01 12:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rjoin").select(col("err_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 2L), (100L, 4L)))
+  }
+
   test("dedupStream keeps the first occurrence per content key") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(ts: Timestamp, doc_id: Long, text: String)
