@@ -824,16 +824,22 @@ object TextQueries {
     * BROADCAST: real benchmarks are a few MB against 100 TB of
     * training text, so the contamination check is a map-side
     * semi-join — the full corpus is never shuffled. */
-  def tDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
-      benchMod: Int = 97): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+  /** Hashed DISTINCT word n-grams of a (doc_id, text, …) frame — ONE
+    * expression tree shared by batch decontamination and its
+    * streaming twin (StreamOps.decontaminateBatch), so both paths
+    * flag the same grams by construction. */
+  private[graft] def hashedGramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .select(col("doc_id"),
         explode(when(size(col("w")) >= n,
           transform(sequence(lit(1), size(col("w")) - (n - 1)),
             i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
           .otherwise(array().cast("array<bigint>"))).as("g"))
       .distinct()
+
+  def tDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
+      benchMod: Int = 97): DataFrame = {
+    val grams = hashedGramsOf(Tables.documents(spark, dir), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .select(col("g")).distinct()

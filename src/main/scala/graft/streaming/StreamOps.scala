@@ -93,6 +93,25 @@ object StreamOps {
       .select(col("err_id"), col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Streaming decontamination: score each arriving micro-batch of
+    * (doc_id, text) rows against a STATIC benchmark gram set (built
+    * once via TextQueries.hashedGramsOf over the eval corpus — MBs
+    * against a 100 TB stream, so it is BROADCAST and the check is a
+    * map-side join). Run inside foreachBatch: the per-doc gram
+    * count is a within-batch aggregation, so the operator is
+    * STATELESS — no watermark, no state store, nothing to evict.
+    * Same expression tree as the batch t_decontaminate, so both
+    * paths flag identical grams. */
+  def decontaminateBatch(batch: DataFrame, benchGrams: DataFrame,
+      n: Int = 5): DataFrame = {
+    val hits = graft.queries.TextQueries.hashedGramsOf(batch, n)
+      .join(broadcast(benchGrams.select(col("g")).distinct()), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+  }
+
   /** A doc tagged with its balancing key (domain, lang, source …). */
   case class DocKey(doc_id: Long, key: String, ts: java.sql.Timestamp)
 

@@ -83,6 +83,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((100L, 1L), (100L, 2L), (100L, 4L)))
   }
 
+  test("decontaminateBatch scores each micro-batch against the static benchmark set") {
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark corpus: two 5-grams
+    val bench = graft.queries.TextQueries.hashedGramsOf(
+      Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), 5)
+    val in = MemoryStream[(Long, String)]
+    val sink = collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= StreamOps.decontaminateBatch(b, bench)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    in.addData((1L, "alpha beta gamma delta epsilon"), // the 1st bench gram
+      (2L, "totally unrelated words right here"))      // clean
+    q.processAllAvailable()
+    // a later batch scores independently — stateless across batches
+    in.addData((3L, "xx alpha beta gamma delta epsilon yy")) // 3 grams, 1 hit
+    q.processAllAvailable(); q.stop()
+    assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
   test("dedupStream keeps the first occurrence per content key") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(ts: Timestamp, doc_id: Long, text: String)
