@@ -61,29 +61,63 @@ object MediaOps {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Exception => null }
-    if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Byte](w * h)
-      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
-        img.getRaster.getDataElements(0, 0, w, h, out)
-      } else {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            out(y * w + x) = lum.toByte
-            x += 1
-          }
-          y += 1
+    if (img == null) None else Some(lumaPlane(img))
+  }
+
+  /** BufferedImage → (w, h, row-major 8-bit luminance): exact samples
+    * for grayscale, BT.601 integer luma for color — shared by the
+    * single-image and multi-frame decode paths. */
+  private def lumaPlane(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      img.getRaster.getDataElements(0, 0, w, h, out)
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
         }
+        y += 1
       }
-      Some((w, h, out))
     }
+    (w, h, out)
+  }
+
+  /** Real multi-frame decode: every image the claiming ImageIO
+    * reader exposes at an index — multi-page TIFF and animated GIF
+    * in the stock JDK. Frames convert through the same luma path as
+    * decodeImage. None when no reader claims the bytes or the frame
+    * count is unreadable; a frame that fails mid-sequence is
+    * skipped rather than killing the task (bulk-ingest stance of
+    * decodeImage). */
+  def decodeImageFrames(content: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = try reader.getNumImages(true) catch { case _: Exception => -1 }
+          if (n <= 0) None
+          else Some((0 until n).flatMap { i =>
+            try Some(lumaPlane(reader.read(i))) catch { case _: Exception => None }
+          })
+        } finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Real audio decode: WAV/AIFF bytes → (frameLength, channels, PCM
@@ -452,6 +486,27 @@ object MediaOps {
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Frame sampling over REAL multi-frame containers (multi-page
+    * TIFF / animated GIF): every Nth decoded frame of each
+    * ImageIO-readable blob becomes a Frame row carrying its luma
+    * plane; unreadable rows emit nothing (sampleFrames below is the
+    * stub-stride path for opaque video codecs). Same explode shape:
+    * blob in one row, frames out, source bytes projected away
+    * before any downstream shuffle. */
+  def sampleImageFrames(media: DataFrame, everyN: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.select(col("media_id"), col("content"))
+      .flatMap { r =>
+        decodeImageFrames(r.getAs[Array[Byte]](1)) match {
+          case Some(frames) =>
+            (0 until frames.length by math.max(everyN, 1)).map { i =>
+              Frame(r.getLong(0), i, frames(i)._3)
+            }
+          case None => Seq.empty[Frame]
+        }
+      }
   }
 
   /** Frame sampling for video rows: every Nth fixed-stride slice of

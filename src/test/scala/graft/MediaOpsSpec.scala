@@ -218,6 +218,51 @@ class MediaOpsSpec extends SparkSpec {
     assert(frames.forall(_.content.length == 100))
   }
 
+  test("decodeImageFrames reads a real multi-page TIFF frame-exactly") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    // 4 pages of 3×2 grayscale with distinct known samples
+    val pages = (0 until 4).map { p =>
+      Array.tabulate[Byte](6)(i => (p * 40 + i * 5 + 1).toByte)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    pages.foreach { px =>
+      val img = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, 3, 2, px)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val tiff = baos.toByteArray
+    val frames = MediaOps.decodeImageFrames(tiff).get
+    assert(frames.length == 4)
+    frames.zip(pages).foreach { case ((w, h, px), want) =>
+      assert(w == 3 && h == 2)
+      assert(px.toSeq == want.toSeq)
+    }
+    // a single-frame PNG decodes as a 1-frame sequence equal to decodeImage
+    val one = new BufferedImage(2, 2, BufferedImage.TYPE_BYTE_GRAY)
+    one.getRaster.setDataElements(0, 0, 2, 2, Array[Byte](9, 8, 7, 6))
+    val pb = new java.io.ByteArrayOutputStream()
+    ImageIO.write(one, "png", pb)
+    val pngFrames = MediaOps.decodeImageFrames(pb.toByteArray).get
+    assert(pngFrames.length == 1)
+    assert(pngFrames.head._3.toSeq == MediaOps.decodeImage(pb.toByteArray).get._3.toSeq)
+    // junk bytes → None, not a crash
+    assert(MediaOps.decodeImageFrames(Array[Byte](1, 2, 3)).isEmpty)
+    // the distributed explode emits every 2nd frame with real pixels
+    val rows = Seq(Row(21L, "video", "mem://tiff", tiff, Row(3, 2, null, "tiff")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val sampled = MediaOps.sampleImageFrames(df, everyN = 2).collect()
+      .map(f => f.frame_no -> f.content.toSeq).toMap
+    assert(sampled.keySet == Set(0, 2))
+    assert(sampled(2) == pages(2).toSeq)
+  }
+
   test("dHash64: gradient known answers, scale and brightness invariance") {
     val w = 18; val h = 16
     // strictly increasing left→right at every grid sample → no
