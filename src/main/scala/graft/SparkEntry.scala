@@ -75,6 +75,7 @@ object SparkEntry {
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
     "t_repetition" -> (TextQueries.tRepetition _),
     "t_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tTfidf(s, d)),
+    "t_compress_ratio" -> (TextQueries.tCompressRatio _),
     "t_inverted_index" -> ((s: SparkSession, d: String) => TextQueries.tInvertedIndex(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),

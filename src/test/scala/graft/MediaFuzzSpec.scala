@@ -21,6 +21,12 @@ class MediaFuzzSpec extends SparkSpec {
     }
   }
 
+  test("multi-frame image decode survives arbitrary byte soup") {
+    for (_ <- 1 to 200) {
+      MediaOps.decodeImageFrames(randomBytes(rnd.nextInt(512))) // None, no throw
+    }
+  }
+
   test("crafted RIFF chunks (negative / zero / huge sizes) terminate") {
     def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)

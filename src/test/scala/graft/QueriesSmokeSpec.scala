@@ -41,6 +41,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_clusters_lsh" -> "TextQueriesSpec set-equal to clustering the exact shingle-J pairs",
     "dedup_simhash" -> "TextQueriesSpec set-equal to brute hamming <= 6",
     "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
+    "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs")
 

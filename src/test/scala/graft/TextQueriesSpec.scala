@@ -86,6 +86,32 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("tCompressRatio equals direct zlib output per doc") {
+    val got = TextQueries.tCompressRatio(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      val ratio = BigDecimal(n.toDouble / math.max(raw.length, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((raw.length.toLong, n, ratio)), s"doc $id mismatch")
+    }
+    // the signal points the right way: the repetitive vocabulary
+    // compresses most docs well below raw size (short docs can top
+    // 1.0 on zlib header overhead — that is the expected shape)
+    assert(got.values.count(_._3 < 0.9) > got.size * 9 / 10)
+    assert(got.values.map(_._3).min < 0.6)
+  }
+
   test("decontamination: benchmark docs excluded, clean docs score zero") {
     val out = TextQueries.tDecontaminate(spark, sf01).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
