@@ -563,6 +563,99 @@ object StreamOps {
     * replay-idempotency ledger for nearDupIngestBatch's appends. */
   private val BatchMarkersDir = "_graft_batches"
 
+  /** Bucket modulus of the phash block index — FIXED from birth
+    * (unlike the text index's configurable IndexBuckets), so none of
+    * the bucket-meta machinery exists here: one table, one modulus,
+    * mixed-modulus states are unrepresentable and pruning is always
+    * exact. */
+  val PhashBuckets = 64
+
+  /** Marker ledger of imageIngestBatch — its own namespace so a text
+    * and an image index sharing a root can never confuse batchIds. */
+  private val PhashMarkersDir = "_graft_phash_batches"
+
+  /** The 8 pigeonhole block rows of each (media_id, phash), with the
+    * index partition bucket derived from (block, key) — the exact
+    * frame the block index persists and the block join runs on. */
+  private def phashBlocks(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 8).map(i =>
+        shiftrightunsigned(col("phash"), i * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .select(col("media_id"), col("phash"), col("pos").as("q"), col("col").as("qkey"))
+      .withColumn("bkt", pmod(col("qkey") * 8 + col("q"), lit(PhashBuckets)))
+
+  /** Streaming IMAGE near-dup ingestion — the perceptual-hash twin of
+    * nearDupIngestBatch, structurally simpler in exactly the ways its
+    * index is: the signature IS the verification key (hamming of two
+    * 64-bit hashes — no second-table fetch, hence no cross-table
+    * crash ordering to defend), and the accumulated state is ONE
+    * parquet table of 8 block rows per kept image, partitioned by
+    * the fixed PhashBuckets modulus (no meta file; the text index
+    * needed one only because its modulus is configurable). Per
+    * micro-batch: decode → dHash64; candidates against the index via
+    * the 8-bit pigeonhole block join (EXACT for maxDist < 8), the
+    * read pruned to the batch's touched buckets by the partition
+    * filter; within-batch pairs by the same self-join (larger
+    * media_id drops); survivors append their block rows
+    * (repartitioned by bkt — one file per touched bucket per batch).
+    * At-least-once + replay-idempotent: appends are skipped when the
+    * batch's marker exists, and index self-matches are excluded so a
+    * replayed batch returns its original survivors. Returns the
+    * surviving (media_id, phash) rows. */
+  def imageIngestBatch(indexPath: String, maxDist: Int = 6)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    require(maxDist < 8,
+      s"pigeonhole blocks are exact only for maxDist < 8, got $maxDist")
+    val spark = batch.sparkSession
+    val sigs = graft.multimodal.MediaOps.imageHashes(batch).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = phashBlocks(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bkts = blocks.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq
+    val tablePath = s"$indexPath/blocks"
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx =
+      if (fs.exists(hp))
+        spark.read.parquet(tablePath).filter(col("bkt").isin(bkts: _*))
+          .select(col("q"), col("qkey"),
+            col("media_id").as("o_id"), col("phash").as("o_phash"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("qkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_phash", org.apache.spark.sql.types.LongType))))
+    val dupVsIndex = blocks.join(idx, Seq("q", "qkey"))
+      // self-match exclusion: on replay a survivor meets its own
+      // earlier append at hamming 0 and would drop
+      .filter(col("media_id") =!= col("o_id"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("o_phash"))) <= maxDist)
+      .select(col("media_id").as("dup_id"))
+    val dupInBatch = blocks.as("l").join(blocks.as("r"), Seq("q", "qkey"))
+      .filter(col("l.media_id") > col("r.media_id"))
+      .filter(bit_count(col("l.phash").bitwiseXOR(col("r.phash"))) <= maxDist)
+      .select(col("l.media_id").as("dup_id"))
+    val dropped = dupVsIndex.unionByName(dupInBatch).distinct()
+    // same lineage truncation as the text ingest: the survivors plan
+    // roots in the index read the append below invalidates
+    val survivors = sigs.join(dropped.withColumnRenamed("dup_id", "media_id"),
+      Seq("media_id"), "left_anti").localCheckpoint(true)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$PhashMarkersDir/b$batchId")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied && !survivors.isEmpty) {
+      phashBlocks(survivors)
+        .repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(tablePath)
+    }
+    if (!alreadyApplied) fs.create(marker, true).close()
+    sigs.unpersist(); blocks.unpersist()
+    survivors
+  }
+
   /** Streaming similarity serving: each micro-batch of query
     * embeddings (`qid`, `qemb`) is exact-scored against the static
     * corpus at `corpusDir` — the queries broadcast, the corpus

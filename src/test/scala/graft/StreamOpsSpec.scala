@@ -107,6 +107,52 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("imageIngestBatch dedups across and within batches; replay leaves the index unchanged") {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.MediaOps
+    val idxDir = java.nio.file.Files.createTempDirectory("phash-idx").toString
+    val w = 16; val h = 16
+    def texture(a: Int, b: Int, c: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h)(i =>
+        (((i % w) * a + (i / w) * b + c) % 180 + 10).toByte)
+    def png(pix: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def mediaDf(rows: (Long, Array[Byte])*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        Row(id, "image", s"mem://$id", b, Row(w, h, null, "png"))
+      }), MediaOps.mediaSchema)
+    val texA = texture(31, 17, 0); val texB = texture(53, 29, 7)
+    val texC = texture(7, 101, 77); val texD = texture(11, 47, 130)
+    def indexRows() = spark.read.parquet(s"$idxDir/blocks").count()
+
+    val s1 = StreamOps.imageIngestBatch(idxDir)(
+      mediaDf(1L -> png(texA), 5L -> png(texB)), 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(1L, 5L))
+    assert(indexRows() == 16) // 8 block rows per kept image
+
+    val b2 = mediaDf(7L -> png(texA.clone()), // exact copy of indexed texA
+      8L -> png(texC),                        // new
+      10L -> png(texD), 11L -> png(texD.clone())) // in-batch pair
+    val s2 = StreamOps.imageIngestBatch(idxDir)(b2, 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(8L, 10L), s"wrong survivors: $s2")
+    assert(indexRows() == 32)
+
+    // replay of batch 2: same survivors (index self-matches excluded),
+    // no duplicate index rows (marker skips the append)
+    val s2r = StreamOps.imageIngestBatch(idxDir)(b2, 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2r == Set(8L, 10L), s"replay changed survivors: $s2r")
+    assert(indexRows() == 32)
+  }
+
   test("dedupStream keeps the first occurrence per content key") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(ts: Timestamp, doc_id: Long, text: String)
