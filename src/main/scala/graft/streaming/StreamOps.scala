@@ -613,21 +613,11 @@ object StreamOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bkts = blocks.select(col("bkt")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq
-    val tablePath = s"$indexPath/blocks"
-    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val hp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx =
-      if (fs.exists(hp))
-        spark.read.parquet(tablePath).filter(col("bkt").isin(bkts: _*))
-          .select(col("q"), col("qkey"),
-            col("media_id").as("o_id"), col("phash").as("o_phash"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("qkey", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("o_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("o_phash", org.apache.spark.sql.types.LongType))))
+    val idx = readPhashIndex(spark, indexPath, bkts)
+      .select(col("q"), col("qkey"),
+        col("media_id").as("o_id"), col("phash").as("o_phash"))
     val dupVsIndex = blocks.join(idx, Seq("q", "qkey"))
       // self-match exclusion: on replay a survivor meets its own
       // earlier append at hamming 0 and would drop
@@ -649,11 +639,61 @@ object StreamOps {
     if (!alreadyApplied && !survivors.isEmpty) {
       phashBlocks(survivors)
         .repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt").parquet(tablePath)
+        .write.mode("append").partitionBy("bkt").parquet(hp.toString)
     }
     if (!alreadyApplied) fs.create(marker, true).close()
     sigs.unpersist(); blocks.unpersist()
     survivors
+  }
+
+  /** Read the phash block index pruned to `bkts` — the `isin` over
+    * the partition column becomes a static PartitionFilter at the
+    * scan (pinned in PlanSpec, same mechanism as the text index). An
+    * absent table reads as empty (batch 0); an interrupted
+    * compaction swap is healed first. */
+  def readPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bkts: Seq[Int]): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, hp)
+    if (fs.exists(hp))
+      spark.read.parquet(hp.toString).filter(col("bkt").isin(bkts: _*))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /** Compact the phash block index — same small-files rationale and
+    * tmp+swap discipline as compactNearDupIndex (recoverCompaction
+    * heals a crash inside the rename pair), preserving the `bkt`
+    * partitioning the per-batch pruning depends on; `distinct()`
+    * collapses any crash-window replay duplicates. Run from a
+    * maintenance schedule, never concurrently with ingest. */
+  def compactPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPartitions: Int = 32): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(p.toString)
+        .distinct()
+        .repartition(targetPartitions, col("bkt"))
+        .write.partitionBy("bkt").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"compaction: could not stage $p aside")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"compaction: could not swap $tmp into $p")
+      fs.delete(old, true)
+    }
   }
 
   /** Streaming similarity serving: each micro-batch of query

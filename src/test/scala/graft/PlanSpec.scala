@@ -141,6 +141,38 @@ class PlanSpec extends SparkSpec {
       s"snapshot read scanned $prunedFiles of $fullFiles files — pruning lost")
   }
 
+  test("phash index: bucket pruning reaches the scan and skips files") {
+    import graft.streaming.StreamOps
+    import graft.multimodal.MediaOps
+    import org.apache.spark.sql.Row
+    val idx = java.nio.file.Files.createTempDirectory("graft-phash-prune").toString + "/index"
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, 16, 16,
+        Array.tabulate[Byte](256)(i => (((i % 16) * seed + (i / 16) * 17) % 180 + 10).toByte))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(1L -> png(31), 2L -> png(53)).map { case (id, b) =>
+      Row(id, "image", s"mem://$id", b, Row(16, 16, null, "png"))
+    }
+    StreamOps.imageIngestBatch(idx)(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema), 0L)
+    val full = spark.read.parquet(s"$idx/blocks")
+    val bkts = full.select("bkt").distinct().collect().map(_.getInt(0)).sorted
+    assert(bkts.length > 1, "need >1 bucket to observe pruning")
+    val pruned = StreamOps.readPhashIndex(spark, idx, Seq(bkts.head))
+    val plan = planString(pruned)
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      "pruning lost:\n" + plan.take(2000))
+    val prunedFiles = executedFiles(pruned)
+    val fullFiles = executedFiles(full)
+    assert(prunedFiles > 0 && prunedFiles < fullFiles,
+      s"pruned scan read $prunedFiles of $fullFiles files")
+  }
+
   test("stratified sample: WindowGroupLimit prunes each stratum map-side") {
     val plan = planString(TextQueries.tStratifiedSample(spark, dir))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))

@@ -151,6 +151,14 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(s2r == Set(8L, 10L), s"replay changed survivors: $s2r")
     assert(indexRows() == 32)
+
+    // compaction preserves every block row and the index keeps working
+    StreamOps.compactPhashIndex(spark, idxDir)
+    assert(indexRows() == 32)
+    val s3 = StreamOps.imageIngestBatch(idxDir)(
+      mediaDf(20L -> png(texC.clone())), 3L) // copy of indexed texC
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 == Set.empty[Long], s"post-compaction dedup missed: $s3")
   }
 
   test("dedupStream keeps the first occurrence per content key") {
