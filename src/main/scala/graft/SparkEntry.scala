@@ -50,6 +50,7 @@ object SparkEntry {
     "a7_pivot" -> (CoreQueries.a7Pivot _),
     "t_redact_pii" -> (CoreQueries.tRedactPii _),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
+    "q_validate" -> (CoreQueries.qValidate _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
@@ -252,6 +253,23 @@ object SparkEntry {
          UNION ALL
          SELECT 'retained_1996', o_custkey
          FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)""",
+    "q_validate" ->
+      """WITH m AS (SELECT count(*) AS total,
+              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+              CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS range_qty,
+              CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS qty_advisory,
+              CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS range_disc
+              FROM lineitem)
+         SELECT 'lineitem.l_quantity not null' AS check_name, null_qty AS violations, total FROM m
+         UNION ALL SELECT 'lineitem.l_quantity in [1,50]', range_qty, total FROM m
+         UNION ALL SELECT 'lineitem.l_quantity <= 30 (advisory)', qty_advisory, total FROM m
+         UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', range_disc, total FROM m
+         UNION ALL SELECT 'orders.o_orderkey unique',
+           count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+         UNION ALL SELECT 'lineitem.l_orderkey references orders',
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+           (SELECT count(*) FROM lineitem)""",
     "q_profile" ->
       """WITH t AS (SELECT * FROM orders)
          SELECT 'o_custkey' AS "column", count(*) AS n_rows,

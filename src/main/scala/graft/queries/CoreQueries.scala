@@ -444,4 +444,44 @@ object CoreQueries {
       .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"))
   }
+
+  /** Data-quality validation audit — the Deequ-style constraint
+    * suite a lake pipeline gates loads on. One row per constraint
+    * with its violation count against the table total. Cost
+    * discipline at 100 TB: all METRIC constraints (nulls, ranges)
+    * ride ONE agg pass over the fact table as conditional sums —
+    * never a job per check; uniqueness is a count-vs-distinct agg;
+    * referential integrity is one anti-join count (shuffled on the
+    * key, the unavoidable price of a cross-table check). */
+  def qValidate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val metricRows = li.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("range_qty"),
+        sum(when(col("l_quantity") > 30, 1L).otherwise(0L)).as("qty_advisory"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("range_disc"))
+      .selectExpr("""stack(4,
+        'lineitem.l_quantity not null', null_qty, total,
+        'lineitem.l_quantity in [1,50]', range_qty, total,
+        'lineitem.l_quantity <= 30 (advisory)', qty_advisory, total,
+        'lineitem.l_discount in [0,0.1]', range_disc, total)
+        as (check_name, violations, total)""")
+    val pk = ord.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"),
+        count(lit(1)).as("total"))
+      .select(lit("orders.o_orderkey unique").as("check_name"),
+        col("violations"), col("total"))
+    val ri = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(li.agg(count(lit(1)).as("total")))
+      .select(lit("lineitem.l_orderkey references orders").as("check_name"),
+        col("violations"), col("total"))
+    metricRows.unionByName(pk).unionByName(ri)
+  }
 }
