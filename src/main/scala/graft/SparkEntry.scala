@@ -29,6 +29,7 @@ object SparkEntry {
     "a3_sum_reduce" -> (CoreQueries.a3SumReduce _),
     "p10_zero_stock_skip" -> (CoreQueries.p10ZeroStockSkip _),
     "k2_backfill" -> (CoreQueries.k2Backfill _),
+    "k5_snapshot_diff" -> (CoreQueries.k5SnapshotDiff _),
     "p1_name_synthesis" -> (CoreQueries.p1NameSynthesis _),
     "p4_coalesce_chain" -> (CoreQueries.p4CoalesceChain _),
     "p5_cents_to_dollars" -> (CoreQueries.p5CentsToDollars _),
@@ -78,6 +79,8 @@ object SparkEntry {
     "t_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tTfidf(s, d)),
     "t_compress_ratio" -> (TextQueries.tCompressRatio _),
     "t_inverted_index" -> ((s: SparkSession, d: String) => TextQueries.tInvertedIndex(s, d)),
+    "t_heavy_hitters" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHitters(s, d)),
+    "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -127,6 +130,24 @@ object SparkEntry {
          coalesce(CASE WHEN event_id % 5 <> 0 THEN event_type END,
            'wholecell') AS db
          FROM events""",
+    "k5_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         old AS (SELECT * FROM o WHERE o_orderkey % 11 <> 0),
+         new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+                 FROM o WHERE o_orderkey % 13 <> 0)
+         SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           round(old.o_totalprice, 2) AS old_price,
+           round(new.o_totalprice, 2) AS new_price
+         FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+         WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+            OR old.o_totalprice <> new.o_totalprice
+            OR old.o_orderstatus <> new.o_orderstatus""",
     "p1_name_synthesis" ->
       """SELECT p_partkey,
          trim(concat_ws(' ', coalesce(p_brand, ''), coalesce(p_type, ''))) AS display_name,
@@ -482,6 +503,16 @@ object SparkEntry {
                     ORDER BY score DESC, term) AS rk FROM scored)
          SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rk
          FROM ranked WHERE rk <= 3""",
+    "t_heavy_hitters" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              terms AS (SELECT unnest(w) AS term FROM toks),
+              counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+              ranked AS (SELECT term, cnt,
+                    row_number() OVER (ORDER BY cnt DESC, term) AS rk
+                    FROM counts)
+         SELECT term, cnt, rk FROM ranked WHERE rk <= 20""",
     "t_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\s+') AS w

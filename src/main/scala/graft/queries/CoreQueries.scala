@@ -484,4 +484,48 @@ object CoreQueries {
         col("violations"), col("total"))
     metricRows.unionByName(pk).unionByName(ri)
   }
+
+  /** K5: CDC snapshot diff — the incremental form of the reference's
+    * sync (products.js syncs by re-reading the WHOLE vendor catalog;
+    * the scalable form ships only the delta). Two keyed snapshots →
+    * one full-outer join → added / removed / changed rows; unchanged
+    * rows (the overwhelming mass at 100 TB) are dropped.
+    *
+    * Snapshots are derived deterministically from `orders` so the
+    * oracle can rebuild them: "new" drops every 13th key (removed),
+    * gains keys the old side lacks (every 11th → added), and bumps
+    * every 7th price by an exactly-representable +1.5 (changed).
+    *
+    * Scale shape: ONE shuffle on the uniform key for the join. The
+    * change test compares a per-side xxhash64 row digest, not column
+    * lists — at 100 TB rows are wide, and hashing each side once
+    * (map-side, before the shuffle projection) keeps the compare a
+    * single long regardless of column count. A digest collision
+    * (2^-64 per changed key) would misclassify one row as unchanged;
+    * the standard CDC trade. */
+  def k5SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val oldSnap = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("old_key"),
+        col("o_totalprice").as("old_price"),
+        xxhash64(col("o_totalprice"), col("o_orderstatus")).as("old_sig"))
+    val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.5d)
+          .otherwise(col("o_totalprice")))
+      .select(col("o_orderkey").as("new_key"),
+        col("o_totalprice").as("new_price"),
+        xxhash64(col("o_totalprice"), col("o_orderstatus")).as("new_sig"))
+    oldSnap.join(newSnap, col("old_key") === col("new_key"), "full_outer")
+      .filter(col("old_key").isNull || col("new_key").isNull ||
+        col("old_sig") =!= col("new_sig"))
+      .select(
+        coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+        when(col("old_key").isNull, "added")
+          .when(col("new_key").isNull, "removed")
+          .otherwise("changed").as("change_type"),
+        round(col("old_price"), 2).as("old_price"),
+        round(col("new_price"), 2).as("new_price"))
+  }
 }

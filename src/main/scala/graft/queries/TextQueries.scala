@@ -993,4 +993,78 @@ object TextQueries {
     * pair source is hash-defined). */
   def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
     clustersOf(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** Corpus heavy hitters, exact: global top-k terms by occurrence
+    * count. The scalable global-top-k shape: partial-agg'd counts
+    * (vocabulary-sized, uniform term key) then `orderBy.limit(k)` —
+    * Catalyst plans TakeOrderedAndProject, every task keeps its
+    * local top-k and only tasks×k rows reach the driver-side heap;
+    * there is never a global sort of the vocabulary. */
+  def tHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokens(normText(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+    // rank assigned after the limit: the single-partition window
+    // (WindowExec warns) sees exactly k rows, never the vocabulary
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+
+  /** Count-min-sketch bucket counts: CmsDepth independent hash rows
+    * of CmsWidth buckets. Partial aggregation bounds every
+    * partition's shuffle contribution at depth×width rows no matter
+    * how many tokens it holds — the sketch, not the vocabulary, is
+    * what moves. */
+  private def cmsSketchOf(terms: DataFrame): DataFrame =
+    terms
+      .select(col("term"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row"))
+      .select(col("row"),
+        pmod(xxhash64(col("row"), col("term")), lit(CmsWidth)).as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** CMS estimate per candidate term: min over hash rows of the
+    * bucket count the term lands in. The sketch side is ≤
+    * depth×width rows — always broadcast. */
+  private def cmsEstimate(candidates: DataFrame, sketch: DataFrame): DataFrame =
+    candidates
+      .select(col("term"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row"))
+      .select(col("term"), col("row"),
+        pmod(xxhash64(col("row"), col("term")), lit(CmsWidth)).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("est"))
+
+  /** Heavy hitters via count-min sketch — the fixed-size-state twin
+    * of tHeavyHitters for when exact per-term counts can't be kept
+    * (streaming, merging sketches across corpora): the sketch is
+    * CmsDepth×CmsWidth longs regardless of corpus size, and two
+    * sketches merge by addition. Candidate terms come from a
+    * deterministic 1/16 document sample (heavy hitters survive
+    * sampling; the sample agg is corpus/16 and its top-4k cut is
+    * TakeOrdered) and are then estimated against the full-corpus
+    * sketch. CMS never under-counts, so no true heavy hitter ranked
+    * into the top-k can be displaced by an absent one — only
+    * over-count collisions can promote a lighter term. Spec:
+    * estimates bound the exact counts above within depth×N/width,
+    * and the top-k set matches the exact query's. */
+  def tHeavyHittersCms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(explode(tokens(normText(col("text")))).as("term"))
+    val sketch = cmsSketchOf(terms)
+    val candidates = docs
+      .filter(substring(md5(concat_ws("::", col("doc_id"), lit("hh"))), 1, 1) === "0")
+      .select(explode(tokens(normText(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("sample_cnt"))
+      .orderBy(col("sample_cnt").desc, col("term").asc).limit(k * 8)
+      .select(col("term"))
+    val top = cmsEstimate(candidates, sketch)
+      .orderBy(col("est").desc, col("term").asc).limit(k)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("est").desc, col("term").asc)).cast("long"))
+  }
 }

@@ -52,4 +52,28 @@ class CoreQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("k5SnapshotDiff classifies exactly the keys the modular rules predict") {
+    val dir = "/root/testdata/sf0.001"
+    val keys = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val expected = keys.iterator.map { k =>
+      if (k % 13 == 0 && k % 11 == 0) k -> None         // in neither snapshot
+      else if (k % 13 == 0) k -> Some("removed")        // old only
+      else if (k % 11 == 0) k -> Some("added")          // new only
+      else if (k % 7 == 0) k -> Some("changed")         // price bumped
+      else k -> None                                    // identical both sides
+    }.collect { case (k, Some(c)) => k -> c }.toMap
+    val got = CoreQueries.k5SnapshotDiff(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // change rows carry both prices, with the exact +1.5 delta
+    val changed = CoreQueries.k5SnapshotDiff(spark, dir)
+      .filter(col("change_type") === "changed")
+      .select(col("old_price"), col("new_price")).collect()
+    assert(changed.nonEmpty)
+    changed.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0) - 1.5) < 1e-9)
+    }
+  }
 }

@@ -263,6 +263,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact side") {
+    // At 100 TB the fact scan feeding a shuffle join is the dominant
+    // cost; when the dim side carries a selective filter, Spark's
+    // runtime-filter rule can semi-join-reduce the fact side with a
+    // bloom filter BEFORE the shuffle (rows that cannot match never
+    // leave the map side). This pins the InjectRuntimeFilter
+    // mechanism on the j1/j3 join shape so a session-config or plan
+    // refactor can't silently lose it. Thresholds are lowered only
+    // because the fixture is KB-sized; the asserted rewrite is the
+    // production one.
+    import org.apache.spark.sql.functions.{col, sum}
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join: broadcast joins don't need the filter
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val fact = graft.sources.Tables.lineitem(spark, dir)
+      val dim = graft.sources.Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#13")
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + optimized.take(2000))
+      // and the filtered plan still computes the right answer
+      val expected = fact.join(dim.hint("broadcast"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
     val plan = planString(TextQueries.minhashCandidates(spark, dir))
     // bucketed candidate generation must hash-join on the band key —

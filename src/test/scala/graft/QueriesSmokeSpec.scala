@@ -43,6 +43,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
     "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
+    "t_heavy_hitters_cms" -> "TextQueriesSpec estimates bound exact counts; top-k set equals tHeavyHitters",
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs")
 
   test("every query has ground truth: a SQL oracle or a named exact spec") {

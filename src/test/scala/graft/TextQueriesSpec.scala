@@ -325,4 +325,29 @@ class TextQueriesSpec extends SparkSpec {
       .agg(avg(col("ok"))).head.getDouble(0)
     assert(acc >= 0.9, s"lang-id accuracy $acc < 0.9 on signal-bearing fixture")
   }
+
+  test("tHeavyHittersCms estimates bound exact counts and recover the exact top-k") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exactTop = TextQueries.tHeavyHitters(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cmsTop = TextQueries.tHeavyHittersCms(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the sketched top-k finds the same heavy-hitter set
+      assert(cmsTop.keySet == exactTop.keySet,
+        s"$dir: cms top-k ${cmsTop.keySet} != exact ${exactTop.keySet}")
+      // CMS never under-counts, and over-count is bounded by the
+      // colliding mass: N/width per row, min over depth rows — 2×
+      // the single-row expectation is a generous deterministic bound
+      val nTokens = graft.sources.Tables.documents(spark, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .count()
+      val slack = 2L * nTokens / 2048 + 1
+      for ((term, cnt) <- exactTop) {
+        val est = cmsTop(term)
+        assert(est >= cnt, s"$dir/$term: CMS under-counted $est < $cnt")
+        assert(est <= cnt + slack,
+          s"$dir/$term: CMS over-count $est > $cnt + $slack")
+      }
+    }
+  }
 }
