@@ -85,6 +85,7 @@ object SparkEntry {
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => VectorQueries.annIvfTopk(s, d)),
+    "ann_pq_topk" -> ((s: SparkSession, d: String) => VectorQueries.annPqTopk(s, d)),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_centroids" -> (VectorQueries.embCentroids _),

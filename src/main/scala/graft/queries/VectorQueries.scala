@@ -333,6 +333,119 @@ object VectorQueries {
     topkByDot(emb, candidates)
   }
 
+  /** ANN via product quantization with asymmetric distance (ADC) —
+    * the FAISS-style compression path for 100 TB of embeddings. The
+    * corpus is re-encoded as `m` small codes (one per subspace,
+    * nearest of `k` trained sub-centroids in L2), so the scan side
+    * shrinks from EmbDim doubles to m bytes per vector (~64× here)
+    * and candidate scoring never touches raw vectors: each query
+    * carries a lookup table of its subvector·centroid dot products
+    * (m×k doubles, broadcast with the query), and an approximate
+    * dot is m array lookups summed — then the ADC shortlist is
+    * re-ranked by the exact dot (the same candidates-then-exact tail
+    * every ANN variant here shares).
+    *
+    * Training is the IVF pattern per subspace: deterministic seeds
+    * (first k vectors' subvectors), ONE distributed Lloyd iteration
+    * (assignment is a narrow map; the update is a map-side-combined
+    * per-(subspace, cell) component mean), codebooks collected to the
+    * driver — m×k×(EmbDim/m) doubles, a broadcast-sized quantizer
+    * exactly like the IVF coarse quantizer. Empty cells keep their
+    * seed centroid.
+    *
+    * Scale shape: encode pass is narrow (m×k sub-dots per row, no
+    * shuffle); scoring joins the m-byte code table against the
+    * broadcast query LUTs — the full-corpus scan cost is the point
+    * of PQ (compressed-domain brute force); the exact re-rank
+    * re-fetches embeddings for shortlist×queries ids only. Recall@5
+    * vs brute force is spec'd in VectorQueriesSpec and measured by
+    * MeasureGT. */
+  def annPqTopk(spark: SparkSession, dir: String,
+      m: Int = 8, k: Int = 32, shortlist: Int = 100,
+      lloydRounds: Int = 2): DataFrame = {
+    val sub = EmbDim / m
+    // persisted: training (two collects), the encode pass, and the
+    // re-rank joins all read it (same cache contract as annIvfTopk)
+    val emb = embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def subvec(v: Column, mm: Int): Column = slice(v, mm * sub + 1, sub)
+    // nearest sub-centroid in L2: argmax of 2·x·c − |c|² (|x|² is
+    // constant across candidates, so it never needs computing). The
+    // whole codebook rides as ONE 2-D literal per subspace and the
+    // k scores come from one zip_with — compact generated code (k
+    // separate dot expressions overflowed the 64KB codegen method
+    // limit and forced the encode stage interpreted).
+    def assignExpr(book: Seq[Seq[Seq[Double]]], v: Column): Column =
+      array((0 until m).map { mm =>
+        val cents = typedlit(book(mm))
+        val norms2 = typedlit(book(mm).map(c => c.map(x => x * x).sum))
+        val sv = subvec(v, mm)
+        val scores = zip_with(cents, norms2, (c, n2) =>
+          aggregate(zip_with(sv, c, (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x) * 2 - n2)
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }: _*)
+
+    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
+    val seedBook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mm => seeds.map(_.slice(mm * sub, (mm + 1) * sub)))
+
+    // Lloyd iterations, all subspaces in ONE job each: explode each
+    // row to its m (subspace, cell, subvector) assignments, then
+    // map-side-combined component means per (subspace, cell)
+    val subMeans = (0 until sub).map(i =>
+      avg(element_at(col("subv"), i + 1)).as(s"c$i"))
+    val book: Seq[Seq[Seq[Double]]] =
+      (0 until lloydRounds).foldLeft(seedBook) { (prev, _) =>
+        val trained: Map[(Int, Int), Seq[Double]] = emb
+          .select(col("emb"), posexplode(assignExpr(prev, col("emb")))
+            .as(Seq("mm", "cell")))
+          .select(col("mm"), col("cell"),
+            slice(col("emb"), col("mm") * sub + 1, lit(sub)).as("subv"))
+          .groupBy(col("mm"), col("cell"))
+          .agg(subMeans.head, subMeans.tail: _*)
+          .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+            (0 until sub).map(i => r.getDouble(i + 2)).toVector).toMap
+        (0 until m).map(mm =>
+          (0 until k).map(kk => trained.getOrElse((mm, kk), prev(mm)(kk))))
+      }
+
+    val corpusCodes = emb.select(col("vec_id"),
+      assignExpr(book, col("emb")).as("codes"))
+
+    // queries: tiny by construction — LUTs computed driver-side and
+    // broadcast, the same quantizer-sized collect as IVF's centroids
+    val queryLuts: Seq[(Long, Seq[Double])] = emb.filter(QueryPred)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("emb")).collect().map { r =>
+        val q = r.getSeq[Double](1)
+        val lut = for (mm <- 0 until m; kk <- 0 until k) yield
+          (0 until sub).map(i => q(mm * sub + i) * book(mm)(kk)(i)).sum
+        (r.getLong(0), lut)
+      }.toSeq
+    import spark.implicits._
+    val luts = queryLuts.toDF("qid", "lut")
+
+    // ADC: approximate dot = sum over subspaces of the query's LUT
+    // entry at (subspace, code) — m lookups, no vector math
+    val adc = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, mm) => acc + element_at(col("lut"),
+        (mm * k + element_at(col("codes"), mm + 1) + 1).cast("int")))
+    val candidates = corpusCodes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), adc.as("adc_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_score").desc, col("nid"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("nid"))
+    topkByDot(emb, candidates)
+  }
+
   /** Centroid roll-up: per-label mean vector, its norm, and the
     * cell-dispersion metric (mean member cosine to the centroid —
     * the quality number IVF training watches). The centroid pass is

@@ -28,6 +28,9 @@ object MeasureGT {
     val ivf = VectorQueries.annIvfTopk(spark, dir)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"ivf recall@5 = ${(brute & ivf).size.toDouble / brute.size} (${(brute & ivf).size}/${brute.size})")
+    val pq = VectorQueries.annPqTopk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"pq recall@5 = ${(brute & pq).size.toDouble / brute.size} (${(brute & pq).size}/${brute.size})")
 
     // near-dup LSH recall
     val exact = VectorQueries.embNearDup(spark, dir)

@@ -37,6 +37,7 @@ class QueriesSmokeSpec extends SparkSpec {
   private val groundTruthSpecs = Map(
     "ann_lsh_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
+    "ann_pq_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "dedup_minhash_lsh" -> "TextQueriesSpec set-EQUAL to exact shingle-J >= 0.7",
     "dedup_clusters_lsh" -> "TextQueriesSpec set-equal to clustering the exact shingle-J pairs",
     "dedup_simhash" -> "TextQueriesSpec set-equal to brute hamming <= 6",
