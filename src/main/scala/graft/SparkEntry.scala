@@ -30,6 +30,7 @@ object SparkEntry {
     "p10_zero_stock_skip" -> (CoreQueries.p10ZeroStockSkip _),
     "k2_backfill" -> (CoreQueries.k2Backfill _),
     "k5_snapshot_diff" -> (CoreQueries.k5SnapshotDiff _),
+    "k6_incremental_agg" -> (CoreQueries.k6IncrementalAgg _),
     "p1_name_synthesis" -> (CoreQueries.p1NameSynthesis _),
     "p4_coalesce_chain" -> (CoreQueries.p4CoalesceChain _),
     "p5_cents_to_dollars" -> (CoreQueries.p5CentsToDollars _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "t_inverted_index" -> ((s: SparkSession, d: String) => TextQueries.tInvertedIndex(s, d)),
     "t_heavy_hitters" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHitters(s, d)),
     "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
+    "t_lm_score" -> (TextQueries.tLmScore _),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -149,6 +151,12 @@ object SparkEntry {
          WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
             OR old.o_totalprice <> new.o_totalprice
             OR old.o_orderstatus <> new.o_orderstatus""",
+    "k6_incremental_agg" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+         min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+         count(*) AS n_rows,
+         round(sum(l_quantity) / count(*), 4) AS avg_qty
+         FROM lineitem GROUP BY l_suppkey""",
     "p1_name_synthesis" ->
       """SELECT p_partkey,
          trim(concat_ws(' ', coalesce(p_brand, ''), coalesce(p_type, ''))) AS display_name,
@@ -514,6 +522,30 @@ object SparkEntry {
                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
                     FROM counts)
          SELECT term, cnt, rk FROM ranked WHERE rk <= 20""",
+    "t_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+         d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         big AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
+                 FROM (SELECT doc_id, unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
+                       FROM d2)),
+         rb AS (SELECT w1, w2, count(*) AS cb FROM big WHERE doc_id % 2 = 0
+                GROUP BY 1, 2),
+         ru AS (SELECT w, count(*) AS cu
+                FROM (SELECT doc_id, unnest(toks) AS w FROM d2)
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM ru)
+         SELECT big.doc_id, count(*) AS n_bigrams,
+           round(sum(-ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + v.v)))
+             / count(*), 4) AS avg_nll,
+           round(exp(sum(-ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + v.v)))
+             / count(*)), 2) AS ppl
+         FROM big LEFT JOIN rb ON big.w1 = rb.w1 AND big.w2 = rb.w2
+           LEFT JOIN ru ON big.w1 = ru.w
+           CROSS JOIN v
+         GROUP BY big.doc_id""",
     "t_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\s+') AS w

@@ -528,4 +528,33 @@ object CoreQueries {
         round(col("old_price"), 2).as("old_price"),
         round(col("new_price"), 2).as("new_price"))
   }
+
+  /** K6: incremental aggregate maintenance (IncrementalAgg.scala).
+    * A supplier-level rollup of lineitem is maintained as mergeable
+    * state; a "newly arrived" partition (every 10th order,
+    * deterministic so the oracle can replay the split) is folded in
+    * WITHOUT re-aggregating history: partial(delta) ∪ stored state →
+    * re-aggregate, then read-time finalize derives the average.
+    *
+    * The oracle is the full recompute — the whole point: refresh
+    * result ≡ groupBy over base+delta, at O(|delta| + |groups|)
+    * cost instead of O(|fact|). */
+  def k6IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    import graft.ops.IncrementalAgg.AggSpec
+    val spec = AggSpec(keys = Seq("l_suppkey"),
+      sums = Seq("l_quantity"), mins = Seq("l_shipdate"), maxs = Seq("l_shipdate"))
+    val li = Tables.lineitem(spark, dir)
+    val isDelta = col("l_orderkey") % 10 === 0
+    val stored = IncrementalAgg.partial(li.filter(!isDelta), spec)
+    val refreshed = IncrementalAgg.merge(
+      Seq(stored, IncrementalAgg.partial(li.filter(isDelta), spec)), spec)
+    IncrementalAgg.finalize(refreshed, spec)
+      .select(col("l_suppkey"),
+        round(col("sum_l_quantity"), 2).as("sum_qty"),
+        col("min_l_shipdate").as("first_ship"),
+        col("max_l_shipdate").as("last_ship"),
+        col("n_rows"),
+        round(col("avg_l_quantity"), 4).as("avg_qty"))
+  }
 }

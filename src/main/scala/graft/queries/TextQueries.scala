@@ -1067,4 +1067,53 @@ object TextQueries {
     top.withColumn("rk", row_number().over(
       Window.orderBy(col("est").desc, col("term").asc)).cast("long"))
   }
+
+  /** Bigram language-model quality scoring — the CCNet-style
+    * perplexity filter (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * train add-one-smoothed bigram statistics on a reference slice
+    * of the corpus (even doc_ids — deterministic so the DuckDB
+    * oracle replays the split), then score EVERY document by average
+    * negative log-likelihood under that model. High `avg_nll` (high
+    * `ppl`) = far from the reference distribution = filter
+    * candidate. The model here is the corpus's own clean half; in a
+    * real pipeline it would be a curated reference corpus — the
+    * query shape is identical.
+    *
+    * Scale shape: training is two map-side-combinable groupBy
+    * counts whose OUTPUT is vocab-bounded, not corpus-bounded.
+    * Scoring joins the corpus bigram stream against the counts on
+    * (w1, w2) / (w1): the count side carries ONE row per key, so a
+    * hot key (stopword pairs) fans out 1:N without pair blowup —
+    * skew only unbalances partition sizes, which AQE's skew split
+    * re-levels. V (distinct reference vocab) rides a broadcast
+    * single-row cross join. No collect, no windows, no UDFs — every
+    * expression whole-stage codegens. */
+  def tLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(tokens(lower(col("text"))), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2)
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBig = bigrams.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val refUni = toks.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = broadcast(refUni.agg(count(lit(1)).as("v")))
+    val nll = -log((coalesce(col("cb"), lit(0L)) + lit(1.0d)) /
+      (coalesce(col("cu"), lit(0L)) + col("v")))
+    bigrams
+      .join(refBig, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(nll) / count(lit(1)), 4).as("avg_nll"),
+        round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
+  }
 }

@@ -350,4 +350,40 @@ class TextQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("tLmScore: add-one bigram NLL matches hand-computed model exactly") {
+    import spark.implicits._
+    // ref slice = even doc_ids (0, 2). Model: cu(a)=2, cu(b)=4, V=2;
+    // cb(a,b)=2, cb(b,a)=1, cb(b,b)=1.
+    val rows = Seq((0L, "en", "a b a b"), (1L, "en", "a b c"), (2L, "en", "b b"))
+    val dir = Files.createTempDirectory("lmscore").toString
+    rows.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    def nll(cb: Long, cu: Long, v: Long): Double =
+      -math.log((cb + 1.0) / (cu + v))
+    val expected = Map(
+      // doc 0: (a,b) ×2, (b,a) ×1
+      0L -> (3L, (2 * nll(2, 2, 2) + nll(1, 4, 2)) / 3),
+      // doc 1: (a,b) cb=2 cu(a)=2; (b,c) cb=0 cu(b)=4
+      1L -> (2L, (nll(2, 2, 2) + nll(0, 4, 2)) / 2),
+      // doc 2: (b,b) cb=1 cu(b)=4
+      2L -> (1L, nll(1, 4, 2)))
+
+    val out = TextQueries.tLmScore(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("ppl"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == expected.keySet)
+    for ((id, (nBig, avg)) <- expected) {
+      val (gotN, gotAvg, gotPpl) = out(id)
+      assert(gotN == nBig, s"doc $id n_bigrams")
+      assert(math.abs(gotAvg - math.rint(avg * 1e4) / 1e4) < 1e-9, s"doc $id avg_nll")
+      assert(math.abs(gotPpl - math.rint(math.exp(avg) * 1e2) / 1e2) < 1e-9,
+        s"doc $id ppl")
+    }
+    // the even half scores strictly better than the odd doc with the
+    // unseen bigram — the filter signal the query exists to produce
+    assert(out(1L)._2 > out(0L)._2)
+  }
 }
