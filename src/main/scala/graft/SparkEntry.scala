@@ -92,6 +92,7 @@ object SparkEntry {
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_centroids" -> (VectorQueries.embCentroids _),
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
+    "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -487,4 +487,62 @@ object VectorQueries {
   def embDedupClusters(spark: SparkSession, dir: String): DataFrame =
     TextQueries.clustersOf(embNearDup(spark, dir).select(col("a_id"), col("b_id")))
       .withColumnRenamed("doc_id", "vec_id")
+
+  /** Nearest-centroid id (1-based) by squared L2, minimizing
+    * |c|^2 - 2*v.c (the |v|^2 term is constant per point). Ties take
+    * the lowest centroid index (array_position finds the first
+    * minimum) — deterministic. */
+  private def nearestCentroid(cents: Seq[Seq[Double]], v: Column): Column = {
+    val scores = array(cents.map(c =>
+      dot(v, typedlit(c)) * lit(-2.0) + lit(c.map(x => x * x).sum)): _*)
+    array_position(scores, array_min(scores)).cast("int")
+  }
+
+  /** Lloyd's k-means centroids after `iters` iterations, seeded by
+    * the first k vectors (deterministic). Each iteration is the
+    * textbook distributed shape (identical to Spark MLlib's): a
+    * NARROW assignment pass — k dot products per row against
+    * broadcast literal centroids, no shuffle — and ONE map-side-
+    * combined groupBy whose k x dim output collects to the driver.
+    * Per-iteration cost at 100 TB: one corpus scan plus a k*dim-row
+    * agg; the collected model is k*dim doubles regardless of corpus
+    * size (the same broadcast-quantizer pattern as annIvfTopk).
+    * An emptied cluster keeps its previous centroid. */
+  private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
+    val means = (0 until EmbDim).map(i =>
+      avg(element_at(col("emb"), i + 1)).as(s"c$i"))
+    for (_ <- 0 until iters) {
+      val m = emb.select(col("emb"), nearestCentroid(cents, col("emb")).as("cl"))
+        .groupBy(col("cl")).agg(means.head, means.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          (0 until EmbDim).map(i => r.getDouble(i + 1)).toVector).toMap
+      cents = (1 to k).map(c => m.getOrElse(c, cents(c - 1)))
+    }
+    cents
+  }
+
+  /** Distributed k-means clustering of the embedding corpus — the
+    * coarse partitioner behind corpus curation (topic balancing,
+    * diversity sampling, SemDeDup-style pruning). Output: every
+    * vector's cluster assignment plus its cluster's population.
+    * Ground truth in VectorQueriesSpec: monotone non-increasing SSE
+    * across iterations and assignment == an independently computed
+    * driver-side nearest-centroid pass. */
+  def embKmeans(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 5): DataFrame = {
+    val emb = embDouble(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCentroids(emb, k, iters)
+    val assigned = emb.select(col("vec_id"),
+      nearestCentroid(cents, col("emb")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assigned.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_n"))
+  }
 }

@@ -84,4 +84,50 @@ class VectorQueriesSpec extends SparkSpec {
     val extra = lsh.join(exactAll, Seq("label", "a_id", "b_id", "cos"), "left_anti")
     assert(extra.isEmpty, "LSH path emitted a pair the exact path does not")
   }
+
+  test("embKmeans: SSE non-increasing per Lloyd iteration; assignment is nearest-centroid") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val points = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val k = 8
+
+    def sse(cents: Seq[Seq[Double]]): Double = points.values.map { v =>
+      cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+        s
+      }.min
+    }.sum
+    val byIter = (0 to 4).map(i => sse(VectorQueries.kmeansCentroids(emb, k, i)))
+    for (i <- 1 to 4)
+      assert(byIter(i) <= byIter(i - 1) * (1 + 1e-9),
+        s"SSE rose at iteration $i: ${byIter(i - 1)} -> ${byIter(i)}")
+    // and training actually moved: 4 iterations beat the raw seeds
+    assert(byIter(4) < byIter(0))
+
+    // the query's assignment equals an independent driver-side
+    // nearest-centroid pass (lowest-index tie-break), modulo float
+    // ties closer than 1e-9
+    val cents = VectorQueries.kmeansCentroids(emb, k, 5)
+    val cNorm2 = cents.map(_.map(x => x * x).sum)
+    val out = VectorQueries.embKmeans(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == points.size)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((vid, cl, n) <- out) {
+      assert(cl >= 1 && cl <= k)
+      assert(n == sizes(cl), s"vec $vid carries stale cluster_n")
+      val v = points(vid)
+      val scores = cents.indices.map { ci =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cents(ci)(i); i += 1 }
+        -2.0 * d + cNorm2(ci)
+      }
+      val best = scores.indexOf(scores.min) + 1
+      assert(best == cl || math.abs(scores(cl.toInt - 1) - scores.min) < 1e-9,
+        s"vec $vid assigned $cl, independent pass says $best")
+    }
+  }
 }
