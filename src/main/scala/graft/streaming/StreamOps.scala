@@ -781,4 +781,25 @@ object StreamOps {
     graft.sink.MergeWriter.writeSnapshot(spark, counted.drop("action"), sinkPath)
     counted.unpersist()
   }
+
+  /** Streaming materialized-view maintenance: fold every micro-batch
+    * into a stored IncrementalAgg state. Pass to `foreachBatch`:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(StreamOps.mvMaintainBatch(path, spec) _)
+    * }}}
+    *
+    * EXACTLY-once, not at-least-once: `refreshOnce` commits the
+    * batchId high-water token atomically with the refreshed state
+    * (same rename), so a replayed micro-batch — foreachBatch's
+    * documented failure mode — is a detected no-op rather than a
+    * double-fold. Each micro-batch costs O(batch + groups): the
+    * streaming-rate version of the same maintenance the k6 batch
+    * query proves against the full-recompute oracle. */
+  def mvMaintainBatch(storePath: String, spec: graft.ops.IncrementalAgg.AggSpec)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.ops.IncrementalAgg.refreshOnce(
+      batch.sparkSession, storePath, batch, spec, batchId)
+    ()
+  }
 }

@@ -54,6 +54,25 @@ class IncrementalAggSpec extends SparkSpec {
     assert(asMap(spark.read.parquet(store)) == expected)
   }
 
+  test("HLL distinct state: mergeable across refreshes, estimate exact at small card") {
+    val dspec = AggSpec(keys = Seq("k"), distincts = Seq("v"))
+    val parts = Seq(d1, d2, d3).map(IncrementalAgg.partial(_, dspec))
+    def estimates(st: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      IncrementalAgg.finalize(st, dspec)
+        .select(col("k"), col("approx_distinct_v").cast("long"))
+        .as[(String, Long)].collect().toMap
+    // exact truth: a -> {1,5,2}, b -> {10,-3}, c -> {7,9}
+    val expected = Map("a" -> 3L, "b" -> 2L, "c" -> 2L)
+    assert(estimates(IncrementalAgg.merge(parts, dspec)) == expected)
+    // merge order cannot change a sketch union
+    assert(estimates(IncrementalAgg.merge(parts.reverse, dspec)) == expected)
+    // duplicate values across deltas collapse (d2 and d3 both carry c=7)
+    // — already covered by expected("c") == 2, the MV property sums lack
+    // sketch column is NOT in the finalized output
+    val cols = IncrementalAgg.finalize(IncrementalAgg.merge(parts, dspec), dspec).columns
+    assert(!cols.exists(_.startsWith("hll_")))
+  }
+
   test("finalize derives avg from state without touching fact rows") {
     val st = IncrementalAgg.partial(full, spec)
     val fin = IncrementalAgg.finalize(st, spec)

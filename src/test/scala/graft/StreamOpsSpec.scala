@@ -545,6 +545,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(opt == ((5, 90L))) // accumulated stock, min price
     assert(sink.count() == 2)
   }
+
+  test("mvMaintainBatch: streaming MV equals full recompute; replayed batch is a no-op") {
+    import graft.ops.IncrementalAgg
+    import graft.ops.IncrementalAgg.AggSpec
+    implicit val sqlCtx = spark.sqlContext
+    val spec = AggSpec(keys = Seq("k"), sums = Seq("v"), distincts = Seq("v"))
+    val store = java.nio.file.Files.createTempDirectory("mvmaint").toString + "/state"
+
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch(StreamOps.mvMaintainBatch(store, spec) _)
+      .start()
+    in.addData(("a", 1L), ("a", 5L), ("b", 10L))
+    q.processAllAvailable()
+    in.addData(("a", 2L), ("c", 7L), ("c", 7L))
+    q.processAllAvailable(); q.stop()
+
+    def state(): Map[String, (Long, Long, Long)] =
+      IncrementalAgg.finalize(spark.read.parquet(store), spec)
+        .select(col("k"), col("sum_v"), col("n_rows"),
+          col("approx_distinct_v").cast("long"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val afterStream = state()
+    assert(afterStream == Map(
+      "a" -> ((8L, 3L, 3L)), "b" -> ((10L, 1L, 1L)), "c" -> ((14L, 2L, 1L))))
+
+    // foreachBatch replay: re-folding the LAST batch must be refused
+    val lastBatch = Seq(("a", 2L), ("c", 7L), ("c", 7L)).toDF("k", "v")
+    val applied = IncrementalAgg.refreshOnce(spark, store, lastBatch, spec, 1L)
+    assert(!applied && state() == afterStream, "replayed batchId was re-folded")
+    // ...while a genuinely new batch folds
+    assert(IncrementalAgg.refreshOnce(spark, store, Seq(("b", -4L)).toDF("k", "v"),
+      spec, 2L))
+    assert(state()("b") == ((6L, 2L, 2L)))
+    // and a plain batch refresh carries the streaming ledger forward:
+    // batchId 2 stays refused afterwards
+    IncrementalAgg.refresh(spark, store, Seq(("d", 1L)).toDF("k", "v"), spec)
+    assert(!IncrementalAgg.refreshOnce(spark, store,
+      Seq(("z", 9L)).toDF("k", "v"), spec, 2L))
+    assert(!state().contains("z") && state()("d") == ((1L, 1L, 1L)))
+  }
 }
 
 object StreamOpsSpec {
