@@ -55,7 +55,8 @@ object VectorQueries {
   /** The fixed query set every ANN variant answers for: the first 10
     * vectors. One definition so the brute/LSH/IVF paths can never
     * silently diverge on what they are recalled against. */
-  private val QueryPred = col("vec_id") < 10
+  private val QueryK = 10
+  private val QueryPred = col("vec_id") < QueryK
 
   /** Shared ANN tail: exact re-rank of candidate (qid, nid) pairs —
     * fetch both embeddings by id (queries broadcast), exact dot,
@@ -345,13 +346,21 @@ object VectorQueries {
     * re-ranked by the exact dot (the same candidates-then-exact tail
     * every ANN variant here shares).
     *
-    * Training is the IVF pattern per subspace: deterministic seeds
-    * (first k vectors' subvectors), ONE distributed Lloyd iteration
-    * (assignment is a narrow map; the update is a map-side-combined
-    * per-(subspace, cell) component mean), codebooks collected to the
-    * driver — m×k×(EmbDim/m) doubles, a broadcast-sized quantizer
-    * exactly like the IVF coarse quantizer. Empty cells keep their
-    * seed centroid.
+    * Training is the FAISS shape: codebooks are fit to a BOUNDED
+    * DETERMINISTIC SAMPLE (`vec_id % trainMod == 0`, first
+    * `maxTrain` by id via TakeOrdered — k-means needs cluster
+    * statistics, not the census, and maxTrain ≫ k points per
+    * sub-centroid), collected once and Lloyd-iterated per subspace
+    * ON THE DRIVER — the model is m×k×(EmbDim/m) doubles and the
+    * sample is maxTrain×EmbDim regardless of corpus size, so
+    * training is one bounded collect + driver arithmetic, zero
+    * repeated corpus scans. Seeds are the sample's first k
+    * subvectors; empty cells keep their previous centroid. Only the
+    * ENCODE pass touches every row — at 100 TB the full-corpus cost
+    * is ONE narrow scan, and the pre-scoring driver path is a single
+    * Spark job (the sample TakeOrdered, which also collects the
+    * query vectors: qids sort first, so the +QueryK limit headroom
+    * always retains them).
     *
     * Scale shape: encode pass is narrow (m×k sub-dots per row, no
     * shuffle); scoring joins the m-byte code table against the
@@ -362,9 +371,9 @@ object VectorQueries {
     * MeasureGT. */
   def annPqTopk(spark: SparkSession, dir: String,
       m: Int = 8, k: Int = 32, shortlist: Int = 100,
-      lloydRounds: Int = 2): DataFrame = {
+      lloydRounds: Int = 4, trainMod: Int = 1, maxTrain: Int = 4096): DataFrame = {
     val sub = EmbDim / m
-    // persisted: training (two collects), the encode pass, and the
+    // persisted: the sample collect, the encode pass, and the
     // re-rank joins all read it (same cache contract as annIvfTopk)
     val emb = embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -387,54 +396,81 @@ object VectorQueries {
         (array_position(scores, array_max(scores)) - 1).cast("int")
       }: _*)
 
-    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
-      .orderBy(col("vec_id"))
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
-    val seedBook: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(mm => seeds.map(_.slice(mm * sub, (mm + 1) * sub)))
+    // ONE bounded job for everything driver-side: TakeOrdered over
+    // sample ∪ queries (queries' ids < QueryK sort first, so the
+    // +QueryK headroom keeps them under any maxTrain). At 100 TB set
+    // trainMod ≈ corpus/maxTrain so the id-ordered limit sees a
+    // corpus-spanning stride rather than the first ids; at test
+    // scale the corpus is under maxTrain and trainMod=1 trains on
+    // all of it (codebook quality needs ≫ k points per centroid —
+    // trainMod=4 at 500 vectors measurably cost recall).
+    val collected = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 || QueryPred)
+      .orderBy(col("vec_id")).limit(maxTrain + QueryK)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val sample: Array[Array[Double]] =
+      collected.collect { case (id, v) if id % trainMod == 0 => v }.take(maxTrain)
+    val queryVecs: Seq[(Long, Array[Double])] =
+      collected.collect { case (id, v) if id < QueryK => (id, v) }.toSeq
+    require(sample.length >= k,
+      s"PQ training sample ${sample.length} < k=$k — lower trainMod")
 
-    // Lloyd iterations, all subspaces in ONE job each: explode each
-    // row to its m (subspace, cell, subvector) assignments, then
-    // map-side-combined component means per (subspace, cell)
-    val subMeans = (0 until sub).map(i =>
-      avg(element_at(col("subv"), i + 1)).as(s"c$i"))
-    val book: Seq[Seq[Seq[Double]]] =
-      (0 until lloydRounds).foldLeft(seedBook) { (prev, _) =>
-        val trained: Map[(Int, Int), Seq[Double]] = emb
-          .select(col("emb"), posexplode(assignExpr(prev, col("emb")))
-            .as(Seq("mm", "cell")))
-          .select(col("mm"), col("cell"),
-            slice(col("emb"), col("mm") * sub + 1, lit(sub)).as("subv"))
-          .groupBy(col("mm"), col("cell"))
-          .agg(subMeans.head, subMeans.tail: _*)
-          .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-            (0 until sub).map(i => r.getDouble(i + 2)).toVector).toMap
-        (0 until m).map(mm =>
-          (0 until k).map(kk => trained.getOrElse((mm, kk), prev(mm)(kk))))
+    // Lloyd per subspace on the driver: maxTrain×sub points, k
+    // centroids — bounded arithmetic (µs at any corpus size), the
+    // standard quantizer-training locus when the model is
+    // broadcast-sized. Nearest by L2; ties take the lowest index;
+    // an emptied cell keeps its previous centroid.
+    def nearestIdx(cents: Array[Array[Double]], p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
+      best
+    }
+    val book: Seq[Seq[Seq[Double]]] = (0 until m).map { mm =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mm * sub, (mm + 1) * sub))
+      var cents = pts.take(k).map(_.clone)
+      for (_ <- 0 until lloydRounds) {
+        val sums = Array.fill(k, sub)(0.0); val ns = new Array[Long](k)
+        pts.foreach { p =>
+          val c = nearestIdx(cents, p); ns(c) += 1
+          var i = 0; while (i < sub) { sums(c)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (ns(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / ns(c)))
+      }
+      cents.map(_.toSeq).toSeq
+    }
 
     val corpusCodes = emb.select(col("vec_id"),
       assignExpr(book, col("emb")).as("codes"))
 
-    // queries: tiny by construction — LUTs computed driver-side and
-    // broadcast, the same quantizer-sized collect as IVF's centroids
-    val queryLuts: Seq[(Long, Seq[Double])] = emb.filter(QueryPred)
-      .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("emb")).collect().map { r =>
-        val q = r.getSeq[Double](1)
-        val lut = for (mm <- 0 until m; kk <- 0 until k) yield
-          (0 until sub).map(i => q(mm * sub + i) * book(mm)(kk)(i)).sum
-        (r.getLong(0), lut)
-      }.toSeq
+    // query LUTs from the already-collected query vectors — no extra
+    // job; broadcast with the scoring join (quantizer-sized)
+    val queryLuts: Seq[(Long, Seq[Double])] = queryVecs.map { case (id, q) =>
+      val lut = for (mm <- 0 until m; kk <- 0 until k) yield
+        (0 until sub).map(i => q(mm * sub + i) * book(mm)(kk)(i)).sum
+      (id, lut)
+    }
     import spark.implicits._
     val luts = queryLuts.toDF("qid", "lut")
 
     // ADC: approximate dot = sum over subspaces of the query's LUT
-    // entry at (subspace, code) — m lookups, no vector math
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0d),
-      (acc, mm) => acc + element_at(col("lut"),
-        (mm * k + element_at(col("codes"), mm + 1) + 1).cast("int")))
+    // entry at (subspace, code) — m lookups, statically unrolled to
+    // a flat add chain (m is a compile-time constant; the unroll
+    // stays in whole-stage codegen with no lambda dispatch)
+    val adc = (0 until m).map(mm => element_at(col("lut"),
+        (element_at(col("codes"), mm + 1) + (mm * k + 1)).cast("int")))
+      .reduce(_ + _)
+    // the rank-filter shape is WindowGroupLimit-eligible (pinned in
+    // PlanSpec): each partition keeps its local top-`shortlist` per
+    // qid map-side, so the per-qid sort never sees the full corpus
     val candidates = corpusCodes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), adc.as("adc_score"))

@@ -178,6 +178,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("ann PQ: ADC shortlist is WindowGroupLimit-pruned; scoring never cartesian") {
+    // the rank <= shortlist filter over the per-qid ADC window must
+    // keep each map task's local top-`shortlist` ahead of the
+    // exchange — without WindowGroupLimit the 10-qid sort partition
+    // would receive the entire compressed corpus at 100 TB
+    val plan = planString(VectorQueries.annPqTopk(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "ADC scoring fell off the broadcast path")
+  }
+
   test("near-dup index: per-batch bucket pruning reaches the scan and skips files") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.FileSourceScanExec
