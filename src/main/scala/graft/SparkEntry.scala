@@ -416,6 +416,33 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
                     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+    // SimHash: the per-token hash is md5's lower 64 bits (chars
+    // 17..32 as two 32-bit halves — hi/lo kept separate here so no
+    // intermediate overflows BIGINT), per-bit ±1 majority sums over
+    // the token stream, then all-pairs hamming via xor + bit_count.
+    // Brute-force over every pair, so it also re-proves the Spark
+    // side's pigeonhole candidate generation is exact at <= 6.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(trim(text))), '\s+')) AS tok
+                    FROM documents),
+              h AS (SELECT doc_id,
+                    ('0x' || substr(md5(tok), 17, 8))::BIGINT AS hi,
+                    ('0x' || substr(md5(tok), 25, 8))::BIGINT AS lo
+                    FROM toks),
+              sums AS (SELECT doc_id, b,
+                    sum(CASE WHEN ((hi >> b) & 1) = 1 THEN 1 ELSE -1 END) AS shi,
+                    sum(CASE WHEN ((lo >> b) & 1) = 1 THEN 1 ELSE -1 END) AS slo
+                    FROM h, range(32) r(b) GROUP BY doc_id, b),
+              sig AS (SELECT doc_id,
+                    sum(CASE WHEN shi > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig_hi,
+                    sum(CASE WHEN slo > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig_lo
+                    FROM sums GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    (bit_count(xor(a.sig_hi, b.sig_hi))
+                     + bit_count(xor(a.sig_lo, b.sig_lo)))::INT AS hamming
+                    FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""",
     // connected components of the near-dup pair graph: a recursive
     // CTE computes every node's reachable set and labels it with the
     // minimum — the unique fixpoint label propagation converges to

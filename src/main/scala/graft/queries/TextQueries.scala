@@ -663,11 +663,23 @@ object TextQueries {
 
   /** 64-bit SimHash signature per doc — public so TextQueriesSpec
     * can brute-force all-pairs hamming and assert dedupSimhash's
-    * pigeonhole candidate generation loses nothing at ≤ 6. */
+    * pigeonhole candidate generation loses nothing at ≤ 6.
+    *
+    * The per-token 64-bit hash is the LOWER HALF OF md5 (hex chars
+    * 17..32, assembled from two 32-bit conv halves so the unsigned
+    * top bit survives the long cast) rather than xxhash64: md5 is
+    * the one 64-bit-capable hash DuckDB computes bit-identically, so
+    * the whole query — signatures, majority bits, hamming — has a
+    * full SQL oracle instead of a rows-only check. SimHash only
+    * needs a uniform deterministic hash; which one is arbitrary. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), {
+        val hx = md5(col("tok"))
+        shiftleft(conv(substring(hx, 17, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(hx, 25, 8), 16, 10).cast("long")).as("h")
+      })
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
