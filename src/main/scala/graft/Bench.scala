@@ -135,7 +135,17 @@ object Bench {
     // Double.toString is locale-independent; the f-interpolator is NOT
     // (a comma-decimal locale would emit "1,43" and break the JSON)
     val loadVarStr = (math.round(loadVariance * 100) / 100.0).toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":$loadVarStr,"noisy":$noisy,"retried":$retried,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,"queries_warm":$warm,"queries_best":$best,"total_best":$totalBest,"runs_per_query":$runsPerQuery,"load_variance":$loadVarStr,"noisy":$noisy,"retried":$retried,"sf":"$sfDir"}"""
+    println(json)
+    // Self-record the complete JSON to a file as well: the stdout
+    // capture path once truncated its tail and silently dropped the
+    // first 7 queries from the recorded artifact — the file is the
+    // complete record regardless of any pipe buffer length.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }
