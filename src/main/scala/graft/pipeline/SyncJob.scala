@@ -49,7 +49,7 @@ object SyncJob {
   val DefaultFetchDeadline: scala.concurrent.duration.FiniteDuration =
     scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES)
 
-  private final case class VendorCounters(fetched: Long, valid: Long,
+  private[graft] final case class VendorCounters(fetched: Long, valid: Long,
       skipped: Long, inserted: Long, updated: Long, stock: Long)
 
   /** Run a full sync.
@@ -219,6 +219,41 @@ object SyncJob {
       case seqs => seqs.reduce(_ unionByName _)
     })
 
+    val okIds = oks.map(_.api.vendorId)
+    val (stats, mergedView) =
+      mergeItems(spark, allItems, okIds, store, mode, now, dryRun)
+
+    val summaries = ingests.map {
+      case Err(api, status, msg) =>
+        VendorSummary(api.vendorId, api.database.getOrElse(""), status,
+          0, 0, 0, 0, 0, 0, 0, Some(msg))
+      case Ok(api, _) =>
+        val c = stats.getOrElse(api.vendorId, VendorCounters(0, 0, 0, 0, 0, 0))
+        VendorSummary(api.vendorId, api.database.getOrElse(""), "ok",
+          c.fetched, c.valid, c.skipped, c.inserted, c.updated, c.stock,
+          c.inserted + c.updated, None)
+    }
+
+    // Dry-run hands back the computed (unwritten) snapshot: `merged`
+    // still lazily reads the untouched sink files, which is exactly
+    // what the caller should inspect.
+    val sinkView = if (dryRun) mergedView else store.read(spark)
+    SyncResult(summaries, sinkView)
+  }
+
+  /** The relational core of ONE sync against a store: enrich → match
+    * → aggregate → MERGE → one-action A5 stats → snapshot write.
+    * Shared verbatim by the batch path (`syncStore`) and the
+    * incremental path (`graft.streaming.StreamOps.syncBatch`):
+    * SURVEY §7.4#7 — incremental sync IS the same MERGE writer fed
+    * by micro-batches, so batch and streamed syncs can never drift
+    * semantically. Returns the per-vendor counters and the merged
+    * (unwritten) snapshot view for dry-run callers. */
+  private[graft] def mergeItems(spark: SparkSession, allItems: DataFrame,
+      okIds: Seq[String], store: MergeWriter.SnapshotStore,
+      mode: MergeWriter.MergeMode, now: Timestamp,
+      dryRun: Boolean): (Map[String, VendorCounters], DataFrame) = {
+
     // Relational core: enrich → match → aggregate.
     val enriched = OptionAgg.enrich(allItems)
     val names = enriched.filter(col("vendorName") =!= "")
@@ -244,7 +279,6 @@ object SyncJob {
     // full-table rewrite per sync). Untouched vendors never enter the
     // merge: their rows would all be action=keep, which the stats job
     // ignores, so the summary is identical on both paths.
-    val okIds = oks.map(_.api.vendorId)
     val partial = store.supportsPartialWrite && !dryRun
     val existingAll = store.read(spark)
     val existing =
@@ -293,24 +327,7 @@ object SyncJob {
       else store.write(spark, merged.drop("action"))
     }
 
-    val summaries = ingests.map {
-      case Err(api, status, msg) =>
-        VendorSummary(api.vendorId, api.database.getOrElse(""), status,
-          0, 0, 0, 0, 0, 0, 0, Some(msg))
-      case Ok(api, _) =>
-        val c = stats.getOrElse(api.vendorId, VendorCounters(0, 0, 0, 0, 0, 0))
-        VendorSummary(api.vendorId, api.database.getOrElse(""), "ok",
-          c.fetched, c.valid, c.skipped, c.inserted, c.updated, c.stock,
-          c.inserted + c.updated, None)
-    }
-
-    // Dry-run hands back the computed (unwritten) snapshot: `merged`
-    // still lazily reads the untouched sink files, which is exactly
-    // what the caller should inspect.
-    val sinkView =
-      if (dryRun) merged.drop("action")
-      else store.read(spark)
-    SyncResult(summaries, sinkView)
+    (stats, merged.drop("action"))
   }
 
   private val SyncExprsAvailable = graft.expr.SyncExprs.isAvailable(col("status"))

@@ -782,6 +782,57 @@ object StreamOps {
     counted.unpersist()
   }
 
+  /** Incremental END-TO-END sync — SURVEY §7.4#7 made concrete: each
+    * micro-batch of raw vendor payload envelopes
+    * (`vendorId`, `payload` JSON — the same envelope the HTTP source
+    * fetches) runs the ENTIRE batch sync pipeline via
+    * `SyncJob.mergeItems`: distributed envelope parse → enrich →
+    * catalog match → option aggregate → MERGE into the store → the
+    * same one-action A5 counters. Batch and streamed syncs share the
+    * core verbatim, so an N-batch streamed sync produces the
+    * identical sink and summaries as N batch `syncStore` runs over
+    * the same payloads (spec-pinned in StreamSyncSpec at 3 batches,
+    * Accumulate mode).
+    *
+    * {{{
+    * envelopes.writeStream.foreachBatch(
+    *   StreamOps.syncBatch(store, onSummary = sink ++= _) _)
+    * }}}
+    *
+    * `clock` injects the P12 timestamp per batch (deterministic
+    * specs); `onSummary` receives the per-vendor A5 summaries the
+    * batch route returns from its HTTP response. Replay semantics
+    * follow the store's merge mode: Replace re-merges to the same
+    * snapshot (idempotent); Accumulate is at-least-once — gate with
+    * a batchId marker around the call if the upstream source can
+    * replay committed batches (mvMaintainBatch shows the
+    * token-with-state pattern when exactly-once is required). */
+  def syncBatch(store: graft.sink.MergeWriter.SnapshotStore,
+      mode: graft.sink.MergeWriter.MergeMode = graft.sink.MergeWriter.Accumulate,
+      clock: Long => java.sql.Timestamp =
+        _ => new java.sql.Timestamp(System.currentTimeMillis()),
+      onSummary: Seq[graft.model.VendorSummary] => Unit = _ => ())(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // vendor set of THIS batch: bounded by vendor count, the same
+    // k-of-N partial-write path as a filtered batch sync
+    val okIds = batch.select(col("vendorId")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (okIds.nonEmpty) {
+      val items = graft.sources.HttpSource.parseItemsDistributed(
+        batch.select(col("vendorId"), col("payload")))
+      val (stats, _) = graft.pipeline.SyncJob.mergeItems(
+        spark, items, okIds, store, mode, clock(batchId), dryRun = false)
+      onSummary(okIds.map { id =>
+        val c = stats.getOrElse(id,
+          graft.pipeline.SyncJob.VendorCounters(0, 0, 0, 0, 0, 0))
+        graft.model.VendorSummary(id, graft.model.Schemas.WholecellDb, "ok",
+          c.fetched, c.valid, c.skipped, c.inserted, c.updated, c.stock,
+          c.inserted + c.updated, None)
+      })
+    }
+  }
+
   /** Streaming materialized-view maintenance: fold every micro-batch
     * into a stored IncrementalAgg state. Pass to `foreachBatch`:
     *
