@@ -612,14 +612,20 @@ object TextQueries {
     * back output-bound. */
   private[graft] def minhashCandidatesOf(docs: DataFrame,
       cap: Int = MaxBandBucket): DataFrame = {
-    val banded = collapsedBands(docs)
+    // The cap is a count OVER the join key, so compute it as a window
+    // on the (band, band_key)-shuffled rows instead of a separate
+    // groupBy + re-join: one exchange that ALSO pre-partitions (and
+    // pre-sorts) both legs of the self-join below — the admitted
+    // frame's distribution satisfies the join requirement, so the
+    // whole cap costs one shuffle of the narrow band rows, not three.
+    // `admitted` (not the pre-window frame) carries the persist: it
+    // is what both self-join legs read.
+    val admitted = collapsedBands(docs)
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= cap)
+      .drop("bucket_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val admitted = banded.join(
-      banded.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= cap)
-        .select(col("band"), col("band_key")),
-      Seq("band", "band_key"))
     admitted.as("l")
       .join(admitted.as("r"), Seq("band", "band_key"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
