@@ -336,11 +336,14 @@ object MediaOps {
       }
     } catch { case _: Exception => None }
 
-  /** STUB decoder for the kinds whose codecs aren't in this container
-    * (audio/video — a real implementation would sit exactly here):
-    * produces width*height "pixels" by a rolling hash of the content
-    * bytes. Deterministic in (content, meta) so tests and re-runs
-    * agree. */
+  /** STUB decoder for the codec PAYLOADS that aren't decodable in
+    * this container (mp3/ogg entropy coding, video codecs — a real
+    * implementation would sit exactly here): produces width*height
+    * "pixels" by a rolling hash of the content bytes. Deterministic
+    * in (content, meta) so tests and re-runs agree. The stub surface
+    * is payload-only: container structure is real (Mp4 parses
+    * ISO-BMFF sample tables, so video frame boundaries/timestamps
+    * are exact; FLAC/G.711/ADPCM/PNG/TIFF/GIF decode fully). */
   def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
     val n = math.max(width * height, 0)
     val out = new Array[Byte](n)
@@ -509,21 +512,57 @@ object MediaOps {
       }
   }
 
-  /** Frame sampling for video rows: every Nth fixed-stride slice of
-    * the blob becomes a frame row (explode shape — one input row to
-    * many frame rows, source blob projected away before any
-    * downstream shuffle). */
+  /** Frame sampling for video rows: when the blob parses as an
+    * ISO-BMFF container (MP4/MOV — Mp4.parseVideo walks
+    * moov→trak→stbl), every-Nth sampling uses REAL frame boundaries:
+    * each emitted Frame carries that sample's exact codec-payload
+    * slice and true index from the container's sample tables — the
+    * pixel DECODE is still the documented stub boundary, but
+    * boundaries/timestamps are exact container facts. Blobs that are
+    * not ISO-BMFF keep the fixed-stride fallback. Explode shape
+    * either way: one input row to many frame rows, source blob
+    * projected away before any downstream shuffle. */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("content"))
       .flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val nFrames = bytes.length / math.max(frameBytes, 1)
-        (0 until nFrames by math.max(everyN, 1)).map { f =>
-          Frame(r.getLong(0), f,
-            java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        val step = math.max(everyN, 1)
+        Mp4.parseVideo(bytes) match {
+          case Some(track) if track.samples.nonEmpty =>
+            track.samples.indices.by(step).flatMap { i =>
+              val s = track.samples(i)
+              if (s.offset >= 0 && s.size > 0 && s.offset + s.size <= bytes.length)
+                Some(Frame(r.getLong(0), s.index, java.util.Arrays.copyOfRange(
+                  bytes, s.offset.toInt, (s.offset + s.size).toInt)))
+              else None
+            }
+          case _ =>
+            val nFrames = bytes.length / math.max(frameBytes, 1)
+            (0 until nFrames by step).map { f =>
+              Frame(r.getLong(0), f,
+                java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+            }
         }
+      }
+  }
+
+  /** Keyframe-only sampling — the standard seek/preview shape: one
+    * Frame per stss sync sample, exact payload slices. Rows that are
+    * not parseable containers emit nothing (there is no honest
+    * keyframe notion for an opaque blob). */
+  def sampleKeyframes(media: DataFrame): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("content"))
+      .flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Mp4.parseVideo(bytes).toSeq.flatMap(_.samples
+          .filter(s => s.keyframe && s.offset >= 0 && s.size > 0 &&
+            s.offset + s.size <= bytes.length)
+          .map(s => Frame(r.getLong(0), s.index, java.util.Arrays.copyOfRange(
+            bytes, s.offset.toInt, (s.offset + s.size).toInt))))
       }
   }
 }
