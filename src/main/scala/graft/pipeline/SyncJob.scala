@@ -334,9 +334,11 @@ object SyncJob {
 
   /** Admin catalog source — `graft.sync.admin.path` in the Spark
     * conf selects the backend by shape: a `jdbc:` URL reads the
-    * table named by `graft.sync.admin.table` (the closest analog of
-    * the reference's Mongo-resident catalog, products.js:122-126), a
-    * `.json` path reads JSON, anything else reads parquet. All three
+    * table named by `graft.sync.admin.table`, a `docs:<root>#<coll>`
+    * path reads the collection from a JSON-document directory via
+    * the graft-docs DSv2 source (the closest analog of the
+    * reference's Mongo-resident catalog, products.js:122-126), a
+    * `.json` path reads JSON, anything else reads parquet. All four
     * project to the one adminProduct schema, so CatalogMatch and the
     * rest of the pipeline never see which backend fed them. S6's
     * batch keyed lookup is subsumed by the broadcast join in
@@ -344,8 +346,15 @@ object SyncJob {
   def readAdmin(spark: SparkSession): DataFrame = {
     val path = spark.conf.get("graft.sync.admin.path", "")
     require(path.nonEmpty,
-      "set graft.sync.admin.path to the admin catalog (jdbc:URL/json/parquet)")
-    if (path.startsWith("jdbc:")) {
+      "set graft.sync.admin.path to the admin catalog (jdbc:URL/docs:root#coll/json/parquet)")
+    if (path.startsWith("docs:")) {
+      val spec = path.stripPrefix("docs:")
+      val (root, coll) = spec.lastIndexOf('#') match {
+        case -1 => (spec, "admin_products")
+        case i  => (spec.take(i), spec.drop(i + 1))
+      }
+      graft.sources.DocStore.readCollection(spark, root, coll, Schemas.adminProduct)
+    } else if (path.startsWith("jdbc:")) {
       val table = spark.conf.get("graft.sync.admin.table", "")
       require(table.nonEmpty,
         "set graft.sync.admin.table when graft.sync.admin.path is a jdbc: URL")
