@@ -416,6 +416,49 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
                     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+    // MinHash LSH: the output is spec-pinned set-EQUAL to exact
+    // 3-shingle Jaccard >= 0.7 on this corpus (TextQueriesSpec), and
+    // hashed-set Jaccard == string-set Jaccard, so the exact
+    // all-pairs computation over string shingles IS the oracle — no
+    // engine hash needs reproducing. An LSH recall regression breaks
+    // this row and the spec together. (Quadratic oracle: verification
+    // scale only, like dedup_ngram_jaccard's.)
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id,
+                    string_split_regex(trim(lower(trim(text))), '\s+') AS toks
+                    FROM documents),
+              s AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.7""",
+    // ...and clustering those exact pairs with the same recursive
+    // reachability CTE as dedup_clusters gives the LSH clustering its
+    // oracle too
+    "dedup_clusters_lsh" ->
+      """WITH RECURSIVE
+              t AS (SELECT doc_id,
+                    string_split_regex(trim(lower(trim(text))), '\s+') AS toks
+                    FROM documents),
+              s AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              walk(id, lbl) AS (
+                    SELECT src, src FROM e
+                    UNION
+                    SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""",
     // SimHash: the per-token hash is md5's lower 64 bits (chars
     // 17..32 as two 32-bit halves — hi/lo kept separate here so no
     // intermediate overflows BIGINT), per-bit ±1 majority sums over

@@ -38,8 +38,6 @@ class QueriesSmokeSpec extends SparkSpec {
     "ann_lsh_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_pq_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
-    "dedup_minhash_lsh" -> "TextQueriesSpec set-EQUAL to exact shingle-J >= 0.7",
-    "dedup_clusters_lsh" -> "TextQueriesSpec set-equal to clustering the exact shingle-J pairs",
     "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
     "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
