@@ -129,6 +129,7 @@ object MergeWriter {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverVendorSwaps(fs, p)
+    recoverFullSwap(fs, p)
     if (fs.exists(p))
       spark.read.schema(Schemas.vendorProduct).parquet(path)
     else
@@ -197,7 +198,18 @@ object MergeWriter {
     * explosion); with it each vendor's rows land in one task → one
     * file per partition directory. AQE coalescing keeps the shuffle
     * cheap when vendors are few. */
-  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit =
+    writeSnapshot(spark, df, path, None)
+
+  /** As writeSnapshot, optionally committing a batch TOKEN atomically
+    * with the data: the token file is written INTO the staged
+    * directory before the swap, so token and snapshot become visible
+    * in the same rename — a replayed micro-batch whose token is
+    * already committed can be detected and skipped (exactly-once for
+    * foreachBatch sinks; see StreamOps.syncBatch). The `_`-prefixed
+    * file is invisible to parquet readers. */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String,
+      token: Option[Long]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
@@ -212,11 +224,58 @@ object MergeWriter {
       // groups instead of scanning the vendor
       .sortWithinPartitions(col("vendorId"), col("product"))
       .write.mode("overwrite").partitionBy("vendorId").parquet(tmp.toString)
+    token.foreach { t =>
+      val out = fs.create(new Path(tmp, TokenFile), true)
+      try out.write(t.toString.getBytes("UTF-8")) finally out.close()
+    }
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(p)) fs.rename(p, old)
     fs.rename(tmp, p)
     if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  private val TokenFile = "_graft_batch"
+
+  /** Last batch token committed with the snapshot (None before the
+    * first tokened write, or for untokened snapshots). */
+  def readBatchToken(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFullSwap(fs, p)
+    val f = new Path(p, TokenFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Recovery for the full-table swap's crash window: a crash between
+    * `rename(p, old)` and `rename(tmp, p)` leaves the snapshot ONLY
+    * in `__old` — reading without restoring it would hand the next
+    * merge an empty snapshot and silently reset all accumulated
+    * state. `__old` alongside a live `p` is the opposite (post-swap
+    * residue) and is ignored; writeSnapshot deletes it. */
+  private def recoverFullSwap(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val old = new Path(p.toString + "__old")
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new java.io.IOException(s"could not restore crashed swap from $old")
+  }
+
+  /** ParquetStore variant whose every write commits `token` in the
+    * same rename as the data — the exactly-once sink for streamed
+    * syncs. Deliberately NO partial-vendor writes: the token must
+    * ride ONE atomic swap, and k independent partition renames
+    * cannot carry one commit point (a transactional table format is
+    * the at-scale answer; the k-partition path remains available as
+    * documented at-least-once via plain ParquetStore). */
+  final case class TokenParquetStore(path: String, token: Long) extends SnapshotStore {
+    def read(spark: SparkSession): DataFrame = readSnapshot(spark, path)
+    def write(spark: SparkSession, df: DataFrame): Unit =
+      writeSnapshot(spark, df, path, Some(token))
   }
 
   /** Partition-overwrite variant of writeSnapshot: rewrites ONLY the

@@ -801,19 +801,37 @@ object StreamOps {
     *
     * `clock` injects the P12 timestamp per batch (deterministic
     * specs); `onSummary` receives the per-vendor A5 summaries the
-    * batch route returns from its HTTP response. Replay semantics
-    * follow the store's merge mode: Replace re-merges to the same
-    * snapshot (idempotent); Accumulate is at-least-once — gate with
-    * a batchId marker around the call if the upstream source can
-    * replay committed batches (mvMaintainBatch shows the
-    * token-with-state pattern when exactly-once is required). */
+    * batch route returns from its HTTP response.
+    *
+    * Replay (foreachBatch's documented failure mode): with
+    * `exactlyOnce` (default) on a ParquetStore, each batch's id is
+    * committed as a token INSIDE the snapshot swap — token and data
+    * become visible in the same rename (mvMaintainBatch's
+    * token-with-state pattern applied to the sink), so a replayed
+    * batch is detected and becomes a no-op (no re-merge, no
+    * summary). The exactly-once path trades away partial-vendor
+    * writes: one commit point needs ONE atomic swap (k independent
+    * partition renames can't carry it — a transactional table format
+    * is the at-scale answer). `exactlyOnce = false` (or a non-parquet
+    * store) keeps the k-of-N partial-write path with at-least-once
+    * replay semantics: Replace mode is naturally idempotent,
+    * Accumulate can double-fold a replayed batch. */
   def syncBatch(store: graft.sink.MergeWriter.SnapshotStore,
       mode: graft.sink.MergeWriter.MergeMode = graft.sink.MergeWriter.Accumulate,
       clock: Long => java.sql.Timestamp =
         _ => new java.sql.Timestamp(System.currentTimeMillis()),
-      onSummary: Seq[graft.model.VendorSummary] => Unit = _ => ())(
+      onSummary: Seq[graft.model.VendorSummary] => Unit = _ => (),
+      exactlyOnce: Boolean = true)(
       batch: DataFrame, batchId: Long): Unit = {
+    import graft.sink.MergeWriter
     val spark = batch.sparkSession
+    val effStore = store match {
+      case MergeWriter.ParquetStore(path) if exactlyOnce =>
+        if (MergeWriter.readBatchToken(spark, path).exists(_ >= batchId))
+          return  // replayed batch: already committed, whole-batch no-op
+        MergeWriter.TokenParquetStore(path, batchId)
+      case s => s
+    }
     // vendor set of THIS batch: bounded by vendor count, the same
     // k-of-N partial-write path as a filtered batch sync
     val okIds = batch.select(col("vendorId")).distinct()
@@ -822,7 +840,7 @@ object StreamOps {
       val items = graft.sources.HttpSource.parseItemsDistributed(
         batch.select(col("vendorId"), col("payload")))
       val (stats, _) = graft.pipeline.SyncJob.mergeItems(
-        spark, items, okIds, store, mode, clock(batchId), dryRun = false)
+        spark, items, okIds, effStore, mode, clock(batchId), dryRun = false)
       onSummary(okIds.map { id =>
         val c = stats.getOrElse(id,
           graft.pipeline.SyncJob.VendorCounters(0, 0, 0, 0, 0, 0))

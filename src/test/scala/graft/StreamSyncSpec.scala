@@ -97,5 +97,54 @@ class StreamSyncSpec extends SparkSpec {
       .find(_.vendorId == "v-100").get
     assert(v100b2.updatedVendorProducts > 0,
       "re-synced vendor should report merges, not inserts")
+
+    // the batch token was committed with the data
+    assert(MergeWriter.readBatchToken(spark, streamSink).contains(2L))
+  }
+
+  test("replayed micro-batch is a whole-batch no-op under exactlyOnce") {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val sink = Files.createTempDirectory("graft-replay").toString + "/vp"
+    var summaries = 0
+    def run(bid: Long): Unit = StreamOps.syncBatch(
+      MergeWriter.ParquetStore(sink), MergeWriter.Accumulate, now,
+      _ => summaries += 1)(
+      payloads(0).toDF("vendorId", "payload"), bid)
+    run(0L)
+    val once = canon(MergeWriter.readSnapshot(spark, sink))
+    val stockOnce = MergeWriter.readSnapshot(spark, sink)
+      .select(explode(col("selectedOptions")).as("o"))
+      .agg(sum(col("o.stock"))).collect()(0).getLong(0)
+    run(0L)  // foreachBatch replay: same batchId
+    assert(summaries == 1, "replayed batch re-emitted its summary")
+    assert(canon(MergeWriter.readSnapshot(spark, sink)) == once,
+      "replayed batch changed the sink")
+    val stockTwice = MergeWriter.readSnapshot(spark, sink)
+      .select(explode(col("selectedOptions")).as("o"))
+      .agg(sum(col("o.stock"))).collect()(0).getLong(0)
+    assert(stockTwice == stockOnce, "Accumulate double-folded on replay")
+    // a NEW batch id still merges (and accumulates)
+    run(1L)
+    assert(summaries == 2)
+    assert(MergeWriter.readBatchToken(spark, sink).contains(1L))
+  }
+
+  test("full-swap crash window recovers: snapshot only in __old") {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val sink = Files.createTempDirectory("graft-crash").toString + "/vp"
+    StreamOps.syncBatch(MergeWriter.ParquetStore(sink), MergeWriter.Accumulate,
+      now)(payloads(0).toDF("vendorId", "payload"), 0L)
+    val before = canon(MergeWriter.readSnapshot(spark, sink))
+    // simulate the crash between rename(p, old) and rename(tmp, p)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sink),
+      new org.apache.hadoop.fs.Path(sink + "__old")))
+    assert(canon(MergeWriter.readSnapshot(spark, sink)) == before,
+      "crashed swap not recovered from __old")
+    // token recovered with it: the replay gate still holds
+    assert(MergeWriter.readBatchToken(spark, sink).contains(0L))
   }
 }
