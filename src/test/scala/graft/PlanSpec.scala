@@ -178,6 +178,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("minhash hot-band cap: one window over the banding shuffle, no count-join") {
+    // the cap is a count over the join key computed as a window on
+    // the (band, band_key)-shuffled rows — if it regresses to a
+    // separate groupBy + re-join, a second aggregate appears over
+    // the banded frame and two more exchanges ride the plan
+    val plan = planString(TextQueries.dedupMinhash(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 6,
+      s"minhash plan grew to $exchanges hash exchanges:\n" + plan.take(3000))
+  }
+
   test("ann PQ: ADC shortlist is WindowGroupLimit-pruned; scoring never cartesian") {
     // the rank <= shortlist filter over the per-qid ADC window must
     // keep each map task's local top-`shortlist` ahead of the
