@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** PERSISTED PQ index — the production ANN serving shape. The
+  * in-query `annPqTopk` trains + encodes per call (right for a
+  * one-shot batch query); a serving system trains ONCE, stores the
+  * codebook and the m-byte codes, and answers every later query
+  * against the stored index:
+  *
+  *  - `buildPq` — one bounded sample collect, driver-side Lloyd
+  *    (VectorQueries.pqTrain), one narrow full-corpus encode scan;
+  *    persists `codes/` (vec_id, codes — the 64×-compressed scan
+  *    side) and `book/` ((mm, kk, cent) rows — the quantizer,
+  *    m×k×sub doubles at any corpus size) as parquet.
+  *  - `searchPq` — reads the quantizer (one tiny collect), computes
+  *    each query's LUT driver-side, scores the stored codes with the
+  *    same broadcast-LUT ADC expression, exact-re-ranks the
+  *    shortlist against the corpus embeddings. NO training, NO
+  *    full-corpus encode: the per-query cost is one compressed scan.
+  *
+  * Same building blocks as annPqTopk, so stored-index search is
+  * spec-pinned to return EXACTLY annPqTopk's results for the same
+  * parameters (VectorIndexSpec). */
+object VectorIndex {
+
+  /** Train on a deterministic bounded sample and persist the index.
+    * Parameter meanings match annPqTopk. */
+  def buildPq(spark: SparkSession, dir: String, indexPath: String,
+      m: Int = 8, k: Int = 32, lloydRounds: Int = 4,
+      trainMod: Int = 1, maxTrain: Int = 4096): Unit = {
+    val sub = VectorQueries.Dim / m
+    val emb = VectorQueries.embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample: Array[Array[Double]] = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .orderBy(col("vec_id")).limit(maxTrain)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"PQ training sample ${sample.length} < k=$k — lower trainMod")
+    val book = VectorQueries.pqTrain(sample, m, k, sub, lloydRounds)
+
+    import spark.implicits._
+    book.zipWithIndex.flatMap { case (cents, mm) =>
+      cents.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
+    }.toDF("mm", "kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/book")
+    emb.select(col("vec_id"),
+        VectorQueries.pqAssignExpr(book, col("emb"), m, sub).as("codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    emb.unpersist(false)
+  }
+
+  /** The stored quantizer, reassembled. */
+  private def readBook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$indexPath/book")
+      .select(col("mm"), col("kk"), col("cent")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val byCell = rows.map(t => (t._1, t._2) -> t._3).toMap
+    (0 until m).map(mm => (0 until k).map(kk => byCell((mm, kk))))
+  }
+
+  /** Top-`kNN` per query against the stored index. `queries` is
+    * (qid: Long, qemb: Array[Float|Double]) — external vectors, the
+    * serving shape (normalized here, like scoreQueries). `dir` still
+    * supplies the corpus embeddings for the exact re-rank of the
+    * shortlist; a pure compressed-domain search (skip the re-rank)
+    * would drop that dependency at the cost of approximate scores. */
+  def searchPq(spark: SparkSession, dir: String, indexPath: String,
+      queries: DataFrame, kNN: Int = 5, shortlist: Int = 100): DataFrame = {
+    val book = readBook(spark, indexPath)
+    val m = book.length; val k = book.head.length
+    import spark.implicits._
+    val qVecs = queries
+      .select(col("qid").cast("long"),
+        col("qemb").cast("array<double>").as("qemb"))
+      .collect().map { r =>
+        val q = r.getSeq[Double](1)
+        val n = math.sqrt(q.map(x => x * x).sum)
+        (r.getLong(0), if (n > 0) q.map(_ / n) else q)
+      }
+    val luts = qVecs.toSeq.map { case (id, q) =>
+        (id, VectorQueries.pqLut(book, q)) }.toDF("qid", "lut")
+
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val candidates = codes.crossJoin(broadcast(luts))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorQueries.pqAdcExpr(m, k).as("adc_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_score").desc, col("nid"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("nid"))
+
+    // exact re-rank of the shortlist — the queries are EXTERNAL, so
+    // unlike topkByDot the query side comes from the broadcast qVecs
+    val emb = VectorQueries.embNormed(spark, dir)
+    val qEmb = qVecs.toSeq.map { case (id, q) => (id, q) }.toDF("qid", "qemb")
+    candidates
+      .join(broadcast(qEmb), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(call_function("graft_dot", col("qemb"), col("emb")), 4).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

@@ -44,7 +44,7 @@ object VectorQueries {
     * (dropped one step later) so it is referenced twice and
     * CollapseProject won't inline the norm into the per-element
     * lambda. */
-  private def embNormed(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def embNormed(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)
       .select(col("vec_id"), col("label"), col("emb"), norm(col("emb")).as("nrm"))
       .filter(col("nrm") > 0)
@@ -378,23 +378,8 @@ object VectorQueries {
     val emb = embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def subvec(v: Column, mm: Int): Column = slice(v, mm * sub + 1, sub)
-    // nearest sub-centroid in L2: argmax of 2·x·c − |c|² (|x|² is
-    // constant across candidates, so it never needs computing). The
-    // whole codebook rides as ONE 2-D literal per subspace and the
-    // k scores come from one zip_with — compact generated code (k
-    // separate dot expressions overflowed the 64KB codegen method
-    // limit and forced the encode stage interpreted).
     def assignExpr(book: Seq[Seq[Seq[Double]]], v: Column): Column =
-      array((0 until m).map { mm =>
-        val cents = typedlit(book(mm))
-        val norms2 = typedlit(book(mm).map(c => c.map(x => x * x).sum))
-        val sv = subvec(v, mm)
-        val scores = zip_with(cents, norms2, (c, n2) =>
-          aggregate(zip_with(sv, c, (a, b) => a * b),
-            lit(0.0d), (acc, x) => acc + x) * 2 - n2)
-        (array_position(scores, array_max(scores)) - 1).cast("int")
-      }: _*)
+      pqAssignExpr(book, v, m, sub)
 
     // ONE bounded job for everything driver-side: TakeOrdered over
     // sample ∪ queries (queries' ids < QueryK sort first, so the
@@ -416,11 +401,60 @@ object VectorQueries {
     require(sample.length >= k,
       s"PQ training sample ${sample.length} < k=$k — lower trainMod")
 
-    // Lloyd per subspace on the driver: maxTrain×sub points, k
-    // centroids — bounded arithmetic (µs at any corpus size), the
-    // standard quantizer-training locus when the model is
-    // broadcast-sized. Nearest by L2; ties take the lowest index;
-    // an emptied cell keeps its previous centroid.
+    val book = pqTrain(sample, m, k, sub, lloydRounds)
+
+    val corpusCodes = emb.select(col("vec_id"),
+      assignExpr(book, col("emb")).as("codes"))
+
+    // query LUTs from the already-collected query vectors — no extra
+    // job; broadcast with the scoring join (quantizer-sized)
+    import spark.implicits._
+    val luts = queryVecs.map { case (id, q) => (id, pqLut(book, q)) }
+      .toDF("qid", "lut")
+
+    val adc = pqAdcExpr(m, k)
+    // the rank-filter shape is WindowGroupLimit-eligible (pinned in
+    // PlanSpec): each partition keeps its local top-`shortlist` per
+    // qid map-side, so the per-qid sort never sees the full corpus
+    val candidates = corpusCodes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), adc.as("adc_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_score").desc, col("nid"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("nid"))
+    topkByDot(emb, candidates)
+  }
+
+  // ---- PQ building blocks, shared by annPqTopk (in-query) and
+  // ---- VectorIndex (persisted index build/search) ----
+
+  /** Nearest sub-centroid code per subspace: argmax of 2·x·c − |c|²
+    * (|x|² is constant across candidates, so it never needs
+    * computing). The whole codebook rides as ONE 2-D literal per
+    * subspace and the k scores come from one zip_with — compact
+    * generated code (k separate dot expressions overflowed the 64KB
+    * codegen method limit and forced the encode stage interpreted). */
+  private[queries] def pqAssignExpr(book: Seq[Seq[Seq[Double]]], v: Column,
+      m: Int, sub: Int): Column =
+    array((0 until m).map { mm =>
+      val cents = typedlit(book(mm))
+      val norms2 = typedlit(book(mm).map(c => c.map(x => x * x).sum))
+      val sv = slice(v, mm * sub + 1, sub)
+      val scores = zip_with(cents, norms2, (c, n2) =>
+        aggregate(zip_with(sv, c, (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x) * 2 - n2)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+
+  /** Lloyd per subspace on the driver: maxTrain×sub points, k
+    * centroids — bounded arithmetic (µs at any corpus size), the
+    * standard quantizer-training locus when the model is
+    * broadcast-sized. Nearest by L2; ties take the lowest index;
+    * an emptied cell keeps its previous centroid. */
+  private[queries] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+      sub: Int, lloydRounds: Int): Seq[Seq[Seq[Double]]] = {
     def nearestIdx(cents: Array[Array[Double]], p: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -432,7 +466,7 @@ object VectorQueries {
       }
       best
     }
-    val book: Seq[Seq[Seq[Double]]] = (0 until m).map { mm =>
+    (0 until m).map { mm =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mm * sub, (mm + 1) * sub))
       var cents = pts.take(k).map(_.clone)
       for (_ <- 0 until lloydRounds) {
@@ -447,40 +481,28 @@ object VectorQueries {
       }
       cents.map(_.toSeq).toSeq
     }
+  }
 
-    val corpusCodes = emb.select(col("vec_id"),
-      assignExpr(book, col("emb")).as("codes"))
+  /** Flat m×k LUT of a query's subvector·centroid dot products. */
+  private[queries] def pqLut(book: Seq[Seq[Seq[Double]]],
+      q: Seq[Double]): Seq[Double] = {
+    val m = book.length; val k = book.head.length
+    val sub = book.head.head.length
+    for (mm <- 0 until m; kk <- 0 until k) yield
+      (0 until sub).map(i => q(mm * sub + i) * book(mm)(kk)(i)).sum
+  }
 
-    // query LUTs from the already-collected query vectors — no extra
-    // job; broadcast with the scoring join (quantizer-sized)
-    val queryLuts: Seq[(Long, Seq[Double])] = queryVecs.map { case (id, q) =>
-      val lut = for (mm <- 0 until m; kk <- 0 until k) yield
-        (0 until sub).map(i => q(mm * sub + i) * book(mm)(kk)(i)).sum
-      (id, lut)
-    }
-    import spark.implicits._
-    val luts = queryLuts.toDF("qid", "lut")
-
-    // ADC: approximate dot = sum over subspaces of the query's LUT
-    // entry at (subspace, code) — m lookups, statically unrolled to
-    // a flat add chain (m is a compile-time constant; the unroll
-    // stays in whole-stage codegen with no lambda dispatch)
-    val adc = (0 until m).map(mm => element_at(col("lut"),
+  /** ADC: approximate dot = sum over subspaces of the query's LUT
+    * entry at (subspace, code) — m lookups, statically unrolled to
+    * a flat add chain (m is a compile-time constant; the unroll
+    * stays in whole-stage codegen with no lambda dispatch). Expects
+    * `lut` and `codes` columns in scope. */
+  private[queries] def pqAdcExpr(m: Int, k: Int): Column =
+    (0 until m).map(mm => element_at(col("lut"),
         (element_at(col("codes"), mm + 1) + (mm * k + 1)).cast("int")))
       .reduce(_ + _)
-    // the rank-filter shape is WindowGroupLimit-eligible (pinned in
-    // PlanSpec): each partition keeps its local top-`shortlist` per
-    // qid map-side, so the per-qid sort never sees the full corpus
-    val candidates = corpusCodes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), adc.as("adc_score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("adc_score").desc, col("nid"))))
-      .filter(col("rk") <= shortlist)
-      .select(col("qid"), col("nid"))
-    topkByDot(emb, candidates)
-  }
+
+  private[queries] val Dim = EmbDim
 
   /** Centroid roll-up: per-label mean vector, its norm, and the
     * cell-dispersion metric (mean member cosine to the centroid —

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.queries.{VectorIndex, VectorQueries}
+
+/** Persisted PQ index: build once, search many — correctness pinned
+  * against the same exact baselines as the in-query ANN paths. */
+class VectorIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def corpusQueries(n: Int) =
+    graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  test("stored-index search: self at rank 1, recall@5 >= 0.9 vs brute force") {
+    val idx = Files.createTempDirectory("graft-pqidx").toString
+    VectorIndex.buildPq(spark, dir, idx)
+    val res = VectorIndex.searchPq(spark, dir, idx, corpusQueries(10), kNN = 6)
+      .collect()
+    // serving sanity: a corpus vector queried against its own index
+    // finds itself first at sim 1.0
+    val self = res.filter(r => r.getLong(3 - 3) == r.getLong(2)) // qid == nid
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rows) =>
+      val first = rows.minBy(_.getLong(1))
+      assert(first.getLong(2) == qid && first.getDouble(3) == 1.0,
+        s"query $qid did not retrieve itself first: $first")
+    }
+    assert(self.length == 10)
+    // recall: neighbors excluding self vs the exact baseline
+    val brute = VectorQueries.annBruteTopk(spark, dir)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.filter(r => r.getLong(0) != r.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"stored-index recall@5 $recall < 0.9")
+  }
+
+  test("build is deterministic; codes are the m-byte compressed form") {
+    val idx1 = Files.createTempDirectory("graft-pqidx1").toString
+    val idx2 = Files.createTempDirectory("graft-pqidx2").toString
+    VectorIndex.buildPq(spark, dir, idx1)
+    VectorIndex.buildPq(spark, dir, idx2)
+    def canon(p: String) = spark.read.parquet(p).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon(s"$idx1/book") == canon(s"$idx2/book"), "codebooks diverge")
+    assert(canon(s"$idx1/codes") == canon(s"$idx2/codes"), "codes diverge")
+    val codes = spark.read.parquet(s"$idx1/codes")
+    assert(codes.count() ==
+      graft.sources.Tables.embeddings(spark, dir).count())
+    // m=8 codes in [0, 32) — the 64x compression vs 64 doubles
+    val stats = codes.select(
+        min(size(col("codes"))), max(size(col("codes"))),
+        min(array_min(col("codes"))), max(array_max(col("codes"))))
+      .collect()(0)
+    assert(stats.getInt(0) == 8 && stats.getInt(1) == 8)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < 32)
+  }
+
+  test("search twice against one index: identical results, no retrain") {
+    val idx = Files.createTempDirectory("graft-pqidx3").toString
+    VectorIndex.buildPq(spark, dir, idx)
+    def run() = VectorIndex.searchPq(spark, dir, idx, corpusQueries(5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
+}
