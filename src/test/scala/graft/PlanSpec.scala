@@ -182,7 +182,11 @@ class PlanSpec extends SparkSpec {
     // the cap is a count over the join key computed as a window on
     // the (band, band_key)-shuffled rows — if it regresses to a
     // separate groupBy + re-join, a second aggregate appears over
-    // the banded frame and two more exchanges ride the plan
+    // the banded frame and two more exchanges ride the plan.
+    // clearCache first: a previous test's persisted frames would
+    // otherwise swap InMemoryTableScans into this plan and make the
+    // exchange count an artifact of suite ordering
+    spark.catalog.clearCache()
     val plan = planString(TextQueries.dedupMinhash(spark, dir))
     assert(plan.contains("Window"), plan.take(2000))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
