@@ -52,6 +52,7 @@ object SparkEntry {
     "a7_pivot" -> (CoreQueries.a7Pivot _),
     "t_redact_pii" -> (CoreQueries.tRedactPii _),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
+    "s8_docstore_scan" -> (graft.sources.DocStore.roundtripQuery _),
     "q_validate" -> (CoreQueries.qValidate _),
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
@@ -284,6 +285,12 @@ object SparkEntry {
          UNION ALL
          SELECT 'retained_1996', o_custkey
          FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)""",
+    // the Spark side reads documents THROUGH the graft-docs DSv2
+    // store (one JSON file per doc, bootstrapped once) — the oracle
+    // reads the original parquet, so a match proves the store
+    // round-trips content byte-faithfully
+    "s8_docstore_scan" ->
+      """SELECT doc_id, lang, length(text)::BIGINT AS n_chars FROM documents""",
     "q_validate" ->
       """WITH m AS (SELECT count(*) AS total,
               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,

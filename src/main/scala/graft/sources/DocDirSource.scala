@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.functions.{col, from_json, length, struct, to_json}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -190,4 +190,50 @@ object DocStore {
     readDocuments(spark, root, Some(collection))
       .select(from_json(col("body"), schema).as("doc"))
       .select(col("doc.*"))
+
+  /** Oracle-checkable scan THROUGH the document store: the documents
+    * table is materialized once per sf dir as a docdir (one JSON file
+    * per doc, written distributed via foreachPartition, idempotent
+    * behind a completion marker), then read back through the DSv2
+    * source + from_json — so the oracle (`SELECT doc_id, lang,
+    * length(text) FROM documents`) proves the store round-trips
+    * byte-faithfully, not just that the reader runs. */
+  def roundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = bootstrapDocstore(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    readCollection(spark, root, "docs", schema)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Write `documents` as a docdir once per (tmpdir, sfDir) — each
+    * partition's task writes its own files (valid local[™] stand-in
+    * for a shared FS), marker stamped LAST so a crashed bootstrap
+    * re-runs. */
+  private def bootstrapDocstore(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_docstore_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val marker = new java.io.File(root, "_complete")
+    if (!marker.exists()) {
+      val collDir = new java.io.File(root, "docs").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(collDir))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          // capture the plain string path: task closures serialize
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(collDir, s"doc_${r.getLong(0)}.json"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    root
+  }
 }
