@@ -74,16 +74,25 @@ object DocDirSource {
     }.toSeq
   }
 
-  /** Bin-pack files into partitions by cumulative byte size. */
-  def pack(files: Seq[DocFile], targetBytes: Long): Seq[Seq[DocFile]] = {
+  /** Per-file open cost added to the bin-packing weight — Spark's
+    * `files.openCostInBytes` trick (default 4 MB there; documents
+    * are per-file reads here, so the same logic caps how many tiny
+    * documents serialize into one task instead of packing a million
+    * 2 KB docs into a single 128 MB "partition"). */
+  val OpenCostBytes: Long = 4L * 1024 * 1024
+
+  /** Bin-pack files into partitions by cumulative (size + open cost). */
+  def pack(files: Seq[DocFile], targetBytes: Long,
+      openCost: Long = OpenCostBytes): Seq[Seq[DocFile]] = {
     val out = Seq.newBuilder[Seq[DocFile]]
     var cur = Seq.newBuilder[DocFile]
     var bytes = 0L; var any = false
     files.foreach { f =>
-      if (any && bytes + f.size > targetBytes) {
+      val w = f.size + openCost
+      if (any && bytes + w > targetBytes) {
         out += cur.result(); cur = Seq.newBuilder[DocFile]; bytes = 0L; any = false
       }
-      cur += f; bytes += f.size; any = true
+      cur += f; bytes += w; any = true
     }
     if (any) out += cur.result()
     out.result()

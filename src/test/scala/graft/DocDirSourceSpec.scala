@@ -56,14 +56,22 @@ class DocDirSourceSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
-  test("bin-packing bounds partition count by bytes") {
+  test("bin-packing bounds partition count by bytes plus per-file open cost") {
     import DocDirSource.{DocFile, pack}
     val files = (1 to 10).map(i => DocFile(s"/f$i", "c", 0L, 10L))
-    assert(pack(files, 1000L).size == 1)
-    assert(pack(files, 25L).map(_.size).sum == 10)
-    assert(pack(files, 25L).forall(_.map(_.size).sum <= 30))  // 2 fit, 3rd spills
-    assert(pack(Seq(DocFile("/big", "c", 0L, 10000L)), 100L).size == 1) // oversize alone
+    assert(pack(files, 1000L, openCost = 0L).size == 1)
+    assert(pack(files, 25L, openCost = 0L).map(_.size).sum == 10)
+    assert(pack(files, 25L, openCost = 0L).forall(_.map(_.size).sum <= 30))
+    assert(pack(Seq(DocFile("/big", "c", 0L, 10000L)), 100L, 0L).size == 1) // oversize alone
     assert(pack(Seq.empty, 100L).isEmpty)
+    // the Spark openCostInBytes analog: a million tiny docs must NOT
+    // collapse into one serial partition — default cost caps a
+    // 128 MB partition at ~32 open files
+    val tiny = (1 to 320).map(i => DocFile(s"/t$i", "c", 0L, 2048L))
+    val packed = pack(tiny, 128L * 1024 * 1024)
+    assert(packed.size >= 10, s"tiny files collapsed into ${packed.size} partitions")
+    assert(packed.forall(_.size <= 32))
+    assert(packed.map(_.size).sum == 320)
   }
 
   test("readCollection maps documents through from_json to typed rows") {
