@@ -71,18 +71,28 @@ object VectorIndex {
     * shortlist; a pure compressed-domain search (skip the re-rank)
     * would drop that dependency at the cost of approximate scores. */
   def searchPq(spark: SparkSession, dir: String, indexPath: String,
-      queries: DataFrame, kNN: Int = 5, shortlist: Int = 100): DataFrame = {
+      queries: DataFrame, kNN: Int = 5, shortlist: Int = 100,
+      maxQueryBatch: Int = 8192): DataFrame = {
     val book = readBook(spark, indexPath)
     val m = book.length; val k = book.head.length
     import spark.implicits._
+    // queries are collected to compute driver-side LUTs and ride the
+    // scoring join as a broadcast — correct ONLY for serving-sized
+    // batches, so the bound is explicit rather than an OOM surprise.
+    // A corpus-sized query set is a different shape (compute LUTs
+    // distributed, shuffle-join on codes) — out of serving scope.
     val qVecs = queries
       .select(col("qid").cast("long"),
         col("qemb").cast("array<double>").as("qemb"))
+      .limit(maxQueryBatch + 1)
       .collect().map { r =>
         val q = r.getSeq[Double](1)
         val n = math.sqrt(q.map(x => x * x).sum)
         (r.getLong(0), if (n > 0) q.map(_ / n) else q)
       }
+    require(qVecs.length <= maxQueryBatch,
+      s"searchPq is a serving path: > $maxQueryBatch query vectors in one " +
+        "batch — split the batch or raise maxQueryBatch explicitly")
     val luts = qVecs.toSeq.map { case (id, q) =>
         (id, VectorQueries.pqLut(book, q)) }.toDF("qid", "lut")
 
