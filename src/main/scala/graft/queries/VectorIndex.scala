@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -62,6 +62,94 @@ object VectorIndex {
     val k = rows.map(_._2).max + 1
     val byCell = rows.map(t => (t._1, t._2) -> t._3).toMap
     (0 until m).map(mm => (0 until k).map(kk => byCell((mm, kk))))
+  }
+
+  /** Persist an IVF index: the corpus REORGANIZED by coarse cell —
+    * normalized embeddings written `partitionBy("cell")`, plus the
+    * k×dim centroid table. Training is the same bounded-sample
+    * driver Lloyd as PQ (pqTrain with m=1 — one "subspace" spanning
+    * the full vector). The payoff is physical: probing `nprobe`
+    * cells at search time is PARTITION PRUNING on the index read —
+    * only those cells' files are listed and scanned, the on-disk
+    * form of IVF's scan-fraction bound (spec-asserted via the
+    * executed scan's numFiles metric). */
+  def buildIvf(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 16, lloydRounds: Int = 4, trainMod: Int = 1,
+      maxTrain: Int = 4096): Unit = {
+    val emb = VectorQueries.embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample: Array[Array[Double]] = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .orderBy(col("vec_id")).limit(maxTrain)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"IVF training sample ${sample.length} < k=$k — lower trainMod")
+    val cents = VectorQueries.pqTrain(sample, 1, k, VectorQueries.Dim, lloydRounds).head
+
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    val assign = nearestCellExpr(cents, col("emb"))
+    emb.select(col("vec_id"), col("emb"), assign.as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    emb.unpersist(false)
+  }
+
+  /** 0-based nearest-centroid cell by max dot (normalized corpus:
+    * cosine == dot); ties to the lowest cell. */
+  private def nearestCellExpr(cents: Seq[Seq[Double]], v: Column): Column = {
+    val dots = array(cents.map(c =>
+      call_function("graft_dot", v, typedlit(c))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Top-`kNN` per external query against the stored IVF index —
+    * self-contained: the index carries the embeddings, so search
+    * never re-reads the corpus table. Cells ranked driver-side
+    * against the tiny centroid table; the probe list prunes the
+    * index read to `nprobe` cells per query. */
+  def searchIvf(spark: SparkSession, indexPath: String, queries: DataFrame,
+      kNN: Int = 5, nprobe: Int = 6, maxQueryBatch: Int = 8192): DataFrame = {
+    import spark.implicits._
+    // self-contained path: nothing upstream registers the native dot
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
+      .select(col("kk"), col("cent")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val qVecs = queries
+      .select(col("qid").cast("long"),
+        col("qemb").cast("array<double>").as("qemb"))
+      .limit(maxQueryBatch + 1)
+      .collect().map { r =>
+        val q = r.getSeq[Double](1)
+        val n = math.sqrt(q.map(x => x * x).sum)
+        (r.getLong(0), if (n > 0) q.map(_ / n) else q)
+      }
+    require(qVecs.length <= maxQueryBatch,
+      s"searchIvf is a serving path: > $maxQueryBatch query vectors in one batch")
+
+    val probes: Seq[(Long, Int)] = qVecs.toSeq.flatMap { case (id, q) =>
+      cents.zipWithIndex
+        .map { case (c, kk) => (kk, (0 until q.length).map(i => q(i) * c(i)).sum) }
+        .sortBy { case (kk, d) => (-d, kk) }.take(nprobe)
+        .map { case (kk, _) => (id, kk) }
+    }
+    val probedCells = probes.map(_._2).distinct
+    // isin on the partition column -> file-level pruning of the read
+    val probed = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val qEmb = qVecs.toSeq.map { case (id, q) => (id, q) }.toDF("qid", "qemb")
+    probed
+      .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
+      .join(broadcast(qEmb), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(call_function("graft_dot", col("qemb"), col("emb")), 4).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
   /** Top-`kNN` per query against the stored index. `queries` is

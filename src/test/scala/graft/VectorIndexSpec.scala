@@ -70,4 +70,45 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(run() == run())
   }
+
+  test("IVF index: self at rank 1, recall@5 >= 0.9, probes prune the files read") {
+    val idx = Files.createTempDirectory("graft-ivfidx").toString
+    VectorIndex.buildIvf(spark, dir, idx)
+    val res = VectorIndex.searchIvf(spark, idx, corpusQueries(10), kNN = 6)
+    val rows = res.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val first = rs.minBy(_.getLong(1))
+      assert(first.getLong(2) == qid && first.getDouble(3) == 1.0,
+        s"query $qid did not retrieve itself first")
+    }
+    val brute = VectorQueries.annBruteTopk(spark, dir)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.filter(r => r.getLong(0) != r.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF stored-index recall@5 $recall < 0.9")
+
+    // probing is PHYSICAL pruning: the executed probe scan reads
+    // strictly fewer index files than a full read (nprobe=1 to make
+    // the gap unconditional on cell-rank overlap across queries)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val flat = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      flat.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val cells = spark.read.parquet(s"$idx/cells")
+    val someCell = cells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).min
+    val probed = scannedFiles(cells.filter(col("cell").isin(someCell)))
+    val full = scannedFiles(cells)
+    assert(probed > 0 && probed < full,
+      s"probe scanned $probed of $full index files — partition pruning lost")
+  }
 }
