@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorIndex, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,6 +89,8 @@ object SparkEntry {
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => VectorQueries.annIvfTopk(s, d)),
     "ann_pq_topk" -> ((s: SparkSession, d: String) => VectorQueries.annPqTopk(s, d)),
+    "ann_ivf_stored" -> (VectorIndex.annIvfStored _),
+    "ann_pq_stored" -> (VectorIndex.annPqStored _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_centroids" -> (VectorQueries.embCentroids _),
