@@ -189,6 +189,104 @@ object VectorIndex {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** The COMPOSED index — coarse IVF cells over PQ codes, the
+    * FAISS-production structure (here without residual encoding: the
+    * PQ book quantizes raw vectors, so it is shared verbatim with
+    * the flat PQ index and searchPq): the probe list bounds the SCAN
+    * FRACTION (partition pruning on `cell`) and the codes bound the
+    * BYTES PER ROW (m ints) — at 100 TB the two multiply into a
+    * nprobe/k × m/(8·dim) read. */
+  def buildIvfPq(spark: SparkSession, dir: String, indexPath: String,
+      kCells: Int = 16, m: Int = 8, kCodes: Int = 32, lloydRounds: Int = 4,
+      trainMod: Int = 1, maxTrain: Int = 4096): Unit = {
+    val sub = VectorQueries.Dim / m
+    val emb = VectorQueries.embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample: Array[Array[Double]] = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .orderBy(col("vec_id")).limit(maxTrain)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= math.max(kCells, kCodes),
+      s"IVFPQ training sample ${sample.length} too small — lower trainMod")
+    val cents = VectorQueries.pqTrain(sample, 1, kCells, VectorQueries.Dim, lloydRounds).head
+    val book = VectorQueries.pqTrain(sample, m, kCodes, sub, lloydRounds)
+
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    book.zipWithIndex.flatMap { case (cs, mm) =>
+      cs.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
+    }.toDF("mm", "kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/book")
+    emb.select(col("vec_id"),
+        VectorQueries.pqAssignExpr(book, col("emb"), m, sub).as("codes"),
+        nearestCellExpr(cents, col("emb")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    emb.unpersist(false)
+  }
+
+  /** Search the composed index: probe prunes the read, ADC scores
+    * only probed codes, exact re-rank fetches embeddings for the
+    * shortlist ids only (the corpus table's one remaining role). */
+  def searchIvfPq(spark: SparkSession, dir: String, indexPath: String,
+      queries: DataFrame, kNN: Int = 5, nprobe: Int = 6, shortlist: Int = 100,
+      maxQueryBatch: Int = 8192): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
+      .select(col("kk"), col("cent")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val book = readBook(spark, indexPath)
+    val m = book.length; val k = book.head.length
+    val qVecs = queries
+      .select(col("qid").cast("long"),
+        col("qemb").cast("array<double>").as("qemb"))
+      .limit(maxQueryBatch + 1)
+      .collect().map { r =>
+        val q = r.getSeq[Double](1)
+        val n = math.sqrt(q.map(x => x * x).sum)
+        (r.getLong(0), if (n > 0) q.map(_ / n) else q)
+      }
+    require(qVecs.length <= maxQueryBatch,
+      s"searchIvfPq is a serving path: > $maxQueryBatch query vectors in one batch")
+
+    val probes: Seq[(Long, Int)] = qVecs.toSeq.flatMap { case (id, q) =>
+      cents.zipWithIndex
+        .map { case (c, kk) => (kk, (0 until q.length).map(i => q(i) * c(i)).sum) }
+        .sortBy { case (kk, d) => (-d, kk) }.take(nprobe)
+        .map { case (kk, _) => (id, kk) }
+    }
+    val luts = qVecs.toSeq.map { case (id, q) =>
+      (id, VectorQueries.pqLut(book, q)) }.toDF("qid", "lut")
+
+    val probed = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probes.map(_._2).distinct: _*))
+    val candidates = probed
+      .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
+      .join(broadcast(luts), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorQueries.pqAdcExpr(m, k).as("adc_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_score").desc, col("nid"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("nid"))
+
+    val emb = VectorQueries.embNormed(spark, dir)
+    val qEmb = qVecs.toSeq.map { case (id, q) => (id, q) }.toDF("qid", "qemb")
+    candidates
+      .join(broadcast(qEmb), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("emb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(call_function("graft_dot", col("qemb"), col("emb")), 4).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Top-`kNN` per query against the stored index. `queries` is
     * (qid: Long, qemb: Array[Float|Double]) — external vectors, the
     * serving shape (normalized here, like scoreQueries). `dir` still

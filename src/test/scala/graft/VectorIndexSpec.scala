@@ -111,4 +111,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(probed > 0 && probed < full,
       s"probe scanned $probed of $full index files — partition pruning lost")
   }
+
+  test("IVFPQ composed index: self at rank 1, recall@5 >= 0.9 vs brute force") {
+    val idx = Files.createTempDirectory("graft-ivfpqidx").toString
+    VectorIndex.buildIvfPq(spark, dir, idx)
+    val rows = VectorIndex.searchIvfPq(spark, dir, idx, corpusQueries(10), kNN = 6)
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val first = rs.minBy(_.getLong(1))
+      assert(first.getLong(2) == qid && first.getDouble(3) == 1.0,
+        s"query $qid did not retrieve itself first")
+    }
+    val brute = VectorQueries.annBruteTopk(spark, dir)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.filter(r => r.getLong(0) != r.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVFPQ stored-index recall@5 $recall < 0.9")
+    // the codes table carries cell AND codes: both prunings compose
+    val cols = spark.read.parquet(s"$idx/cells").columns.toSet
+    assert(cols == Set("vec_id", "codes", "cell"))
+  }
 }
