@@ -708,6 +708,19 @@ object StreamOps {
     graft.queries.VectorQueries.scoreQueries(
       batch.sparkSession, corpusDir, batch, k)
 
+  /** Streaming similarity serving against a PERSISTED IVF index
+    * (VectorIndex.buildIvf) — the drop-in annScoreBatch promised
+    * once query volume outgrows brute force: each micro-batch's
+    * queries rank cells against the tiny centroid table and only
+    * the probed cell partitions are read, so per-batch cost tracks
+    * nprobe/k of the index instead of the whole corpus. Same output
+    * schema as annScoreBatch; recall floor inherited from
+    * VectorIndexSpec. */
+  def annServeBatch(indexPath: String, k: Int = 5, nprobe: Int = 6)(
+      batch: DataFrame, batchId: Long): DataFrame =
+    graft.queries.VectorIndex.searchIvf(
+      batch.sparkSession, indexPath, batch, k, nprobe)
+
   /** Compact the near-dup index tables: every micro-batch append adds
     * a few small parquet files per touched bucket, and after
     * thousands of batches the per-batch index scan pays file-open

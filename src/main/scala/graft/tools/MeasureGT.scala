@@ -62,6 +62,25 @@ object MeasureGT {
     println(s"minhash: exact07=${exact07.size} exact09=${exact09.size} emitted=${mh.size} " +
       s"missed07=${(exact07 -- mh).size} missed09=${(exact09 -- mh).size} false+=${(mh -- exact07).size}")
 
+    // stored-index recalls (build into a temp dir, self-matches
+    // excluded to compare against the self-excluding brute baseline)
+    val qs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def storedRecall(name: String, res: org.apache.spark.sql.DataFrame): Unit = {
+      val got = res.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (q, n) => q != n }.toSet
+      println(s"$name stored recall@5 = ${(brute & got).size.toDouble / brute.size}")
+    }
+    val tmpIdx = java.nio.file.Files.createTempDirectory("measuregt-idx").toString
+    graft.queries.VectorIndex.buildIvf(spark, dir, s"$tmpIdx/ivf")
+    storedRecall("ivf", graft.queries.VectorIndex.searchIvf(spark, s"$tmpIdx/ivf", qs, kNN = 6))
+    graft.queries.VectorIndex.buildPq(spark, dir, s"$tmpIdx/pq")
+    storedRecall("pq", graft.queries.VectorIndex.searchPq(spark, dir, s"$tmpIdx/pq", qs, kNN = 6))
+    graft.queries.VectorIndex.buildIvfPq(spark, dir, s"$tmpIdx/ivfpq")
+    storedRecall("ivfpq", graft.queries.VectorIndex.searchIvfPq(spark, dir, s"$tmpIdx/ivfpq", qs, kNN = 6))
+
     // lang-id accuracy
     val li = TextQueries.tLangId(spark, dir)
       .select(when(col("lang") === col("predicted"), 1).otherwise(0).as("ok"))
