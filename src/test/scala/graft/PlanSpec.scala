@@ -194,6 +194,24 @@ class PlanSpec extends SparkSpec {
       s"minhash plan grew to $exchanges hash exchanges:\n" + plan.take(3000))
   }
 
+  test("stored-index searches: shortlist pruned, never cartesian") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString
+    VectorQueries // touch to keep import used
+    graft.queries.VectorIndex.buildPq(spark, dir, s"$idx/pq")
+    val qs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qemb"))
+    val pq = planString(graft.queries.VectorIndex.searchPq(spark, dir, s"$idx/pq", qs))
+    assert(pq.contains("WindowGroupLimit"), pq.take(2000))
+    assert(!pq.contains("CartesianProduct"))
+    graft.queries.VectorIndex.buildIvf(spark, dir, s"$idx/ivf")
+    val ivf = planString(graft.queries.VectorIndex.searchIvf(spark, s"$idx/ivf", qs))
+    assert(!ivf.contains("CartesianProduct"))
+    assert(ivf.contains("PartitionFilters") && ivf.contains("cell"),
+      "IVF probe pruning lost:\n" + ivf.take(2000))
+  }
+
   test("ann PQ: ADC shortlist is WindowGroupLimit-pruned; scoring never cartesian") {
     // the rank <= shortlist filter over the per-qid ADC window must
     // keep each map task's local top-`shortlist` ahead of the
