@@ -19,13 +19,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "graft_dot takes exactly 2 arguments")
-        DotProduct(children(0), children(1))
-      }))
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_dot takes exactly 2 arguments")
+          DotProduct(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_pq_encode"),
+        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_pq_encode takes exactly 2 arguments")
+          PqEncode(children(0), children(1))
+        }))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -432,11 +432,22 @@ object VectorQueries {
 
   /** Nearest sub-centroid code per subspace: argmax of 2·x·c − |c|²
     * (|x|² is constant across candidates, so it never needs
-    * computing). The whole codebook rides as ONE 2-D literal per
-    * subspace and the k scores come from one zip_with — compact
-    * generated code (k separate dot expressions overflowed the 64KB
-    * codegen method limit and forced the encode stage interpreted). */
+    * computing) — the native `graft_pq_encode` Catalyst expression
+    * (functions/PqEncode.scala): the encode is the ONE full-corpus
+    * pass of every PQ path, and the builtin zip_with/aggregate
+    * composition it replaces is interpreted (higher-order functions
+    * don't codegen). The whole codebook rides as one 3-D literal;
+    * GraftFunctionsSpec pins code-for-code equality against the
+    * builtin form. `m`/`sub` derive from the book inside the
+    * expression (kept in the signature for call-site clarity). */
   private[queries] def pqAssignExpr(book: Seq[Seq[Seq[Double]]], v: Column,
+      m: Int, sub: Int): Column =
+    call_function("graft_pq_encode", v, typedlit(book))
+
+  /** The builtin-composed encode pqAssignExpr replaced — retained as
+    * the independent ground truth GraftFunctionsSpec compares the
+    * native expression against, code for code. */
+  private[graft] def pqAssignExprBuiltin(book: Seq[Seq[Seq[Double]]], v: Column,
       m: Int, sub: Int): Column =
     array((0 until m).map { mm =>
       val cents = typedlit(book(mm))
@@ -453,7 +464,7 @@ object VectorQueries {
     * standard quantizer-training locus when the model is
     * broadcast-sized. Nearest by L2; ties take the lowest index;
     * an emptied cell keeps its previous centroid. */
-  private[queries] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+  private[graft] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
       sub: Int, lloydRounds: Int): Seq[Seq[Seq[Double]]] = {
     def nearestIdx(cents: Array[Array[Double]], p: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue

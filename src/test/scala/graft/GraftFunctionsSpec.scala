@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.functions.{GraftExtensions, GraftFunctions}
 
 /** Both registration routes for the native expressions: the
@@ -70,5 +71,31 @@ class GraftFunctionsSpec extends SparkSpec {
       .filter(col("ne")).count()
     assert(diff == 0, s"$diff of ${cases.size} cases diverge from the builtin form")
     assert(cases.size >= 150) // generator actually produced cases
+  }
+
+  test("graft_pq_encode: code-for-code equal to the builtin composition on the corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.01"
+    val m = 8; val k = 32; val sub = 64 / m
+    // a real trained codebook (deterministic) over real vectors —
+    // the exact shapes the production encode runs on
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val sample = emb.orderBy(col("vec_id")).limit(512)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val book = graft.queries.VectorQueries.pqTrain(sample, m, k, sub, 4)
+    val native = call_function("graft_pq_encode", col("emb"),
+      typedlit(book))
+    val builtin = graft.queries.VectorQueries
+      .pqAssignExprBuiltin(book, col("emb"), m, sub)
+    val diverging = emb.select((native =!= builtin).as("ne"))
+      .filter(col("ne")).count()
+    assert(diverging == 0, s"$diverging vectors encode differently")
+    // codes in range, m per row
+    val stats = emb.select(native.as("c"))
+      .select(min(size(col("c"))), max(size(col("c"))),
+        min(array_min(col("c"))), max(array_max(col("c")))).collect()(0)
+    assert(stats.getInt(0) == m && stats.getInt(1) == m)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < k)
   }
 }
