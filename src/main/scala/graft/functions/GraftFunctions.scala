@@ -31,6 +31,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "graft_pq_encode takes exactly 2 arguments")
           PqEncode(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "graft_minhash_sig takes exactly 3 arguments")
+          MinHashSig(children(0), children(1), children(2))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

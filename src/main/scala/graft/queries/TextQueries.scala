@@ -562,6 +562,25 @@ object TextQueries {
     IndexedSeq.fill(MinhashHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
+  /** The 32 affine-rehash minima in ONE fused codegen'd pass — the
+    * native `graft_minhash_sig` expression (functions/MinHashSig
+    * .scala). The signature pass is the sole full-corpus scan of
+    * both the batch MinHash path and the streaming LSH index build;
+    * the builtin composition it replaces (below) made 32 interpreted
+    * higher-order passes per row. */
+  private[graft] def minhashSigExpr(sh: Column): Column =
+    call_function("graft_minhash_sig", sh,
+      typedlit(minhashAbs.map(_._1)), typedlit(minhashAbs.map(_._2)))
+
+  /** The builtin-composed signature minhashSigExpr replaced —
+    * retained as the independent ground truth GraftFunctionsSpec
+    * compares the native expression against, code for code. */
+  private[graft] def minhashSigBuiltin(sh: Column): Column =
+    array((0 until MinhashHashes).map { i =>
+      val (a, b) = minhashAbs(i)
+      array_min(transform(sh, h => h * lit(a) + lit(b)))
+    }: _*)
+
   /** (doc_id, band, band_key) from hashed-shingle sets — the LSH
     * index rows. Public so the streaming ingest path can persist the
     * same band space as a lake table. */
@@ -572,15 +591,12 @@ object TextQueries {
     * candidate generation — no extra shuffle, just one more column
     * riding the projection). */
   private def bandsOf(docs: DataFrame, withDig: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val rowsPerBand = MinhashHashes / MinhashBands
     val keyCols =
       if (withDig) Seq(col("doc_id"), shingleDigest(col("sh")).as("dig"))
       else Seq(col("doc_id"))
-    val sig = docs.select(keyCols :+
-      array((0 until MinhashHashes).map { i =>
-        val (a, b) = minhashAbs(i)
-        array_min(transform(col("sh"), h => h * lit(a) + lit(b)))
-      }: _*).as("sig"): _*)
+    val sig = docs.select(keyCols :+ minhashSigExpr(col("sh")).as("sig"): _*)
     val carried = if (withDig) Seq(col("doc_id"), col("dig")) else Seq(col("doc_id"))
     sig.select(carried :+
       posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),

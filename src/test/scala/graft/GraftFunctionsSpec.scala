@@ -98,4 +98,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(stats.getInt(0) == m && stats.getInt(1) == m)
     assert(stats.getInt(2) >= 0 && stats.getInt(3) < k)
   }
+
+  test("graft_minhash_sig: code-for-code equal to the builtin composition on the corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.queries.TextQueries.hashedShinglesOf(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"))
+    val native = graft.queries.TextQueries.minhashSigExpr(col("sh"))
+    val builtin = graft.queries.TextQueries.minhashSigBuiltin(col("sh"))
+    val diverging = docs.select((!(native <=> builtin)).as("ne"))
+      .filter(col("ne")).count()
+    assert(diverging == 0, s"$diverging docs sign differently")
+    assert(docs.count() >= 400) // the corpus actually flowed through
+
+    // degenerate inputs match the builtin exactly: empty set and
+    // null entries (array_min skips nulls; all-null -> null minima)
+    val edge = spark.range(1).select(
+      expr("cast(array() as array<bigint>)").as("empty"),
+      expr("array(cast(null as bigint))").as("allnull"),
+      expr("array(9223372036854775807L, cast(null as bigint), -1L)").as("mixed"))
+    Seq("empty", "allnull", "mixed").foreach { c =>
+      val ne = edge.select((!(graft.queries.TextQueries.minhashSigExpr(col(c)) <=>
+        graft.queries.TextQueries.minhashSigBuiltin(col(c)))).as("ne"))
+        .filter(col("ne")).count()
+      assert(ne == 0, s"edge case '$c' diverges from the builtin")
+    }
+  }
 }
