@@ -37,6 +37,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 3, "graft_minhash_sig takes exactly 3 arguments")
           MinHashSig(children(0), children(1), children(2))
+        }),
+      (FunctionIdentifier("graft_simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_simhash64 takes exactly 1 argument")
+          SimHash64(children(0))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

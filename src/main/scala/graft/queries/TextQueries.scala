@@ -650,9 +650,10 @@ object TextQueries {
   }
 
   /** SimHash near-dup: 64-bit signature — bit b is the sign of
-    * Σ_tokens (±1 by bit b of xxhash64(token)); computed as 64
-    * map-side-combined sums over the exploded token stream, then
-    * assembled bit-by-bit. Pairs within hamming ≤ 6 found by
+    * Σ_tokens (±1 by bit b of the token hash); computed per doc in
+    * ONE narrow codegen'd map (the native `graft_simhash64`
+    * expression — no token explode, no shuffle; see
+    * simhashSignatures). Pairs within hamming ≤ 6 found by
     * pigeonhole bucketing on 8-bit signature bytes: 6 differing bits
     * spread over 8 blocks leave at least one block identical (true
     * for any hamming < 8), so candidate generation is EXACT for the
@@ -669,8 +670,8 @@ object TextQueries {
       posexplode(array((0 until 8).map(q =>
         shiftrightunsigned(col("simhash"), q * 8).bitwiseAND(lit(0xFFL))): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("qkey"))
-      // both self-join legs reference this — persist so the 64-sum
-      // signature agg runs once
+      // both self-join legs reference this — persist so the
+      // signature scan (an MD5 per token) runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = blocked.select(col("q"), col("qkey"),
       col("doc_id").as("a_id"), col("simhash").as("a_sig"))
@@ -695,6 +696,20 @@ object TextQueries {
     * full SQL oracle instead of a rows-only check. SimHash only
     * needs a uniform deterministic hash; which one is arbitrary. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir).select(col("doc_id"),
+      call_function("graft_simhash64", tokens(normText(col("text"))))
+        .as("simhash"))
+  }
+
+  /** The explode → 64-conditional-sum groupBy composition
+    * simhashSignatures replaced (a ~100× row blowup plus a
+    * full-corpus shuffle, vs. the native expression's one narrow
+    * map) — retained as the independent ground truth
+    * GraftFunctionsSpec compares the native signature against, code
+    * for code. */
+  private[graft] def simhashSignaturesBuiltin(spark: SparkSession,
+      dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
       .select(col("doc_id"), {

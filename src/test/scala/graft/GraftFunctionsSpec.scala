@@ -123,4 +123,28 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(ne == 0, s"edge case '$c' diverges from the builtin")
     }
   }
+
+  test("graft_simhash64: code-for-code equal to the explode/groupBy composition") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.01"
+    val native = graft.queries.TextQueries.simhashSignatures(spark, dir)
+    val builtin = graft.queries.TextQueries.simhashSignaturesBuiltin(spark, dir)
+    assert(native.count() == builtin.count())
+    val diverging = native.as("n")
+      .join(builtin.withColumnRenamed("simhash", "simhash_b"), Seq("doc_id"))
+      .filter(col("simhash") =!= col("simhash_b")).count()
+    assert(diverging == 0, s"$diverging docs sign differently")
+    assert(native.count() >= 400)
+
+    // a null token contributes exactly as hash 0 does in the builtin
+    // (when/otherwise fallthrough decrements every bit counter)
+    val one = spark.sql(
+      "SELECT graft_simhash64(array('alpha', 'beta')) AS s").head().getLong(0)
+    val withNull = spark.sql(
+      "SELECT graft_simhash64(array('alpha', cast(null as string), 'beta')) AS s")
+      .head().getLong(0)
+    // 2 tokens: a tie (sum 0) on any bit where they disagree -> bit 0;
+    // adding the null's all-bits -1 can only clear bits, never set
+    assert((withNull & ~one) == 0L)
+  }
 }
