@@ -43,6 +43,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_simhash64 takes exactly 1 argument")
           SimHash64(children(0))
+        }),
+      (FunctionIdentifier("graft_shingle3_hash"),
+        new ExpressionInfo(classOf[Shingle3Hash].getName, "graft_shingle3_hash"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_shingle3_hash takes exactly 1 argument")
+          Shingle3Hash(children(0))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

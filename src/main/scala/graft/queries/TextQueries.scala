@@ -346,21 +346,17 @@ object TextQueries {
       .unionByName(roots.select(col("id").as("doc_id"), col("id").as("cluster_id")))
   }
 
-  /** 3-word shingle sets of the normalized text (docs with <3 tokens
-    * drop out). Tokens are materialized as their own projection so
-    * `element_at` indexes a bound array column: CollapseProject
-    * declines to inline a non-cheap alias referenced 5×, keeping the
-    * tokenizer split OUT of the shingle lambda. (Inlined, the split
-    * re-ran per element_at per position — O(tokens²) per doc,
-    * interpreted: the original single-expression form ran 60× slower
-    * at sf0.1.) */
-  private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
-    shingleDocsOf(Tables.documents(spark, dir))
-
-  /** As shingleDocs over any (doc_id, text) frame — the streaming
-    * ingest path (StreamOps.nearDupIngestBatch) builds per-batch
-    * shingles through here so batch and streaming share one
-    * tokenizer/shingler expression tree. */
+  /** 3-word shingle STRING sets of the normalized text (docs with <3
+    * tokens drop out) — the builtin form of the shingle pipeline,
+    * retained as the ground truth hashedShinglesBuiltin feeds (the
+    * production path is the fused native expression in
+    * hashedShinglesOf). Tokens are materialized as their own
+    * projection so `element_at` indexes a bound array column:
+    * CollapseProject declines to inline a non-cheap alias referenced
+    * 5×, keeping the tokenizer split OUT of the shingle lambda.
+    * (Inlined, the split re-ran per element_at per position —
+    * O(tokens²) per doc, interpreted: the original single-expression
+    * form ran 60× slower at sf0.1.) */
   private def shingleDocsOf(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     // The <3-token guard filters on size(toks), NOT size(sh): sh is
@@ -381,8 +377,28 @@ object TextQueries {
   }
 
   /** Distinct-hashed 3-shingle sets from any (doc_id, text) frame —
-    * no persist (callers manage caching for their own lifecycle). */
-  def hashedShinglesOf(docs: DataFrame): DataFrame =
+    * no persist (callers manage caching for their own lifecycle).
+    * Both the batch dedup queries and the streaming LSH index build
+    * come through here, so the ONE full-corpus scan of the MinHash
+    * family is this projection: the fused native
+    * `graft_shingle3_hash` expression (functions/Shingle3Hash.scala)
+    * replaces the four interpreted array passes of the builtin
+    * shingle→distinct→hash→distinct chain, which
+    * hashedShinglesBuiltin retains and GraftFunctionsSpec pins
+    * code-for-code. The <3-token guard filters on size(toks) for the
+    * pushdown reason documented in shingleDocsOf. */
+  def hashedShinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = col("toks")
+    docs
+      .select(col("doc_id"), tokens(normText(col("text"))).as("toks"))
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), call_function("graft_shingle3_hash", toks).as("sh"))
+  }
+
+  /** The builtin-composed chain hashedShinglesOf replaced — the
+    * independent ground truth for the native expression's spec. */
+  private[graft] def hashedShinglesBuiltin(docs: DataFrame): DataFrame =
     shingleDocsOf(docs)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))

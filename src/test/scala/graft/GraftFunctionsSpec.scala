@@ -147,4 +147,28 @@ class GraftFunctionsSpec extends SparkSpec {
     // adding the null's all-bits -1 can only clear bits, never set
     assert((withNull & ~one) == 0L)
   }
+
+  test("graft_shingle3_hash: code-for-code equal to the builtin shingle chain") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val native = graft.queries.TextQueries.hashedShinglesOf(docs)
+    val builtin = graft.queries.TextQueries.hashedShinglesBuiltin(docs)
+    assert(native.count() == builtin.count())
+    val diverging = native.as("n")
+      .join(builtin.withColumnRenamed("sh", "sh_b"), Seq("doc_id"))
+      .filter(!(col("sh") <=> col("sh_b"))).count()
+    assert(diverging == 0, s"$diverging docs shingle differently")
+    assert(native.count() >= 400)
+
+    // repeated shingles dedupe to first occurrence; null tokens are
+    // skipped by the join exactly as concat_ws skips them
+    val edge = spark.sql(
+      "SELECT graft_shingle3_hash(array('a','b','a','b','a','b')) AS rep, " +
+        "graft_shingle3_hash(array('a', cast(null as string), 'b', 'c')) AS nul")
+      .head()
+    // windows: "a b a","b a b","a b a","b a b" -> 2 distinct
+    assert(edge.getSeq[Long](0).length == 2)
+    // windows: "a b","b c" (null skipped) -> 2 distinct
+    assert(edge.getSeq[Long](1).length == 2)
+  }
 }
