@@ -354,6 +354,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("full-corpus text/vector scans stay on the native codegen'd expressions") {
+    // each of these is THE one full-corpus pass of its family; a
+    // revert to the interpreted builtin composition changes nothing
+    // semantically (GraftFunctionsSpec pins bit-equality) but puts
+    // interpreted higher-order eval — or, for simhash, an explode +
+    // full shuffle — back on the path that multiplies by 100 TB
+    spark.catalog.clearCache()
+    val minhash = planString(TextQueries.minhashCandidates(spark, dir))
+    assert(minhash.contains("graft_minhash_sig"),
+      "minhash signature pass is not the native expression")
+    assert(minhash.contains("graft_shingle3_hash"),
+      "shingle hashing pass is not the native expression")
+    // the signature pass alone: one narrow map — no token explode
+    // (Generate), no shuffle (Exchange). dedupSimhash's OWN plan
+    // keeps a posexplode (the 8-block pigeonhole keys — by design).
+    val simhash = planString(TextQueries.simhashSignatures(spark, dir))
+    assert(simhash.contains("graft_simhash64"),
+      "simhash signature is not the native expression")
+    // (Tables' round-robin ingest fan-out is the one allowed Exchange;
+    // a hashpartitioning Exchange would be the groupBy shuffle back)
+    assert(!simhash.contains("Generate") && !simhash.contains("hashpartitioning"),
+      "simhash signature pass regressed to the explode/groupBy shape")
+    val pq = planString(VectorQueries.annPqTopk(spark, dir))
+    assert(pq.contains("graft_pq_encode"),
+      "PQ encode pass is not the native expression")
+  }
+
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
     val plan = planString(TextQueries.minhashCandidates(spark, dir))
     // bucketed candidate generation must hash-join on the band key —
