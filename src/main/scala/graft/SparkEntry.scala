@@ -78,6 +78,7 @@ object SparkEntry {
     "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
     "t_repetition" -> (TextQueries.tRepetition _),
+    "t_substring_spans" -> ((s: SparkSession, d: String) => TextQueries.tSubstringSpans(s, d)),
     "t_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tTfidf(s, d)),
     "t_compress_ratio" -> (TextQueries.tCompressRatio _),
     "t_inverted_index" -> ((s: SparkSession, d: String) => TextQueries.tInvertedIndex(s, d)),
@@ -574,6 +575,33 @@ object SparkEntry {
            round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
              / greatest(b.n_tokens - 1, 1), 4) AS top_bigram_frac
          FROM base b LEFT JOIN top t USING (doc_id)""",
+    // cross-doc exact-substring spans: a position is duplicated when
+    // its 8-token window occurs >1 time in the corpus; overlapping/
+    // adjacent duplicated windows merge per doc (gaps-and-islands).
+    // Spark counts xxhash64(gram), the oracle the gram string —
+    // equal counts up to 64-bit collisions (t_decontaminate's deal)
+    "t_substring_spans" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              grams AS (SELECT doc_id, g - 1 AS pos,
+                    array_to_string(w[g:g+7], ' ') AS gram
+                    FROM toks, UNNEST(range(1, len(w) - 6)) AS t(g)),
+              occ AS (SELECT doc_id, pos,
+                    count(*) OVER (PARTITION BY gram) AS occ FROM grams),
+              dup AS (SELECT doc_id, pos FROM occ WHERE occ > 1),
+              isl AS (SELECT doc_id, pos,
+                    CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                         OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                    THEN 1 ELSE 0 END AS new_span FROM dup),
+              grp AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id
+                    ORDER BY pos) AS island FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+         FROM grp GROUP BY doc_id, island""",
     // tf-idf with the un-logged (N+1)/(df+1) idf: the score is one
     // IEEE division, bit-identical across engines (ln's last-ulp
     // libm differences could flip a rounded 4th decimal)

@@ -956,6 +956,58 @@ object TextQueries {
           greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_frac"))
   }
 
+  /** Cross-document exact-substring duplicate spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * span-granular dedup that doc-level MinHash/SimHash cannot
+    * express): a token position is duplicated when its `spanGram`-
+    * token window occurs MORE THAN ONCE in the corpus (any doc,
+    * including its own), and overlapping-or-adjacent duplicated
+    * windows merge into maximal per-doc spans — the regions a
+    * training pipeline masks or cuts, where doc-level dedup would
+    * either drop a mostly-unique document or keep its boilerplate.
+    *
+    * Shape at scale: one narrow gram pass (grams ride as xxhash64
+    * longs — the oracle counts the gram STRINGS, equal up to 64-bit
+    * collisions, the t_decontaminate precedent), ONE exchange on the
+    * uniform hash key whose window count finds duplicated grams (the
+    * minhash-cap one-shuffle trick), then the gaps-and-islands merge
+    * (e2_sessionize's pattern) on the uniform doc_id key. Token
+    * arrays never shuffle; Lee et al.'s suffix array becomes two
+    * bounded exchanges of (doc_id, pos, hash) rows. */
+  def tSubstringSpans(spark: SparkSession, dir: String,
+      spanGram: Int = 8): DataFrame =
+    tSubstringSpansOf(Tables.documents(spark, dir), spanGram)
+
+  /** tSubstringSpans over any (doc_id, text) frame — fixture surface
+    * for the hand-computed span spec. */
+  private[graft] def tSubstringSpansOf(docs: DataFrame,
+      spanGram: Int): DataFrame = {
+    val w = col("w")
+    val grams = docs
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+      .filter(size(w) >= spanGram)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(w) - (spanGram - 1)),
+          i => xxhash64(concat_ws(" ", slice(w, i, lit(spanGram)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (spanGram - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (spanGram - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per doc. Classic corpus
     * statistics as two uniform-key aggs (term frequency per doc,
     * document frequency per term) joined back on `term` — the df

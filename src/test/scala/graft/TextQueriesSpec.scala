@@ -386,4 +386,33 @@ class TextQueriesSpec extends SparkSpec {
     // unseen bigram — the filter signal the query exists to produce
     assert(out(1L)._2 > out(0L)._2)
   }
+
+  test("tSubstringSpans: hand-computed duplicated spans, merge and gap semantics") {
+    import spark.implicits._
+    // 3-gram occurrences across the fixture: "a b c" in docs 1@0,
+    // 2@2, 5@0; "b c d" in 1@1, 2@3; "d e f" in 1@3, 5@5; "m m m"
+    // 4× within doc 4 (self-duplication counts). Everything else is
+    // unique.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "p q r s"),
+      (4L, "m m m m m m"),
+      (5L, "a b c q q d e f")).toDF("doc_id", "text")
+    val got = TextQueries.tSubstringSpansOf(docs, spanGram = 3)
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      // doc 1: dup positions {0,1,3} — 3 touches span-end 3, merges
+      (1L, 0L, 5L, 6L),
+      // doc 2: {2,3} merge
+      (2L, 2L, 5L, 4L),
+      // doc 4: within-doc repeats cover the whole doc
+      (4L, 0L, 5L, 6L),
+      // doc 5: {0,5} — gap of unique positions splits the spans
+      (5L, 0L, 2L, 3L),
+      (5L, 5L, 7L, 3L))
+    assert(got == expected, s"got $got")
+    // doc 3 (all grams unique) emits nothing — checked by set equality
+  }
 }
