@@ -49,6 +49,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_shingle3_hash takes exactly 1 argument")
           Shingle3Hash(children(0))
+        }),
+      (FunctionIdentifier("graft_ngram_hash"),
+        new ExpressionInfo(classOf[NgramHash].getName, "graft_ngram_hash"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_ngram_hash takes exactly 2 arguments")
+          NgramHash(children(0), children(1))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -901,14 +901,24 @@ object TextQueries {
     * expression tree shared by batch decontamination and its
     * streaming twin (StreamOps.decontaminateBatch), so both paths
     * flag the same grams by construction. */
-  private[graft] def hashedGramsOf(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def hashedGramsOf(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .select(col("doc_id"),
-        explode(when(size(col("w")) >= n,
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
-          .otherwise(array().cast("array<bigint>"))).as("g"))
+        explode(call_function("graft_ngram_hash", col("w"), lit(n))).as("g"))
       .distinct()
+  }
+
+  /** The builtin-composed per-position gram hash the native
+    * `graft_ngram_hash` expression (functions/NgramHash.scala)
+    * replaced in hashedGramsOf / tRepetition / tSubstringSpans —
+    * retained as the independent ground truth GraftFunctionsSpec
+    * compares the fused pass against, element for element. */
+  private[graft] def ngramHashBuiltin(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
 
   def tDecontaminate(spark: SparkSession, dir: String, n: Int = 5,
       benchMod: Int = 97): DataFrame = {
@@ -939,13 +949,10 @@ object TextQueries {
     val base = docs.select(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"),
       size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val top = docs
       .select(col("doc_id"),
-        explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => xxhash64(concat_ws(" ",
-              element_at(col("w"), i), element_at(col("w"), i + lit(1))))))
-          .otherwise(array().cast("array<bigint>"))).as("g"))
+        explode(call_function("graft_ngram_hash", col("w"), lit(2))).as("g"))
       .groupBy(col("doc_id"), col("g")).count()
       .groupBy(col("doc_id")).agg(max(col("count")).as("top_c"))
     base.join(top, Seq("doc_id"), "left")
@@ -982,13 +989,13 @@ object TextQueries {
     * for the hand-computed span spec. */
   private[graft] def tSubstringSpansOf(docs: DataFrame,
       spanGram: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val w = col("w")
     val grams = docs
       .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .filter(size(w) >= spanGram)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(w) - (spanGram - 1)),
-          i => xxhash64(concat_ws(" ", slice(w, i, lit(spanGram)))))))
+        posexplode(call_function("graft_ngram_hash", col("w"), lit(spanGram))))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val dupPos = grams
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))

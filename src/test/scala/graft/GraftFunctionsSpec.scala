@@ -171,4 +171,26 @@ class GraftFunctionsSpec extends SparkSpec {
     // windows: "a b","b c" (null skipped) -> 2 distinct
     assert(edge.getSeq[Long](1).length == 2)
   }
+
+  test("graft_ngram_hash: code-for-code equal to the builtin gram chain") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), split(trim(lower(trim(col("text")))), "\\s+").as("w"))
+    for (n <- Seq(2, 5, 8)) {
+      val native = call_function("graft_ngram_hash", col("w"), lit(n))
+      val builtin = graft.queries.TextQueries.ngramHashBuiltin(col("w"), n)
+      val ne = docs.select((!(native <=> builtin)).as("ne")).filter(col("ne")).count()
+      assert(ne == 0, s"n=$n: grams diverge from the builtin")
+    }
+    assert(docs.count() >= 400)
+
+    // fewer than n tokens -> empty; null tokens skipped exactly as
+    // concat_ws skips them, positions kept
+    val edge = spark.sql(
+      "SELECT graft_ngram_hash(array('a'), 2) AS short, " +
+        "graft_ngram_hash(array('a', cast(null as string), 'b'), 2) AS nul, " +
+        "xxhash64('a') AS ha, xxhash64('b') AS hb").head()
+    assert(edge.getSeq[Long](0).isEmpty)
+    assert(edge.getSeq[Long](1) == Seq(edge.getLong(2), edge.getLong(3)))
+  }
 }

@@ -379,6 +379,9 @@ class PlanSpec extends SparkSpec {
     val pq = planString(VectorQueries.annPqTopk(spark, dir))
     assert(pq.contains("graft_pq_encode"),
       "PQ encode pass is not the native expression")
+    val spans = planString(TextQueries.tSubstringSpans(spark, dir))
+    assert(spans.contains("graft_ngram_hash"),
+      "gram hashing pass is not the native expression")
   }
 
   test("minhash candidates: self-join is an equi-join on (band, band_key)") {
