@@ -55,6 +55,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "graft_ngram_hash takes exactly 2 arguments")
           NgramHash(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_winnow_sel"),
+        new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_sel"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3, "graft_winnow_sel takes exactly 3 arguments")
+          WinnowSelect(children(0), children(1), children(2))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -782,6 +782,22 @@ object TextQueries {
     * and its minimum is selected on both sides). */
   def winnowSelected(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val t = col("t")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .filter(length(t) >= k)
+      .select(col("doc_id"),
+        call_function("graft_winnow_sel", t, lit(k), lit(w)).as("sel"))
+  }
+
+  /** The builtin-composed selector the native `graft_winnow_sel`
+    * expression (functions/WinnowSelect.scala) replaced — four
+    * interpreted array passes materializing every gram and hash as
+    * strings — retained as the independent ground truth
+    * GraftFunctionsSpec compares the fused pass against. */
+  private[graft] def winnowSelectedBuiltin(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
     val t = col("t")
     val grams = col("grams")
     val hashes = col("hashes")

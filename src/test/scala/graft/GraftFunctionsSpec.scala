@@ -193,4 +193,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(edge.getSeq[Long](0).isEmpty)
     assert(edge.getSeq[Long](1) == Seq(edge.getLong(2), edge.getLong(3)))
   }
+
+  test("graft_winnow_sel: code-for-code equal to the builtin winnow chain") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.01"
+    val native = graft.queries.TextQueries.winnowSelected(spark, dir)
+    val builtin = graft.queries.TextQueries.winnowSelectedBuiltin(spark, dir)
+    assert(native.count() == builtin.count())
+    val diverging = native.as("n")
+      .join(builtin.withColumnRenamed("sel", "sel_b"), Seq("doc_id"))
+      .filter(!(col("sel") <=> col("sel_b"))).count()
+    assert(diverging == 0, s"$diverging docs select differently")
+    assert(native.count() >= 400)
+
+    // < w windows falls back to the single global minimum, and the
+    // selected hex strings are real md5s of the k-char grams
+    val short = spark.sql( // 9 chars, k=8 -> 2 grams, w=4 -> fallback
+      "SELECT graft_winnow_sel('abcdefghi', 8, 4) AS sel, " +
+        "least(md5('abcdefgh'), md5('bcdefghi')) AS mn").head()
+    assert(short.getSeq[String](0) == Seq(short.getString(1)))
+  }
 }
