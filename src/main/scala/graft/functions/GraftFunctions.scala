@@ -61,6 +61,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 3, "graft_winnow_sel takes exactly 3 arguments")
           WinnowSelect(children(0), children(1), children(2))
+        }),
+      (FunctionIdentifier("graft_vec_div"),
+        new ExpressionInfo(classOf[VecDiv].getName, "graft_vec_div"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_vec_div takes exactly 2 arguments")
+          VecDiv(children(0), children(1))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -40,17 +40,17 @@ object VectorQueries {
   /** Corpus with L2-normalized vectors: cosine of a pair is then a
     * bare dot product — norms are computed once per VECTOR here, not
     * twice per PAIR in the pair stage (3× less work where it
-    * multiplies). `nrm` stays in the normalizing projection's output
-    * (dropped one step later) so it is referenced twice and
-    * CollapseProject won't inline the norm into the per-element
-    * lambda. */
+    * multiplies). Scaling is the native `graft_vec_div` expression
+    * (one codegen'd loop; the `transform` lambda it replaces was
+    * interpreted — and a scalar argument is evaluated once per ROW,
+    * so the old keep-nrm-referenced-twice CollapseProject guard
+    * against per-ELEMENT norm recomputation is no longer needed). */
   private[queries] def embNormed(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)
       .select(col("vec_id"), col("label"), col("emb"), norm(col("emb")).as("nrm"))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("label"),
-        transform(col("emb"), x => x / col("nrm")).as("emb"), col("nrm"))
-      .drop("nrm")
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
 
   /** The fixed query set every ANN variant answers for: the first 10
     * vectors. One definition so the brute/LSH/IVF paths can never
@@ -194,7 +194,8 @@ object VectorQueries {
       .select(col("qid"), col("qemb").cast("array<double>").as("qemb"))
       .select(col("qid"), col("qemb"), norm(col("qemb")).as("qn"))
       .filter(col("qn") > 0)
-      .select(col("qid"), transform(col("qemb"), x => x / col("qn")).as("qemb"))
+      .select(col("qid"),
+        call_function("graft_vec_div", col("qemb"), col("qn")).as("qemb"))
     val pairs = emb.join(broadcast(q), lit(true))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("qemb"), col("emb")), 4).as("sim"))

@@ -213,4 +213,25 @@ class GraftFunctionsSpec extends SparkSpec {
         "least(md5('abcdefgh'), md5('bcdefghi')) AS mn").head()
     assert(short.getSeq[String](0) == Seq(short.getString(1)))
   }
+
+  test("graft_vec_div: code-for-code equal to the transform lambda on the corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        sqrt(call_function("graft_dot", col("emb"), col("emb"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val native = call_function("graft_vec_div", col("emb"), col("nrm"))
+    val builtin = transform(col("emb"), x => x / col("nrm"))
+    val ne = emb.select((!(native <=> builtin)).as("ne")).filter(col("ne")).count()
+    assert(ne == 0, s"$ne vectors normalize differently")
+    assert(emb.count() >= 400)
+
+    // null elements stay null, the lambda's null-propagating divide
+    val edge = spark.sql(
+      "SELECT v[0] = 1.0d AND v[1] IS NULL AND v[2] = 2.0d AS ok FROM " +
+        "(SELECT graft_vec_div(array(2.0d, cast(null as double), 4.0d), 2.0d) AS v)")
+      .head()
+    assert(edge.getBoolean(0))
+  }
 }
