@@ -67,6 +67,18 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "graft_vec_div takes exactly 2 arguments")
           VecDiv(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_char_ngrams"),
+        new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_char_ngrams takes exactly 2 arguments")
+          CharNgrams(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_count_in"),
+        new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_count_in takes exactly 2 arguments")
+          CountIn(children(0), children(1))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -38,13 +38,16 @@ object TextQueries {
   /** Quality scoring: length / punctuation / stopword ratios —
     * the standard cheap pre-filters of a corpus pipeline. */
   def tQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val toks = tokens(lower(col("text")))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       round(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"),
-      round(size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+      // native fused count (functions/CountIn.scala) — the builtin
+      // size(filter(toks, _.isInCollection(stop))) ran interpreted
+      round(call_function("graft_count_in", toks, typedlit(stop)).cast("double") /
         size(toks), 4).as("stopword_ratio"),
       round((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
         .cast("double") / length(col("text")), 4).as("punct_ratio"))
@@ -824,15 +827,17 @@ object TextQueries {
     * driver-side state, scales to any corpus. Rows-only check (the
     * prediction is heuristic, not SQL-canonical). */
   def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     // referenced by both the profile-training agg and the scoring
-    // join — persist so the trigram explode runs once
+    // join — persist so the trigram explode runs once. Trigrams come
+    // from the native graft_char_ngrams (functions/CharNgrams.scala);
+    // the builtin transform/substr chain it replaced ran interpreted
+    // over the whole corpus (the <3-char whole-text fallback is
+    // folded into the expression).
     val tris = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), normText(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
-        explode(when(length(col("t")) >= 3,
-          transform(sequence(lit(1), length(col("t")) - 2),
-            i => col("t").substr(i, lit(3))))
-          .otherwise(array(col("t")))).as("tri"))
+        explode(call_function("graft_char_ngrams", col("t"), lit(3))).as("tri"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topPerLang = tris.groupBy(col("lang"), col("tri")).count()
       .withColumn("rk", row_number().over(

@@ -234,4 +234,42 @@ class GraftFunctionsSpec extends SparkSpec {
       .head()
     assert(edge.getBoolean(0))
   }
+
+  test("graft_char_ngrams / graft_count_in: equal to their builtin chains") {
+    GraftFunctions.ensureRegistered(spark)
+    val t = col("t")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val triNative = call_function("graft_char_ngrams", t, lit(3))
+    val triBuiltin = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array(t))
+    val triNe = docs.select((!(triNative <=> triBuiltin)).as("ne"))
+      .filter(col("ne")).count()
+    assert(triNe == 0, s"$triNe docs produce different trigrams")
+
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = split(t, "\\s+")
+    val cntNative = call_function("graft_count_in", toks, typedlit(stop))
+    val cntBuiltin = size(filter(toks, x => x.isInCollection(stop)))
+    val cntNe = docs.select((!(cntNative <=> cntBuiltin)).as("ne"))
+      .filter(col("ne")).count()
+    assert(cntNe == 0, s"$cntNe docs count stopwords differently")
+    assert(docs.count() >= 400)
+
+    // code-point windows (not byte windows) and the short-text
+    // whole-string fallback, on multibyte text
+    val uni = spark.range(1)
+      .select(lit("héllo").as("u"), lit("ab").as("s"))
+      .select(
+        call_function("graft_char_ngrams", col("u"), lit(3)).as("tri"),
+        (!(call_function("graft_char_ngrams", col("u"), lit(3)) <=>
+          transform(sequence(lit(1), length(col("u")) - 2),
+            i => col("u").substr(i, lit(3))))).as("ne"),
+        call_function("graft_char_ngrams", col("s"), lit(3)).as("short"))
+      .head()
+    assert(uni.getSeq[String](0) == Seq("hél", "éll", "llo"))
+    assert(!uni.getBoolean(1))
+    assert(uni.getSeq[String](2) == Seq("ab"))
+  }
 }
