@@ -132,4 +132,71 @@ object EventQueries {
         coalesce(col("n"), lit(0L)).as("n_clicks"),
         round(coalesce(col("v"), lit(0.0)), 2).as("click_value"))
   }
+
+  /** E6: ordered conversion funnel view → click → purchase, per
+    * user. A step counts only if it happens at-or-after the
+    * previous step's first qualifying event. One shuffle + one sort
+    * per user carries all three stages as running conditional mins
+    * over the same window frame — never a per-step self-join (k-step
+    * funnels as k self-joins shuffle the event table k times and
+    * explode on hot users; this is one pass at any k). Timestamps
+    * emitted as epoch micros so the DuckDB oracle (`epoch_us`)
+    * hashes identically. */
+  def e6Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** The funnel core over any (user_id, ts, event_id, event_type)
+    * frame — split out so specs can feed hand-built fixtures. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("view_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" && col("view_ts").isNotNull,
+          col("ts"))).over(w))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" && col("click_ts").isNotNull,
+          col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(
+        unix_micros(min(col("view_ts"))).as("view_us"),
+        unix_micros(min(col("click_ts"))).as("click_us"),
+        unix_micros(min(col("purchase_ts"))).as("purchase_us"))
+      .withColumn("depth",
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .when(col("view_us").isNotNull, 1L)
+          .otherwise(0L))
+  }
+
+  /** E7: weekly cohort retention. Cohort = the Monday-truncated week
+    * of a user's first event; a (cohort, offset) cell counts the
+    * users active `offset` weeks after their cohort week. Two
+    * uniform-key aggregations (per-user first week; distinct
+    * user-weeks) joined on user_id — the cohort frame is |users|
+    * rows, so AQE broadcasts it against the activity side at scale;
+    * no window, no self-join, nothing keyed by the (tiny, hot)
+    * cohort-week value until the final vocabulary-sized rollup. */
+  def e7Retention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(spark, dir))
+
+  /** The retention core over any (user_id, ts) frame. */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.distinct()
+    active.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        ((unix_micros(col("wk")) - unix_micros(col("cohort_wk")))
+          / (7L * 86400L * 1000000L)).cast("long"))
+      .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
 }

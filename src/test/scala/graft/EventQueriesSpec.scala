@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.EventQueries
+
+/** Hand-computed fixtures for the ordered-funnel and cohort-retention
+  * semantics (the DuckDB oracles check the full corpus at sf0.01;
+  * these pin the stage-ordering corner cases a random corpus may not
+  * exercise). */
+class EventQueriesSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (uid, at, tpe) => (uid, ts(at), tpe) }
+      .zipWithIndex
+      .map { case ((uid, at, tpe), i) => (uid, at, i.toLong, tpe) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  test("funnel stages only count at-or-after the previous stage") {
+    val df = eventsDf(Seq(
+      // u1: clean view -> click -> purchase
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // u2: purchase BEFORE any click — depth stops at 2; a later
+      // purchase completes it only if after the qualifying click
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:30:00", "purchase"),
+      (2L, "2024-01-01 09:45:00", "click"),
+      // u3: click before any view never qualifies — depth 1 from the
+      // later view alone
+      (3L, "2024-01-01 08:00:00", "click"),
+      (3L, "2024-01-01 08:30:00", "view"),
+      // u4: no funnel events at all
+      (4L, "2024-01-01 07:00:00", "error")))
+    val out = EventQueries.funnelOf(df)
+      .select("user_id", "depth").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("funnel: same-timestamp stage events qualify (at-or-after)") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "purchase")))
+    // event_id ordering puts view first at the shared timestamp, so
+    // the click sees view_ts set on its own row and qualifies
+    val out = EventQueries.funnelOf(df).select("depth").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("retention cells count users active k weeks after their cohort week") {
+    val df = eventsDf(Seq(
+      // u1 first active week of Jan 1 (a Monday), returns at offset 2
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-16 10:00:00", "click"),
+      // u2 same cohort, active weeks 0 and 1
+      (2L, "2024-01-03 10:00:00", "view"),
+      (2L, "2024-01-08 10:00:00", "view"),
+      // u3 cohort of Jan 8, active that week only (two events, one
+      // distinct user-week)
+      (3L, "2024-01-09 10:00:00", "view"),
+      (3L, "2024-01-10 10:00:00", "click")))
+    val out = EventQueries.retentionOf(df)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+}
