@@ -60,6 +60,8 @@ object SparkEntry {
     "e3_asof_join" -> (EventQueries.e3AsofJoin _),
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
     "e5_range_join" -> (EventQueries.e5RangeJoin _),
+    "e6_funnel" -> (EventQueries.e6Funnel _),
+    "e7_retention" -> (EventQueries.e7Retention _),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHitters(s, d)),
     "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
     "t_lm_score" -> (TextQueries.tLmScore _),
+    "t_bpe_tokens" -> ((s: SparkSession, d: String) => TextQueries.tBpe(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -372,6 +375,51 @@ object SparkEntry {
          FROM err e LEFT JOIN clk c
            ON c.ts >= e.s AND c.ts < e.s + INTERVAL 10 MINUTE
          GROUP BY e.err_id""",
+    // ordered funnel: each stage's first qualifying time is a running
+    // conditional min over the same per-user frame; stage k counts
+    // only at-or-after stage k-1's first time
+    "e6_funnel" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                    FROM events),
+              l1 AS (SELECT user_id, ts, event_id, event_type,
+                    min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+                    FROM s),
+              l2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                           AND view_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+                    FROM l1),
+              l3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND click_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts
+                    FROM l2),
+              agg AS (SELECT user_id,
+                    epoch_us(min(view_ts)) AS view_us,
+                    epoch_us(min(click_ts)) AS click_us,
+                    epoch_us(min(purchase_ts)) AS purchase_us
+                    FROM l3 GROUP BY user_id)
+         SELECT user_id, view_us, click_us, purchase_us,
+           CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+                WHEN click_us IS NOT NULL THEN 2
+                WHEN view_us IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS depth
+         FROM agg""",
+    // weekly cohort retention: cohort = Monday-truncated week of the
+    // user's first event; cells count users active k weeks later
+    "e7_retention" ->
+      """WITH ev AS (SELECT user_id,
+                    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+              cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+              active AS (SELECT DISTINCT user_id, wk FROM ev)
+         SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch_us(wk) - epoch_us(cohort_wk)) // 604800000000 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT user_id) AS n_active
+         FROM active JOIN cohort USING (user_id)
+         GROUP BY 1, 2""",
     "t_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Bpe
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -1260,5 +1261,53 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(nll) / count(lit(1)), 4).as("avg_nll"),
         round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
+  }
+
+  /** BPE tokenizer, trained on the corpus and applied to it — the
+    * real subword token accounting an LLM data pipeline budgets with
+    * (whitespace counts under-split; tTokenCount's regex is only
+    * BPE-ish). Per doc: word count, BPE token count, tokens/word.
+    *
+    * Scale shape (the production tokenizer-trainer split): training
+    * NEVER sees the corpus — it consumes the (word, count)
+    * vocabulary, cut to the top `maxTrainVocab` words by one
+    * TakeOrdered collect (bounded at any corpus size), and runs
+    * Sennrich merge learning on the driver (ops/Bpe). The corpus-
+    * scale work is all uniform aggregation: one groupBy(word) count
+    * (vocab-bounded output, map-side combinable — persisted, it
+    * feeds both the training cut and the encode), the per-word
+    * encode applied ONCE per distinct word (vocabulary-sized
+    * mapPartitions with broadcast merge ranks — the one non-codegen
+    * step, deliberately off the corpus), and a broadcast join of the
+    * encoded lengths back onto the (doc_id, word) stream with a
+    * final groupBy(doc_id). The corpus is scanned twice and never
+    * carries anything wider than a word. */
+  def tBpe(spark: SparkSession, dir: String, numMerges: Int = 200,
+      maxTrainVocab: Int = 50000): DataFrame =
+    tBpeOf(Tables.documents(spark, dir), numMerges, maxTrainVocab)
+
+  private[graft] def tBpeOf(docs: DataFrame, numMerges: Int = 200,
+      maxTrainVocab: Int = 50000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(col("doc_id"), explode(tokens(lower(trim(col("text"))))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSample = wc
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxTrainVocab)
+      .as[(String, Long)].collect().toSeq
+    val ranks = Bpe.train(trainSample, numMerges)
+      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    val encoded = wc.select(col("word")).as[String]
+      .mapPartitions(it => it.map(w => (w, Bpe.encode(w, bRanks.value).length.toLong)))
+      .toDF("word", "n_bpe")
+    words.join(broadcast(encoded), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens") / col("n_words"), 4))
   }
 }
