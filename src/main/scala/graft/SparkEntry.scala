@@ -100,6 +100,7 @@ object SparkEntry {
     "emb_centroids" -> (VectorQueries.embCentroids _),
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
+    "emb_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.embSemDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

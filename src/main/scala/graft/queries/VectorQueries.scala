@@ -595,6 +595,48 @@ object VectorQueries {
     cents
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means
+    * partition, then exact cosine near-dup WITHIN each cluster only.
+    * A vector is dropped when a lower-id vector in its cluster is
+    * within `tau` cosine — the deterministic min-id keeper over each
+    * near-dup neighborhood (per-pair greedy, not transitive closure:
+    * the paper's semantics). Output: one row per vector with its
+    * cluster and keep/drop verdict.
+    *
+    * This is the scale path the pairwise near-dup queries can't be:
+    * the self-join key is cluster_id, so candidate volume is
+    * sum(n_c^2) — with k grown ~linearly in corpus size the
+    * per-cluster population stays bounded and the quadratic term
+    * never materializes (the paper runs exactly this shape at
+    * billions of embeddings). Assignment is the narrow broadcast-
+    * centroid pass; the only shuffles are the cluster-keyed exchange
+    * (AQE splits a skewed mega-cluster) and the bounded drop-set
+    * distinct. Training is k-means on the unit sphere — squared-L2
+    * nearest == cosine nearest there, so one centroid model serves
+    * both assignment and the cosine dedup. */
+  def embSemDedup(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, tau: Double = 0.4): DataFrame = {
+    val emb = embNormed(spark, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCentroids(emb, k, iters)
+    val assigned = emb
+      .select(col("vec_id"), col("emb"),
+        nearestCentroid(cents, col("emb")).as("cl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"))
+    val b = assigned.select(col("cl"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"))
+    val dropped = a.join(b, Seq("cl"))
+      .filter(col("a_id") < col("b_id") &&
+        round(dot(col("a_emb"), col("b_emb")), 4) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl").cast("long").as("cluster_id"),
+        coalesce(col("dup") === false, lit(true)).as("kept"))
+  }
+
   /** Distributed k-means clustering of the embedding corpus — the
     * coarse partitioner behind corpus curation (topic balancing,
     * diversity sampling, SemDeDup-style pruning). Output: every

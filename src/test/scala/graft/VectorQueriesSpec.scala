@@ -85,6 +85,44 @@ class VectorQueriesSpec extends SparkSpec {
     assert(extra.isEmpty, "LSH path emitted a pair the exact path does not")
   }
 
+  test("embSemDedup: verdicts equal an independent within-cluster pairwise recompute") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val tau = 0.4
+    val out = VectorQueries.embSemDedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val raw = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val unit = raw.flatMap { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) Some(id -> v.map(_ / n)) else None
+    }
+    // one verdict per surviving-norm vector
+    assert(out.length == unit.size)
+    // given the query's own cluster partition (assignment semantics
+    // are pinned by the embKmeans test below, same nearest-centroid
+    // code), recompute the greedy min-id dedup from scratch
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val dropped = out.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      for {
+        j <- ids.indices
+        i <- 0 until j
+        if cosR(unit(ids(i)), unit(ids(j))) >= tau
+      } yield ids(j)
+    }.toSet
+    for ((vid, _, kept) <- out)
+      assert(kept == !dropped(vid),
+        s"vec $vid kept=$kept, independent recompute says ${!dropped(vid)}")
+    // non-trivial on this corpus: some drops, and survivors dominate
+    assert(dropped.nonEmpty, "no near-dups found — test exercises nothing")
+    assert(out.count(_._3) > out.length / 2)
+  }
+
   test("embKmeans: SSE non-increasing per Lloyd iteration; assignment is nearest-centroid") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val emb = graft.sources.Tables.embeddings(spark, sf01)
