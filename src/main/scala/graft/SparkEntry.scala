@@ -62,6 +62,7 @@ object SparkEntry {
     "e5_range_join" -> (EventQueries.e5RangeJoin _),
     "e6_funnel" -> (EventQueries.e6Funnel _),
     "e7_retention" -> (EventQueries.e7Retention _),
+    "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHitters(s, d)),
     "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
     "t_lm_score" -> (TextQueries.tLmScore _),
+    "t_dsir_weights" -> (TextQueries.tDsirWeights _),
     "t_bpe_tokens" -> ((s: SparkSession, d: String) => TextQueries.tBpe(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
@@ -421,6 +423,41 @@ object SparkEntry {
            count(DISTINCT user_id) AS n_active
          FROM active JOIN cohort USING (user_id)
          GROUP BY 1, 2""",
+    // burst ratio stays exact-integer until one IEEE division, so
+    // the rounded value hashes identically across engines
+    "e8_spike" ->
+      """WITH ev AS (SELECT event_type,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+              ph AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+              st AS (SELECT event_type, sum(n) AS total, count(*) AS n_buckets
+                    FROM ph GROUP BY 1)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           round(n * n_buckets / total, 4) AS burst
+         FROM ph JOIN st USING (event_type)
+         WHERE round(n * n_buckets / total, 4) >= 2.0""",
+    // the bucket is the low 32 md5 bits mod 1024 (1024 | 2^32, so
+    // the low half alone determines it) — bit-identical in DuckDB
+    "t_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+         d2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         big AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS g
+                 FROM (SELECT doc_id, lang, unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
+                       FROM d2)),
+         hb AS (SELECT doc_id, lang,
+                ('0x' || substr(md5(g), 25, 8))::BIGINT % 1024 AS b FROM big),
+         t AS (SELECT b, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY 1),
+         r AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
+         tot AS (SELECT count(*) AS nr, count(*) FILTER (lang = 'en') AS nt FROM hb),
+         s AS (SELECT doc_id, count(*) AS n_grams,
+               round(sum(ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0))
+                       - ln((cr + 1.0) / (nr + 1024.0))) / count(*), 4) AS dsir_logratio
+               FROM hb LEFT JOIN t USING (b) JOIN r USING (b) CROSS JOIN tot
+               GROUP BY doc_id)
+         SELECT doc_id, n_grams, dsir_logratio,
+           dsir_logratio > 0 AS target_like FROM s""",
     "t_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

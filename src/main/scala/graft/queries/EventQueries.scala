@@ -173,6 +173,29 @@ object EventQueries {
           .otherwise(0L))
   }
 
+  /** E8: traffic-burst anomaly detection. An (event_type, hour)
+    * bucket is a spike when its count reaches `factor`× that type's
+    * mean per-hour count. The burst ratio is n·n_buckets/total —
+    * exact integer arithmetic until ONE IEEE division, so the DuckDB
+    * oracle hashes bit-identically (a z-score variant would stack
+    * libm ops whose last bit differs across engines). Two aggs: the
+    * per-bucket count on a uniform (type, hour) key, and a
+    * 5-row per-type stats frame broadcast back — the corpus shuffles
+    * once, the stats join moves nothing. */
+  def e8Spike(spark: SparkSession, dir: String, factor: Double = 2.0): DataFrame = {
+    val perHour = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = perHour.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_buckets"))
+    perHour.join(broadcast(stats), Seq("event_type"))
+      .withColumn("burst", round(col("n") * col("n_buckets") / col("total"), 4))
+      .filter(col("burst") >= factor)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("burst"))
+  }
+
   /** E7: weekly cohort retention. Cohort = the Monday-truncated week
     * of a user's first event; a (cohort, offset) cell counts the
     * users active `offset` weeks after their cohort week. Two

@@ -1263,6 +1263,59 @@ object TextQueries {
         round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
   }
 
+  private val DsirBuckets = 1024L
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every
+    * document by the average log ratio of its hashed-bigram
+    * likelihood under a TARGET distribution versus the RAW corpus
+    * distribution — positive means the document looks like the
+    * target and should survive resampling. The target slice here is
+    * the English documents (a deterministic stand-in for the paper's
+    * curated target corpus; the query shape is identical).
+    *
+    * This is the fixed-state sibling of tLmScore: both models are
+    * BUCKET tables — at most `DsirBuckets` rows regardless of
+    * vocabulary or corpus size (the paper's hashed-ngram trick) — so
+    * scoring is two broadcast joins plus a broadcast single-row
+    * totals frame, and the corpus shuffles exactly once, for the
+    * final per-doc rollup on the uniform doc_id key. The bucket is
+    * the low 32 md5 bits mod DsirBuckets: md5 is the hash DuckDB
+    * computes bit-identically (and 1024 divides 2^32, so the low
+    * half alone determines the bucket) → full SQL oracle, unlike
+    * an xxhash64 bucketing. */
+  def tDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(tokens(lower(col("text"))), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2)
+    val grams = toks.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, n - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("g"))
+    val bucketed = grams.select(col("doc_id"), col("lang"),
+      pmod(conv(substring(md5(col("g")), 25, 8), 16, 10).cast("long"),
+        lit(DsirBuckets)).as("b"))
+    val target = bucketed.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = broadcast(bucketed.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")))
+    val logw =
+      log((coalesce(col("ct"), lit(0L)) + lit(1.0d)) /
+        (col("nt") + lit(DsirBuckets.toDouble))) -
+      log((col("cr") + lit(1.0d)) / (col("nr") + lit(DsirBuckets.toDouble)))
+    bucketed
+      .join(broadcast(target), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"))
+      .crossJoin(totals)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(logw) / count(lit(1)), 4).as("dsir_logratio"))
+      .withColumn("target_like", col("dsir_logratio") > 0)
+  }
+
   /** BPE tokenizer, trained on the corpus and applied to it — the
     * real subword token accounting an LLM data pipeline budgets with
     * (whitespace counts under-split; tTokenCount's regex is only
