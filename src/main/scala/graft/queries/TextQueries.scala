@@ -1293,22 +1293,26 @@ object TextQueries {
     val grams = toks.select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(0, n - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("g"))
+    // persisted: the tokenize+md5 pipeline feeds both the model agg
+    // and the scoring join — cached here, it runs once (at corpus
+    // scale, skip the cache and pay the second scan instead)
     val bucketed = grams.select(col("doc_id"), col("lang"),
       pmod(conv(substring(md5(col("g")), 25, 8), 16, 10).cast("long"),
         lit(DsirBuckets)).as("b"))
-    val target = bucketed.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val raw = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val totals = broadcast(bucketed.agg(
-      count(lit(1)).as("nr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BOTH models in one map-side-combinable agg: raw count and
+    // target (conditional) count per bucket — ≤ DsirBuckets rows out
+    val counts = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = broadcast(counts.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt")))
     val logw =
-      log((coalesce(col("ct"), lit(0L)) + lit(1.0d)) /
-        (col("nt") + lit(DsirBuckets.toDouble))) -
+      log((col("ct") + lit(1.0d)) / (col("nt") + lit(DsirBuckets.toDouble))) -
       log((col("cr") + lit(1.0d)) / (col("nr") + lit(DsirBuckets.toDouble)))
     bucketed
-      .join(broadcast(target), Seq("b"), "left")
-      .join(broadcast(raw), Seq("b"))
+      .join(broadcast(counts), Seq("b"))
       .crossJoin(totals)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
