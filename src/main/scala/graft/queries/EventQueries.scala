@@ -183,9 +183,13 @@ object EventQueries {
     * 5-row per-type stats frame broadcast back — the corpus shuffles
     * once, the stats join moves nothing. */
   def e8Spike(spark: SparkSession, dir: String, factor: Double = 2.0): DataFrame = {
+    // persisted: the bucket-count frame (types × hours rows — tiny at
+    // any corpus size) feeds both the stats rollup and the final
+    // join; without it the stats side re-scans the event corpus
     val perHour = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = perHour.groupBy(col("event_type"))
       .agg(sum(col("n")).as("total"), count(lit(1)).as("n_buckets"))
     perHour.join(broadcast(stats), Seq("event_type"))

@@ -194,6 +194,48 @@ class PlanSpec extends SparkSpec {
       s"minhash plan grew to $exchanges hash exchanges:\n" + plan.take(3000))
   }
 
+  test("funnel: one user_id shuffle carries all stages; never per-stage self-joins") {
+    // the k-stage funnel's whole point is that stage times are
+    // running conditional mins over ONE per-user sort — if it
+    // regresses to the k-self-joins form, join operators appear and
+    // the event table shuffles k times
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e6Funnel(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "funnel regressed to per-stage self-joins")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"funnel should shuffle once on user_id, saw $exchanges:\n" + plan.take(3000))
+  }
+
+  test("burst detection: per-type stats ride a broadcast, corpus scans once") {
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e8Spike(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "5-row stats frame fell to a sort-merge join")
+    // the per-hour counts are persisted and read by BOTH the stats
+    // rollup and the final join — the stats side must not re-scan
+    // the event corpus
+    assert(plan.contains("InMemoryRelation"),
+      "bucket-count frame no longer shared; stats side re-scans the corpus")
+    // 3 = the cached frame's build exchange printed once per
+    // reference (×2) + the 5-row stats rollup exchange; anything
+    // more means a real extra shuffle appeared
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"burst plan grew to $exchanges hash exchanges:\n" + plan.take(3000))
+  }
+
+  test("DSIR: bucket models join broadcast, corpus never sort-merge-joined") {
+    spark.catalog.clearCache()
+    val plan = planString(TextQueries.tDsirWeights(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "bounded bucket model fell to a sort-merge join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("stored-index searches: shortlist pruned, never cartesian") {
     val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString
     VectorQueries // touch to keep import used
