@@ -66,6 +66,7 @@ object SparkEntry {
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
+    "t_quality_gate" -> (TextQueries.tQualityGate _),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
     "t_corpus_mix" -> (TextQueries.tCorpusMix _),
     "t_fingerprint" -> (TextQueries.tFingerprint _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_pq_stored" -> (VectorIndex.annPqStored _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
+    "emb_decontaminate" -> ((s: SparkSession, d: String) => VectorQueries.embDecontaminate(s, d)),
     "emb_centroids" -> (VectorQueries.embCentroids _),
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
@@ -476,6 +478,37 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  string_split_regex(trim(lower(text)), '\s+') AS toks
                FROM documents)""",
+    // verdicts compare ALREADY-ROUNDED features, so the gate is
+    // exactly reproducible cross-engine
+    "t_quality_gate" ->
+      """WITH q AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(CAST(len(list_filter(toks,
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                  / len(toks), 4) AS stopword_ratio
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents),
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM toks),
+         bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
+                FROM toks, UNNEST(range(1, len(w))) AS t(g)),
+         cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
+         r AS (SELECT b.doc_id,
+               round(CAST(b.n_uniq AS DOUBLE) / b.nt, 4) AS uniq_token_frac,
+               round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
+                 / greatest(b.nt - 1, 1), 4) AS top_bigram_frac
+               FROM base b LEFT JOIN top t USING (doc_id))
+         SELECT doc_id,
+           n_tokens >= 20 AS len_ok,
+           stopword_ratio >= 0.02 AS stopword_ok,
+           uniq_token_frac >= 0.3 AS uniq_ok,
+           top_bigram_frac <= 0.1 AS repetition_ok,
+           (n_tokens >= 20 AND stopword_ratio >= 0.02
+            AND uniq_token_frac >= 0.3 AND top_bigram_frac <= 0.1) AS keep
+         FROM q JOIN r USING (doc_id)""",
     "t_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -763,6 +796,15 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                     FROM p)
          SELECT qid, rank, nid, sim FROM r WHERE rank <= 5""",
+    "emb_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              b AS (SELECT vec_id AS b_id, emb AS b_emb FROM e WHERE vec_id < 25),
+              c AS (SELECT e.vec_id,
+                    round(max(list_dot_product(e.emb, b.b_emb) /
+                      (sqrt(list_dot_product(e.emb, e.emb)) *
+                       sqrt(list_dot_product(b.b_emb, b.b_emb)))), 4) AS max_bench_cos
+                    FROM e CROSS JOIN b WHERE e.vec_id >= 25 GROUP BY 1)
+         SELECT vec_id, max_bench_cos, max_bench_cos >= 0.4 AS contaminated FROM c""",
     "emb_near_dup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,

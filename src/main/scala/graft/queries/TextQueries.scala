@@ -1263,6 +1263,33 @@ object TextQueries {
         round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
   }
 
+  /** Composite quality gate — the Gopher/RedPajama-style rule bundle
+    * that turns the per-signal feature queries into ONE keep/drop
+    * verdict with per-rule attribution (the form a curation pipeline
+    * actually consumes: per-rule booleans let you audit WHY mass was
+    * dropped, not just how much). Thresholds are this corpus's
+    * calibration; the shape is threshold-agnostic.
+    *
+    * Scale: both feature frames are per-doc aggregates joining on
+    * the uniform doc_id key (AQE picks broadcast or shuffle by
+    * size); the verdict itself is a narrow boolean projection over
+    * ALREADY-ROUNDED features, so the gate is exactly reproducible
+    * cross-engine — full oracle. */
+  def tQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val q = tQualityScore(spark, dir)
+    val r = tRepetition(spark, dir)
+      .select(col("doc_id"), col("uniq_token_frac"), col("top_bigram_frac"))
+    q.join(r, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= 20L).as("len_ok"),
+        (col("stopword_ratio") >= 0.02).as("stopword_ok"),
+        (col("uniq_token_frac") >= 0.3).as("uniq_ok"),
+        (col("top_bigram_frac") <= 0.1).as("repetition_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("stopword_ok") &&
+          col("uniq_ok") && col("repetition_ok"))
+  }
+
   private val DsirBuckets = 1024L
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

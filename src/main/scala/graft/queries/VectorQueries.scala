@@ -595,6 +595,27 @@ object VectorQueries {
     cents
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of the n-gram `t_decontaminate`: a training example
+    * is contaminated when some benchmark example sits within `tau`
+    * cosine, which catches the paraphrases and re-wordings n-gram
+    * overlap misses. Benchmark slice = the first 25 vectors (the
+    * external-benchmark stand-in; real eval suites are MBs against
+    * 100 TB of training data — ALWAYS broadcast-able). One broadcast
+    * nested-loop scan of the corpus with a max-agg on the uniform
+    * vec_id key; the corpus is never shuffle-joined. */
+  def embDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.4): DataFrame = {
+    val emb = embNormed(spark, dir)
+    val bench = broadcast(emb.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("b_id"), col("emb").as("b_emb")))
+    emb.filter(col("vec_id") >= 25)
+      .crossJoin(bench)
+      .groupBy(col("vec_id"))
+      .agg(round(max(dot(col("emb"), col("b_emb"))), 4).as("max_bench_cos"))
+      .withColumn("contaminated", col("max_bench_cos") >= tau)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means
     * partition, then exact cosine near-dup WITHIN each cluster only.
     * A vector is dropped when a lower-id vector in its cluster is
