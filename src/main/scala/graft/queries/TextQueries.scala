@@ -40,9 +40,18 @@ object TextQueries {
     * the standard cheap pre-filters of a corpus pipeline. */
   def tQualityScore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    qualityScoreOf(Tables.documents(spark, dir))
+  }
+
+  /** The scoring core over any (doc_id, text) frame — shared by the
+    * batch query and the streaming micro-batch gate (same column
+    * expressions, so the batch oracle doubles as the streaming
+    * semantics check). Caller ensures the native functions are
+    * registered. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       round(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"),
@@ -965,13 +974,20 @@ object TextQueries {
     * token arrays stay inside one narrow projection (never shuffled
     * — only (doc_id, gram-hash) rows move). */
   def tRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    repetitionOf(Tables.documents(spark, dir))
+  }
+
+  /** The repetition core over any (doc_id, text) frame — shared with
+    * the streaming micro-batch gate. Caller ensures the native
+    * functions are registered. */
+  def repetitionOf(in: DataFrame): DataFrame = {
+    val docs = in
       .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = docs.select(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"),
       size(array_distinct(col("w"))).cast("long").as("n_uniq"))
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     val top = docs
       .select(col("doc_id"),
         explode(call_function("graft_ngram_hash", col("w"), lit(2))).as("g"))
@@ -1276,8 +1292,15 @@ object TextQueries {
     * ALREADY-ROUNDED features, so the gate is exactly reproducible
     * cross-engine — full oracle. */
   def tQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val q = tQualityScore(spark, dir)
-    val r = tRepetition(spark, dir)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    qualityGateOf(Tables.documents(spark, dir))
+  }
+
+  /** The gate core over any (doc_id, text) frame — the streaming
+    * micro-batch twin scores with exactly these expressions. */
+  def qualityGateOf(docs: DataFrame): DataFrame = {
+    val q = qualityScoreOf(docs)
+    val r = repetitionOf(docs)
       .select(col("doc_id"), col("uniq_token_frac"), col("top_bigram_frac"))
     q.join(r, Seq("doc_id"))
       .select(col("doc_id"),

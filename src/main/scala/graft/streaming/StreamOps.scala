@@ -112,6 +112,19 @@ object StreamOps {
       .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
   }
 
+  /** Streaming quality gate: apply the composite keep/drop rule
+    * bundle to each arriving micro-batch of (doc_id, text) rows.
+    * All features (token/stopword ratios, uniq-token and top-bigram
+    * fractions) are within-document aggregates, so the operator is
+    * STATELESS per micro-batch — no watermark, no state store. The
+    * scoring IS `TextQueries.qualityGateOf` (one shared expression
+    * tree), so the batch query's DuckDB oracle doubles as the
+    * streaming semantics check. */
+  def qualityGateBatch(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    graft.queries.TextQueries.qualityGateOf(batch)
+  }
+
   /** A doc tagged with its balancing key (domain, lang, source …). */
   case class DocKey(doc_id: Long, key: String, ts: java.sql.Timestamp)
 

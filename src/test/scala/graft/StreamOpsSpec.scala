@@ -107,6 +107,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("qualityGateBatch verdicts match the batch gate on the same documents") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Seq(
+      (1L, ("the of and is " * 10).trim + " some more unique filler words here"),
+      (2L, "short doc"),                         // fails length rule
+      (3L, ("spam spam " * 30).trim),            // fails uniq + repetition
+      (4L, "the quick brown fox jumps over a lazy dog of unusual size and " +
+        "grace to win the admiration of everyone in the field today indeed"))
+    val expected = graft.queries.TextQueries
+      .qualityGateOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    val in = MemoryStream[(Long, String)]
+    val sink = collection.mutable.ArrayBuffer[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= StreamOps.qualityGateBatch(b)
+            .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+              r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+        }
+        ()
+      }.start()
+    in.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    // later batches score independently — stateless across batches
+    in.addData(docs(2), docs(3))
+    q.processAllAvailable(); q.stop()
+    assert(sink.toSet == expected)
+    // the fixture exercises both verdicts
+    assert(expected.exists(_._6) && expected.exists(!_._6))
+  }
+
   test("imageIngestBatch dedups across and within batches; replay leaves the index unchanged") {
     import org.apache.spark.sql.Row
     import graft.multimodal.MediaOps
