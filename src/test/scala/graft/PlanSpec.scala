@@ -236,6 +236,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("BPE: the per-word encode joins back broadcast; corpus never sort-merge-joined") {
+    spark.catalog.clearCache()
+    // constructing the frame runs the bounded vocabulary collect +
+    // driver-side merge training (cheap at sf0.001) — the pin is on
+    // the SCORING plan that follows
+    val plan = planString(TextQueries.tBpe(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "vocabulary-sized encode frame fell to a sort-merge join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("SemDeDup: within-cluster pairs come from a hash join on cluster_id, never cartesian") {
+    spark.catalog.clearCache()
+    val plan = planString(VectorQueries.embSemDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "cluster-local self-join fell to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "cluster-local self-join lost its equi key")
+  }
+
   test("stored-index searches: shortlist pruned, never cartesian") {
     val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString
     VectorQueries // touch to keep import used
