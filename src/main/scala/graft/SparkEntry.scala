@@ -67,6 +67,7 @@ object SparkEntry {
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
     "t_quality_gate" -> (TextQueries.tQualityGate _),
+    "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
     "t_corpus_mix" -> (TextQueries.tCorpusMix _),
     "t_fingerprint" -> (TextQueries.tFingerprint _),

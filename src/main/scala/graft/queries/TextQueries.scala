@@ -1313,6 +1313,62 @@ object TextQueries {
           col("uniq_ok") && col("repetition_ok"))
   }
 
+  /** Per-doc feature vector + rule-gate label for the learned
+    * quality classifier: the gate's five signals scaled into [0, ~2]
+    * (GD conditioning), label = the rule bundle's verdict. */
+  private[graft] def classifierFrame(docs: DataFrame): DataFrame = {
+    val q = qualityScoreOf(docs)
+    val r = repetitionOf(docs)
+      .select(col("doc_id"), col("uniq_token_frac"), col("top_bigram_frac"))
+    q.join(r, Seq("doc_id")).select(
+      col("doc_id"),
+      array(
+        least(col("n_tokens").cast("double") / lit(100.0), lit(2.0)),
+        col("avg_token_len") / lit(10.0),
+        col("stopword_ratio"),
+        col("uniq_token_frac"),
+        col("top_bigram_frac")).as("x"),
+      ((col("n_tokens") >= 20L) && (col("stopword_ratio") >= 0.02) &&
+        (col("uniq_token_frac") >= 0.3) && (col("top_bigram_frac") <= 0.1))
+        .cast("double").as("y"))
+  }
+
+  /** Learned quality classifier — the GPT-3/CCNet-style smooth
+    * quality scorer, here distilling the rule gate into a calibrated
+    * probability (real pipelines bootstrap exactly this way: label a
+    * slice with rules or a reference corpus, train a cheap linear
+    * model, score everything with it; the smooth score supports
+    * threshold sweeps and importance-weighted sampling the hard rule
+    * verdict cannot).
+    *
+    * Scale shape (the PQ-codebook / BPE-vocabulary pattern):
+    * training consumes a BOUNDED sample — `maxTrain` rows cut by one
+    * TakeOrdered collect in content-hash order (deterministic at any
+    * corpus size and partitioning, unlike limit()) — and runs
+    * full-batch GD on the driver (ops/LogReg, standardization folded
+    * back into raw-space weights). The corpus-scale work is the
+    * narrow feature scan and ONE scoring pass: a `graft_dot` against
+    * the dims+1 literal weights. The feature frame is persisted
+    * because the sample cut and the scoring pass both read it. */
+  def tQualityClassifier(spark: SparkSession, dir: String,
+      iters: Int = 500, lr: Double = 0.5, maxTrain: Int = 100000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val frame = classifierFrame(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = frame
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(maxTrain)
+      .collect().map(r => (r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    val w = graft.ops.LogReg.train(sample, iters, lr)
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(call_function("graft_dot", col("x"), typedlit(w.init.toSeq)) +
+        lit(w.last))))
+    frame.select(col("doc_id"),
+      round(p, 4).as("quality_prob"),
+      (p >= 0.5).as("predicted_keep"),
+      (col("y") === 1.0).as("rule_keep"))
+  }
+
   private val DsirBuckets = 1024L
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

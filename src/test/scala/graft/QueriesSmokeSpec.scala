@@ -47,6 +47,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs",
     "emb_kmeans" -> "VectorQueriesSpec monotone SSE + independent nearest-centroid pass",
     "emb_semdedup" -> "VectorQueriesSpec independent driver-side within-cluster pairwise recompute",
+    "t_quality_classifier" -> "TextQueriesSpec loss decreases, accuracy beats majority baseline, probs equal driver recompute",
     "t_bpe_tokens" -> "BpeSpec hand-computed Sennrich merges/encodes + per-doc fixture recompute")
 
   test("every query has ground truth: a SQL oracle or a named exact spec") {
