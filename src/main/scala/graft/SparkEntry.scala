@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorIndex, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, RetrievalQueries, TextQueries, VectorIndex, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,8 @@ object SparkEntry {
     "t_lm_score" -> (TextQueries.tLmScore _),
     "t_dsir_weights" -> (TextQueries.tDsirWeights _),
     "t_bpe_tokens" -> ((s: SparkSession, d: String) => TextQueries.tBpe(s, d)),
+    "t_bm25_topk" -> ((s: SparkSession, d: String) => RetrievalQueries.tBm25Topk(s, d)),
+    "t_hybrid_rrf" -> ((s: SparkSession, d: String) => RetrievalQueries.tHybridRrf(s, d)),
     // — similarity search —
     "ann_brute_topk" -> (VectorQueries.annBruteTopk _),
     "ann_lsh_topk" -> (VectorQueries.annLshTopk _),
@@ -740,6 +742,86 @@ object SparkEntry {
                     ORDER BY score DESC, term) AS rk FROM scored)
          SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rk
          FROM ranked WHERE rk <= 3""",
+    // BM25 with un-logged idf and integer-micro per-term scores:
+    // every arithmetic step is IEEE +,*,/ in the same parse order as
+    // the Spark side, and the per-term rounding to micros makes the
+    // doc score an order-independent long sum
+    "t_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              tf AS (SELECT doc_id, len(w) AS dl,
+                    len(list_filter(w, x -> x = 'dup')) AS tf_0,
+                    len(list_filter(w, x -> x = 'vector')) AS tf_1,
+                    len(list_filter(w, x -> x = 'stream')) AS tf_2 FROM toks),
+              st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM tf),
+              sc AS (SELECT doc_id,
+                    (CASE WHEN tf_0 > 0 THEN CAST(round((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+                      * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    + (CASE WHEN tf_1 > 0 THEN CAST(round((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+                      * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    + (CASE WHEN tf_2 > 0 THEN CAST(round((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+                      * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    AS bm25_micro
+                    FROM tf, st WHERE tf_0 + tf_1 + tf_2 > 0),
+              r AS (SELECT doc_id, bm25_micro,
+                    row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank FROM sc)
+         SELECT doc_id, rank, bm25_micro FROM r WHERE rank <= 10""",
+    // reciprocal-rank fusion of the BM25 arm and a dense-cosine arm
+    // (query = embedding 0); contributions are round(1e6/(60+rank))
+    // longs, so the fused score is an exact integer sum
+    "t_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+              tf AS (SELECT doc_id, len(w) AS dl,
+                    len(list_filter(w, x -> x = 'dup')) AS tf_0,
+                    len(list_filter(w, x -> x = 'vector')) AS tf_1,
+                    len(list_filter(w, x -> x = 'stream')) AS tf_2 FROM toks),
+              st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM tf),
+              sc AS (SELECT doc_id,
+                    (CASE WHEN tf_0 > 0 THEN CAST(round((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+                      * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    + (CASE WHEN tf_1 > 0 THEN CAST(round((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+                      * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    + (CASE WHEN tf_2 > 0 THEN CAST(round((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+                      * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
+                    AS bm25_micro
+                    FROM tf, st WHERE tf_0 + tf_1 + tf_2 > 0),
+              s0 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                    AS s_rank FROM sc),
+              s50 AS (SELECT doc_id, s_rank FROM s0 WHERE s_rank <= 50),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+              c AS (SELECT e.vec_id AS doc_id,
+                    round(list_dot_product(q.qemb, e.emb) /
+                      (sqrt(list_dot_product(q.qemb, q.qemb)) *
+                       sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos
+                    FROM e, q WHERE e.vec_id <> 0),
+              d0 AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS d_rank FROM c),
+              d50 AS (SELECT doc_id, d_rank FROM d0 WHERE d_rank <= 50),
+              f AS (SELECT COALESCE(d50.doc_id, s50.doc_id) AS doc_id,
+                    d50.d_rank, s50.s_rank,
+                    COALESCE(CAST(round(1000000.0 / (60 + d50.d_rank)) AS BIGINT), 0) +
+                    COALESCE(CAST(round(1000000.0 / (60 + s50.s_rank)) AS BIGINT), 0)
+                    AS rrf_micro
+                    FROM d50 FULL JOIN s50 ON d50.doc_id = s50.doc_id),
+              r AS (SELECT doc_id, rrf_micro, d_rank, s_rank,
+                    row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+         SELECT doc_id, rank, rrf_micro, d_rank, s_rank FROM r WHERE rank <= 10""",
     "t_heavy_hitters" ->
       """WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\s+') AS w

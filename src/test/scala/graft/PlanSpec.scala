@@ -456,4 +456,19 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "candidate self-join is not bucket-local")
   }
+
+  test("bm25/hybrid: tf is explode-free, top-k is TakeOrdered, arms never cartesian") {
+    spark.catalog.clearCache()
+    // tf per query term is size(filter(tokens)) — a narrow map. A
+    // Generate in this plan means someone reintroduced the
+    // (doc_id, term) explode+shuffle the design specifically avoids;
+    // a Window-before-limit would put the corpus in one partition.
+    val bm = planString(graft.queries.RetrievalQueries.tBm25Topk(spark, dir))
+    assert(bm.contains("TakeOrderedAndProject"), bm.take(2000))
+    assert(!bm.contains("Generate"), "BM25 tf fell back to an explode")
+    assert(!bm.contains("CartesianProduct"))
+    val hy = planString(graft.queries.RetrievalQueries.tHybridRrf(spark, dir))
+    assert(hy.contains("TakeOrderedAndProject"), hy.take(2000))
+    assert(!hy.contains("CartesianProduct"))
+  }
 }
