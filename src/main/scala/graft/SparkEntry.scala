@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, RetrievalQueries, TextQueries, VectorIndex, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, GraphQueries, RetrievalQueries, TextQueries, VectorIndex, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +108,8 @@ object SparkEntry {
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.embSemDedup(s, d)),
+    // — graph / link analysis —
+    "g1_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.g1PageRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -945,5 +947,38 @@ object SparkEntry {
            round(avg(d.cos), 4) AS avg_cos_to_centroid
          FROM cent JOIN d ON cent.label = d.label
          GROUP BY cent.label, cent.n_vectors, cent.centroid_norm""",
+    // integer-micros PageRank: BIGINT floor division end to end, so
+    // the iterative ranks are bit-identical across engines (a float
+    // PageRank's per-node sums are IEEE order-dependent and could
+    // never hash-match)
+    "g1_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+           WHERE x.l_partkey <> y.l_partkey),
+         d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         n AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             FROM e JOIN d USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
+         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             FROM e JOIN d USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
+         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             FROM e JOIN d USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
+         r4 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             FROM e JOIN d USING (src) JOIN r3 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
+         r5 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             FROM e JOIN d USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst) c USING (node))
+         SELECT node AS part_key, r AS rank_micros FROM r5""",
   )
 }

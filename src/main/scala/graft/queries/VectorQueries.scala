@@ -634,12 +634,25 @@ object VectorQueries {
     * (AQE splits a skewed mega-cluster) and the bounded drop-set
     * distinct. Training is k-means on the unit sphere — squared-L2
     * nearest == cosine nearest there, so one centroid model serves
-    * both assignment and the cosine dedup. */
+    * both assignment and the cosine dedup.
+    *
+    * The partitioner is trained like the PQ codebooks (annPqTopk):
+    * ONE bounded TakeOrdered sample collect + driver-side Lloyd
+    * (pqTrain with a single subspace spanning the full vector) —
+    * the clusters only need to be a balanced partition of the
+    * sphere, not an optimal quantizer of the census, so sample
+    * statistics suffice and the corpus is touched by exactly one
+    * full pass (the assignment scan). The in-query distributed-Lloyd
+    * demonstration lives in embKmeans, where training IS the query. */
   def embSemDedup(spark: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 3, tau: Double = 0.4): DataFrame = {
+      iters: Int = 3, tau: Double = 0.4, maxTrain: Int = 4096): DataFrame = {
     val emb = embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = kmeansCentroids(emb, k, iters)
+    val sample = emb.orderBy(col("vec_id")).limit(maxTrain)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"semdedup training sample ${sample.length} < k=$k")
+    val cents = pqTrain(sample, 1, k, EmbDim, iters).head
     val assigned = emb
       .select(col("vec_id"), col("emb"),
         nearestCentroid(cents, col("emb")).as("cl"))

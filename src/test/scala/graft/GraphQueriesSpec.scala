@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.GraphQueries
+
+/** Ground truth for the iterative PageRank kernel: an independent
+  * driver-side recompute of the integer recurrence from the raw
+  * lineitem rows (edges, degrees, and five supersteps re-derived
+  * from scratch with plain Scala Longs — no Spark expressions
+  * shared with the query). The DuckDB oracle checks the same
+  * recurrence cross-engine at sf0.01; this pins it against a third,
+  * non-SQL implementation and on a hand-built graph where the
+  * expected ranks are verifiable by eye.
+  */
+class GraphQueriesSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("g1PageRank equals a driver-side integer recompute on sf0.001") {
+    val out = GraphQueries.g1PageRank(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder: Map[Long, Seq[Long]] =
+      li.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2).distinct.toSeq }
+    val edges: Set[(Long, Long)] = byOrder.values.flatMap { parts =>
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSet
+    val deg: Map[Long, Long] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = li.map(_._2).distinct
+    var r: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / deg(s)
+      r = nodes.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+
+    assert(out.keySet == r.keySet)
+    for ((n, v) <- r)
+      assert(out(n) == v, s"node $n: spark ${out(n)} != recompute $v")
+    // non-degenerate: ranks actually spread on this corpus
+    assert(out.values.max > out.values.min)
+  }
+
+  test("g1PageRank hand-built graph: star hub outranks leaves, isolated node gets teleport only") {
+    import spark.implicits._
+    // orders: o1 = {1,2}, o2 = {1,3}, o3 = {1,4} — a star around part 1;
+    // o4 = {9} alone — part 9 is isolated (no co-purchase edges)
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 1L), (12L, 4L), (13L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graphspec").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphQueries.g1PageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 9L))
+    // hub collects three leaves' full ranks; leaves split the hub's
+    assert(out(1L) > out(2L))
+    assert(out(2L) == out(3L) && out(3L) == out(4L))
+    // isolated node: teleport term only after the first superstep
+    assert(out(9L) == 150000L)
+    // hand-check superstep 1 on the star: hub gets 3 × (1e6 div 1)?
+    // no — each leaf's only edge is to the hub with deg 1, so
+    // contrib(hub) = 3 × 1_000_000; r1(hub) = 150000 + 85*3e6/100
+    // (verifies the recurrence constants are wired as documented)
+    var r: Map[Long, Long] = Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L, 9L -> 1000000L)
+    val edges = Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val deg = Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / deg(s)
+      r = r.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    for ((n, v) <- r) assert(out(n) == v, s"node $n: ${out(n)} != $v")
+  }
+}
