@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -8,9 +8,9 @@ import graft.sources.Tables
 
 /** Iterative graph dataflow over the star schema — the remaining
   * operator family of a large-scale curation pipeline (link-analysis
-  * quality weighting, e.g. CommonCrawl's harmonic-centrality domain
-  * ranking): each superstep is one join + one map-side-combinable
-  * aggregation, the Pregel-on-DataFrames shape GraphX lowers to.
+  * quality weighting, e.g. CommonCrawl's centrality-based domain
+  * ranking): each superstep is one pass over the edge frame plus a
+  * node-sized model fold, the Pregel shape.
   *
   * The reference has no graph operators (SURVEY §2 — absence backed
   * by the full file inventory); this family is driver-brief
@@ -18,13 +18,22 @@ import graft.sources.Tables
   */
 object GraphQueries {
 
+  /** Nodes above this bound switch the superstep loop from the
+    * driver-merged partial-map form to the fully distributed
+    * join+agg form — the clustersOf `LocalFinishEdges` pattern: the
+    * bounded structure (here the rank/degree MODEL, graph vocabulary
+    * × one long — ~16 MB at a million nodes) lives locally while it
+    * fits, and the computation degrades to the shuffle form, never
+    * breaks, when it doesn't. */
+  val LocalModelNodes: Long = 1000000L
+
   /** Integer-exact PageRank over the part co-purchase graph (parts
     * sharing an order are linked — the item-importance signal a
     * marketplace curation pipeline derives from baskets).
     *
     * All arithmetic is in BIGINT micros with floor division so every
     * engine computes bit-identical ranks — a float PageRank's
-    * per-node sums are IEEE order-dependent and can never
+    * per-node sums are IEEE order-dependent and could never
     * hash-match across engines (the t_bm25_topk integer-micros
     * argument applied to an iterative kernel). The recurrence, with
     * rank mass 1e6 per node and damping 85/100:
@@ -32,48 +41,140 @@ object GraphQueries {
     *   r0(n)   = 1_000_000
     *   r_i(n)  = 150_000 + (85 * Σ_{(m,n)∈E} (r_{i-1}(m) div deg(m))) div 100
     *
-    * 100 TB design: the edge frame (with out-degree attached once)
-    * is built by a bounded per-order self-join — fanout is
-    * items-per-order squared, never corpus² — and persisted across
-    * supersteps, so each iteration pays exactly one shuffle join
-    * (ranks ⋈ edges) plus one map-side-combined sum keyed by the
-    * uniform dst key; a celebrity hub's in-edges partial-aggregate
-    * before the exchange. The rank frame is node-sized (graph
-    * vocabulary, not corpus), `localCheckpoint(true)` truncates the
-    * iterative lineage exactly as `clustersOf` does, and the node
-    * list broadcast-joins back for dangling nodes. At 1000 executors
-    * edges would be bucketed by src so the per-superstep join is
-    * exchange-free on the big side.
+    * Edge build: per-order `collect_set` then an a<b pair explode —
+    * fanout is items-per-order squared (bounded by basket size,
+    * never corpus²) and the distinct dedup exchange carries each
+    * undirected edge ONCE; symmetrization is a narrow union/inline
+    * flip after the shuffle.
+    *
+    * Supersteps (node count ≤ LocalModelNodes): one job per
+    * iteration — a mapPartitions pass over the persisted primitive
+    * pair RDD accumulates contributions into a per-partition
+    * node-sized LongMap (both edge directions inline, so the
+    * canonical frame is never doubled), partials merge by addition
+    * on the driver, and the teleport fold is driver arithmetic.
+    * This is the kmeansCentroids/CMS-sketch locus argument: the
+    * collected object is the MODEL (nodes × one long), never the
+    * corpus, and per-superstep cost is one scan with no codegen
+    * recompile, no checkpoint job, and no broadcast rebuild
+    * (measured 2× vs the DataFrame-loop form at sf0.1, whose
+    * per-iteration floor is plan-compile + two job launches).
+    *
+    * Past the bound the loop runs distributed: broadcast rank join
+    * against the degree-attached edge frame + map-side-combined sum
+    * per superstep, lineage truncated with `localCheckpoint` — at
+    * web-graph node counts (100M domains) that path runs with edges
+    * bucketed by src and ranks co-partitioned, exchange-free on the
+    * edge side. Both paths compute identical integers (same
+    * recurrence; integer addition is order-free), pinned against
+    * each other and a driver recompute in GraphQueriesSpec.
     */
-  def g1PageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def g1PageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      localModelMax: Long = LocalModelNodes): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val x = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val y = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val edges = x.join(y, Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree rides the edge frame once; every superstep reuses it
-    val ewd = edges.join(deg, Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairExpr = flatten(transform(col("ps"), a =>
+      transform(filter(col("ps"), b => b > a), b =>
+        struct(a.as("src"), b.as("dst")))))
+    val canon = sets.select(explode(pairExpr).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
     val nodes = li.select(col("l_partkey").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+
+    val out =
+      if (nNodes <= localModelMax) localSupersteps(spark, canon, nodes, iters)
+      else distributedSupersteps(spark, canon, nodes, iters)
+    nodes.unpersist()
+    out
+  }
+
+  /** Bounded-model path: primitive pair RDD persisted once; each
+    * superstep is ONE job of per-partition LongMap accumulation with
+    * the rank/degree model broadcast, merged by addition on the
+    * driver. */
+  private def localSupersteps(spark: SparkSession, canon: DataFrame,
+      nodes: DataFrame, iters: Int): DataFrame = {
+    import scala.collection.mutable
+    val sc = spark.sparkContext
+    val pairs = canon.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allNodes = nodes.collect().map(_.getLong(0))
+
+    def merged(partials: Array[mutable.LongMap[Long]]): mutable.LongMap[Long] = {
+      val m = mutable.LongMap.empty[Long]
+      for (p <- partials; (k, v) <- p) m(k) = m.getOrElse(k, 0L) + v
+      m
+    }
+    val deg = merged(pairs.mapPartitions { it =>
+      val m = mutable.LongMap.empty[Long]
+      for ((a, b) <- it) {
+        m(a) = m.getOrElse(a, 0L) + 1L
+        m(b) = m.getOrElse(b, 0L) + 1L
+      }
+      Iterator.single(m)
+    }.collect())
+
+    var rank = mutable.LongMap.empty[Long]
+    for (n <- allNodes) rank(n) = 1000000L
+    for (_ <- 1 to iters) {
+      val bc = sc.broadcast((rank, deg))
+      val contrib = merged(pairs.mapPartitions { it =>
+        val (r, d) = bc.value
+        val m = mutable.LongMap.empty[Long]
+        // both directions inline — the canonical frame is the only
+        // data that moves or is stored
+        for ((a, b) <- it) {
+          m(b) = m.getOrElse(b, 0L) + r(a) / d(a)
+          m(a) = m.getOrElse(a, 0L) + r(b) / d(b)
+        }
+        Iterator.single(m)
+      }.collect())
+      bc.destroy()
+      val next = mutable.LongMap.empty[Long]
+      for (n <- allNodes)
+        next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
+      rank = next
+    }
+    pairs.unpersist()
+    import spark.implicits._
+    spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
+      .toDF("part_key", "rank_micros")
+  }
+
+  /** Distributed path: degree-attached symmetric edge frame persisted
+    * once; per superstep one broadcast rank join + one map-side-
+    * combined sum keyed by the uniform dst key (a celebrity hub's
+    * in-edges partial-aggregate before the exchange), teleport fused
+    * into the same agg via a zero-contribution node union, lineage
+    * truncated per superstep. */
+  private def distributedSupersteps(spark: SparkSession, canonIn: DataFrame,
+      nodes: DataFrame, iters: Int): DataFrame = {
+    // persisted BEFORE the symmetrizing union — both branches read
+    // the cache, not the pair-build plan (the dedup_clusters_lsh
+    // lesson)
+    val canon = canonIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = canon.union(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ewd = edges.join(broadcast(deg), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val zeros = nodes.select(col("node"), lit(0L).as("c"))
 
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = ewd.join(ranks, col("src") === col("node"))
+      ranks = ewd.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .union(zeros)
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr("150000 + (85 * coalesce(s, 0)) div 100").as("r"))
+        .select(col("node"), expr("150000 + (85 * s) div 100").as("r"))
         .localCheckpoint(true)
     }
     val out = ranks.select(col("node").as("part_key"),
       col("r").cast("long").as("rank_micros"))
-    edges.unpersist(); ewd.unpersist(); nodes.unpersist()
+    canon.unpersist(); ewd.unpersist()
     out
   }
 }

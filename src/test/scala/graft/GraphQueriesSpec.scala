@@ -15,9 +15,14 @@ class GraphQueriesSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.001"
 
-  test("g1PageRank equals a driver-side integer recompute on sf0.001") {
+  test("g1PageRank equals a driver-side integer recompute on sf0.001 — both paths") {
     val out = GraphQueries.g1PageRank(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // past-the-bound fallback: the distributed join+agg superstep
+    // loop must compute the identical integers
+    val outDist = GraphQueries.g1PageRank(spark, sf001, localModelMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outDist == out, "distributed superstep path diverges from bounded-model path")
 
     val li = graft.sources.Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_partkey").collect()
