@@ -110,6 +110,7 @@ object SparkEntry {
     "emb_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.embSemDedup(s, d)),
     // — graph / link analysis —
     "g1_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.g1PageRank(s, d)),
+    "g2_copurchase_lift" -> ((s: SparkSession, d: String) => GraphQueries.g2CopurchaseLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -980,5 +981,22 @@ object SparkEntry {
              SELECT e.dst AS node, SUM(r.r // d.deg) AS s
              FROM e JOIN d USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst) c USING (node))
          SELECT node AS part_key, r AS rank_micros FROM r5""",
+    // counts stay exact integers until the final confidence/lift
+    // divisions — one IEEE division each, rounded (e8_spike pattern)
+    "g2_copurchase_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+         item AS (SELECT p, COUNT(*) AS n_item FROM op GROUP BY p),
+         pr AS (SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2)
+         SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+           round(CAST(n_ab AS DOUBLE) * n_orders / (ia.n_item * ib.n_item), 4) AS lift,
+           round(CAST(n_ab AS DOUBLE) / ia.n_item, 4) AS confidence
+         FROM pr
+         JOIN item ia ON pr.part_a = ia.p
+         JOIN item ib ON pr.part_b = ib.p
+         CROSS JOIN n""",
   )
 }

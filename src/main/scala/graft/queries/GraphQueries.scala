@@ -27,6 +27,25 @@ object GraphQueries {
     * breaks, when it doesn't. */
   val LocalModelNodes: Long = 1000000L
 
+  /** Per-order canonical (a < b) co-occurrence pairs: per-order
+    * `collect_set` then a basket-bounded pair explode — fanout is
+    * items-per-order squared, never corpus². One row per pair
+    * OCCURRENCE (callers distinct or count as their semantics
+    * need). */
+  private def orderSets(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+
+  private def pairsOf(sets: DataFrame): DataFrame = {
+    val pairExpr = flatten(transform(col("ps"), a =>
+      transform(filter(col("ps"), b => b > a), b =>
+        struct(a.as("src"), b.as("dst")))))
+    sets.select(explode(pairExpr).as("p"))
+      .select(col("p.src"), col("p.dst"))
+  }
+
+  private def orderPairs(li: DataFrame): DataFrame = pairsOf(orderSets(li))
+
   /** Integer-exact PageRank over the part co-purchase graph (parts
     * sharing an order are linked — the item-importance signal a
     * marketplace curation pipeline derives from baskets).
@@ -73,13 +92,7 @@ object GraphQueries {
       localModelMax: Long = LocalModelNodes): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val sets = li.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-    val pairExpr = flatten(transform(col("ps"), a =>
-      transform(filter(col("ps"), b => b > a), b =>
-        struct(a.as("src"), b.as("dst")))))
-    val canon = sets.select(explode(pairExpr).as("p"))
-      .select(col("p.src"), col("p.dst")).distinct()
+    val canon = orderPairs(li).distinct()
     val nodes = li.select(col("l_partkey").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = nodes.count()
@@ -142,6 +155,52 @@ object GraphQueries {
     import spark.implicits._
     spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
       .toDF("part_key", "rank_micros")
+  }
+
+  /** Market-basket association mining over the same basket
+    * structure: co-purchase pairs with support ≥ `minSup`, scored by
+    * confidence and lift — the Apriori-for-pairs pass a marketplace
+    * recommendation/curation pipeline runs (and the statistical
+    * complement of g1: PageRank ranks items by graph position, lift
+    * scores EDGES by deviation from independence).
+    *
+    * Shape: support counts are one map-side-combinable groupBy over
+    * the basket-bounded pair explode (orderPairs — the pair frame is
+    * Σ basket² rows, never corpus²); item supports are a
+    * vocabulary-sized agg broadcast back onto the surviving pairs
+    * (minSup filters FIRST, so the join touches the frequent tail,
+    * not the raw pair mass); the order total is a one-row agg. All
+    * counts stay exact integers until the final confidence/lift
+    * divisions — one IEEE division each, rounded, so the oracle
+    * hashes bit-identically (the e8_spike argument). */
+  def g2CopurchaseLift(spark: SparkSession, dir: String,
+      minSup: Int = 2): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    // ONE corpus shuffle total: the per-order set build. The order
+    // count, item supports (explode of the already-order-distinct
+    // sets), and pair explode are all narrow reads of this cache
+    // (left cached for the consumer's execution — the returned
+    // frame is lazy).
+    val sets = orderSets(li).persist(StorageLevel.MEMORY_AND_DISK)
+    val nOrders = sets.count()
+    val item = sets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      .select(col("p").as("l_partkey"), col("n_item"))
+    val nAb = pairsOf(sets)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+    val out = nAb
+      .join(broadcast(item.select(col("l_partkey").as("src"),
+        col("n_item").as("n_a"))), Seq("src"))
+      .join(broadcast(item.select(col("l_partkey").as("dst"),
+        col("n_item").as("n_b"))), Seq("dst"))
+      .select(col("src").as("part_a"), col("dst").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") * lit(nOrders) /
+          (col("n_a") * col("n_b")), 4).as("lift"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"))
+    out
   }
 
   /** Distributed path: degree-attached symmetric edge frame persisted

@@ -50,6 +50,35 @@ class GraphQueriesSpec extends SparkSpec {
     assert(out.values.max > out.values.min)
   }
 
+  test("g2CopurchaseLift equals a driver-side recompute on sf0.001") {
+    val out = GraphQueries.g2CopurchaseLift(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length
+    val nItem = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nAb = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+    assert(out.keySet == nAb.keySet.toSet)
+    for (((a, b), s) <- nAb) {
+      val (gAb, gA, gB, lift, conf) = out((a, b))
+      assert(gAb == s && gA == nItem(a) && gB == nItem(b))
+      assert(lift == r4(s.toDouble * nOrders / (nItem(a) * nItem(b))))
+      assert(conf == r4(s.toDouble / nItem(a)))
+    }
+    assert(out.nonEmpty)
+    // lift must actually discriminate (not all pairs identical)
+    assert(out.values.map(_._4).toSet.size > 1)
+  }
+
   test("g1PageRank hand-built graph: star hub outranks leaves, isolated node gets teleport only") {
     import spark.implicits._
     // orders: o1 = {1,2}, o2 = {1,3}, o3 = {1,4} — a star around part 1;
