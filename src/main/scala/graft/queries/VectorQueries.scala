@@ -269,13 +269,20 @@ object VectorQueries {
   /** IVF (inverted-file) ANN top-k: the centroid-based scale path,
     * complementing the hyperplane-LSH one.
     *
-    * Train: k coarse cells from one distributed Lloyd iteration —
-    * seeds are the first k corpus vectors (deterministic), every
-    * vector assigns to its nearest seed by dot product (normalized
-    * corpus, so cosine == dot), per-cell mean vectors are one
-    * map-side-combined agg, and the k×dim result collects to the
-    * driver (tiny at any corpus size: k·dim doubles) to become
-    * literal arrays — the broadcast-quantizer pattern.
+    * Train: k coarse cells from one Lloyd iteration over a BOUNDED
+    * DETERMINISTIC SAMPLE (first `maxTrain` by vec_id via
+    * TakeOrdered — the annPqTopk argument: a coarse quantizer needs
+    * cluster statistics, not the census), computed on the driver:
+    * seeds are the first k sample vectors, every sample vector
+    * assigns to its nearest seed by dot product (normalized corpus,
+    * so cosine == dot), per-cell means become the literal centroid
+    * arrays — the broadcast-quantizer pattern. At spec scales the
+    * corpus is under maxTrain, so the sample IS the census and the
+    * centroids are identical to the previous distributed-iteration
+    * form; the full-corpus passes that remain are the narrow
+    * assignment scan and the probe join. (The distributed-training
+    * demonstration lives in emb_kmeans, where training IS the
+    * query.)
     *
     * Search: queries rank all k cells by centroid dot and probe the
     * top `nprobe`; candidates are the corpus rows of the probed
@@ -286,7 +293,7 @@ object VectorQueries {
     * are re-fetched by id for candidates only. nprobe/k trade recall
     * against the corpus fraction scanned (nprobe/k on average). */
   def annIvfTopk(spark: SparkSession, dir: String,
-      k: Int = 16, nprobe: Int = 6): DataFrame = {
+      k: Int = 16, nprobe: Int = 6, maxTrain: Int = 4096): DataFrame = {
     // Persisted because training (two collects) AND the returned
     // search plan (assignment pass + both topkByDot re-joins) all
     // read it. Caller owns cache lifecycle — unpersisting here would
@@ -304,20 +311,34 @@ object VectorQueries {
       array_position(dots, array_max(dots)).cast("int")
     }
 
-    // seeds: first k vectors (deterministic, order-free via vec_id)
-    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
-      .orderBy(col("vec_id"))
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
-    // one Lloyd iteration: per-cell component means
-    val assigned = emb.select(col("vec_id"), col("emb"),
-      assign(seeds, col("emb")).as("cell"))
-    val sums = (0 until EmbDim).map(i =>
-      avg(element_at(col("emb"), i + 1)).as(s"c$i"))
-    val trained: Seq[Seq[Double]] = assigned.groupBy(col("cell"))
-      .agg(sums.head, sums.tail: _*)
-      .collect().map(r => r.getInt(0) ->
-        (0 until EmbDim).map(i => r.getDouble(i + 1)).toVector).toMap
-      .toSeq.sortBy(_._1).map(_._2)
+    // bounded sample collect (deterministic, order-free via vec_id);
+    // one Lloyd iteration on the driver with the SAME max-dot
+    // assignment the query-side scan uses
+    val sample: Array[Array[Double]] = emb.orderBy(col("vec_id"))
+      .limit(maxTrain)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"IVF training sample ${sample.length} < k=$k")
+    val seeds = sample.take(k)
+    def nearestByDot(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+        if (d > bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val sums = Array.fill(k, EmbDim)(0.0); val ns = new Array[Long](k)
+    sample.foreach { v =>
+      val c = nearestByDot(seeds, v); ns(c) += 1
+      var i = 0; while (i < EmbDim) { sums(c)(i) += v(i); i += 1 }
+    }
+    val trained: Seq[Seq[Double]] = (0 until k).map(c =>
+      if (ns(c) == 0) seeds(c).toSeq
+      else (0 until EmbDim).map(i => sums(c)(i) / ns(c)))
 
     val corpus = emb.select(col("vec_id"),
       assign(trained, col("emb")).as("cell"))
