@@ -2,12 +2,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev harness: phase-level timing of the g1_pagerank superstep loop
-  * (edge build / degree attach / per-iteration cost) so plan changes
-  * can be attributed — the ProfilePq pattern for the graph family. */
+/** Scale rehearsal for the graph family (the ProfileScale pattern):
+  * replicates the basket corpus `reps`× with l_orderkey offsets —
+  * same part vocabulary, `reps`× the baskets, so pair volume scales
+  * with the corpus while the rank/degree MODEL stays node-sized
+  * (exactly the 100 TB shape: corpora grow, vocabularies don't) —
+  * then times g1PageRank's bounded-model and distributed superstep
+  * paths at 1× and `reps`× and asserts they stay integer-identical
+  * on the replicated graph.
+  *
+  * Results are recorded in BASELINE.md per round.
+  * Usage: runMain graft.tools.ProfilePr [sfDir] [reps]
+  */
 object ProfilePr {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -22,38 +32,27 @@ object ProfilePr {
       println(f"PHASE $n ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
 
-    for (round <- 1 to 2) {
-      println(s"--- round $round ---")
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val sets = li.groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-      val pairExpr = flatten(transform(col("ps"), a =>
-        transform(filter(col("ps"), b => b > a), b =>
-          struct(a.as("src"), b.as("dst")))))
-      val canon = sets.select(explode(pairExpr).as("p"))
-        .select(col("p.src"), col("p.dst")).distinct().persist()
-      t("canon")(canon.count())
-      val edges = canon.union(
-        canon.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val ewd = edges.join(broadcast(deg), Seq("src"))
-        .repartition(spark.sparkContext.defaultParallelism).persist()
-      t("ewd")(ewd.count())
-      val nodes = li.select(col("l_partkey").as("node")).distinct().persist()
-      t("nodes")(nodes.count())
-      val zeros = nodes.select(col("node"), lit(0L).as("c"))
-      var ranks = nodes.withColumn("r", lit(1000000L))
-      for (i <- 1 to 5) {
-        ranks = ewd.join(broadcast(ranks), col("src") === col("node"))
-          .select(col("dst").as("node"), expr("r div deg").as("c"))
-          .union(zeros)
-          .groupBy(col("node")).agg(sum(col("c")).as("s"))
-          .select(col("node"), expr("150000 + (85 * s) div 100").as("r"))
-      }
-      t("all-iters-one-plan")(ranks.count())
-      canon.unpersist(); ewd.unpersist(); nodes.unpersist()
+    val li1 = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val liN = (0 until reps).map(i =>
+      li1.select((col("l_orderkey") + lit(i.toLong * 1000000000L))
+        .as("l_orderkey"), col("l_partkey"))).reduce(_ union _)
+
+    def run(tag: String, li: org.apache.spark.sql.DataFrame,
+        localModelMax: Long): Map[Long, Long] = {
+      spark.catalog.clearCache()
+      t(tag)(graft.queries.GraphQueries
+        .g1PageRankOf(spark, li, 5, localModelMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     }
+
+    val l1 = run("local-1x", li1, Long.MaxValue)
+    val d1 = run("dist-1x", li1, 0L)
+    assert(l1 == d1, "1x: paths diverge")
+    val lN = run(s"local-${reps}x", liN, Long.MaxValue)
+    val dN = run(s"dist-${reps}x", liN, 0L)
+    assert(lN == dN, s"${reps}x: paths diverge")
+    println(s"OK nodes=${l1.size} paths identical at 1x and ${reps}x")
     spark.stop()
   }
 }
