@@ -998,5 +998,28 @@ object SparkEntry {
          JOIN item ia ON pr.part_a = ia.p
          JOIN item ib ON pr.part_b = ib.p
          CROSS JOIN n""",
+    // the whole lang-id pipeline is integer counts with lexical
+    // tiebreaks — deterministic end to end, so the trained-model
+    // query is a full oracle row (trigrams via scalar
+    // generate_series; profile and argmax via the same
+    // (count DESC, key) row_number orders the engine uses)
+    "t_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+         tri AS (SELECT doc_id, lang, unnest(
+             CASE WHEN length(t) < 3 THEN [t]
+                  ELSE list_transform(generate_series(1, length(t)-2), i -> substr(t, i, 3)) END) AS g
+             FROM d),
+         cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+         prof AS (SELECT lang AS profile_lang, g FROM (
+             SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+             FROM cnt) z
+             WHERE rk <= 40),
+         sc AS (SELECT t.doc_id, t.lang, p.profile_lang, count(*) AS hits
+             FROM tri t JOIN prof p ON t.g = p.g GROUP BY 1, 2, 3),
+         fin AS (SELECT doc_id, lang, profile_lang AS predicted, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang) AS rk
+             FROM sc)
+         SELECT doc_id, lang, predicted, hits FROM fin WHERE rk = 1""",
   )
 }

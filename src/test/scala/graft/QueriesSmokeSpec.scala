@@ -40,7 +40,6 @@ class QueriesSmokeSpec extends SparkSpec {
     "ann_pq_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_stored" -> "VectorIndexSpec recall@5 >= 0.9, self at rank 1, pruned probes",
     "ann_pq_stored" -> "VectorIndexSpec recall@5 >= 0.9, self at rank 1, deterministic rebuild",
-    "t_lang_id" -> "TextQueriesSpec >= 0.9 accuracy on the signal-bearing fixture",
     "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
     "t_heavy_hitters_cms" -> "TextQueriesSpec estimates bound exact counts; top-k set equals tHeavyHitters",
