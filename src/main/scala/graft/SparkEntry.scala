@@ -67,6 +67,7 @@ object SparkEntry {
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
     "t_quality_gate" -> (TextQueries.tQualityGate _),
+    "t_source_filter" -> (TextQueries.tSourceFilter _),
     "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
     "t_corpus_mix" -> (TextQueries.tCorpusMix _),
@@ -111,6 +112,7 @@ object SparkEntry {
     // — graph / link analysis —
     "g1_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.g1PageRank(s, d)),
     "g2_copurchase_lift" -> ((s: SparkSession, d: String) => GraphQueries.g2CopurchaseLift(s, d)),
+    "g3_triangles" -> ((s: SparkSession, d: String) => GraphQueries.g3Triangles(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,6 +517,31 @@ object SparkEntry {
            (n_tokens >= 20 AND stopword_ratio >= 0.02
             AND uniq_token_frac >= 0.3 AND top_bigram_frac <= 0.1) AS keep
          FROM q JOIN r USING (doc_id)""",
+    // integer aggregates with one rounded division each; verdict
+    // over the already-rounded ratios (the t_quality_gate argument
+    // lifted to the per-source rollup)
+    "t_source_filter" ->
+      """WITH d AS (SELECT source,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dg,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+                CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS ns
+                FROM documents),
+         g AS (SELECT source, dg, count(*) AS c,
+               sum(nt) AS t, sum(ns) AS s FROM d GROUP BY 1, 2),
+         src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+               count(*) AS n_uniq,
+               CAST(sum(t) AS BIGINT) AS tok, CAST(sum(s) AS BIGINT) AS st
+               FROM g GROUP BY 1),
+         r AS (SELECT source, n_docs, n_uniq,
+               round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) AS dup_frac,
+               round(CAST(st AS DOUBLE) / tok, 4) AS stop_frac,
+               round(CAST(tok AS DOUBLE) / n_docs, 4) AS mean_tok
+               FROM src)
+         SELECT source, n_docs, n_uniq, dup_frac, stop_frac, mean_tok,
+           (n_docs >= 5 AND dup_frac <= 0.2
+            AND stop_frac >= 0.055 AND mean_tok >= 50.0) AS keep
+         FROM r""",
     "t_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -870,6 +897,10 @@ object SparkEntry {
               p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
                     FROM capped WHERE rk <= 100 GROUP BY term)
          SELECT term, df, postings FROM dfreq JOIN p USING (term)""",
+    // generated in VectorQueries so it shares the engine's plane
+    // constants — the hyperplanes are data-independent, so the whole
+    // candidate-generation + re-rank pipeline is SQL-recomputable
+    "ann_lsh_topk" -> graft.queries.VectorQueries.annLshOracleSql,
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
@@ -998,6 +1029,23 @@ object SparkEntry {
          JOIN item ia ON pr.part_a = ia.p
          JOIN item ib ON pr.part_b = ib.p
          CROSS JOIN n""",
+    // triangle counts are algorithm-independent exact integers: the
+    // engine counts via degree-ordered orientation, the oracle via
+    // the id-ordered a<b<c 3-way join — same triangles either way
+    "g3_triangles" ->
+      """WITH pr AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM pr e1 JOIN pr e2 ON e2.a = e1.b
+                JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         m AS (SELECT x AS part_key FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri),
+         c AS (SELECT part_key, count(*) AS n_triangles FROM m GROUP BY 1),
+         allp AS (SELECT DISTINCT l_partkey AS part_key FROM lineitem)
+         SELECT allp.part_key, COALESCE(c.n_triangles, 0) AS n_triangles
+         FROM allp LEFT JOIN c USING (part_key)""",
     // the whole lang-id pipeline is integer counts with lexical
     // tiebreaks — deterministic end to end, so the trained-model
     // query is a full oracle row (trigrams via scalar

@@ -1296,6 +1296,55 @@ object TextQueries {
     qualityGateOf(Tables.documents(spark, dir))
   }
 
+  /** Domain-level corpus gate — the C4/RefinedWeb-style pass that
+    * drops whole SOURCES on aggregate evidence (a domain whose pages
+    * are mostly mutual duplicates or boilerplate is removed
+    * wholesale; per-doc filters never see the cross-doc signal).
+    * Per source: doc count, distinct-content count, duplicate
+    * fraction, corpus-weighted stopword fraction, mean tokens per
+    * doc; verdict = thresholds over the ALREADY-ROUNDED ratios (the
+    * tQualityGate reproducibility argument).
+    *
+    * Every aggregate is an exact integer until one rounded IEEE
+    * division each (the e8_spike/g2 pattern), so the whole
+    * trained-nothing pipeline is a full oracle row.
+    *
+    * Scale shape: the corpus-scale agg is keyed by (source, digest)
+    * — uniform even when one domain is a billion pages, because the
+    * digest spreads the hot source across reducers and duplicate
+    * counting IS the digest collapse (dedup_exact's key argument);
+    * the second agg folds digest groups into the vocabulary-sized
+    * per-source frame. Applying the verdict to docs is then a
+    * broadcast semi-join of the keep list. */
+  def tSourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    sourceFilterOf(Tables.documents(spark, dir))
+  }
+
+  def sourceFilterOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val perDoc = docs.select(
+      col("source"),
+      md5(normText(col("text"))).as("dg"),
+      size(tokens(col("text"))).cast("long").as("nt"),
+      call_function("graft_count_in", toks, typedlit(stop)).cast("long").as("ns"))
+    val byDigest = perDoc.groupBy(col("source"), col("dg"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("t"), sum(col("ns")).as("s"))
+    val src = byDigest.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("t")).as("tok"), sum(col("s")).as("st"))
+    src.select(col("source"), col("n_docs"), col("n_uniq"),
+        round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"), 4)
+          .as("dup_frac"),
+        round(col("st").cast("double") / col("tok"), 4).as("stop_frac"),
+        round(col("tok").cast("double") / col("n_docs"), 4).as("mean_tok"))
+      .withColumn("keep",
+        col("n_docs") >= 5L && col("dup_frac") <= 0.2 &&
+          col("stop_frac") >= 0.055 && col("mean_tok") >= 50.0)
+  }
+
   /** The gate core over any (doc_id, text) frame — the streaming
     * micro-batch twin scores with exactly these expressions. */
   def qualityGateOf(docs: DataFrame): DataFrame = {

@@ -113,6 +113,50 @@ object VectorQueries {
   private def planeProj(p: Int, v: Column): Column =
     dot(v, typedlit(planeWeights(p)))
 
+  /** DuckDB oracle for `ann_lsh_topk`, generated here so it shares
+    * the engine's constants (planes, tables, bits, query set, k).
+    * The LSH path's only non-SQL ingredient is the hyperplane set,
+    * and that is a data-independent driver-side constant — rendered
+    * into the VALUES list below from the SAME planeWeights the
+    * bucketing pass uses, so the two engines can never drift on the
+    * planes: bucket = OR of sign bits per table (sum of distinct
+    * powers of two ≡ the engine's bitwiseOR), a pair is a candidate
+    * iff some table agrees on all bits, survivors re-ranked by the
+    * identical rounded exact dot (numeric parity already pinned by
+    * the ann_brute_topk oracle row). Projection SIGN is
+    * scale-invariant, so the oracle projects the raw embeddings
+    * where the engine projects the normalized ones. */
+  private[graft] def annLshOracleSql: String = {
+    val planes = (0 until AnnTables * AnnBits).map { p =>
+      planeWeights(p).mkString(s"($p, [", ", ", "])")
+    }.mkString(",\n           ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
+            planes(p, w) AS (VALUES
+           $planes),
+            proj AS (SELECT e.vec_id, p.p // $AnnBits AS tbl,
+                  CASE WHEN list_dot_product(e.emb, w) > 0
+                       THEN (1 << (p.p % $AnnBits)) ELSE 0 END AS bit
+                  FROM e CROSS JOIN planes p),
+            bk AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+                  FROM proj GROUP BY 1, 2),
+            qb AS (SELECT vec_id AS qid, tbl, bucket FROM bk WHERE vec_id < $QueryK),
+            cand AS (SELECT DISTINCT qb.qid, bk.vec_id AS nid
+                  FROM bk JOIN qb USING (tbl, bucket) WHERE bk.vec_id <> qb.qid),
+            pr AS (SELECT c.qid, c.nid,
+                  round(list_dot_product(qe.emb, ne.emb) /
+                    (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                     sqrt(list_dot_product(ne.emb, ne.emb))), 4) AS sim
+                  FROM cand c
+                  JOIN e qe ON qe.vec_id = c.qid
+                  JOIN e ne ON ne.vec_id = c.nid),
+            r AS (SELECT qid, nid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                  FROM pr)
+       SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
+  }
+
   /** Array of `nTables` bucket keys: table t's key packs hyperplane
     * sign bits t*bits .. t*bits+bits-1. Multi-table OR (band-OR, the
     * same banding structure as TextQueries.dedupMinhash): a pair is
@@ -158,9 +202,10 @@ object VectorQueries {
     * VectorQueriesSpec). Scale shape: bucket keys are one narrow
     * pass, the join shuffles (table, bucket) key rows bounded by
     * T × corpus, and wide embedding arrays are only fetched for
-    * surviving candidate ids. Rows-only driver check (bucket
-    * membership is hash-defined); ground truth lives in the recall
-    * spec. */
+    * surviving candidate ids. FULL oracle row (annLshOracleSql —
+    * the planes are data-independent constants rendered into the
+    * SQL); the recall spec vs annBruteTopk remains the semantic
+    * ground truth. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     // emb feeds the bucketing pass AND both re-rank joins in
     // topkByDot — persist so the normalize pass runs once, not three

@@ -79,6 +79,49 @@ class GraphQueriesSpec extends SparkSpec {
     assert(out.values.map(_._4).toSet.size > 1)
   }
 
+  test("g3Triangles equals a naive driver-side a<b<c recompute on sf0.001") {
+    val out = GraphQueries.g3Triangles(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj: Map[Long, Set[Long]] = (edges.toSeq.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }).groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      cnt(a) += 1; cnt(b) += 1; cnt(c) += 1
+    }
+    val nodes = li.map(_._2).distinct
+    assert(out.keySet == nodes.toSet)
+    for (n <- nodes)
+      assert(out(n) == cnt(n), s"node $n: spark ${out(n)} != recompute ${cnt(n)}")
+    // non-degenerate on this corpus: baskets create real triangles
+    assert(out.values.max > 0L)
+    assert(out.values.exists(_ == 0L) || out.values.toSet.size > 1)
+  }
+
+  test("g3Triangles hand-built graph: two triangles sharing an edge, plus an isolated edge") {
+    import spark.implicits._
+    // o1 = {1,2,3} and o2 = {2,3,4}: triangles (1,2,3) and (2,3,4)
+    // share edge 2–3; o3 = {7,8} is an edge in no triangle; part 9
+    // is isolated entirely
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 2L), (11L, 3L), (11L, 4L),
+      (12L, 7L), (12L, 8L), (13L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphQueries.g3TrianglesOf(spark, li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      7L -> 0L, 8L -> 0L, 9L -> 0L))
+  }
+
   test("g1PageRank hand-built graph: star hub outranks leaves, isolated node gets teleport only") {
     import spark.implicits._
     // orders: o1 = {1,2}, o2 = {1,3}, o3 = {1,4} — a star around part 1;

@@ -35,7 +35,6 @@ class QueriesSmokeSpec extends SparkSpec {
   // the tripwire that keeps "rows-only" from quietly meaning
   // "unverified".
   private val groundTruthSpecs = Map(
-    "ann_lsh_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_pq_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
     "ann_ivf_stored" -> "VectorIndexSpec recall@5 >= 0.9, self at rank 1, pruned probes",

@@ -57,6 +57,62 @@ class TextQueriesSpec extends SparkSpec {
       s"missed=${(want -- got).size} extra=${(got -- want).size}")
   }
 
+  test("sourceFilterOf: dup-heavy source drops, boilerplate source drops, healthy source keeps") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val good = "the quick brown fox jumps over a lazy dog and runs to the hills in a bright morning of wind and rain while the children watch from a window and the dogs bark at the gate of the old farm house near the river bend"
+    val docs = (
+      // healthy: 6 distinct long docs with stopwords
+      (0 until 6).map(i => (i.toLong, s"$good $good variant $i", "good.com")) ++
+      // dup-heavy: 6 docs, 5 of them byte-identical after normalization
+      (6 until 11).map(i => (i.toLong, s"$good   copy", "dups.com")) ++
+      Seq((11L, s"$good other", "dups.com")) ++
+      // boilerplate: no stopwords at all → stop_frac 0
+      (12 until 18).map(i => (i.toLong,
+        Seq.fill(60)(s"item$i").mkString(" "), "menu.com"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextQueries.sourceFilterOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(6))).toMap
+    assert(out.keySet == Set("good.com", "dups.com", "menu.com"))
+    val (gN, gU, gDup, gKeep) = out("good.com")
+    assert(gN == 6L && gU == 6L && gDup == 0.0 && gKeep)
+    val (dN, dU, dDup, dKeep) = out("dups.com")
+    assert(dN == 6L && dU == 2L && dDup == 0.6667 && !dKeep)
+    val (_, _, _, mKeep) = out("menu.com")
+    assert(!mKeep)
+  }
+
+  test("tSourceFilter equals a driver-side recompute on sf0.01") {
+    val out = TextQueries.tSourceFilter(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val norm = rows.map(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+      val toks = rows.map(_._2.trim.split("\\s+").toSeq)
+      val nDocs = rows.length.toLong
+      val nUniq = norm.distinct.length.toLong
+      val tok = toks.map(_.length.toLong).sum
+      val st = rows.map(_._2.trim.toLowerCase.split("\\s+").count(stop)).map(_.toLong).sum
+      src -> (nDocs, nUniq, r4((nDocs - nUniq).toDouble / nDocs),
+        r4(st.toDouble / tok), r4(tok.toDouble / nDocs))
+    }
+    assert(out.keySet == want.keySet)
+    for ((src, (n, u, d, s, m)) <- want) {
+      val (gN, gU, gD, gS, gM, gK) = out(src)
+      assert((gN, gU, gD, gS, gM) == ((n, u, d, s, m)), s"source $src mismatch")
+      assert(gK == (n >= 5L && d <= 0.2 && s >= 0.055 && m >= 50.0))
+    }
+    // thresholds discriminate on this corpus: some kept, some dropped
+    assert(out.values.exists(_._6) && out.values.exists(!_._6))
+  }
+
   test("shard shuffle and chunk packing invariants") {
     // pos is a dense 1..n_s rank within each shard; shards cover 0-15
     val shuffled = TextQueries.tShardShuffle(spark, sf01).collect()
