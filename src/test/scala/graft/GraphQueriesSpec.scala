@@ -79,9 +79,17 @@ class GraphQueriesSpec extends SparkSpec {
     assert(out.values.map(_._4).toSet.size > 1)
   }
 
-  test("g3Triangles equals a naive driver-side a<b<c recompute on sf0.001") {
+  test("g3Triangles equals a naive driver-side a<b<c recompute on sf0.001 — both paths") {
     val out = GraphQueries.g3Triangles(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // past-the-bound fallback: the shuffle-join closing check must
+    // count the identical triangles
+    val liDf = graft.sources.Tables.lineitem(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    val outShuffle = GraphQueries.g3TrianglesOf(spark, liDf, broadcastEdgeMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outShuffle == out, "shuffle-join closing path diverges from broadcast path")
 
     val li = graft.sources.Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_partkey").collect()
