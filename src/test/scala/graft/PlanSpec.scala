@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import graft.queries.{CoreQueries, EventQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, GraphQueries, TextQueries, VectorQueries}
 
 /** Plan-shape regression tests: the scale properties this engine is
   * designed around (pushdown reaching the scan, broadcasts on small
@@ -455,6 +455,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "candidate self-join is not bucket-local")
+  }
+
+  test("g3 triangles: every join rides a broadcast, wedge frame never exchanges") {
+    val plan = planString(GraphQueries.g3Triangles(spark, dir))
+    // degree attach (×2) and adjacency attach (×2) are all explicit
+    // broadcasts; the only hash exchanges are the edge build, the
+    // degree/adjacency aggs, and the final vocabulary-sized count —
+    // nothing wedge-sized ever shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "a graph join fell off the broadcast path")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t_source_filter: scan reads only (source, text); two-level agg = two exchanges") {
+    val df = TextQueries.tSourceFilter(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("n_chars"), "scan reads n_chars it never uses")
+    assert(!plan.contains("doc_id"), "scan reads doc_id it never uses")
+    // (source, digest) partial collapse then per-source fold — the
+    // skew-proof shape is exactly two hash exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges\n${plan.take(3000)}")
   }
 
   test("bm25/hybrid: tf is explode-free, top-k is TakeOrdered, arms never cartesian") {
