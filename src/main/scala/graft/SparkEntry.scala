@@ -63,6 +63,7 @@ object SparkEntry {
     "e6_funnel" -> (EventQueries.e6Funnel _),
     "e7_retention" -> (EventQueries.e7Retention _),
     "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
+    "e9_resample" -> ((s: SparkSession, d: String) => EventQueries.e9Resample(s, d)),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -445,6 +446,26 @@ object SparkEntry {
            round(n * n_buckets / total, 4) AS burst
          FROM ph JOIN st USING (event_type)
          WHERE round(n * n_buckets / total, 4) >= 2.0""",
+    // dense 15-minute grid per type via generate_series over the
+    // per-type bucket bounds; bucket value rounded BEFORE the
+    // forward fill so carried copies hash identically
+    "e9_resample" ->
+      """WITH obs AS (SELECT event_type,
+                    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) AS bkt,
+                    count(*) AS n, round(sum(value), 2) AS v
+                    FROM events GROUP BY 1, 2),
+              bounds AS (SELECT event_type, min(bkt) AS lo, max(bkt) AS hi
+                    FROM obs GROUP BY 1),
+              grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bkt
+                    FROM bounds),
+              j AS (SELECT g.event_type, g.bkt, o.n, o.v
+                    FROM grid g LEFT JOIN obs o USING (event_type, bkt))
+         SELECT strftime(to_timestamp(bkt * 900), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, coalesce(n, 0) AS n_events,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bkt
+             ROWS UNBOUNDED PRECEDING) AS fill_value
+         FROM j""",
     // the bucket is the low 32 md5 bits mod 1024 (1024 | 2^32, so
     // the low half alone determines it) — bit-identical in DuckDB
     "t_dsir_weights" ->

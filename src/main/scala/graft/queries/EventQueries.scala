@@ -200,6 +200,46 @@ object EventQueries {
         col("n"), col("burst"))
   }
 
+  /** E9: resample + gap-fill. Events are resampled onto a dense
+    * 15-minute grid per event type: empty buckets appear with a zero
+    * count and the last observed bucket value carried forward
+    * (nulls before a type's first observation stay null). The dense
+    * grid is generated from the per-type [min, max] bucket bounds —
+    * a |types|-row frame — via `sequence`+`explode`, so grid size is
+    * (time-range / interval) × |types|, independent of corpus size;
+    * the observed aggregate is one uniform-key (type, bucket)
+    * shuffle, and the forward-fill window sorts grid rows (bounded
+    * by the time range), never corpus rows. The bucket value is
+    * rounded BEFORE the fill so carried copies hash identically to
+    * the oracle's. */
+  def e9Resample(spark: SparkSession, dir: String, intervalSec: Long = 900L): DataFrame =
+    resampleOf(Tables.events(spark, dir), intervalSec)
+
+  /** The resample core over any (event_type, ts, value) frame. */
+  def resampleOf(events: DataFrame, intervalSec: Long): DataFrame = {
+    val obs = events
+      .select(col("event_type"),
+        floor(col("ts").cast("double") / intervalSec).cast("long").as("bkt"),
+        col("value"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val bounds = obs.groupBy(col("event_type"))
+      .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"))).as("bkt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("event_type", "bkt"), "left")
+      .withColumn("fill_value", last(col("v"), ignoreNulls = true).over(w))
+      .select(
+        date_format(timestamp_seconds(col("bkt") * intervalSec),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("n").isNull, 1L).otherwise(0L).as("is_gap"),
+        col("fill_value"))
+  }
+
   /** E7: weekly cohort retention. Cohort = the Monday-truncated week
     * of a user's first event; a (cohort, offset) cell counts the
     * users active `offset` weeks after their cohort week. Two

@@ -54,6 +54,30 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("resample fills gaps with zero counts and carries the last value forward") {
+    import spark.implicits._
+    // 15-min buckets; type A observed at 10:00 and 10:45 → two gap
+    // buckets between them carrying 1.5 forward; type B has a single
+    // bucket → no gaps, no fill rows
+    val df = Seq(
+      ("A", ts("2024-01-01 10:01:00"), 1.0),
+      ("A", ts("2024-01-01 10:07:00"), 0.5),
+      ("A", ts("2024-01-01 10:46:00"), 7.0),
+      ("B", ts("2024-01-01 12:00:00"), 3.0))
+      .toDF("event_type", "ts", "value")
+    val out = EventQueries.resampleOf(df, 900L)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0)) ->
+        ((r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out === Map(
+      ("A", "2024-01-01 10:00:00") -> ((2L, 0L, Some(1.5))),
+      ("A", "2024-01-01 10:15:00") -> ((0L, 1L, Some(1.5))),
+      ("A", "2024-01-01 10:30:00") -> ((0L, 1L, Some(1.5))),
+      ("A", "2024-01-01 10:45:00") -> ((1L, 0L, Some(7.0))),
+      ("B", "2024-01-01 12:00:00") -> ((1L, 0L, Some(3.0)))))
+  }
+
   test("retention cells count users active k weeks after their cohort week") {
     val df = eventsDf(Seq(
       // u1 first active week of Jan 1 (a Monday), returns at offset 2
