@@ -92,6 +92,8 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketingRule)
+  }
 }
