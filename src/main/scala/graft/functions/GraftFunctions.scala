@@ -79,6 +79,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 2, "graft_count_in takes exactly 2 arguments")
           CountIn(children(0), children(1))
+        }),
+      (FunctionIdentifier("graft_vec_sum"),
+        new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_vec_sum takes exactly 1 argument")
+          VecSumAgg(children(0))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

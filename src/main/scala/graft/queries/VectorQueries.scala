@@ -585,20 +585,22 @@ object VectorQueries {
   /** Centroid roll-up: per-label mean vector, its norm, and the
     * cell-dispersion metric (mean member cosine to the centroid —
     * the quality number IVF training watches). The centroid pass is
-    * one map-side-combined agg; dispersion is the standard second
-    * pass with the 10-row centroid table broadcast back onto the
-    * corpus. Full DuckDB oracle (per-dim sums via unnest +
-    * generate_subscripts). */
+    * one map-side-combined agg over the `graft_vec_sum` array
+    * aggregate — ONE O(dim) buffer per group instead of dim separate
+    * `sum(element_at)` aggregate columns, whose generated class cost
+    * seconds of Janino compile at dim 64 and would exceed JVM method
+    * limits at production embedding dims (512+). Dispersion is the
+    * standard second pass with the 10-row centroid table broadcast
+    * back onto the corpus. Full DuckDB oracle (per-dim sums via
+    * unnest + generate_subscripts). */
   def embCentroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
-    val dim = EmbDim
-    val compSums = (0 until dim).map(i =>
-      sum(element_at(col("emb"), i + 1)).as(s"s$i"))
     val agged = emb.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), compSums: _*)
-    val centroid = array((0 until dim).map(i => col(s"s$i") / col("n")): _*)
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_vec_sum", col("emb")).as("svec"))
     val cents = agged.select(col("label"), col("n").as("n_vectors"),
-      centroid.as("cvec"))
+      call_function("graft_vec_div", col("svec"), col("n").cast("double"))
+        .as("cvec"))
     val dispersion = emb.join(broadcast(cents.select(col("label"), col("cvec"))),
         Seq("label"))
       .select(col("label"),
@@ -610,6 +612,37 @@ object VectorQueries {
       .select(col("label"), col("n_vectors"),
         round(norm(col("cvec")), 4).as("centroid_norm"),
         col("avg_cos_to_centroid"))
+  }
+
+  /** Embedding outlier audit — the SemDeDup/SSL-prototypes-style
+    * centroid-distance prune a curation pipeline runs to drop
+    * mislabeled or off-distribution vectors before training: every
+    * vector scored by cosine to its label centroid, flagged when the
+    * (rounded) cosine falls below `threshold` (0.0 = anti-correlated
+    * with its own cluster center).
+    *
+    * Shape: the centroid pass is the same single graft_vec_sum
+    * map-side-combined agg as embCentroids (groups × dim doubles on
+    * the wire); scoring is one broadcast of the label-count centroid
+    * table back onto the corpus — one narrow scan, no self-join.
+    * The flag compares the ROUNDED cosine, so the oracle decides
+    * identically from the same 4-decimal value it hashes. Full
+    * DuckDB oracle (list_dot_product against the unnest-built
+    * centroids). */
+  def embOutliers(spark: SparkSession, dir: String,
+      threshold: Double = 0.0): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val cents = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_vec_sum", col("emb")).as("svec"))
+      .select(col("label"),
+        call_function("graft_vec_div", col("svec"), col("n").cast("double"))
+          .as("cvec"))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("emb"), col("cvec")) /
+          (norm(col("emb")) * norm(col("cvec"))), 4).as("cos_to_centroid"))
+      .withColumn("is_outlier", col("cos_to_centroid") < threshold)
   }
 
   /** Duplicate clustering over the embedding near-dup graph — the
