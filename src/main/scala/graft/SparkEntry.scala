@@ -50,6 +50,7 @@ object SparkEntry {
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
     "a6_rollup" -> (CoreQueries.a6Rollup _),
     "a7_pivot" -> (CoreQueries.a7Pivot _),
+    "a8_corr_stats" -> (CoreQueries.a8CorrStats _),
     "t_redact_pii" -> (CoreQueries.tRedactPii _),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
     "s8_docstore_scan" -> (graft.sources.DocStore.roundtripQuery _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_decontaminate" -> ((s: SparkSession, d: String) => VectorQueries.embDecontaminate(s, d)),
     "emb_centroids" -> (VectorQueries.embCentroids _),
+    "emb_outliers" -> ((s: SparkSession, d: String) => VectorQueries.embOutliers(s, d)),
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.embSemDedup(s, d)),
@@ -114,6 +116,7 @@ object SparkEntry {
     "g1_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.g1PageRank(s, d)),
     "g2_copurchase_lift" -> ((s: SparkSession, d: String) => GraphQueries.g2CopurchaseLift(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => GraphQueries.g3Triangles(s, d)),
+    "g4_components" -> ((s: SparkSession, d: String) => GraphQueries.g4Components(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,6 +275,14 @@ object SparkEntry {
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
          round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
+    "a8_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+         round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+         round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+         round(var_samp(l_quantity), 4) AS var_qty
          FROM lineitem GROUP BY l_returnflag""",
     "q_quantiles" ->
       """SELECT o_orderstatus,
@@ -1067,6 +1078,36 @@ object SparkEntry {
          allp AS (SELECT DISTINCT l_partkey AS part_key FROM lineitem)
          SELECT allp.part_key, COALESCE(c.n_triangles, 0) AS n_triangles
          FROM allp LEFT JOIN c USING (part_key)""",
+    // components over the support-thresholded co-purchase graph:
+    // engine clusters via contraction + union-find / label
+    // propagation, oracle via recursive reachability — component id
+    // (min member) is algorithm-independent
+    "g4_components" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         walk(id, lbl) AS (
+               SELECT src, src FROM e
+               UNION
+               SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS part_key, min(lbl) AS component_id FROM walk GROUP BY id""",
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+              c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
+              cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
+              d AS (SELECT e.vec_id, e.label,
+                    round(list_dot_product(e.emb, cent.cvec) /
+                      (sqrt(list_dot_product(e.emb, e.emb)) *
+                       sqrt(list_dot_product(cent.cvec, cent.cvec))), 4) AS cos_to_centroid
+                    FROM e JOIN cent USING (label))
+         SELECT vec_id, label, cos_to_centroid,
+           cos_to_centroid < 0.0 AS is_outlier FROM d""",
     // the whole lang-id pipeline is integer counts with lexical
     // tiebreaks — deterministic end to end, so the trained-model
     // query is a full oracle row (trigrams via scalar

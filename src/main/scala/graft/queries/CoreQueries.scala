@@ -314,6 +314,28 @@ object CoreQueries {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  /** Bivariate statistics family: Pearson correlation, sample
+    * covariance/variance/stddev per group — the column-relationship
+    * profile (price elasticity, discount sensitivity) an analytics
+    * engine exposes alongside the univariate qProfile. All five are
+    * single-pass map-side-combinable co-moment aggregates (Spark
+    * maintains merge-able (n, mean, M2, ck) state — the distributed
+    * Welford shape), so the shuffle carries groups × a few doubles
+    * at any corpus size. Rounding: corr is O(1) so 4 decimals is
+    * safe; covar/stddev ride the data's magnitude (1e4), so 2
+    * decimals keeps the hash inside both engines' 1e-9 relative
+    * agreement. */
+  def a8CorrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_extendedprice")), 4).as("corr_disc_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("stddev_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"))
+
   /** Exact distribution profile: quartiles of order value per status
     * via the `percentile` aggregate (sort-based exact interpolation,
     * matching SQL quantile_cont). Exact percentiles sort each

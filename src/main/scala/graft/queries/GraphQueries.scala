@@ -357,4 +357,34 @@ object GraphQueries {
     canon.unpersist(); ewd.unpersist()
     out
   }
+
+  /** Connected components over the SUPPORT-THRESHOLDED co-purchase
+    * graph (edges = part pairs co-purchased in ≥ `minSup` orders —
+    * the same robust-co-occurrence cut g2 applies before scoring).
+    * Thresholding first is what keeps the graph meaningful: the raw
+    * basket graph is one giant component, while the support-filtered
+    * graph decomposes into genuine product communities.
+    *
+    * The clustering itself is the pair-source-agnostic clustersOf
+    * engine (clique contraction → bounded driver union-find or
+    * distributed label propagation past `LocalFinishEdges`) — the
+    * third modality on that engine after token near-dup
+    * (dedup_clusters) and embedding near-dup (emb_dedup_clusters).
+    * Support counting is one map-side-combinable groupBy over the
+    * basket-bounded pair explode, so the only corpus-scale shuffle
+    * is the shared per-order set build. Output is exact integers
+    * (component id = min member id) — full oracle row via DuckDB's
+    * recursive reachability CTE. */
+  def g4Components(spark: SparkSession, dir: String,
+      minSup: Int = 2): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val sup = orderPairs(li)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSup)
+    TextQueries.clustersOf(
+        sup.select(col("src").as("a_id"), col("dst").as("b_id")))
+      .select(col("doc_id").as("part_key"),
+        col("cluster_id").as("component_id"))
+  }
 }
