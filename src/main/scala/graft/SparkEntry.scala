@@ -78,6 +78,7 @@ object SparkEntry {
     "t_lang_id" -> (TextQueries.tLangId _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_editdist" -> ((s: SparkSession, d: String) => TextQueries.dedupEditDist(s, d)),
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhash _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
     "dedup_clusters" -> (TextQueries.dedupClusters _),
@@ -601,6 +602,18 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // ASCII-scoped on both sides: Spark levenshtein counts code
+    // points, DuckDB's counts bytes — identical only on ASCII
+    "dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, lang,
+                    substr(trim(text), 1, 256) AS pfx,
+                    substr(trim(text), 1, 16) AS blk FROM documents
+                    WHERE regexp_matches(substr(trim(text), 1, 256), '^[ -~]*$')),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    levenshtein(a.pfx, b.pfx) AS dist
+                    FROM d a JOIN d b
+                      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, dist FROM p WHERE dist <= 64""",
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang,
                     list_distinct(string_split_regex(trim(lower(trim(text))), '\s+')) AS toks

@@ -108,6 +108,40 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Near-dup detection by EDIT DISTANCE — the levenshtein member of
+    * the dedup family (jaccard measures token overlap, minhash/
+    * simhash approximate it; edit distance catches character-level
+    * mutations — OCR noise, tracking-code injections — that token
+    * sets miss). Candidates are EQUALITY-blocked on (lang, 16-char
+    * prefix): one hash-partitionable shuffle, group sizes bounded by
+    * the real duplicate density, never corpus² (the prefix-blocked
+    * entity-resolution shape). Verification is one codegen'd
+    * `levenshtein` on the 256-char prefixes, with the distance in
+    * the output so the oracle hashes the computed values, not just
+    * the pair set.
+    *
+    * Scoped to ASCII prefixes in BOTH engines: Spark's levenshtein
+    * counts code points while DuckDB's counts bytes, so non-ASCII
+    * text has no cross-engine ground truth — those docs are served
+    * by the byte-agnostic n-gram/minhash members. */
+  def dedupEditDist(spark: SparkSession, dir: String,
+      pfxLen: Int = 256, blkLen: Int = 16, maxDist: Int = 64): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(trim(col("text")), 1, pfxLen).as("pfx"),
+        substring(trim(col("text")), 1, blkLen).as("blk"))
+      .filter(col("pfx").rlike("^[ -~]*$"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("blk"),
+      col("pfx").as("pa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("blk"),
+      col("pfx").as("pb"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-dup detection by token-set Jaccard ≥ 0.9 — EXACT output
     * (the oracle-checkable ground truth; dedupMinhash is the
     * approximate scale path), lang-bucketed so the self-join is

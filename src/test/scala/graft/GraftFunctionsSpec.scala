@@ -272,4 +272,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(!uni.getBoolean(1))
     assert(uni.getSeq[String](2) == Seq("ab"))
   }
+
+  test("graft_vec_sum equals per-dimension sums over the corpus and handles nulls") {
+    GraftFunctions.ensureRegistered(spark)
+    val dim = 5
+    import spark.implicits._
+    // deterministic corpus incl. a null vector, a null element, and
+    // groups small enough to check exactly
+    val rows = (0 until 200).map { i =>
+      val g = i % 3
+      val v: Seq[java.lang.Double] =
+        if (i == 42) null
+        else (0 until dim).map(d =>
+          if (i == 17 && d == 2) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf((i * 31 + d * 7) % 13 - 6.0))
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val want = rows.filter(_._2 != null).groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until dim).map(d =>
+        rs.map(r => Option(r._2(d)).map(_.doubleValue).getOrElse(0.0)).sum)
+    }
+    assert(got.keySet == want.keySet)
+    for ((g, w) <- want) assert(got(g) == w, s"group $g")
+
+    // serialize/deserialize round-trip (the shuffle path's codec)
+    val agg = graft.functions.VecSumAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val buf = Array(1.5, -2.25, 3.0)
+    assert(agg.deserialize(agg.serialize(buf)).toSeq == buf.toSeq)
+    // merge grows to the longer buffer (lazily-sized partials)
+    assert(agg.merge(Array(1.0), Array(2.0, 5.0)).toSeq == Seq(3.0, 5.0))
+  }
 }
