@@ -13,8 +13,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identical, so queries don't change when the storage layer does.
   */
 object Tables {
+  /** Generated parquet has carried timestamps in different physical
+    * forms across writer versions: TIMESTAMP(MICROS, adjustedToUTC)
+    * (reads as session-zone TIMESTAMP), TIMESTAMP(MICROS, NTZ)
+    * (reads as TIMESTAMP_NTZ), and TIMESTAMP(NANOS) (reads as long
+    * under `nanosAsLong`). Every consumer — and the DuckDB oracle,
+    * which reads the same file as plain TIMESTAMP — expects one
+    * type, so normalize NTZ columns to session-zone TIMESTAMP at the
+    * loader. Sessions run UTC, making the reinterpretation
+    * value-identical; the cast is a narrow projection the scan
+    * absorbs (pushdown/pruning is unaffected — it rides the same
+    * column). */
+  private def normTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
@@ -23,22 +43,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a
-    * long. Convert to a microsecond timestamp here with integer
-    * division — epoch nanos (~1.7e18) exceed double's 2^53 mantissa,
-    * so float division would corrupt timestamps. Truncation matches
-    * DuckDB's CAST(ts_ns AS TIMESTAMP). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = table(spark, dir, "events")
+  /** Events-specific extra on top of `normTs`: under the
+    * TIMESTAMP(NANOS) writer form, `ts` lands as a LONG
+    * (`nanosAsLong`). Convert with integer division — epoch nanos
+    * (~1.7e18) exceed double's 2^53 mantissa, so float division
+    * would corrupt timestamps; truncation matches DuckDB's
+    * CAST(ts_ns AS TIMESTAMP). Public so the streaming file-source
+    * path (same file, same physical forms) applies the identical
+    * normalization. */
+  def normEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => normTs(df)
     }
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normEventsTs(table(spark, dir, "events"))
   /** CPU-heavy per-row tables (hashing, vector math) arrive as one
     * tiny parquet file → one scan partition → one busy core of 32.
     * Fan the scan out to full parallelism when it's under-split; at

@@ -273,12 +273,10 @@ class StreamOpsSpec extends SparkSpec {
       java.nio.file.Path.of(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file source needs the same nanos→timestamp conversion
-    // Tables.events applies on the batch side
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // the file source needs the same ts normalization Tables.events
+    // applies on the batch side (long-nanos or NTZ, writer-dependent)
+    val stream = graft.sources.Tables.normEventsTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
     val q = StreamOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("file_e1")
       .outputMode("complete")
