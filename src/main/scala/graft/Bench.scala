@@ -146,6 +146,18 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // The full line above is ~8k chars at 93 queries, and the driver
+    // records only the LAST 2000 chars of stdout — which truncated
+    // the per-query map out of two rounds' artifacts (parsed:null).
+    // Emit a short TRAILER line last, guaranteed to fit any 2000-char
+    // tail, carrying the headline numbers, the five slowest queries,
+    // and a pointer to the complete self-recorded file.
+    val top5 = jsonMap(results.map(r => r._1 -> (r._2 +: r._3).min)
+      .sortBy(-_._2).take(5).map { case (k, v) =>
+        k -> math.round(v * 100) / 100.0 })
+    val totalR = math.round(total * 100) / 100.0
+    val bestR = math.round(totalBest * 100) / 100.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","total_best":$bestR,"n_queries":${results.size},"queries_file":"$outFile","slowest_best":$top5,"load_variance":$loadVarStr,"noisy":$noisy,"retried":$retried,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

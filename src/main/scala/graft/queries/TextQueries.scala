@@ -115,31 +115,91 @@ object TextQueries {
     * sets miss). Candidates are EQUALITY-blocked on (lang, 16-char
     * prefix): one hash-partitionable shuffle, group sizes bounded by
     * the real duplicate density, never corpus² (the prefix-blocked
-    * entity-resolution shape). Verification is one codegen'd
-    * `levenshtein` on the 256-char prefixes, with the distance in
-    * the output so the oracle hashes the computed values, not just
-    * the pair set.
+    * entity-resolution shape), with exact-prefix copies collapsed to
+    * one representative and blocks over MaxEditBlock DISTINCT
+    * prefixes excluded (see dedupEditDistOf — the same
+    * collapse + cap + expansion guards as dedupMinhashOf, so mass
+    * boilerplate can't go quadratic inside one block). Verification
+    * is one codegen'd `levenshtein` per distinct-prefix pair on the
+    * 256-char prefixes, with the distance in the output so the
+    * oracle hashes the computed values, not just the pair set.
     *
     * Scoped to ASCII prefixes in BOTH engines: Spark's levenshtein
     * counts code points while DuckDB's counts bytes, so non-ASCII
     * text has no cross-engine ground truth — those docs are served
     * by the byte-agnostic n-gram/minhash members. */
   def dedupEditDist(spark: SparkSession, dir: String,
-      pfxLen: Int = 256, blkLen: Int = 16, maxDist: Int = 64): DataFrame = {
-    val d = Tables.documents(spark, dir)
+      pfxLen: Int = 256, blkLen: Int = 16, maxDist: Int = 64,
+      cap: Int = MaxEditBlock): DataFrame =
+    dedupEditDistOf(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         substring(trim(col("text")), 1, pfxLen).as("pfx"),
         substring(trim(col("text")), 1, blkLen).as("blk"))
-      .filter(col("pfx").rlike("^[ -~]*$"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("blk"),
-      col("pfx").as("pa"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("blk"),
-      col("pfx").as("pb"))
-    a.join(b, Seq("lang", "blk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("pfx").rlike("^[ -~]*$")), maxDist, cap)
+
+  /** Distinct-prefix population per (lang, blk) block admitted to the
+    * pairwise levenshtein join — the editdist analog of MaxBandBucket.
+    * A block over the cap means > MaxEditBlock genuinely DIFFERENT
+    * 256-char prefixes share one 16-char opening (mass boilerplate:
+    * every page starting with the same DOCTYPE/header) — the
+    * O(n²)-in-one-key degenerate the blocking scheme exists to
+    * prevent; such a block is excluded rather than joined. Counted
+    * AFTER prefix collapse, so exact-prefix duplicate armies (n
+    * copies, 1 distinct prefix) never trip it and keep their dist-0
+    * pairs via the collapse path. 256² bounds any block's
+    * levenshtein calls at 64k — a task-sized unit of work. */
+  val MaxEditBlock = 256
+
+  /** dedupEditDist over a prepared (doc_id, lang, pfx, blk) frame,
+    * with the hot-block cap exposed for specs. Pipeline mirrors
+    * dedupMinhashOf: PREFIX COLLAPSE (one representative per
+    * DISTINCT prefix per block — a million exact-prefix copies are
+    * one join row, their pairwise dist-0 output produced by an
+    * output-bound expansion join, never an n²-row block self-join) →
+    * windowed block-population cap on the SAME (lang, blk) shuffle
+    * key as the join → levenshtein once per distinct-prefix PAIR
+    * (not per doc pair) → expansion back to member pairs. Output is
+    * IDENTICAL to the naive all-pairs form whenever no block trips
+    * the cap (levenshtein(p, p) = 0 supplies the within-group arm). */
+  private[graft] def dedupEditDistOf(d: DataFrame, maxDist: Int,
+      cap: Int = MaxEditBlock): DataFrame = {
+    // narrow (doc_id, dig) membership frame — referenced by the
+    // collapse, both expansion legs, and the within-group arm;
+    // persisted so the documents scan + trim/substring runs once.
+    // lang is folded into the digest so expansion/within joins on
+    // `dig` alone can never pair same-prefix docs across languages
+    // (the block key is (lang, blk); blk itself is a prefix of pfx)
+    val members = d
+      .withColumn("dig", md5(concat_ws("", col("lang"), col("pfx"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = members.groupBy(col("lang"), col("blk"), col("dig"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("pfx")).as("pfx"))
+      .withColumn("block_n", count(lit(1)).over(
+        Window.partitionBy(col("lang"), col("blk"))))
+      .filter(col("block_n") <= cap)
+      .drop("block_n")
+    val repPairs = reps.as("l").join(reps.as("r"), Seq("lang", "blk"))
+      .filter(col("l.rep_id") < col("r.rep_id"))
+      .select(col("l.dig").as("a_dig"), col("r.dig").as("b_dig"),
+        levenshtein(col("l.pfx"), col("r.pfx")).as("dist"))
       .filter(col("dist") <= maxDist)
+    // expansion: every member pair across the two prefix groups gets
+    // the representatives' distance (identical prefixes ⇒ identical
+    // levenshtein); md5(pfx) is the join key so the 256-char strings
+    // never ride the pair shuffle
+    val ids = members.select(col("dig"), col("doc_id"))
+    val cross = repPairs
+      .join(ids.select(col("dig").as("a_dig"), col("doc_id").as("a_m")), Seq("a_dig"))
+      .join(ids.select(col("dig").as("b_dig"), col("doc_id").as("b_m")), Seq("b_dig"))
+      .select(least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"), col("dist"))
+    // exact-prefix pairs: dist 0 by definition, found by the collapse
+    // itself — immune to the hot-block cap, like minhash's digest path
+    val within = ids.as("l").join(ids.as("r"), Seq("dig"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        lit(0).as("dist"))
+    cross.unionByName(within)
   }
 
   /** Near-dup detection by token-set Jaccard ≥ 0.9 — EXACT output

@@ -672,23 +672,32 @@ object VectorQueries {
     * textbook distributed shape (identical to Spark MLlib's): a
     * NARROW assignment pass — k dot products per row against
     * broadcast literal centroids, no shuffle — and ONE map-side-
-    * combined groupBy whose k x dim output collects to the driver.
-    * Per-iteration cost at 100 TB: one corpus scan plus a k*dim-row
-    * agg; the collected model is k*dim doubles regardless of corpus
-    * size (the same broadcast-quantizer pattern as annIvfTopk).
-    * An emptied cluster keeps its previous centroid. */
+    * combined groupBy whose k-row (count, vec-sum) output collects to
+    * the driver; the sum/count divide happens driver-side on the
+    * k*dim model. The vector sum rides graft_vec_sum (a single
+    * primitive-double-array buffer), NOT one aggregate slot per
+    * dimension — the per-dimension `avg` fan-out costs seconds of
+    * Janino compilation at dim 64 and would blow the JVM method-size
+    * limit at production embedding dims (same rationale as
+    * embCentroids/embOutliers). Per-iteration cost at 100 TB: one
+    * corpus scan plus a k-row agg; the collected model is k*dim
+    * doubles regardless of corpus size (the same broadcast-quantizer
+    * pattern as annIvfTopk). An emptied cluster keeps its previous
+    * centroid. */
   private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
       iters: Int): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
       .select(col("emb")).collect().map(_.getSeq[Double](0).toVector).toSeq
-    val means = (0 until EmbDim).map(i =>
-      avg(element_at(col("emb"), i + 1)).as(s"c$i"))
     for (_ <- 0 until iters) {
       val m = emb.select(col("emb"), nearestCentroid(cents, col("emb")).as("cl"))
-        .groupBy(col("cl")).agg(means.head, means.tail: _*)
-        .collect().map(r => r.getInt(0) ->
-          (0 until EmbDim).map(i => r.getDouble(i + 1)).toVector).toMap
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"),
+          call_function("graft_vec_sum", col("emb")).as("svec"))
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toVector
+        }.toMap
       cents = (1 to k).map(c => m.getOrElse(c, cents(c - 1)))
     }
     cents

@@ -241,6 +241,80 @@ class TextQueriesSpec extends SparkSpec {
       s"missed=${(exact -- emitted).size} extra=${(emitted -- exact).size}")
   }
 
+  test("dedupEditDist collapse+cap path equals naive all-pairs on sf0.01") {
+    // the production pipeline (prefix collapse → block cap →
+    // per-distinct-pair levenshtein → expansion) must be output-
+    // identical to the naive blocked all-pairs join whenever no
+    // block trips the cap — which sf0.01 must not (the corpus has
+    // no mass boilerplate; if this ever fires, the fixture spec
+    // below documents the intended divergence)
+    val d = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("lang"),
+        substring(trim(col("text")), 1, 256).as("pfx"),
+        substring(trim(col("text")), 1, 16).as("blk"))
+      .filter(col("pfx").rlike("^[ -~]*$"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("blk"),
+      col("pfx").as("pa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("blk"),
+      col("pfx").as("pb"))
+    val naive = a.join(b, Seq("lang", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = TextQueries.dedupEditDist(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(naive.nonEmpty)
+    assert(got == naive,
+      s"missed=${(naive -- got).size} extra=${(got -- naive).size}")
+  }
+
+  test("editdist hot-block cap: boilerplate block drops, exact-prefix army immune") {
+    import spark.implicits._
+    // Three populations in two (lang, blk) blocks, cap = 4:
+    //  - 6 DISTINCT prefixes sharing one 16-char opening (mass
+    //    boilerplate — every page starts with the same header) →
+    //    block population 7 distinct prefixes (with the army below)
+    //    > cap → the block's cross-prefix pairs are withheld;
+    //  - an ARMY of 10 exact-prefix copies inside that same hot
+    //    block → their 45 dist-0 pairs ride the collapse path and
+    //    must SURVIVE the cap (minhash's digest-immunity analog);
+    //  - a cold block: two prefixes at dist 1 (a pair) plus one
+    //    beyond maxDist (no pair) — untouched by the cap.
+    val hotBlk = "<!DOCTYPE html> "
+    require(hotBlk.length == 16)
+    val coldBlk = "cold evidence :("
+    require(coldBlk.length == 16)
+    val variants = (0 until 6).map(i =>
+      (i.toLong, "en", hotBlk + s"variant $i page body"))
+    val army = (0 until 10).map(i =>
+      (100L + i, "en", hotBlk + "identical army tail"))
+    val coldPair = Seq(
+      (200L, "en", coldBlk + " shared tail here"),
+      (201L, "en", coldBlk + " shared tail herX"))
+    val coldFar = Seq((202L, "en", coldBlk + ("Z" * 100)))
+    val d = (variants ++ army ++ coldPair ++ coldFar)
+      .toDF("doc_id", "lang", "pfx")
+      .withColumn("blk", substring(col("pfx"), 1, 16))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val capped = triples(TextQueries.dedupEditDistOf(d, 64, cap = 4))
+    val uncapped = triples(TextQueries.dedupEditDistOf(d, 64, cap = Int.MaxValue))
+    val armyPairs = (for {
+      i <- 0 until 10; j <- (i + 1) until 10
+    } yield (100L + i, 100L + j, 0)).toSet
+    // capped = army (collapse path) + cold pair; hot cross pairs gone
+    assert(capped == armyPairs + ((200L, 201L, 1)),
+      s"capped output wrong: ${capped.size} rows")
+    // uncapped additionally holds the hot block's cross pairs
+    assert((uncapped -- capped).nonEmpty, "cap never withheld anything")
+    assert((uncapped -- capped).forall { case (x, y, _) =>
+      Set(x, y).subsetOf((0L until 6L).toSet ++ (100L to 109L)) },
+      "cap leaked or dropped outside the hot block")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("dedupClusters: label propagation equals hand-computed components") {
     import spark.implicits._
     // components: {1,2,3,4} via a transitive chain (1-2, 2-3, 3-4 —
