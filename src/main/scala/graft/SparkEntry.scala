@@ -1144,5 +1144,10 @@ object SparkEntry {
              row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang) AS rk
              FROM sc)
          SELECT doc_id, lang, predicted, hits FROM fin WHERE rk = 1""",
-  )
+    "t_heavy_hitters_cms" -> TextQueries.cmsOracleSql(),
+    // rendered from the trained weights — present only when the
+    // classifier query has run in this JVM (Verify's evaluation
+    // order guarantees that); otherwise the driver keeps the old
+    // rows-only check
+  ) ++ TextQueries.classifierOracleSql.map("t_quality_classifier" -> _)
 }

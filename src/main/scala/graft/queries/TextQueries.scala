@@ -1270,6 +1270,15 @@ object TextQueries {
   private val CmsDepth = 4
   private val CmsWidth = 2048
 
+  /** CMS bucket for hash row `row` and term `term`: low 32 md5 bits
+    * mod CmsWidth — the DSIR hashed-bucket trick, chosen over
+    * xxhash64 because DuckDB computes md5 bit-identically, making
+    * the whole sketch SQL-reproducible (CmsWidth divides 2^32, so
+    * the low half alone determines the bucket). */
+  private def cmsBucket(row: Column, term: Column): Column =
+    pmod(conv(substring(md5(concat_ws(":", row, term)), 25, 8), 16, 10)
+      .cast("long"), lit(CmsWidth))
+
   /** Count-min-sketch bucket counts: CmsDepth independent hash rows
     * of CmsWidth buckets. Partial aggregation bounds every
     * partition's shuffle contribution at depth×width rows no matter
@@ -1279,8 +1288,7 @@ object TextQueries {
     terms
       .select(col("term"),
         explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row"))
-      .select(col("row"),
-        pmod(xxhash64(col("row"), col("term")), lit(CmsWidth)).as("bucket"))
+      .select(col("row"), cmsBucket(col("row"), col("term")).as("bucket"))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** CMS estimate per candidate term: min over hash rows of the
@@ -1291,7 +1299,7 @@ object TextQueries {
       .select(col("term"),
         explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row"))
       .select(col("term"), col("row"),
-        pmod(xxhash64(col("row"), col("term")), lit(CmsWidth)).as("bucket"))
+        cmsBucket(col("row"), col("term")).as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy(col("term")).agg(min(col("cnt")).as("est"))
 
@@ -1308,6 +1316,38 @@ object TextQueries {
     * over-count collisions can promote a lighter term. Spec:
     * estimates bound the exact counts above within depth×N/width,
     * and the top-k set matches the exact query's. */
+  /** DuckDB oracle for `t_heavy_hitters_cms`, generated here so it
+    * shares the engine's constants (depth, width, sample gate, k).
+    * Every ingredient is SQL-computable bit-identically: the bucket
+    * hash is the low 32 md5 bits (cmsBucket), the candidate sample
+    * is the md5-first-hex-digit gate, and counts/mins are integers —
+    * so the two engines can only agree or genuinely diverge. */
+  private[graft] def cmsOracleSql(k: Int = 20): String =
+    s"""WITH toks AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS w
+                  FROM documents),
+            terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            hrows AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+            sk AS (SELECT r,
+                  ('0x' || substr(md5(r::VARCHAR || ':' || term), 25, 8))::BIGINT
+                    % $CmsWidth AS bucket,
+                  count(*) AS cnt
+                  FROM terms CROSS JOIN hrows GROUP BY 1, 2),
+            cand AS (SELECT term FROM (
+                  SELECT term, count(*) AS sample_cnt FROM terms
+                  WHERE substr(md5(doc_id::VARCHAR || '::hh'), 1, 1) = '0'
+                  GROUP BY 1 ORDER BY sample_cnt DESC, term LIMIT ${k * 8})),
+            cb AS (SELECT c.term, h.r,
+                  ('0x' || substr(md5(h.r::VARCHAR || ':' || c.term), 25, 8))::BIGINT
+                    % $CmsWidth AS bucket
+                  FROM cand c CROSS JOIN hrows h),
+            est AS (SELECT cb.term, min(sk.cnt) AS est
+                  FROM cb JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
+                  GROUP BY cb.term),
+            ranked AS (SELECT term, est,
+                  row_number() OVER (ORDER BY est DESC, term) AS rk FROM est)
+       SELECT term, est, rk FROM ranked WHERE rk <= $k"""
+
   def tHeavyHittersCms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val terms = docs.select(explode(tokens(normText(col("text")))).as("term"))
@@ -1503,14 +1543,80 @@ object TextQueries {
       .limit(maxTrain)
       .collect().map(r => (r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
     val w = graft.ops.LogReg.train(sample, iters, lr)
+    lastClassifierModel = Some(w)
     val p = lit(1.0) / (lit(1.0) +
       exp(-(call_function("graft_dot", col("x"), typedlit(w.init.toSeq)) +
         lit(w.last))))
+    // keep-verdict compares the ROUNDED probability, so the oracle
+    // decides identically from the same 4-decimal value it hashes
+    // (the embOutliers precedent)
     frame.select(col("doc_id"),
       round(p, 4).as("quality_prob"),
-      (p >= 0.5).as("predicted_keep"),
+      (round(p, 4) >= 0.5).as("predicted_keep"),
       (col("y") === 1.0).as("rule_keep"))
   }
+
+  /** Weights of the most recently trained quality classifier
+    * (raw-space, bias last) — the oracle-renderer register. Verify
+    * evaluates `SparkEntry.oracleSql` AFTER running every query in
+    * the same JVM, so by render time this holds exactly the weights
+    * the dumped result was scored with; training is deterministic
+    * (hash-ordered bounded sample, fixed init/iters/lr), so the
+    * weights are a pure function of the sf dir, like annLshTopk's
+    * planes are a pure function of the seed. */
+  @volatile private[graft] var lastClassifierModel: Option[Array[Double]] = None
+
+  /** DuckDB oracle for `t_quality_classifier`, rendered from the
+    * trained weights in [[lastClassifierModel]] — None (→ rows-only
+    * driver check) until the query has run in this JVM. The feature
+    * CTEs are the already-oracle-green t_quality_score /
+    * t_repetition recomputes; every feature is compared ROUNDED to
+    * 4 decimals before entering the dot product, exactly as
+    * classifierFrame builds them. */
+  private[graft] def classifierOracleSql: Option[String] =
+    lastClassifierModel.map { w =>
+      val Array(w0, w1, w2, w3, w4) = w.init
+      val b = w.last
+      s"""WITH q AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+                  round(CAST(len(list_filter(toks,
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                    / len(toks), 4) AS stopword_ratio
+                  FROM (SELECT doc_id, text,
+                        string_split_regex(trim(lower(text)), '\\s+') AS toks
+                        FROM documents)),
+              tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                  FROM documents),
+              base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+                  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM tk),
+              bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
+                  FROM tk, UNNEST(range(1, len(w))) AS t(g)),
+              cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+              top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
+              r AS (SELECT b.doc_id,
+                  round(CAST(b.n_uniq AS DOUBLE) / b.nt, 4) AS uniq_token_frac,
+                  round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
+                    / greatest(b.nt - 1, 1), 4) AS top_bigram_frac
+                  FROM base b LEFT JOIN top t USING (doc_id)),
+              f AS (SELECT q.doc_id,
+                  least(CAST(q.n_tokens AS DOUBLE) / 100.0, 2.0) AS x0,
+                  q.avg_token_len / 10.0 AS x1,
+                  q.stopword_ratio AS x2,
+                  r.uniq_token_frac AS x3,
+                  r.top_bigram_frac AS x4,
+                  CASE WHEN q.n_tokens >= 20 AND q.stopword_ratio >= 0.02
+                        AND r.uniq_token_frac >= 0.3 AND r.top_bigram_frac <= 0.1
+                       THEN 1.0 ELSE 0.0 END AS y
+                  FROM q JOIN r USING (doc_id)),
+              s AS (SELECT doc_id, y,
+                  1.0 / (1.0 + exp(-(($w0) * x0 + ($w1) * x1 + ($w2) * x2
+                    + ($w3) * x3 + ($w4) * x4 + ($b)))) AS p
+                  FROM f)
+         SELECT doc_id, round(p, 4) AS quality_prob,
+           round(p, 4) >= 0.5 AS predicted_keep,
+           y = 1.0 AS rule_keep FROM s"""
+    }
 
   private val DsirBuckets = 1024L
 
