@@ -1149,5 +1149,8 @@ object SparkEntry {
     // classifier query has run in this JVM (Verify's evaluation
     // order guarantees that); otherwise the driver keeps the old
     // rows-only check
-  ) ++ TextQueries.classifierOracleSql.map("t_quality_classifier" -> _)
+  ) ++ TextQueries.classifierOracleSql.map("t_quality_classifier" -> _) ++
+    graft.queries.VectorQueries.kmeansOracleSql.map("emb_kmeans" -> _) ++
+    graft.queries.VectorQueries.semDedupOracleSql.map("emb_semdedup" -> _) ++
+    graft.queries.VectorQueries.ivfOracleSql.map("ann_ivf_topk" -> _)
 }

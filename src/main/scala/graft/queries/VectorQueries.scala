@@ -385,6 +385,7 @@ object VectorQueries {
       if (ns(c) == 0) seeds(c).toSeq
       else (0 until EmbDim).map(i => sums(c)(i) / ns(c)))
 
+    lastIvfModel = Some((trained, nprobe))
     val corpus = emb.select(col("vec_id"),
       assign(trained, col("emb")).as("cell"))
     val queryCells = emb.filter(QueryPred)
@@ -400,6 +401,110 @@ object VectorQueries {
       .distinct()
     topkByDot(emb, candidates)
   }
+
+  // ——— trained-model registers for the oracle renderers ———
+  //
+  // Verify evaluates SparkEntry.oracleSql AFTER running every query
+  // in the same JVM, so by render time each register holds exactly
+  // the model the dumped result was scored with. Training is
+  // deterministic in every case (bounded id-ordered sample, fixed
+  // seeds/iterations), so the model is a pure function of the sf
+  // dir — the same contract as TextQueries.lastClassifierModel.
+  @volatile private[graft] var lastIvfModel: Option[(Seq[Seq[Double]], Int)] = None
+  @volatile private[graft] var lastKmeansModel: Option[Seq[Seq[Double]]] = None
+  @volatile private[graft] var lastSemDedupModel: Option[(Seq[Seq[Double]], Double)] = None
+
+  /** Centroid VALUES rows `(cid 1-based, weights, |c|²)` — |c|² is
+    * rendered from the SAME driver arithmetic nearestCentroid bakes
+    * into its literal, so the two engines share it to the bit. */
+  private def centroidValues(cents: Seq[Seq[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"(${i + 1}, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+    }.mkString(",\n           ")
+
+  /** Normalized-corpus CTE shared by the IVF/SemDeDup oracles —
+    * the SQL twin of embNormed (list_transform division produces
+    * bit-identical doubles to graft_vec_div; the forward-loop
+    * list_dot_product matches graft_dot, the parity ann_lsh_topk's
+    * green oracle already rests on). */
+  private val NormedCte =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),
+       e AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
+             FROM nn WHERE nrm > 0)"""
+
+  /** Nearest-centroid assignment CTEs over frame `src`: score is the
+    * same `|c|² - 2·v·c` L2 surrogate nearestCentroid computes, rk=1
+    * is its first-minimum tie rule. */
+  private def assignCte(src: String): String =
+    s"""sc AS (SELECT vec_id, cid, c2 - 2 * list_dot_product(emb, w) AS score
+             FROM $src CROSS JOIN cents),
+       asg AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+             FROM sc)"""
+
+  /** DuckDB oracle for `emb_kmeans`, rendered from the Lloyd-trained
+    * centroids — None (→ rows-only driver check) until the query has
+    * run in this JVM. */
+  private[graft] def kmeansOracleSql: Option[String] =
+    lastKmeansModel.map { cents =>
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            cents(cid, w, c2) AS (VALUES
+           ${centroidValues(cents)}),
+            ${assignCte("e")},
+            a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM asg WHERE rk = 1),
+            sz AS (SELECT cluster_id, count(*) AS cluster_n FROM a GROUP BY 1)
+         SELECT vec_id, cluster_id, cluster_n FROM a JOIN sz USING (cluster_id)"""
+    }
+
+  /** DuckDB oracle for `emb_semdedup`: rendered centroids assign the
+    * cluster, the within-cluster drop rule compares the ROUNDED pair
+    * cosine exactly as the engine does. */
+  private[graft] def semDedupOracleSql: Option[String] =
+    lastSemDedupModel.map { case (cents, tau) =>
+      s"""WITH $NormedCte,
+            cents(cid, w, c2) AS (VALUES
+           ${centroidValues(cents)}),
+            ${assignCte("e")},
+            a AS (SELECT e.vec_id, asg.cid AS cl, e.emb
+                  FROM e JOIN asg ON e.vec_id = asg.vec_id AND asg.rk = 1),
+            drp AS (SELECT DISTINCT b.vec_id
+                  FROM a x JOIN a b ON x.cl = b.cl AND x.vec_id < b.vec_id
+                  WHERE round(list_dot_product(x.emb, b.emb), 4) >= $tau)
+         SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster_id,
+           (drp.vec_id IS NULL) AS kept
+         FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id"""
+    }
+
+  /** DuckDB oracle for `ann_ivf_topk`: rendered cell centroids,
+    * max-dot assignment (first-max tie rule), top-`nprobe` probed
+    * cells per query, exact rounded-cosine re-rank — the LSH
+    * oracle's tail on IVF's candidate set. */
+  private[graft] def ivfOracleSql: Option[String] =
+    lastIvfModel.map { case (cents, nprobe) =>
+      s"""WITH $NormedCte,
+            cents(cid, w, c2) AS (VALUES
+           ${centroidValues(cents)}),
+            d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
+                  FROM e CROSS JOIN cents),
+            rk AS (SELECT vec_id, cid AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
+                  FROM d),
+            corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+            qc AS (SELECT vec_id AS qid, cell FROM rk
+                  WHERE vec_id < $QueryK AND rk <= $nprobe),
+            cand AS (SELECT DISTINCT qc.qid, c.vec_id AS nid
+                  FROM corpus c JOIN qc USING (cell) WHERE c.vec_id <> qc.qid),
+            pr AS (SELECT cand.qid, cand.nid,
+                  round(list_dot_product(qe.emb, ne.emb), 4) AS sim
+                  FROM cand
+                  JOIN e qe ON qe.vec_id = cand.qid
+                  JOIN e ne ON ne.vec_id = cand.nid),
+            r AS (SELECT qid, nid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                  FROM pr)
+         SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
+    }
 
   /** ANN via product quantization with asymmetric distance (ADC) —
     * the FAISS-style compression path for 100 TB of embeddings. The
@@ -761,6 +866,7 @@ object VectorQueries {
     require(sample.length >= k,
       s"semdedup training sample ${sample.length} < k=$k")
     val cents = pqTrain(sample, 1, k, EmbDim, iters).head
+    lastSemDedupModel = Some((cents.map(_.toSeq), tau))
     val assigned = emb
       .select(col("vec_id"), col("emb"),
         nearestCentroid(cents, col("emb")).as("cl"))
@@ -791,6 +897,7 @@ object VectorQueries {
     val emb = embDouble(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCentroids(emb, k, iters)
+    lastKmeansModel = Some(cents)
     val assigned = emb.select(col("vec_id"),
       nearestCentroid(cents, col("emb")).as("cluster_id"))
     val sizes = assigned.groupBy(col("cluster_id"))
