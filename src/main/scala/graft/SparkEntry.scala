@@ -1152,5 +1152,8 @@ object SparkEntry {
   ) ++ TextQueries.classifierOracleSql.map("t_quality_classifier" -> _) ++
     graft.queries.VectorQueries.kmeansOracleSql.map("emb_kmeans" -> _) ++
     graft.queries.VectorQueries.semDedupOracleSql.map("emb_semdedup" -> _) ++
-    graft.queries.VectorQueries.ivfOracleSql.map("ann_ivf_topk" -> _)
+    graft.queries.VectorQueries.ivfOracleSql.map("ann_ivf_topk" -> _) ++
+    graft.queries.VectorQueries.pqOracleSql.map("ann_pq_topk" -> _) ++
+    graft.queries.VectorIndex.storedIvfOracleSql.map("ann_ivf_stored" -> _) ++
+    graft.queries.VectorIndex.storedPqOracleSql.map("ann_pq_stored" -> _)
 }

@@ -155,6 +155,7 @@ object VectorIndex {
     val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
       .select(col("kk"), col("cent")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    lastStoredIvf = Some((cents, nprobe))
     val qVecs = queries
       .select(col("qid").cast("long"),
         col("qemb").cast("array<double>").as("qemb"))
@@ -297,6 +298,7 @@ object VectorIndex {
       queries: DataFrame, kNN: Int = 5, shortlist: Int = 100,
       maxQueryBatch: Int = 8192): DataFrame = {
     val book = readBook(spark, indexPath)
+    lastStoredPq = Some((book, shortlist))
     val m = book.length; val k = book.head.length
     import spark.implicits._
     // queries are collected to compute driver-side LUTs and ride the
@@ -343,4 +345,29 @@ object VectorIndex {
       .filter(col("rank") <= kNN)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
+
+  // ——— stored-index model registers + oracle renderers ———
+  //
+  // Set when a search reads its model from the index; consumed by
+  // SparkEntry.oracleSql after Verify has run the stored-index
+  // queries in this JVM (the same contract as VectorQueries'
+  // registers). The rendered SQL recomputes cell assignment / codes
+  // from the embeddings table with the STORED model — equal to the
+  // persisted index contents because the build derived them from the
+  // same table with the same expressions; a stale index (testdata
+  // regenerated under a cached _complete marker) surfaces as a loud
+  // oracle mismatch rather than silent drift. Both serving paths keep
+  // self-pairs: their queries are external by contract, so "self" has
+  // no special status (corpusQueries just happens to reuse corpus
+  // vectors as the deterministic query set).
+  @volatile private[graft] var lastStoredIvf: Option[(Seq[Seq[Double]], Int)] = None
+  @volatile private[graft] var lastStoredPq: Option[(Seq[Seq[Seq[Double]]], Int)] = None
+
+  private[graft] def storedIvfOracleSql: Option[String] =
+    lastStoredIvf.map { case (cents, nprobe) =>
+      VectorQueries.ivfOracleSqlOf(cents, nprobe, excludeSelf = false) }
+
+  private[graft] def storedPqOracleSql: Option[String] =
+    lastStoredPq.map { case (book, shortlist) =>
+      VectorQueries.pqOracleSqlOf(book, shortlist, excludeSelf = false) }
 }

@@ -413,11 +413,12 @@ object VectorQueries {
   @volatile private[graft] var lastIvfModel: Option[(Seq[Seq[Double]], Int)] = None
   @volatile private[graft] var lastKmeansModel: Option[Seq[Seq[Double]]] = None
   @volatile private[graft] var lastSemDedupModel: Option[(Seq[Seq[Double]], Double)] = None
+  @volatile private[graft] var lastPqModel: Option[(Seq[Seq[Seq[Double]]], Int)] = None
 
   /** Centroid VALUES rows `(cid 1-based, weights, |c|²)` — |c|² is
     * rendered from the SAME driver arithmetic nearestCentroid bakes
     * into its literal, so the two engines share it to the bit. */
-  private def centroidValues(cents: Seq[Seq[Double]]): String =
+  private[queries] def centroidValues(cents: Seq[Seq[Double]]): String =
     cents.zipWithIndex.map { case (c, i) =>
       s"(${i + 1}, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
     }.mkString(",\n           ")
@@ -427,7 +428,7 @@ object VectorQueries {
     * bit-identical doubles to graft_vec_div; the forward-loop
     * list_dot_product matches graft_dot, the parity ann_lsh_topk's
     * green oracle already rests on). */
-  private val NormedCte =
+  private[queries] val NormedCte =
     """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),
        e AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
@@ -476,35 +477,105 @@ object VectorQueries {
          FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id"""
     }
 
-  /** DuckDB oracle for `ann_ivf_topk`: rendered cell centroids,
-    * max-dot assignment (first-max tie rule), top-`nprobe` probed
-    * cells per query, exact rounded-cosine re-rank — the LSH
-    * oracle's tail on IVF's candidate set. */
+  /** DuckDB oracle body shared by `ann_ivf_topk` and the stored IVF
+    * index: rendered cell centroids, max-dot assignment (first-max
+    * tie rule), top-`nprobe` probed cells per query, exact
+    * rounded-cosine re-rank — the LSH oracle's tail on IVF's
+    * candidate set. The in-query path excludes self-pairs; the
+    * stored serving path keeps them (its queries are external by
+    * contract, so "self" has no special status). */
+  private[queries] def ivfOracleSqlOf(cents: Seq[Seq[Double]], nprobe: Int,
+      excludeSelf: Boolean): String = {
+    val selfF = if (excludeSelf) "WHERE c.vec_id <> qc.qid" else ""
+    s"""WITH $NormedCte,
+          cents(cid, w, c2) AS (VALUES
+         ${centroidValues(cents)}),
+          d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
+                FROM e CROSS JOIN cents),
+          rk AS (SELECT vec_id, cid AS cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
+                FROM d),
+          corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+          qc AS (SELECT vec_id AS qid, cell FROM rk
+                WHERE vec_id < $QueryK AND rk <= $nprobe),
+          cand AS (SELECT DISTINCT qc.qid, c.vec_id AS nid
+                FROM corpus c JOIN qc USING (cell) $selfF),
+          pr AS (SELECT cand.qid, cand.nid,
+                round(list_dot_product(qe.emb, ne.emb), 4) AS sim
+                FROM cand
+                JOIN e qe ON qe.vec_id = cand.qid
+                JOIN e ne ON ne.vec_id = cand.nid),
+          r AS (SELECT qid, nid, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                FROM pr)
+       SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
+  }
+
   private[graft] def ivfOracleSql: Option[String] =
     lastIvfModel.map { case (cents, nprobe) =>
-      s"""WITH $NormedCte,
-            cents(cid, w, c2) AS (VALUES
-           ${centroidValues(cents)}),
-            d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
-                  FROM e CROSS JOIN cents),
-            rk AS (SELECT vec_id, cid AS cell,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
-                  FROM d),
-            corpus AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
-            qc AS (SELECT vec_id AS qid, cell FROM rk
-                  WHERE vec_id < $QueryK AND rk <= $nprobe),
-            cand AS (SELECT DISTINCT qc.qid, c.vec_id AS nid
-                  FROM corpus c JOIN qc USING (cell) WHERE c.vec_id <> qc.qid),
-            pr AS (SELECT cand.qid, cand.nid,
-                  round(list_dot_product(qe.emb, ne.emb), 4) AS sim
-                  FROM cand
-                  JOIN e qe ON qe.vec_id = cand.qid
-                  JOIN e ne ON ne.vec_id = cand.nid),
-            r AS (SELECT qid, nid, sim,
-                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-                  FROM pr)
-         SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
-    }
+      ivfOracleSqlOf(cents, nprobe, excludeSelf = true) }
+
+  /** Codebook VALUES rows `(mm 0-based, kk 0-based, sub-centroid,
+    * |c|²)`. */
+  private[queries] def bookValues(book: Seq[Seq[Seq[Double]]]): String =
+    (for ((cs, mm) <- book.zipWithIndex; (c, kk) <- cs.zipWithIndex)
+      yield s"($mm, $kk, [${c.mkString(", ")}], ${c.map(x => x * x).sum})")
+      .mkString(",\n           ")
+
+  /** DuckDB oracle body shared by `ann_pq_topk` and the stored PQ
+    * index. Every stage is bit-parity with the engine: the encode
+    * score `2·x·c − |c|²` matches graft_pq_encode (pinned
+    * code-for-code against the builtin form), the LUT entries are
+    * the same forward-loop sub-dots, and the ADC score is an
+    * UNROLLED m-term sum in subspace order — the exact left-to-right
+    * reduce pqAdcExpr generates, not a SQL aggregate whose order the
+    * engine may choose. */
+  private[queries] def pqOracleSqlOf(book: Seq[Seq[Seq[Double]]],
+      shortlist: Int, excludeSelf: Boolean): String = {
+    val m = book.length; val k = book.head.length
+    val sub = book.head.head.length
+    val adcTerms = (0 until m).map(mm => s"lut[c$mm + ${mm * k} + 1]")
+      .mkString(" + ")
+    val codeCols = (0 until m)
+      .map(mm => s"max(CASE WHEN mm = $mm THEN code END) AS c$mm")
+      .mkString(",\n                ")
+    val selfF = if (excludeSelf) "WHERE cd.vec_id <> lu.qid" else ""
+    s"""WITH $NormedCte,
+          book(mm, kk, w, c2) AS (VALUES
+         ${bookValues(book)}),
+          sc AS (SELECT e.vec_id, b.mm, b.kk,
+                2 * list_dot_product(e.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w)
+                  - b.c2 AS score
+                FROM e CROSS JOIN book b),
+          cr AS (SELECT vec_id, mm, kk AS code,
+                row_number() OVER (PARTITION BY vec_id, mm ORDER BY score DESC, kk) AS rk
+                FROM sc),
+          cd AS (SELECT vec_id,
+                $codeCols
+                FROM cr WHERE rk = 1 GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < $QueryK),
+          lt AS (SELECT q.qid, b.mm, b.kk,
+                list_dot_product(q.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w) AS v
+                FROM q CROSS JOIN book b),
+          lu AS (SELECT qid, list(v ORDER BY mm, kk) AS lut FROM lt GROUP BY qid),
+          adc AS (SELECT lu.qid, cd.vec_id AS nid, $adcTerms AS adc_score
+                FROM cd CROSS JOIN lu $selfF),
+          sl AS (SELECT qid, nid FROM (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, nid) AS rk
+                FROM adc) WHERE rk <= $shortlist),
+          pr AS (SELECT sl.qid, sl.nid,
+                round(list_dot_product(qe.emb, ne.emb), 4) AS sim
+                FROM sl JOIN e qe ON qe.vec_id = sl.qid
+                        JOIN e ne ON ne.vec_id = sl.nid),
+          r AS (SELECT qid, nid, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                FROM pr)
+       SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
+  }
+
+  private[graft] def pqOracleSql: Option[String] =
+    lastPqModel.map { case (book, shortlist) =>
+      pqOracleSqlOf(book, shortlist, excludeSelf = true) }
 
   /** ANN via product quantization with asymmetric distance (ADC) —
     * the FAISS-style compression path for 100 TB of embeddings. The
@@ -574,6 +645,7 @@ object VectorQueries {
       s"PQ training sample ${sample.length} < k=$k — lower trainMod")
 
     val book = pqTrain(sample, m, k, sub, lloydRounds)
+    lastPqModel = Some((book, shortlist))
 
     val corpusCodes = emb.select(col("vec_id"),
       assignExpr(book, col("emb")).as("codes"))
