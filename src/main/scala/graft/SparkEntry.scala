@@ -70,6 +70,7 @@ object SparkEntry {
     "t_quality_score" -> (TextQueries.tQualityScore _),
     "t_quality_gate" -> (TextQueries.tQualityGate _),
     "t_source_filter" -> (TextQueries.tSourceFilter _),
+    "t_source_overlap" -> (TextQueries.tSourceOverlap _),
     "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
     "t_corpus_mix" -> (TextQueries.tCorpusMix _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "emb_centroids" -> (VectorQueries.embCentroids _),
     "emb_outliers" -> ((s: SparkSession, d: String) => VectorQueries.embOutliers(s, d)),
     "emb_dedup_clusters" -> (VectorQueries.embDedupClusters _),
+    "emb_hard_negatives" -> ((s: SparkSession, d: String) => VectorQueries.embHardNegatives(s, d)),
     "emb_kmeans" -> ((s: SparkSession, d: String) => VectorQueries.embKmeans(s, d)),
     "emb_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.embSemDedup(s, d)),
     // — graph / link analysis —
@@ -1145,6 +1147,48 @@ object SparkEntry {
              FROM sc)
          SELECT doc_id, lang, predicted, hits FROM fin WHERE rk = 1""",
     "t_heavy_hitters_cms" -> TextQueries.cmsOracleSql(),
+    // shingle strings here vs xxhash64 on the engine side — counts
+    // equal up to 2^-64 collisions (the t_substring_spans deal)
+    "t_source_overlap" ->
+      """WITH t AS (SELECT source,
+                    string_split_regex(trim(lower(trim(text))), '\s+') AS toks
+                    FROM documents),
+              s AS (SELECT source, unnest(list_distinct(
+                    list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS h
+                    FROM t WHERE len(toks) >= 3),
+              ss AS (SELECT DISTINCT source, h FROM s),
+              sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+              p AS (SELECT a.source AS source_a, b.source AS source_b,
+                    count(*) AS n_common
+                    FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+                    GROUP BY 1, 2)
+         SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_common,
+           round(CAST(n_common AS DOUBLE) / za.n, 4) AS containment_a,
+           round(CAST(n_common AS DOUBLE) / zb.n, 4) AS containment_b,
+           round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 4) AS jaccard
+         FROM p JOIN sz za ON p.source_a = za.source
+                JOIN sz zb ON p.source_b = zb.source""",
+    "emb_hard_negatives" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+              nn AS (SELECT vec_id, label, emb,
+                    sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),
+              e AS (SELECT vec_id, label,
+                    list_transform(emb, x -> x / nrm) AS emb
+                    FROM nn WHERE nrm > 0),
+              a AS (SELECT vec_id AS anchor_id, label AS a_label, emb AS a_emb
+                    FROM e WHERE vec_id < 10),
+              p AS (SELECT a.anchor_id,
+                    CASE WHEN e.label = a.a_label THEN 'positive'
+                         ELSE 'hard_negative' END AS role,
+                    e.vec_id AS nid,
+                    round(list_dot_product(a.a_emb, e.emb), 4) AS sim
+                    FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+              r AS (SELECT anchor_id, role, nid, sim,
+                    row_number() OVER (PARTITION BY anchor_id, role
+                      ORDER BY sim DESC, nid) AS rank FROM p)
+         SELECT anchor_id, role, rank, nid, sim FROM r WHERE rank <= 3""",
     // rendered from the trained weights — present only when the
     // classifier query has run in this JVM (Verify's evaluation
     // order guarantees that); otherwise the driver keeps the old

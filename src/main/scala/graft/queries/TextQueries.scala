@@ -510,6 +510,54 @@ object TextQueries {
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
 
+  /** Cross-source overlap audit: pairwise shingle containment and
+    * Jaccard between source slices — the contamination matrix a
+    * corpus curator reads before mixing sources (high containment of
+    * A in B means A is mostly a subset of B: drop it or dedup the
+    * union; `t_corpus_mix` decides rates from exactly this signal).
+    * Output per source pair (a < b): each side's distinct-shingle
+    * census, the common count, both containments, and Jaccard.
+    *
+    * Scale shape: one shingle scan (the fused native expression),
+    * one distinct on (source, hash) — uniform 64-bit shuffle key —
+    * then a self-join ON THE HASH whose per-key fan-out is bounded
+    * by the number of SOURCES (a shingle contributes at most S²/2
+    * pairs), and two broadcast joins against the one-row-per-source
+    * census. This is an operator for corpus SLICES (sources,
+    * buckets, snapshots — tens to hundreds), where S² per key is
+    * trivially bounded; for millions of raw domains the right tool
+    * is per-domain MinHash signatures (dedupMinhash's machinery),
+    * not the exact matrix. Spark counts xxhash64 shingles, the
+    * oracle counts the shingle STRINGS — equal up to 2^-64
+    * collisions (the t_substring_spans deal). */
+  def tSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ss = Tables.documents(spark, dir)
+      .select(col("source"), tokens(normText(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(call_function("graft_shingle3_hash", col("toks"))).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = ss.select(col("source").as("source_a"), col("h"))
+      .join(ss.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("n_a"), 4).as("containment_a"),
+        round(col("n_common").cast("double") / col("n_b"), 4).as("containment_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+  }
+
   /** Exact digest of a hashed-shingle SET: order-normalized before
     * hashing so any two docs with equal shingle sets — i.e. exact
     * duplicates up to shingle order, which is J = 1.0 by definition —

@@ -957,6 +957,40 @@ object VectorQueries {
         coalesce(col("dup") === false, lit(true)).as("kept"))
   }
 
+  /** Contrastive pair mining — the training-pair construction step
+    * of embedding-model curation (SimCLR/SBERT-style): for each
+    * anchor, the top-`perRole` SAME-label neighbors (positives) and
+    * the top-`perRole` DIFFERENT-label neighbors by cosine — the
+    * hard negatives, the near-misses that teach the margin; random
+    * negatives are trivially separable and teach nothing. Anchors =
+    * the first `nAnchors` vectors (the deterministic query-set
+    * convention the ANN family shares).
+    *
+    * Scale shape: anchors are serving-sized by contract → one
+    * broadcast; the corpus is scanned ONCE with all anchor dots
+    * fused per row; the per-(anchor, role) top-k is the
+    * WindowGroupLimit rank-filter shape, so each map task keeps its
+    * local top-k and the sort never sees the corpus. Full oracle
+    * (static SQL — no trained model in the pipeline). */
+  def embHardNegatives(spark: SparkSession, dir: String,
+      nAnchors: Int = 10, perRole: Int = 3): DataFrame = {
+    val emb = embNormed(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("emb").as("a_emb"))
+    emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"),
+        when(col("label") === col("a_label"), lit("positive"))
+          .otherwise(lit("hard_negative")).as("role"),
+        col("vec_id").as("nid"),
+        round(dot(col("a_emb"), col("emb")), 4).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"), col("role"))
+          .orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= perRole)
+      .select(col("anchor_id"), col("role"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Distributed k-means clustering of the embedding corpus — the
     * coarse partitioner behind corpus curation (topic balancing,
     * diversity sampling, SemDeDup-style pruning). Output: every

@@ -34,18 +34,14 @@ class QueriesSmokeSpec extends SparkSpec {
   // ship an oracle or be added here WITH a real spec — this test is
   // the tripwire that keeps "rows-only" from quietly meaning
   // "unverified".
+  // (The former entries for the ANN family, CMS heavy hitters,
+  // k-means/SemDeDup, and the quality classifier moved OUT of this
+  // list when those queries gained rendered-model DuckDB oracles —
+  // their specs remain as the semantic ground truth on top.)
   private val groundTruthSpecs = Map(
-    "ann_ivf_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
-    "ann_pq_topk" -> "VectorQueriesSpec recall@5 >= 0.9 vs annBruteTopk",
-    "ann_ivf_stored" -> "VectorIndexSpec recall@5 >= 0.9, self at rank 1, pruned probes",
-    "ann_pq_stored" -> "VectorIndexSpec recall@5 >= 0.9, self at rank 1, deterministic rebuild",
     "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
-    "t_heavy_hitters_cms" -> "TextQueriesSpec estimates bound exact counts; top-k set equals tHeavyHitters",
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs",
-    "emb_kmeans" -> "VectorQueriesSpec monotone SSE + independent nearest-centroid pass",
-    "emb_semdedup" -> "VectorQueriesSpec independent driver-side within-cluster pairwise recompute",
-    "t_quality_classifier" -> "TextQueriesSpec loss decreases, accuracy beats majority baseline, probs equal driver recompute",
     "t_bpe_tokens" -> "BpeSpec hand-computed Sennrich merges/encodes + per-doc fixture recompute")
 
   test("every query has ground truth: a SQL oracle or a named exact spec") {

@@ -315,6 +315,43 @@ class TextQueriesSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("tSourceOverlap equals a driver-side shingle-set recompute") {
+    val out = TextQueries.tSourceOverlap(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent ground truth: string shingle sets per source,
+    // computed in plain Scala (the engine counts xxhash64 shingles —
+    // equal counts up to 2^-64 collisions)
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val bySource = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, text) =>
+        val toks = text.trim.toLowerCase.replaceAll("\\s+", " ")
+          .trim.split("\\s+").toSeq
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+    }
+    val sources = bySource.keys.toSeq.sorted
+    for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      (a, b) = (sources(i), sources(j))
+      common = (bySource(a) & bySource(b)).size
+      if common > 0
+    } {
+      assert(out.contains((a, b)), s"missing pair ($a, $b)")
+      val (na, nb, nc) = out((a, b))
+      assert((na, nb, nc) ==
+        ((bySource(a).size.toLong, bySource(b).size.toLong, common.toLong)),
+        s"($a, $b): got ($na, $nb, $nc), want " +
+          s"(${bySource(a).size}, ${bySource(b).size}, $common)")
+    }
+    assert(out.nonEmpty)
+    out.values.foreach { case (na, nb, nc) =>
+      assert(nc <= math.min(na, nb), "common exceeds a side's census") }
+  }
+
   test("dedupClusters: label propagation equals hand-computed components") {
     import spark.implicits._
     // components: {1,2,3,4} via a transitive chain (1-2, 2-3, 3-4 —

@@ -21,6 +21,43 @@ class VectorQueriesSpec extends SparkSpec {
     df.select(col(a), col(b)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("embHardNegatives equals a driver-side brute-force recompute") {
+    val out = VectorQueries.embHardNegatives(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    // independent ground truth: normalize, dot, round, rank — plain
+    // Scala with the engine's own tie rule (sim desc, nid asc)
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), {
+        val v = r.getSeq[Double](2).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      })).filter(_._3.exists(_ != 0.0))
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var checked = 0
+    for ((aid, albl, aemb) <- vecs.filter(_._1 < 10)) {
+      val scored = vecs.filter(_._1 != aid).map { case (nid, lbl, v) =>
+        val sim = rnd((0 until v.length).map(i => aemb(i) * v(i)).sum)
+        (if (lbl == albl) "positive" else "hard_negative", nid, sim)
+      }
+      for (role <- Seq("positive", "hard_negative")) {
+        val want = scored.filter(_._1 == role)
+          .sortBy { case (_, nid, sim) => (-sim, nid) }.take(3)
+        want.zipWithIndex.foreach { case ((_, nid, sim), i) =>
+          assert(out((aid, role, i + 1L)) == ((nid, sim)),
+            s"anchor $aid $role rank ${i + 1}: got ${out((aid, role, i + 1L))}, " +
+              s"want ($nid, $sim)")
+          checked += 1
+        }
+      }
+    }
+    assert(checked == out.size && checked == 60,
+      s"checked $checked of ${out.size} emitted rows")
+  }
+
   test("annLshTopk and annIvfTopk recall@5 vs annBruteTopk >= 0.9 (sf0.001 and sf0.01)") {
     for (dir <- Seq(sf001, sf01)) {
       val brute = pairSet(VectorQueries.annBruteTopk(spark, dir), "qid", "nid")
