@@ -130,6 +130,40 @@ object ProfileScale {
     // is linear growth, far outside this bound
     if (nBatches >= 3)
       println(f"[scale] ingest flatness last/second = ${times.last / times(1)}%.2f (bound 2.0)")
+
+    // --- 4. edit-distance dedup under 10x exact duplication ---
+    // Replicas are exact-prefix copies, so the prefix collapse must
+    // keep the pairwise join at 1x volume (the dedupMinhash argument
+    // applied to editdist), while the 10x dist-0 pairs ride the
+    // output-bound expansion. A forced cap=1 marks every multi-prefix
+    // block hot; exact-prefix pairs must SURVIVE that (collapse-path
+    // immunity), cross-prefix pairs must drop.
+    spark.catalog.clearCache()
+    val edFrame = (0 until reps).map(k =>
+        graft.sources.Tables.documents(spark, dir)
+          .select((col("doc_id") + lit(k * offset)).as("doc_id"), col("lang"),
+            substring(trim(col("text")), 1, 256).as("pfx"),
+            substring(trim(col("text")), 1, 16).as("blk")))
+      .reduce(_ unionByName _)
+      .filter(col("pfx").rlike("^[ -~]*$"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edRows = edFrame.count()
+    val reps10 = edFrame.select(col("lang"), col("blk"), col("pfx")).distinct().count()
+    val reps1 = edFrame.filter(col("doc_id") < offset)
+      .select(col("lang"), col("blk"), col("pfx")).distinct().count()
+    println(s"[scale] editdist: $edRows docs, $reps10 distinct prefixes at ${reps}x " +
+      s"(1x: $reps1)")
+    assert(reps10 == reps1,
+      s"prefix collapse lost: $reps10 distinct prefixes at ${reps}x vs $reps1 at 1x")
+    val edPairs = t(s"editdist pairs ${reps}x")(
+      TextQueries.dedupEditDistOf(edFrame, 64).count())
+    val edTiny = t("editdist pairs cap=1")(
+      TextQueries.dedupEditDistOf(edFrame, 64, cap = 1).count())
+    // with cap=1 only within-prefix (dist-0) pairs remain; the 10x
+    // replicas guarantee a large population of them
+    println(s"[scale] editdist pairs $edPairs (cap=1: $edTiny)")
+    assert(edTiny > 0, "cap=1 killed the collapse-path pairs — immunity broken")
+    assert(edTiny < edPairs, "cap=1 did not shrink the pairwise join")
     spark.stop()
   }
 }
