@@ -71,6 +71,7 @@ object SparkEntry {
     "t_quality_gate" -> (TextQueries.tQualityGate _),
     "t_source_filter" -> (TextQueries.tSourceFilter _),
     "t_source_overlap" -> (TextQueries.tSourceOverlap _),
+    "t_curation_e2e" -> (graft.queries.CurationQueries.tCurationE2e _),
     "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
     "t_corpus_mix" -> (TextQueries.tCorpusMix _),
@@ -1169,6 +1170,52 @@ object SparkEntry {
            round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 4) AS jaccard
          FROM p JOIN sz za ON p.source_a = za.source
                 JOIN sz zb ON p.source_b = zb.source""",
+    // the composed final pass: every ingredient is the same recompute
+    // as its own oracle row (t_quality_gate / dedup_exact /
+    // emb_outliers), fused into one decision table
+    "t_curation_e2e" ->
+      """WITH q AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(CAST(len(list_filter(toks,
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                  / len(toks), 4) AS stopword_ratio
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+         tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents),
+         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM tk),
+         bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
+                FROM tk, UNNEST(range(1, len(w))) AS t(g)),
+         cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
+         r AS (SELECT b.doc_id,
+                round(CAST(b.n_uniq AS DOUBLE) / b.nt, 4) AS uniq_token_frac,
+                round(CAST(coalesce(t.top_c, 0) AS DOUBLE)
+                  / greatest(b.nt - 1, 1), 4) AS top_bigram_frac
+                FROM base b LEFT JOIN top t USING (doc_id)),
+         g AS (SELECT doc_id,
+                (n_tokens >= 20 AND stopword_ratio >= 0.02
+                 AND uniq_token_frac >= 0.3 AND top_bigram_frac <= 0.1) AS quality_ok
+                FROM q JOIN r USING (doc_id)),
+         dup AS (SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) <> doc_id AS is_dup
+                FROM documents),
+         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+         c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
+         cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
+         o AS (SELECT e.vec_id AS doc_id,
+                round(list_dot_product(e.emb, cent.cvec) /
+                  (sqrt(list_dot_product(e.emb, e.emb)) *
+                   sqrt(list_dot_product(cent.cvec, cent.cvec))), 4) < 0.0 AS is_outlier
+                FROM e JOIN cent USING (label))
+         SELECT g.doc_id, g.quality_ok, dup.is_dup,
+           coalesce(o.is_outlier, false) AS is_outlier,
+           (g.quality_ok AND NOT dup.is_dup
+            AND NOT coalesce(o.is_outlier, false)) AS kept
+         FROM g JOIN dup USING (doc_id) LEFT JOIN o USING (doc_id)""",
     "emb_hard_negatives" ->
       """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),

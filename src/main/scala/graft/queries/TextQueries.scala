@@ -21,7 +21,7 @@ object TextQueries {
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Whitespace normalization used as the dedup canonical form. */
-  private def normText(c: Column): Column =
+  private[queries] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** Token counting: whitespace tokens plus a BPE-ish sub-token
