@@ -194,8 +194,17 @@ object TextQueries {
       .select(least(col("a_m"), col("b_m")).as("a_id"),
         greatest(col("a_m"), col("b_m")).as("b_id"), col("dist"))
     // exact-prefix pairs: dist 0 by definition, found by the collapse
-    // itself — immune to the hot-block cap, like minhash's digest path
-    val within = ids.as("l").join(ids.as("r"), Seq("dig"))
+    // itself — immune to the hot-block cap, like minhash's digest
+    // path. The self-join legs are pre-filtered to MULTI-member
+    // groups (one window on the same dig shuffle key the join needs,
+    // so the filter costs no extra exchange): singleton groups — the
+    // overwhelming majority of any real corpus — never enter the
+    // join at all.
+    val multi = ids
+      .withColumn("gn", count(lit(1)).over(Window.partitionBy(col("dig"))))
+      .filter(col("gn") > 1)
+      .drop("gn")
+    val within = multi.as("l").join(multi.as("r"), Seq("dig"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         lit(0).as("dist"))

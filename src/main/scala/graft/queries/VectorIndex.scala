@@ -90,8 +90,21 @@ object VectorIndex {
 
   private def ensure(spark: SparkSession, dir: String, kind: String)(
       build: String => Unit): String = {
+    // The cache key folds in the SOURCE table's file signature
+    // (paths + sizes + mtimes), not just the dir name: a regenerated
+    // embeddings.parquet under the same path lands in a fresh root
+    // and rebuilds, instead of silently serving a stale index (the
+    // round-7 testdata regeneration was exactly this hazard — an
+    // index is derived data, and derived data must key on its
+    // inputs' identity).
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val sig = files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val key = Integer.toHexString(dir.hashCode) + "_" +
+      Integer.toHexString(sig.hashCode)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}idx_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      s"graft_${kind}idx_$key").getAbsolutePath
     val marker = new java.io.File(root, "_complete")
     if (!marker.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
