@@ -178,6 +178,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("hard negatives: anchors broadcast, per-role top-k is WindowGroupLimit-pruned") {
+    val plan = planString(
+      graft.queries.VectorQueries.embHardNegatives(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the corpus must never be the build side of a shuffle pair join
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("source overlap: census joins ride broadcasts, never sort-merge") {
+    spark.catalog.clearCache()
+    val plan = planString(TextQueries.tSourceOverlap(spark, dir))
+    // two one-row-per-source census joins → both broadcast; the only
+    // sort-merge-eligible join is the hash self-join on `h`
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"$smj sort-merge joins — a census join lost its broadcast:\n" +
+      plan.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("minhash hot-band cap: one window over the banding shuffle, no count-join") {
     // the cap is a count over the join key computed as a window on
     // the (band, band_key)-shuffled rows — if it regresses to a
