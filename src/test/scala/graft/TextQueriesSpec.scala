@@ -352,6 +352,48 @@ class TextQueriesSpec extends SparkSpec {
       assert(nc <= math.min(na, nb), "common exceeds a side's census") }
   }
 
+  test("dedupEditDistOf equals naive all-pairs on randomized corpora (uncapped)") {
+    // randomized adversaries: shared-prefix families, exact-copy
+    // armies, near-misses at the maxDist boundary, multi-language
+    // collisions — the collapse+expansion refactor must be
+    // output-identical to the naive join on every draw
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xED17)
+    for (trial <- 0 until 4) {
+      val blocks = Seq("<!doctype html> ", "shared header :: ", "zz")
+      val langs = Seq("en", "de")
+      val docs = (0 until 40).map { i =>
+        val blk = blocks(rnd.nextInt(blocks.length))
+        val tail = rnd.nextInt(4) match {
+          case 0 => "common tail " + ("x" * rnd.nextInt(10))
+          case 1 => "common tail edited " + rnd.nextInt(3)
+          case 2 => rnd.alphanumeric.take(30 + rnd.nextInt(40)).mkString
+          case _ => "common tail"
+        }
+        (i.toLong, langs(rnd.nextInt(langs.length)), blk + tail)
+      }
+      val d = docs.toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("lang"),
+          substring(trim(col("text")), 1, 64).as("pfx"),
+          substring(trim(col("text")), 1, 16).as("blk"))
+      val a = d.select(col("doc_id").as("a_id"), col("lang"), col("blk"),
+        col("pfx").as("pa"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"), col("blk"),
+        col("pfx").as("pb"))
+      val naive = a.join(b, Seq("lang", "blk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("pa"), col("pb")).as("dist"))
+        .filter(col("dist") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = TextQueries.dedupEditDistOf(d, 10, cap = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == naive,
+        s"trial $trial: missed=${(naive -- got).size} extra=${(got -- naive).size}")
+      assert(naive.nonEmpty, s"trial $trial produced no pairs — fixture too sparse")
+    }
+  }
+
   test("dedupClusters: label propagation equals hand-computed components") {
     import spark.implicits._
     // components: {1,2,3,4} via a transitive chain (1-2, 2-3, 3-4 —
