@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: sbt's default
+// LoggedOutput wraps every line as "[info] {...}", which breaks any
+// downstream json.loads of the bench/verify stdout (eight rounds of
+// the driver's bench artifact recorded parsed:null because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

