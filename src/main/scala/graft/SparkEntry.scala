@@ -606,16 +606,25 @@ object SparkEntry {
          min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
     // ASCII-scoped on both sides: Spark levenshtein counts code
-    // points, DuckDB's counts bytes — identical only on ASCII
+    // points, DuckDB's counts bytes — identical only on ASCII.
+    // The c-CTE np<=256 guard mirrors the engine's MaxEditBlock
+    // hot-block cap exactly: a block with > 256 DISTINCT prefixes
+    // contributes no cross-prefix pairs on either side, while
+    // equal-prefix (dist-0) pairs are immune — the engine's
+    // digest-collapse path emits them regardless of block size.
     "dedup_editdist" ->
       """WITH d AS (SELECT doc_id, lang,
                     substr(trim(text), 1, 256) AS pfx,
                     substr(trim(text), 1, 16) AS blk FROM documents
                     WHERE regexp_matches(substr(trim(text), 1, 256), '^[ -~]*$')),
+              c AS (SELECT lang, blk, count(DISTINCT pfx) AS np
+                    FROM d GROUP BY lang, blk),
               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                     levenshtein(a.pfx, b.pfx) AS dist
                     FROM d a JOIN d b
-                      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+                      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+                    JOIN c ON c.lang = a.lang AND c.blk = a.blk
+                    WHERE a.pfx = b.pfx OR c.np <= 256)
          SELECT a_id, b_id, dist FROM p WHERE dist <= 64""",
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang,

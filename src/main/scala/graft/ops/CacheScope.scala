@@ -35,7 +35,13 @@ object CacheScope {
     try body finally df.unpersist(blocking = false)
   }
 
-  private final case class Entry(owner: LogicalPlan, deps: Seq[Dataset[_]])
+  // Both plan objects identify the owner: a `collect`/`show` acts on
+  // the result Dataset's own QueryExecution (whose .logical IS the
+  // un-analyzed plan we built), while `count`/`write`/any further
+  // transformation builds a NEW plan over the Dataset's ANALYZED
+  // plan object — matching only one of the two misses half the
+  // action surface.
+  private final case class Entry(owners: Seq[LogicalPlan], deps: Seq[Dataset[_]])
 
   // Keyed by session so concurrent sessions (tests) don't see each
   // other's entries. Entries are few (one per in-flight query).
@@ -55,10 +61,11 @@ object CacheScope {
   def owned[T](result: Dataset[T], deps: Dataset[_]*): Dataset[T] = {
     val spark = result.sparkSession
     ensureListener(spark)
+    val qe = result.queryExecution
     registry
       .computeIfAbsent(spark, _ =>
         java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]()))
-      .add(Entry(result.queryExecution.logical, deps))
+      .add(Entry(Seq(qe.logical, qe.analyzed), deps))
     result
   }
 
@@ -102,7 +109,7 @@ object CacheScope {
       val it = entries.iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (acted.exists(_ eq e.owner)) { matched.add(e); it.remove() }
+        if (acted.exists(p => e.owners.exists(_ eq p))) { matched.add(e); it.remove() }
       }
     }
     matched.forEach(_.deps.foreach(_.unpersist(blocking = false)))

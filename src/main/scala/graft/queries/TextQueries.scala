@@ -168,9 +168,16 @@ object TextQueries {
     // persisted so the documents scan + trim/substring runs once.
     // lang is folded into the digest so expansion/within joins on
     // `dig` alone can never pair same-prefix docs across languages
-    // (the block key is (lang, blk); blk itself is a prefix of pfx)
+    // (the block key is (lang, blk); blk itself is a prefix of pfx).
+    // \u0001-separated: pfx is printable-ASCII-filtered upstream
+    // (rlike "^[ -~]*$") so 0x01 can't occur in it, making the
+    // encoding unambiguous. concat (unlike concat_ws, which SKIPS
+    // nulls) nulls out on null lang, so a null-lang doc gets a null
+    // digest and drops from every equi-join arm — exactly what the
+    // naive (lang, blk) equi-join does with a null lang, instead of
+    // pairing null-lang docs with each other through the within arm.
     val members = d
-      .withColumn("dig", md5(concat_ws("", col("lang"), col("pfx"))))
+      .withColumn("dig", md5(concat(col("lang"), lit(""), col("pfx"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = members.groupBy(col("lang"), col("blk"), col("dig"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("pfx")).as("pfx"))

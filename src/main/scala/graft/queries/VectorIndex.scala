@@ -101,13 +101,22 @@ object VectorIndex {
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
     val sig = files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val key = Integer.toHexString(dir.hashCode) + "_" +
-      Integer.toHexString(sig.hashCode)
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}idx_$key").getAbsolutePath
+    val dirHex = Integer.toHexString(dir.hashCode)
+    val key = dirHex + "_" + Integer.toHexString(sig.hashCode)
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val rootFile = new java.io.File(tmpDir, s"graft_${kind}idx_$key")
+    val root = rootFile.getAbsolutePath
     val marker = new java.io.File(root, "_complete")
     if (!marker.exists()) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      // Reclaim orphaned roots for the SAME source dir under an OLD
+      // signature: every embeddings regeneration moves the key, and
+      // without this sweep each abandoned predecessor index would sit
+      // in tmpdir forever (unbounded accumulation across rounds).
+      Option(tmpDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s"graft_${kind}idx_${dirHex}_") &&
+          f.getName != rootFile.getName)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootFile)
       build(root)
       java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
     }

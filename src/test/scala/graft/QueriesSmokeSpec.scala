@@ -44,15 +44,35 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs",
     "t_bpe_tokens" -> "BpeSpec hand-computed Sennrich merges/encodes + per-doc fixture recompute")
 
+  // Oracles rendered from trained-model registers — they appear in
+  // SparkEntry.oracleSql only AFTER their query has run in this JVM
+  // (Verify's evaluation order guarantees that at verify time). The
+  // tripwire must not depend on which earlier tests ran in this JVM,
+  // so these are credited statically; the companion test below keeps
+  // the static list honest by actually populating the registers.
+  private val registerBackedOracles = Set("t_quality_classifier",
+    "emb_kmeans", "emb_semdedup", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivf_stored", "ann_pq_stored")
+
   test("every query has ground truth: a SQL oracle or a named exact spec") {
     val unverified = SparkEntry.queries.keySet --
-      SparkEntry.oracleSql.keySet -- groundTruthSpecs.keySet
+      SparkEntry.oracleSql.keySet -- groundTruthSpecs.keySet --
+      registerBackedOracles
     assert(unverified.isEmpty,
       s"queries with neither oracle nor ground-truth spec: $unverified")
-    // and the allowlist carries no stale entries
-    val stale = groundTruthSpecs.keySet -- SparkEntry.queries.keySet
+    // and the allowlists carry no stale entries
+    val stale = (groundTruthSpecs.keySet ++ registerBackedOracles) --
+      SparkEntry.queries.keySet
     assert(stale.isEmpty, s"ground-truth entries for absent queries: $stale")
     val doubled = groundTruthSpecs.keySet.intersect(SparkEntry.oracleSql.keySet)
     assert(doubled.isEmpty, s"oracle-checked queries needlessly allowlisted: $doubled")
+  }
+
+  test("register-backed oracles render once their query has run") {
+    registerBackedOracles.toSeq.sorted.foreach { name =>
+      SparkEntry.queries(name)(spark, dir).count()
+      assert(SparkEntry.oracleSql.contains(name),
+        s"$name ran but rendered no oracle SQL")
+    }
   }
 }
