@@ -489,6 +489,7 @@ object MediaOps {
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .transform(graft.ops.CacheScope.owned(_, blocked))
   }
 
   /** Frame sampling over REAL multi-frame containers (multi-page

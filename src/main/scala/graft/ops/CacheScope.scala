@@ -22,7 +22,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Without this, a long-lived SqlGateway/SyncServer session accumulates
   * storage memory query after query (57 persist sites vs 13 unpersists
   * as of round 8); the bench/verify harnesses only stayed flat because
-  * they call `spark.catalog.clearCache()` between queries.
+  * they call `spark.catalog.clearCache()` between queries. As of round
+  * 9 every query-path persist is scoped or owned — QueriesSmokeSpec
+  * asserts the SQL cache registry is empty after each SparkEntry query
+  * materializes, and CacheScopeSpec pins the mechanism.
   */
 object CacheScope {
 
@@ -82,6 +85,17 @@ object CacheScope {
     if (entries == null) 0 else entries.size()
   }
 
+  /** True when the session's SQL cache registry holds nothing — the
+    * post-query invariant every SparkEntry query must restore (spec
+    * observability; Dataset.persist/unpersist update this registry
+    * synchronously, unlike executor block release). localCheckpoint
+    * RDDs live outside the SQL cache and are reclaimed by the
+    * ContextCleaner once unreferenced, so they are deliberately not
+    * part of this check. */
+  def sqlCacheEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   private val installed =
     java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
 
@@ -93,11 +107,19 @@ object CacheScope {
         release(spark, qe)
     })
 
-  // An action "consumes" an owner when the owner's logical plan object
-  // is a subtree of the action's logical plan: DataFrameWriter wraps
-  // df.logicalPlan by reference, and count/collect/show build over the
-  // same object, so identity containment is exact — no false matches
-  // from structurally-equal but unrelated plans.
+  // An action "consumes" an owner when the owner's plan is a subtree
+  // of the action's logical plan. Identity (`eq`) is the fast path:
+  // DataFrameWriter wraps df.logicalPlan by reference, and
+  // count/collect/show build over the same object. It is NOT
+  // sufficient: when a composition joins two frames built from the
+  // same source (qualityGateOf's q ⋈ r, classifierFrame), the
+  // analyzer's DeduplicateRelations REWRITES one side's subtree with
+  // fresh expression ids — new node objects — so the fallback is the
+  // same semantic comparison CacheManager itself uses for cache
+  // lookup (`sameResult`, i.e. canonicalized equality, which
+  // normalizes expression ids away). A semantic false match against
+  // a genuinely identical plan elsewhere merely unpersists a cache
+  // early — recompute cost, never a correctness issue.
   private def release(spark: SparkSession, qe: QueryExecution): Unit = {
     val entries = registry.get(spark)
     if (entries == null || entries.isEmpty) return
@@ -109,7 +131,10 @@ object CacheScope {
       val it = entries.iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (acted.exists(p => e.owners.exists(_ eq p))) { matched.add(e); it.remove() }
+        val hit = acted.exists(p => e.owners.exists(_ eq p)) ||
+          (try e.owners.exists(o => acted.exists(o.sameResult(_)))
+           catch { case _: Throwable => false })
+        if (hit) { matched.add(e); it.remove() }
       }
     }
     matched.forEach(_.deps.foreach(_.unpersist(blocking = false)))

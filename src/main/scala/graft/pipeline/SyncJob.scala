@@ -158,8 +158,10 @@ object SyncJob {
       val errs = fetched.filter(col("error").isNotNull)
         .select(col("vendorId"), col("error")).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      val items = HttpSource.parseItemsDistributed(
-        fetched.filter(col("error").isNull).select(col("vendorId"), col("payload")))
+      val items = graft.ops.CacheScope.owned(
+        HttpSource.parseItemsDistributed(
+          fetched.filter(col("error").isNull).select(col("vendorId"), col("payload"))),
+        fetched)
       val ing = selected.map { api =>
         if (!api.database.contains(Schemas.WholecellDb))
           Err(api, "unsupported_database",

@@ -198,6 +198,7 @@ object EventQueries {
       .select(col("event_type"),
         date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("n"), col("burst"))
+      .transform(graft.ops.CacheScope.owned(_, perHour))
   }
 
   /** E9: resample + gap-fill. Events are resampled onto a dense

@@ -273,9 +273,11 @@ object GraphQueries {
         .groupBy(col("part_key")).agg(count(lit(1)).as("c"))
     }
     val nodes = li.select(col("l_partkey").as("part_key")).distinct()
-    nodes.join(perNode, Seq("part_key"), "left_outer")
-      .select(col("part_key"),
-        coalesce(col("c"), lit(0L)).as("n_triangles"))
+    graft.ops.CacheScope.owned(
+      nodes.join(perNode, Seq("part_key"), "left_outer")
+        .select(col("part_key"),
+          coalesce(col("c"), lit(0L)).as("n_triangles")),
+      canon, oriented)
   }
 
   /** Market-basket association mining over the same basket
@@ -321,7 +323,7 @@ object GraphQueries {
         round(col("n_ab").cast("double") * lit(nOrders) /
           (col("n_a") * col("n_b")), 4).as("lift"),
         round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"))
-    out
+    graft.ops.CacheScope.owned(out, sets)
   }
 
   /** Distributed path: degree-attached symmetric edge frame persisted

@@ -75,6 +75,7 @@ object RetrievalQueries {
       .withColumn("bm25_micro",
         QueryTerms.indices.map(termMicro).reduce(_ + _))
       .select(col("doc_id"), col("bm25_micro"))
+      .transform(graft.ops.CacheScope.owned(_, tf))
   }
 
   /** Deterministic top-k with a rank column: global sort+limit

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.Bpe
+import graft.ops.{Bpe, CacheScope}
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -215,7 +215,7 @@ object TextQueries {
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         lit(0).as("dist"))
-    cross.unionByName(within)
+    CacheScope.owned(cross.unionByName(within), members)
   }
 
   /** Near-dup detection by token-set Jaccard ≥ 0.9 — EXACT output
@@ -256,6 +256,7 @@ object TextQueries {
           size(array_union(col("a_toks"), col("b_toks"))), 4))
       .filter(col("jaccard") >= 0.9)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .transform(CacheScope.owned(_, docs))
   }
 
   /** Duplicate CLUSTERING: connected components over the exact
@@ -331,19 +332,25 @@ object TextQueries {
         greatest(col("a_lbl"), col("b_lbl")).as("b_id"))
       .distinct()
       .localCheckpoint(true)
+    // superEdges is eagerly checkpointed above, so p and edges have
+    // served every read they will ever get; l0 is still in the
+    // returned frame's lineage and is released by its first action
     edges.unpersist()
+    p.unpersist()
     val nSuper = superEdges.count()
-    if (nSuper == 0)
-      l0.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    else {
-      val superLabels =
-        if (nSuper <= localFinish) unionFindLocal(superEdges)
-        else propagateOrStar(superEdges, maxRounds)
-      l0.join(superLabels.select(col("doc_id").as("lbl"), col("cluster_id")),
-          Seq("lbl"), "left")
-        .select(col("id").as("doc_id"),
-          coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
-    }
+    val out =
+      if (nSuper == 0)
+        l0.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      else {
+        val superLabels =
+          if (nSuper <= localFinish) unionFindLocal(superEdges)
+          else propagateOrStar(superEdges, maxRounds)
+        l0.join(superLabels.select(col("doc_id").as("lbl"), col("cluster_id")),
+            Seq("lbl"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("cluster_id"), col("lbl")).as("cluster_id"))
+      }
+    CacheScope.owned(out, l0)
   }
 
   /** Driver-side union-find over a collected (bounded — see
@@ -572,6 +579,7 @@ object TextQueries {
         round(col("n_common").cast("double") / col("n_b"), 4).as("containment_b"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+      .transform(CacheScope.owned(_, ss))
   }
 
   /** Exact digest of a hashed-shingle SET: order-normalized before
@@ -629,7 +637,8 @@ object TextQueries {
     * (degenerate band; the other 7 bands keep the recall). Engine-
     * specific hash functions → no SQL oracle (rows-only check). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    dedupMinhashOf(hashedShingles(spark, dir))
+    { val docs = hashedShingles(spark, dir)
+      CacheScope.owned(dedupMinhashOf(docs), docs) }
 
   /** dedupMinhash over any hashed-shingle frame, with the band-bucket
     * cap exposed for specs. Pipeline: digest collapse (exact dups →
@@ -664,7 +673,7 @@ object TextQueries {
       .join(digests.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
       .join(digests.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
       .select(col("a_dig"), col("b_dig"), col("jaccard"))
-    expandDigestPairs(verified, digests)
+    CacheScope.owned(expandDigestPairs(verified, digests), digests)
   }
 
   /** Distinct-hashed 3-shingle sets per doc, persisted (see
@@ -694,6 +703,7 @@ object TextQueries {
           size(array_union(col("a_sh"), col("b_sh"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .transform(CacheScope.owned(_, docs))
   }
 
   /** MinHash band-bucket candidate pairs (pre-verification) — split
@@ -714,7 +724,8 @@ object TextQueries {
       .join(digests.select(col("doc_id").as("a_id"), col("dig").as("a_dig")), Seq("a_id"))
       .join(digests.select(col("doc_id").as("b_id"), col("dig").as("b_dig")), Seq("b_id"))
       .select(col("a_dig"), col("b_dig"), lit(0.0).as("jaccard"))
-    expandDigestPairs(digPairs, digests).drop("jaccard")
+    CacheScope.owned(expandDigestPairs(digPairs, digests).drop("jaccard"),
+      digests, docs)
   }
 
   // MinHash family parameters — ONE definition so batch queries and
@@ -829,11 +840,11 @@ object TextQueries {
       .filter(col("bucket_n") <= cap)
       .drop("bucket_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    admitted.as("l")
+    CacheScope.owned(admitted.as("l")
       .join(admitted.as("r"), Seq("band", "band_key"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .distinct()
+      .distinct(), admitted)
   }
 
   /** SimHash near-dup: 64-bit signature — bit b is the sign of
@@ -869,6 +880,7 @@ object TextQueries {
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
+      .transform(CacheScope.owned(_, blocked))
   }
 
   /** 64-bit SimHash signature per doc — public so TextQueriesSpec
@@ -1019,6 +1031,7 @@ object TextQueries {
       Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("profile_lang"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"), col("hits"))
+      .transform(CacheScope.owned(_, tris))
   }
 
   // ——— training-set assembly: deterministic shuffle-shard, context-
@@ -1122,6 +1135,7 @@ object TextQueries {
       .filter(col("doc_id") % benchMod =!= 0)
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .transform(CacheScope.owned(_, grams))
   }
 
   /** Gopher-style repetition quality stats: distinct-token fraction
@@ -1157,6 +1171,7 @@ object TextQueries {
           .as("uniq_token_frac"),
         round(coalesce(col("top_c"), lit(0L)).cast("double") /
           greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_frac"))
+      .transform(CacheScope.owned(_, docs))
   }
 
   /** Cross-document exact-substring duplicate spans (Lee et al. 2022,
@@ -1240,6 +1255,7 @@ object TextQueries {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("score"), 4).as("tfidf"), col("rk"))
+      .transform(CacheScope.owned(_, tf))
   }
 
   /** Inverted-index build: per term, its document frequency and a
@@ -1268,6 +1284,7 @@ object TextQueries {
         i => i.cast("string")), ",").as("postings"))
     dfreq.join(postings, Seq("term"))
       .select(col("term"), col("df"), col("postings"))
+      .transform(CacheScope.owned(_, tf))
   }
 
   /** Compression-ratio quality signal: deflate each doc's UTF-8
@@ -1618,6 +1635,7 @@ object TextQueries {
       round(p, 4).as("quality_prob"),
       (round(p, 4) >= 0.5).as("predicted_keep"),
       (col("y") === 1.0).as("rule_keep"))
+      .transform(CacheScope.owned(_, frame))
   }
 
   /** Weights of the most recently trained quality classifier
@@ -1737,6 +1755,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_grams"),
         round(sum(logw) / count(lit(1)), 4).as("dsir_logratio"))
       .withColumn("target_like", col("dsir_logratio") > 0)
+      .transform(CacheScope.owned(_, bucketed, counts))
   }
 
   /** BPE tokenizer, trained on the corpus and applied to it — the
@@ -1785,5 +1804,6 @@ object TextQueries {
       .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
       .withColumn("bpe_per_word",
         round(col("n_bpe_tokens") / col("n_words"), 4))
+      .transform(CacheScope.owned(_, wc))
   }
 }

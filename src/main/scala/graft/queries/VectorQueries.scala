@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.ops.CacheScope
 
 /** Similarity search over the `embeddings` table
   * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
@@ -220,7 +221,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
-    topkByDot(emb, candidates)
+    CacheScope.owned(topkByDot(emb, candidates), emb)
   }
 
   /** Exact top-k scoring of EXTERNAL query vectors against the
@@ -309,6 +310,7 @@ object VectorQueries {
       .withColumn("cos", round(dot(col("a_emb"), col("b_emb")), 4))
       .filter(col("cos") >= 0.4)
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+      .transform(CacheScope.owned(_, emb, narrow))
   }
 
   /** IVF (inverted-file) ANN top-k: the centroid-based scale path,
@@ -399,7 +401,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
-    topkByDot(emb, candidates)
+    CacheScope.owned(topkByDot(emb, candidates), emb)
   }
 
   // ——— trained-model registers for the oracle renderers ———
@@ -668,7 +670,7 @@ object VectorQueries {
           .orderBy(col("adc_score").desc, col("nid"))))
       .filter(col("rk") <= shortlist)
       .select(col("qid"), col("nid"))
-    topkByDot(emb, candidates)
+    CacheScope.owned(topkByDot(emb, candidates), emb)
   }
 
   // ---- PQ building blocks, shared by annPqTopk (in-query) and
@@ -955,6 +957,7 @@ object VectorQueries {
     assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cl").cast("long").as("cluster_id"),
         coalesce(col("dup") === false, lit(true)).as("kept"))
+      .transform(CacheScope.owned(_, emb, assigned))
   }
 
   /** Contrastive pair mining — the training-pair construction step
@@ -1011,5 +1014,6 @@ object VectorQueries {
     assigned.join(broadcast(sizes), Seq("cluster_id"))
       .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
         col("cluster_n"))
+      .transform(CacheScope.owned(_, emb))
   }
 }

@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
       plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
   }
 
+  test("events ts range predicate pushes through the NTZ normalization cast") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Tables.events normalizes the NTZ-form ts to session-zone
+    // TIMESTAMP via a cast; under a UTC session Spark 4 unwraps that
+    // cast for pushdown. The round-7 lineitem pin covered l_shipdate;
+    // this covers the events loader specifically, so a regression in
+    // normTs/normEventsTs (e.g. routing current MICROS-NTZ data down
+    // the non-invertible timestamp_micros LongType branch) surfaces
+    // here as a lost PushedFilters entry.
+    val df = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts") >= lit("1995-06-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("1995-08-01 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"))
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      "ts range predicate did not reach the parquet scan:\n" + plan.take(2000))
+  }
+
   test("q1 pricing summary: scan reads only the referenced columns") {
     val plan = planString(CoreQueries.q1PricingSummary(spark, dir))
     // ReadSchema must not include untouched wide columns

@@ -13,10 +13,27 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_simhash", "emb_near_dup", "dedup_clusters", "dedup_clusters_lsh",
     "emb_dedup_clusters")
 
+  // Long-lived-session invariant (SqlGateway/SyncServer): a query
+  // must leave the SQL cache registry empty once its result has been
+  // materialized — every in-function persist is either scoped
+  // (CacheScope.withPersisted / explicit unpersist) or tied to the
+  // returned frame (CacheScope.owned, released by the async
+  // query-execution listener, hence the bounded wait).
+  private def awaitNoSqlCache(name: String): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!graft.ops.CacheScope.sqlCacheEmpty(spark) &&
+      System.nanoTime() < deadline) Thread.sleep(25)
+    assert(graft.ops.CacheScope.sqlCacheEmpty(spark),
+      s"$name left entries in the SQL cache (unreleased owned entries: " +
+        s"${graft.ops.CacheScope.pendingCount(spark)})")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
+      spark.catalog.clearCache() // isolate from earlier suites' leftovers
       val n = fn(spark, dir).count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      awaitNoSqlCache(name)
     }
   }
 

@@ -29,6 +29,58 @@ class SqlGatewaySpec extends SparkSpec {
     }
   }
 
+  // The SQL-door coverage number: oracle entries whose DuckDB text
+  // parses, runs, AND produces identical rows through spark.sql —
+  // one query text drives both engines. The rest use DuckDB-only
+  // constructs (list_*/unnest/recursive CTE forms/string_split_regex)
+  // by design; they remain DataFrame-first with the oracle as the
+  // cross-engine recompute.
+  private val VerbatimPortable = Set(
+    "a3_sum_reduce", "a5_summary_rollup", "a6_rollup", "a7_pivot",
+    "a8_corr_stats", "e4_salted_rollup", "e5_range_join",
+    "g2_copurchase_lift", "g3_triangles", "j1_equi_join",
+    "j2_substring_join", "j3_broadcast_lookup", "j4_outer_merge",
+    "j5_semi_anti", "k2_backfill", "k5_snapshot_diff",
+    "k6_incremental_agg", "p10_zero_stock_skip", "p1_name_synthesis",
+    "p5_cents_to_dollars", "q1_pricing_summary", "q_validate",
+    "s1_full_scan", "s2_filtered_scan", "s4_set_ops", "s8_docstore_scan",
+    "t_corpus_mix", "t_stratified_sample",
+    "w1_topk_per_group", "w2_running_total")
+
+  // Runs in BOTH dialects but means different things: DuckDB's 4th
+  // regexp_replace argument is the 'g' flag, Spark's is a POSITION
+  // index — 'g' coerces to null there (Spark regexp_replace is
+  // global by default, DuckDB's is first-match-only, hence the flag).
+  // The one known dialect-overlap trap, hit by all three
+  // regexp_replace oracles; pinned so an entry can't silently join
+  // the portable set (or stop diverging without this list updated).
+  private val KnownDivergent = Set("dedup_exact", "t_fingerprint", "t_redact_pii")
+
+  test("inventory: the verbatim-portable subset of the oracle SQL is pinned") {
+    SqlGateway.open(spark, sf)
+    // render the register-gated oracles so the inventory sees all 92
+    Seq("t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
+      "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored")
+      .foreach(n => SparkEntry.queries(n)(spark, sf).count())
+    val outcomes = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> scala.util.Try(rows(spark.sql(q)))
+    }
+    val runnable = outcomes.collect { case (n, scala.util.Success(_)) => n }.toSet
+    val portable = outcomes.collect {
+      case (name, scala.util.Success(viaSql))
+        if viaSql == rows(SparkEntry.queries(name)(spark, sf)) => name
+    }.toSet
+    info(s"verbatim-runnable through spark.sql: ${runnable.size}/${outcomes.size}; " +
+      s"of those row-identical to the DataFrame query: ${portable.size}")
+    assert(portable == VerbatimPortable,
+      s"portable set drifted: gained=${(portable -- VerbatimPortable).toSeq.sorted} " +
+        s"lost=${(VerbatimPortable -- portable).toSeq.sorted}")
+    // every runnable-but-not-portable entry must be a KNOWN dialect
+    // trap — silent divergence is worse than a parse failure
+    assert(runnable -- portable == KnownDivergent,
+      s"unexpected dialect-overlap divergence: ${(runnable -- portable).toSeq.sorted}")
+  }
+
   test("native graft functions are callable from SQL") {
     SqlGateway.open(spark, sf)
     val got = spark.sql(
