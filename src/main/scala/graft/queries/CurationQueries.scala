@@ -26,13 +26,21 @@ object CurationQueries {
     * shuffle, min-over-group instead of groupBy so the doc rows
     * never leave their partition twice), the outlier arm is the
     * vec-sum centroid agg + broadcast — and the fusion is shuffle
-    * joins on the uniform doc_id key. No signal's cost changes by
+    * joins on the uniform doc_id key. The gate and dup arms share
+    * ONE cached (doc_id, text) base projection, so the heaviest
+    * input — the documents text — is read once, not once per arm
+    * (at 100 TB the cache becomes a written narrow intermediate;
+    * either way the scan count is 1). No signal's cost changes by
     * being composed. Full oracle row: every ingredient is already
     * an oracle-green recompute, composed with the same thresholds. */
   def tCurationE2e(spark: SparkSession, dir: String): DataFrame = {
-    val gate = TextQueries.tQualityGate(spark, dir)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gate = TextQueries.qualityGateOf(docs)
       .select(col("doc_id"), col("keep").as("quality_ok"))
-    val dup = Tables.documents(spark, dir)
+    val dup = docs
       .select(col("doc_id"),
         md5(TextQueries.normText(col("text"))).as("ck"))
       .withColumn("is_dup",
@@ -46,5 +54,6 @@ object CurationQueries {
         coalesce(col("is_outlier"), lit(false)).as("is_outlier"))
       .withColumn("kept",
         col("quality_ok") && !col("is_dup") && !col("is_outlier"))
+      .transform(graft.ops.CacheScope.owned(_, docs))
   }
 }
