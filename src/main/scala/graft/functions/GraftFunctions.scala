@@ -101,5 +101,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketingRule)
+    ext.injectOptimizerRule(_ => graft.plans.NanosTsPushdownRule)
   }
 }

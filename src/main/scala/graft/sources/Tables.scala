@@ -64,6 +64,10 @@ object Tables {
       // (batch `events` already routes through table() → normTs;
       // this keeps the streaming file-source path consistent)
       case org.apache.spark.sql.types.LongType =>
+        // the div-by-1000 conversion is opaque to parquet pushdown;
+        // the rule derives sound raw-long bounds for ts-range
+        // predicates so row-group pruning survives this form too
+        graft.plans.NanosTsPushdownRule.ensureInjected(df.sparkSession)
         normTs(df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       case _ => normTs(df)
     }
