@@ -28,6 +28,14 @@ object SqlGateway {
     * Idempotent; re-opening on another dir repoints the views. */
   def open(spark: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.functions.DuckDbCompat.ensureRegistered(spark)
+    // DuckDB string literals keep backslashes ('\s+' IS backslash-s-
+    // plus); Spark's default parser eats them as escapes, silently
+    // turning every regex in a shared oracle text into garbage. This
+    // parser mode matches DuckDB (and standard SQL). Engine code is
+    // unaffected: DataFrame-API literals never pass through the SQL
+    // parser, and no in-repo expr()/selectExpr text uses backslashes.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     for (t <- TableNames) load(spark, dir, t).createOrReplaceTempView(t)
   }
 

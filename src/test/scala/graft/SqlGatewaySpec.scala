@@ -31,30 +31,45 @@ class SqlGatewaySpec extends SparkSpec {
 
   // The SQL-door coverage number: oracle entries whose DuckDB text
   // parses, runs, AND produces identical rows through spark.sql —
-  // one query text drives both engines. The rest use DuckDB-only
-  // constructs (list_*/unnest/recursive CTE forms/string_split_regex)
-  // by design; they remain DataFrame-first with the oracle as the
-  // cross-engine recompute.
+  // one query text drives both engines (DuckDbCompat supplies the
+  // exact-semantics aliases; the row-identity check below is what
+  // keeps that shim honest). The rest use dialect-structural
+  // constructs no alias can bridge — 1-based list slicing `[i:j]`,
+  // `::` casts, `//` division, UNNEST in FROM position, UNION
+  // (distinct) recursive CTEs — and remain DataFrame-first with the
+  // oracle as the cross-engine recompute.
   private val VerbatimPortable = Set(
-    "a3_sum_reduce", "a5_summary_rollup", "a6_rollup", "a7_pivot",
-    "a8_corr_stats", "e4_salted_rollup", "e5_range_join",
+    "a1_group_collect", "a2_option_agg", "a3_sum_reduce",
+    "a5_summary_rollup", "a6_rollup", "a7_pivot", "a8_corr_stats",
+    "dedup_editdist", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "e1_tumbling_window", "e2_sessionize", "e4_salted_rollup",
+    "e5_range_join", "e6_funnel", "e8_spike",
     "g2_copurchase_lift", "g3_triangles", "j1_equi_join",
     "j2_substring_join", "j3_broadcast_lookup", "j4_outer_merge",
     "j5_semi_anti", "k2_backfill", "k5_snapshot_diff",
     "k6_incremental_agg", "p10_zero_stock_skip", "p1_name_synthesis",
-    "p5_cents_to_dollars", "q1_pricing_summary", "q_validate",
-    "s1_full_scan", "s2_filtered_scan", "s4_set_ops", "s8_docstore_scan",
-    "t_corpus_mix", "t_stratified_sample",
+    "p5_cents_to_dollars", "q1_pricing_summary", "q_quantiles",
+    "q_validate", "s1_full_scan", "s2_filtered_scan", "s4_set_ops",
+    "s8_docstore_scan", "t_corpus_mix", "t_heavy_hitters",
+    "t_inverted_index", "t_stratified_sample",
     "w1_topk_per_group", "w2_running_total")
 
-  // Runs in BOTH dialects but means different things: DuckDB's 4th
-  // regexp_replace argument is the 'g' flag, Spark's is a POSITION
-  // index — 'g' coerces to null there (Spark regexp_replace is
-  // global by default, DuckDB's is first-match-only, hence the flag).
-  // The one known dialect-overlap trap, hit by all three
-  // regexp_replace oracles; pinned so an entry can't silently join
-  // the portable set (or stop diverging without this list updated).
-  private val KnownDivergent = Set("dedup_exact", "t_fingerprint", "t_redact_pii")
+  // Runs in BOTH dialects but means something different — each entry
+  // pinned with its cause so the overlap can't drift silently:
+  //  - regexp_replace: DuckDB's 4th arg is the 'g' flag, Spark's is a
+  //    POSITION index ('g' → null). Deliberately NOT aliased — the
+  //    name exists in Spark with colliding semantics.
+  //    (dedup_exact, t_fingerprint, t_redact_pii, t_quality_score)
+  //  - integer/decimal arithmetic typing differs, so 4th-decimal
+  //    roundings flip. (t_tfidf, t_bm25_topk, t_source_filter,
+  //    t_source_overlap)
+  //  - 1-based vs 0-based `arr[i]` element access — syntax-level,
+  //    unreachable from a function registry.
+  //    (p7_spec_resolver, dedup_simhash)
+  private val KnownDivergent = Set(
+    "dedup_exact", "t_fingerprint", "t_redact_pii", "t_quality_score",
+    "t_tfidf", "t_bm25_topk", "t_source_filter", "t_source_overlap",
+    "p7_spec_resolver", "dedup_simhash")
 
   test("inventory: the verbatim-portable subset of the oracle SQL is pinned") {
     SqlGateway.open(spark, sf)
