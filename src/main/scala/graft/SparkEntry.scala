@@ -71,6 +71,7 @@ object SparkEntry {
     "t_quality_gate" -> (TextQueries.tQualityGate _),
     "t_source_filter" -> (TextQueries.tSourceFilter _),
     "t_source_overlap" -> (TextQueries.tSourceOverlap _),
+    "t_source_overlap_minhash" -> (TextQueries.tSourceOverlapMinhash _),
     "t_curation_e2e" -> (graft.queries.CurationQueries.tCurationE2e _),
     "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
@@ -1179,6 +1180,11 @@ object SparkEntry {
            round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 4) AS jaccard
          FROM p JOIN sz za ON p.source_a = za.source
                 JOIN sz zb ON p.source_b = zb.source""",
+    // generated from the engine's own srcMinhashAbs constant table —
+    // md5-low-32 shingle hashes + 32 affine min recurrences are exact
+    // BIGINT arithmetic in both engines, so the sketch itself (not a
+    // ground-truth proxy) is recomputed bit-identically
+    "t_source_overlap_minhash" -> TextQueries.srcOverlapMinhashOracleSql,
     // the composed final pass: every ingredient is the same recompute
     // as its own oracle row (t_quality_gate / dedup_exact /
     // emb_outliers), fused into one decision table

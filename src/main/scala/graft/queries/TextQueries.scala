@@ -582,6 +582,103 @@ object TextQueries {
       .transform(CacheScope.owned(_, ss))
   }
 
+  /** The md5-affine universal-hash family of the SOURCE-level MinHash
+    * sketch (tSourceOverlapMinhash): per-shingle base hash is the low
+    * 32 md5 bits (cross-engine-stable, like the CMS/simhash hashes),
+    * component i applies h ↦ (a_i·h + b_i) mod 2^32 with a_i odd <
+    * 2^31, b_i < 2^31 — products stay under 2^63, so the identical
+    * BIGINT arithmetic runs in DuckDB and the whole sketch is
+    * bit-parity-checkable. Constants are fixed at class init; the
+    * oracle SQL is GENERATED from this same table (srcOverlapOracleSql)
+    * so engine and oracle can never drift apart. */
+  // lazy: MinhashHashes is declared further down the object body, so
+  // an eager init here would read 0 during construction
+  private[graft] lazy val srcMinhashAbs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20260814)
+    IndexedSeq.fill(MinhashHashes)(
+      ((rnd.nextInt(Int.MaxValue).toLong | 1L), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Cross-source overlap, the SKETCHED scale path: tSourceOverlap's
+    * exact census self-join is the right tool for tens-to-hundreds of
+    * slices, but its per-shingle S² fan-out and full (source, hash)
+    * census stop being free at millions of raw domains. This variant
+    * reduces each source to a constant-size MinHash signature (32
+    * mins over the source's whole shingle multiset) and estimates
+    * pairwise Jaccard as the fraction of agreeing components —
+    * per-source state is 32 longs REGARDLESS of corpus size, so the
+    * pairwise matrix costs S²·32 integer compares on a broadcast
+    * frame, nothing touches the corpus twice, and no shingle census
+    * is ever materialized.
+    *
+    * Scale shape: ONE narrow corpus scan (fused shingle pass →
+    * exploded 32-bit md5 hashes), one map-side-combinable 32-min agg
+    * keyed by source (partial mins collapse inside map tasks — the
+    * shuffle carries ≤ 32 longs per source per task), then a
+    * broadcast nested-loop a<b pair over the S-row signature frame.
+    * At millions of sources the same signatures feed minhash BANDING
+    * (dedupMinhash's machinery) to keep the pair step subquadratic;
+    * at audit scales the full matrix is the deliverable.
+    *
+    * Estimator: E[sig_match]/32 = true weighted Jaccard of the hash
+    * sets (standard MinHash; ±1/√32 ≈ 0.18 resolution — a triage
+    * signal ranking which pairs deserve the exact tSourceOverlap
+    * census, not a replacement for it). */
+  def tSourceOverlapMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4294967296L // 2^32
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), tokens(normText(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("s"))
+      .select(col("source"),
+        conv(substring(md5(col("s")), 25, 8), 16, 10).cast("long").as("h"))
+    val minCols = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(M))).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val a = sig.select(col("source").as("source_a") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(col("source").as("source_b") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("sig_match"),
+        round(matches.cast("double") / MinhashHashes, 4).as("est_jaccard"))
+  }
+
+  /** The DuckDB oracle for tSourceOverlapMinhash, generated from the
+    * same srcMinhashAbs table the engine uses — 32 independent
+    * list-min recurrences over the identical md5-low-32 shingle
+    * hashes, then the same component-agreement count. */
+  private[graft] def srcOverlapMinhashOracleSql: String = {
+    val mins = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % 4294967296) AS m$i"
+    }.mkString(",\n                    ")
+    val eq = (0 until MinhashHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source,
+                    string_split_regex(trim(lower(trim(text))), '\\s+') AS toks
+                    FROM documents),
+              s AS (SELECT source, unnest(
+                    list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              h AS (SELECT source,
+                    ('0x' || substr(md5(sh), 25, 8))::BIGINT AS h FROM s),
+              sig AS (SELECT source,
+                    $mins
+                    FROM h GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST($eq AS BIGINT) AS sig_match,
+           round(CAST($eq AS DOUBLE) / 32, 4) AS est_jaccard
+         FROM sig a JOIN sig b ON a.source < b.source"""
+  }
+
   /** Exact digest of a hashed-shingle SET: order-normalized before
     * hashing so any two docs with equal shingle sets — i.e. exact
     * duplicates up to shingle order, which is J = 1.0 by definition —

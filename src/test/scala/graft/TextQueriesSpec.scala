@@ -689,4 +689,56 @@ class TextQueriesSpec extends SparkSpec {
     }
     frame.unpersist()
   }
+
+  test("tSourceOverlapMinhash equals an independent driver-side sketch recompute") {
+    // From-first-principles ground truth: java.security MD5 + pure
+    // Scala affine mins over the raw parquet text, no Spark
+    // expressions shared with the engine path.
+    val dir = "/root/testdata/sf0.001"
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.takeRight(4).map("%02x".format(_)).mkString, 16)
+    }
+    val M = 4294967296L
+    val abs = TextQueries.srcMinhashAbs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sigs: Map[String, Vector[Long]] = docs.groupBy(_._1).flatMap {
+      case (src, ds) =>
+        val mins = Array.fill(32)(Long.MaxValue)
+        var any = false
+        for ((_, text) <- ds) {
+          val toks = text.trim.toLowerCase.split("\\s+")
+          if (toks.length >= 3) {
+            any = true
+            for (i <- 0 to toks.length - 3) {
+              val h = h32(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+              var j = 0
+              while (j < 32) {
+                val v = (abs(j)._1 * h + abs(j)._2) % M
+                if (v < mins(j)) mins(j) = v
+                j += 1
+              }
+            }
+          }
+        }
+        if (any) Some(src -> mins.toVector) else None
+    }
+    val srcs = sigs.keys.toSeq.sorted
+    val want = (for { a <- srcs; b <- srcs if a < b } yield {
+      val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      // m/32.0 is an exact binary fraction, so HALF_UP at 4 decimals
+      // is deterministic on both sides
+      (a, b, m, BigDecimal(m / 32.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    val got = TextQueries.tSourceOverlapMinhash(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"missed=${(want -- got).size} extra=${(got -- want).size}")
+  }
 }
