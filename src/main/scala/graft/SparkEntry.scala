@@ -89,6 +89,7 @@ object SparkEntry {
     "t_shard_shuffle" -> (TextQueries.tShardShuffle _),
     "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
+    "t_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminateBloom(s, d)),
     "t_repetition" -> (TextQueries.tRepetition _),
     "t_substring_spans" -> ((s: SparkSession, d: String) => TextQueries.tSubstringSpans(s, d)),
     "t_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tTfidf(s, d)),
@@ -770,6 +771,10 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 97 <> 0""",
+    // the Bloom sketch is the checked artifact: the oracle rebuilds
+    // the filter's set-bit positions from the same md5 double-hash
+    // arithmetic, so engine and oracle agree on every false positive
+    "t_decontaminate_bloom" -> TextQueries.decontaminateBloomOracleSql,
     "t_repetition" ->
       """WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\s+') AS w

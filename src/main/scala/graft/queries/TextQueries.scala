@@ -1235,6 +1235,107 @@ object TextQueries {
       .transform(CacheScope.owned(_, grams))
   }
 
+  /** N-gram decontamination, the BLOOM-FILTER scale path:
+    * tDecontaminate broadcasts the exact benchmark gram set — 8 bytes
+    * per gram, fine for bounded suites, but a wall when the held-out
+    * side grows to hundreds of millions of grams. This variant folds
+    * the benchmark into a fixed `mBits`-bit Bloom filter (16 KiB at
+    * the 2^17 default — the broadcast cost no longer scales with the
+    * benchmark at all) and flags a training gram when all `k`
+    * double-hashed positions are set. One-sided by construction:
+    * every true contamination is flagged (no false negatives — the
+    * property decontamination must not lose); false positives occur
+    * at ≈ (1-e^(-kn/m))^k and only ever REMOVE extra training docs,
+    * the conservative direction.
+    *
+    * Cross-engine parity: positions derive from md5 of the gram
+    * string (h1 = low 32 bits, h2 = next 32 | 1; position_j =
+    * (h1 + j·h2) mod m — Kirsch-Mitzenmacher double hashing), so the
+    * DuckDB oracle recomputes the filter INCLUDING its false
+    * positives bit-identically: the sketch is the checked artifact,
+    * not a proxy. The benchmark-side collect is bounded by the
+    * benchmark contract (same argument as tDecontaminate's
+    * broadcast); at an unbounded benchmark the bit array would be
+    * OR-aggregated distributively instead.
+    *
+    * Scale shape: one corpus scan to distinct (doc_id, gram) rows —
+    * the same shuffle tDecontaminate pays — then a PURE MAP-SIDE
+    * membership test (4 element_at probes into a codegen'd literal
+    * array; no join, no second shuffle) and a doc_id-keyed count. */
+  def tDecontaminateBloom(spark: SparkSession, dir: String, n: Int = 5,
+      benchMod: Int = 97, mBits: Int = BloomMBits, k: Int = BloomK): DataFrame =
+    tDecontaminateBloomOf(Tables.documents(spark, dir), n, benchMod, mBits, k)
+
+  /** The Bloom-decontamination core over any (doc_id, text, …) frame
+    * — separated so specs can drive engineered corpora and tiny
+    * filters (forced false positives) through the production path. */
+  private[graft] def tDecontaminateBloomOf(docs: DataFrame, n: Int,
+      benchMod: Int, mBits: Int, k: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+      .withColumn("h1", conv(substring(md5(col("g")), 25, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("g")), 17, 8), 16, 10).cast("long")
+        .bitwiseOR(lit(1L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = new Array[Long](mBits / 64)
+    grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h1"), col("h2")).distinct().collect()
+      .foreach { r =>
+        var j = 0
+        while (j < k) {
+          val p = ((r.getLong(0) + j * r.getLong(1)) % mBits).toInt
+          words(p >> 6) |= (1L << (p & 63))
+          j += 1
+        }
+      }
+    val bits = typedlit(words.toIndexedSeq)
+    val hitCond = (0 until k).map { j =>
+      val p = pmod(col("h1") + lit(j.toLong) * col("h2"), lit(mBits.toLong))
+      val word = element_at(bits, (p / 64).cast("int") + 1)
+      word.bitwiseAND(call_function("shiftleft", lit(1L),
+        pmod(p, lit(64L)).cast("int"))) =!= 0
+    }.reduce(_ && _)
+    val hits = grams.filter(col("doc_id") % benchMod =!= 0)
+      .filter(hitCond)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .transform(CacheScope.owned(_, grams))
+  }
+
+  private[graft] val BloomMBits = 1 << 17
+  private[graft] val BloomK = 4
+
+  /** The DuckDB oracle for tDecontaminateBloom: the filter's set-bit
+    * positions and the probe positions are the same md5 double-hash
+    * arithmetic, so the oracle reproduces the Bloom semantics — false
+    * positives included — via an all-k-positions-present join. */
+  private[graft] def decontaminateBloomOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS w
+                    FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+                    FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)),
+              h AS (SELECT doc_id, g,
+                    ('0x' || substr(md5(g), 25, 8))::BIGINT AS h1,
+                    (('0x' || substr(md5(g), 17, 8))::BIGINT | 1) AS h2 FROM g),
+              bp AS (SELECT DISTINCT (h1 + j * h2) % $BloomMBits AS p
+                    FROM h, UNNEST(range(0, $BloomK)) AS r(j) WHERE doc_id % 97 = 0),
+              pr AS (SELECT doc_id, g, (h1 + j * h2) % $BloomMBits AS p
+                    FROM h, UNNEST(range(0, $BloomK)) AS r(j) WHERE doc_id % 97 <> 0),
+              hit AS (SELECT doc_id, g FROM pr LEFT JOIN bp ON pr.p = bp.p
+                    GROUP BY doc_id, g HAVING count(*) = count(bp.p)),
+              c AS (SELECT doc_id, count(*) AS n_hit_grams FROM hit GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(c.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+         FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         WHERE d.doc_id % 97 <> 0"""
+
   /** Gopher-style repetition quality stats: distinct-token fraction
     * and the share of bigrams taken by the most frequent bigram —
     * the cheap repetition filters (Rae et al. 2021 §A1.1) that kill

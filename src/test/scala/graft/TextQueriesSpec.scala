@@ -690,6 +690,69 @@ class TextQueriesSpec extends SparkSpec {
     frame.unpersist()
   }
 
+  test("tDecontaminateBloom equals an independent driver-side Bloom recompute, " +
+    "including forced false positives") {
+    import spark.implicits._
+    // Engineered corpus: bench docs are ids % 7 == 0 (benchMod 7
+    // keeps the bench slice meaningful at 60 docs); contaminated
+    // probe docs embed an exact bench 5-gram mid-text.
+    val benchGram = "alpha beta gamma delta epsilon"
+    val texts = (0 until 60).map { id =>
+      val base = s"doc $id filler one two three four five six seven eight nine"
+      val t =
+        if (id % 7 != 0 && id % 3 == 0) s"lead in $benchGram trail out $id"
+        else if (id % 7 == 0) s"$benchGram bench body $id markers"
+        else base
+      (id.toLong, t)
+    }
+    val docs = texts.toDF("doc_id", "text")
+    // Independent recompute: pure-JVM tokenization, md5 double
+    // hashing, and a bit set — no Spark expressions shared.
+    def h(s: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(24, 32), 16),
+        java.lang.Long.parseLong(hex.substring(16, 24), 16) | 1L)
+    }
+    def gramsOf(text: String): Set[String] = {
+      val w = text.trim.toLowerCase.split("\\s+")
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    // mBits=64 (one word) forces false positives on a 60-doc corpus;
+    // also run the production 2^17 size where FP ~ 0.
+    for (mBits <- Seq(64, TextQueries.BloomMBits)) {
+      val k = TextQueries.BloomK
+      val bits = new Array[Boolean](mBits)
+      for ((id, t) <- texts; g <- gramsOf(t) if id % 7 == 0;
+           j <- 0 until k) {
+        val (h1, h2) = h(g)
+        bits(((h1 + j * h2) % mBits).toInt) = true
+      }
+      val want = texts.filter(_._1 % 7 != 0).map { case (id, t) =>
+        id -> gramsOf(t).count { g =>
+          val (h1, h2) = h(g)
+          (0 until k).forall(j => bits(((h1 + j * h2) % mBits).toInt))
+        }.toLong
+      }.toMap
+      val got = TextQueries
+        .tDecontaminateBloomOf(docs, 5, 7, mBits, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"mBits=$mBits: engine disagrees with recompute")
+      // exact contamination is a lower bound everywhere (one-sided)
+      val benchGrams = texts.filter(_._1 % 7 == 0).flatMap(t => gramsOf(t._2)).toSet
+      val exact = texts.filter(_._1 % 7 != 0).map { case (id, t) =>
+        id -> gramsOf(t).count(benchGrams).toLong
+      }.toMap
+      assert(want.forall { case (id, nb) => nb >= exact(id) })
+      if (mBits == 64)
+        assert(want.values.sum > exact.values.sum,
+          "tiny filter produced no false positives — the FP arm is untested")
+      else
+        assert(exact.count { case (_, n) => n > 0 } > 0)
+    }
+  }
+
   test("tSourceOverlapMinhash equals an independent driver-side sketch recompute") {
     // From-first-principles ground truth: java.security MD5 + pure
     // Scala affine mins over the raw parquet text, no Spark
