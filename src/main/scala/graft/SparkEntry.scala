@@ -65,6 +65,7 @@ object SparkEntry {
     "e7_retention" -> (EventQueries.e7Retention _),
     "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
     "e9_resample" -> ((s: SparkSession, d: String) => EventQueries.e9Resample(s, d)),
+    "e10_drift" -> ((s: SparkSession, d: String) => EventQueries.e10Drift(s, d)),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -483,6 +484,26 @@ object SparkEntry {
            last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bkt
              ROWS UNBOUNDED PRECEDING) AS fill_value
          FROM j""",
+    // drift matrix: integer counts + single IEEE divisions only, so
+    // both engines agree bit-for-bit (no log(), no summed doubles)
+    "e10_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+              m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+              x AS (SELECT event_type, us >= mid AS late,
+                    least(CAST(floor(value / 25.0) AS INT), 19) AS bin FROM e, m),
+              g AS (SELECT event_type, bin,
+                    count(*) FILTER (WHERE NOT late) AS n_early,
+                    count(*) FILTER (WHERE late) AS n_late
+                    FROM x GROUP BY 1, 2),
+              t AS (SELECT *,
+                    CAST(sum(n_early) OVER (PARTITION BY event_type) AS BIGINT) AS te,
+                    CAST(sum(n_late) OVER (PARTITION BY event_type) AS BIGINT) AS tl
+                    FROM g)
+         SELECT event_type, bin, n_early, n_late,
+           round(n_early / te, 6) AS rate_early,
+           round(n_late / tl, 6) AS rate_late,
+           round(abs(n_early / te - n_late / tl), 6) AS delta
+         FROM t""",
     // the bucket is the low 32 md5 bits mod 1024 (1024 | 2^32, so
     // the low half alone determines it) — bit-identical in DuckDB
     "t_dsir_weights" ->

@@ -267,4 +267,42 @@ object EventQueries {
         col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
+
+  /** E10: distribution-drift audit — the monitor a continuously-
+    * ingesting pipeline runs before trusting a new data window: per
+    * event type, the `value` histogram of the first half of the time
+    * range against the second half, binned on a fixed grid. Output
+    * is the per-(type, bin) comparison matrix — counts, within-half
+    * rates, absolute rate delta — from which TVD/PSI-style scalars
+    * are one rollup away; emitting the matrix (not a summed scalar)
+    * keeps every number an exact integer count or a single IEEE
+    * division, so the DuckDB oracle hash-matches without depending
+    * on cross-engine log() or summation-order agreement.
+    *
+    * Scale shape: one pass for the global time bounds (a 1-row
+    * broadcast), one corpus scan into a (type, bin) grid agg with
+    * map-side partials — output is |types|×|bins| rows regardless of
+    * corpus size, and the rate normalization is a window over that
+    * tiny grid, never over events. */
+  def e10Drift(spark: SparkSession, dir: String,
+      binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val g = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (col("us") >= col("mid")).as("late"),
+        least(floor(col("value") / binWidth).cast("int"), lit(nBins - 1)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(when(!col("late"), 1)).as("n_early"),
+        count(when(col("late"), 1)).as("n_late"))
+    val byType = Window.partitionBy(col("event_type"))
+    g.withColumn("te", sum(col("n_early")).over(byType))
+      .withColumn("tl", sum(col("n_late")).over(byType))
+      .select(col("event_type"), col("bin"), col("n_early"), col("n_late"),
+        round(col("n_early") / col("te"), 6).as("rate_early"),
+        round(col("n_late") / col("tl"), 6).as("rate_late"),
+        round(abs(col("n_early") / col("te") - col("n_late") / col("tl")), 6)
+          .as("delta"))
+  }
 }

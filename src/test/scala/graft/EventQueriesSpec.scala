@@ -78,6 +78,33 @@ class EventQueriesSpec extends SparkSpec {
       ("B", "2024-01-01 12:00:00") -> ((1L, 0L, Some(3.0)))))
   }
 
+  test("e10Drift matrix equals a driver-side histogram recompute at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mid = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    def bin(v: Double): Int = math.min(math.floor(v / 25.0).toInt, 19)
+    val cells = raw.groupBy(e => (e._1, bin(e._3))).map { case ((t, b), es) =>
+      (t, b, es.count(_._2 < mid).toLong, es.count(_._2 >= mid).toLong)
+    }.toSeq
+    val totals = cells.groupBy(_._1).map { case (t, cs) =>
+      t -> (cs.map(_._3).sum, cs.map(_._4).sum) }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = cells.map { case (t, b, ne, nl) =>
+      val (te, tl) = totals(t)
+      (t, b, ne, nl, r6(ne.toDouble / te), r6(nl.toDouble / tl),
+        r6(math.abs(ne.toDouble / te - nl.toDouble / tl)))
+    }.toSet
+    val got = EventQueries.e10Drift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"missed=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
   test("retention cells count users active k weeks after their cohort week") {
     val df = eventsDf(Seq(
       // u1 first active week of Jan 1 (a Monday), returns at offset 2
