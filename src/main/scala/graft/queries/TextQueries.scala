@@ -637,7 +637,11 @@ object TextQueries {
     val minCols = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(M))).as(s"m$i")
     }
+    // persisted: both legs of the a<b pair join read the signature
+    // frame (S rows); unpersisted, each leg re-runs the full corpus
+    // shingle scan + agg
     val sig = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("source").as("source_a") +:
       (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = sig.select(col("source").as("source_b") +:
@@ -648,6 +652,7 @@ object TextQueries {
     a.join(b, col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"), matches.as("sig_match"),
         round(matches.cast("double") / MinhashHashes, 4).as("est_jaccard"))
+      .transform(CacheScope.owned(_, sig))
   }
 
   /** The DuckDB oracle for tSourceOverlapMinhash, generated from the
