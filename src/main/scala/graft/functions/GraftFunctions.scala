@@ -85,6 +85,12 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_vec_sum takes exactly 1 argument")
           VecSumAgg(children(0))
+        }),
+      (FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+        (children: Seq[Expression]) => {
+          require(children.size == 4, "graft_bloom_agg takes exactly 4 arguments")
+          BloomAgg(children(0), children(1), children(2), children(3))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

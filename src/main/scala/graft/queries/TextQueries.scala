@@ -1258,10 +1258,12 @@ object TextQueries {
     * (h1 + j·h2) mod m — Kirsch-Mitzenmacher double hashing), so the
     * DuckDB oracle recomputes the filter INCLUDING its false
     * positives bit-identically: the sketch is the checked artifact,
-    * not a proxy. The benchmark-side collect is bounded by the
-    * benchmark contract (same argument as tDecontaminate's
-    * broadcast); at an unbounded benchmark the bit array would be
-    * OR-aggregated distributively instead.
+    * not a proxy. The filter itself is built DISTRIBUTIVELY by the
+    * `graft_bloom_agg` native aggregate (partial bit arrays OR-merge
+    * map-side), so the driver collects one mBits/8-byte row no
+    * matter how many grams the held-out suite contains — unlike
+    * tDecontaminate's broadcast set, NOTHING here scales with the
+    * benchmark.
     *
     * Scale shape: one corpus scan to distinct (doc_id, gram) rows —
     * the same shuffle tDecontaminate pays — then a PURE MAP-SIDE
@@ -1287,17 +1289,15 @@ object TextQueries {
       .withColumn("h2", conv(substring(md5(col("g")), 17, 8), 16, 10).cast("long")
         .bitwiseOR(lit(1L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val words = new Array[Long](mBits / 64)
-    grams.filter(col("doc_id") % benchMod === 0)
-      .select(col("h1"), col("h2")).distinct().collect()
-      .foreach { r =>
-        var j = 0
-        while (j < k) {
-          val p = ((r.getLong(0) + j * r.getLong(1)) % mBits).toInt
-          words(p >> 6) |= (1L << (p & 63))
-          j += 1
-        }
-      }
+    // the filter builds DISTRIBUTIVELY: partial bit arrays per task,
+    // OR-merged — the driver receives one mBits/8-byte row however
+    // large the benchmark is (no per-gram collect, no size contract)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val words: Array[Long] = graft.functions.BloomAgg.wordsOf(
+      grams.filter(col("doc_id") % benchMod === 0)
+        .agg(call_function("graft_bloom_agg",
+          col("h1"), col("h2"), lit(mBits), lit(k)).as("bits"))
+        .collect()(0).getAs[Array[Byte]](0))
     val bits = typedlit(words.toIndexedSeq)
     val hitCond = (0 until k).map { j =>
       val p = pmod(col("h1") + lit(j.toLong) * col("h2"), lit(mBits.toLong))

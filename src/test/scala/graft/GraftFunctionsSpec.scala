@@ -307,4 +307,37 @@ class GraftFunctionsSpec extends SparkSpec {
     // merge grows to the longer buffer (lazily-sized partials)
     assert(agg.merge(Array(1.0), Array(2.0, 5.0)).toSeq == Seq(3.0, 5.0))
   }
+
+  test("graft_bloom_agg: partition-parallel build equals a driver-side bit set") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val mBits = 256
+    val k = 4
+    // deterministic hash pairs incl. nulls; 16 partitions force the
+    // partial-merge (OR) path through serialize/deserialize
+    val rows: Seq[(java.lang.Long, java.lang.Long)] = (0 until 500).map { i =>
+      if (i % 97 == 13) (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(i))
+      else (java.lang.Long.valueOf(i * 2654435761L % 4294967296L),
+        java.lang.Long.valueOf((i * 40503L % 4294967296L) | 1L))
+    }
+    val got = graft.functions.BloomAgg.wordsOf(
+      rows.toDF("h1", "h2").repartition(16)
+        .agg(call_function("graft_bloom_agg",
+          col("h1"), col("h2"), lit(mBits), lit(k)).as("b"))
+        .collect()(0).getAs[Array[Byte]](0))
+    val want = new Array[Long](mBits / 64)
+    for ((h1, h2) <- rows if h1 != null; j <- 0 until k) {
+      val p = java.lang.Math.floorMod(h1 + j * h2, mBits.toLong).toInt
+      want(p >> 6) |= (1L << (p & 63))
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(java.lang.Long.bitCount).sum > 0)
+    // empty input evals to the all-zero filter, not null
+    val empty = graft.functions.BloomAgg.wordsOf(
+      rows.toDF("h1", "h2").filter(lit(false))
+        .agg(call_function("graft_bloom_agg",
+          col("h1"), col("h2"), lit(mBits), lit(k)).as("b"))
+        .collect()(0).getAs[Array[Byte]](0))
+    assert(empty.toSeq == Seq.fill(mBits / 64)(0L))
+  }
 }
