@@ -1278,16 +1278,22 @@ object TextQueries {
     * filters (forced false positives) through the production path. */
   private[graft] def tDecontaminateBloomOf(docs: DataFrame, n: Int,
       benchMod: Int, mBits: Int, k: Int): DataFrame = {
+    // grams are hashed IN the explode projection so the distinct
+    // shuffles 16-byte (doc_id, h1, h2) rows, never gram strings —
+    // "distinct gram" becomes "distinct md5 halves", equal up to
+    // 2^-64 within-doc collisions (the t_substring_spans deal)
     val grams = docs
       .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= n,
         transform(sequence(lit(1), size(col("w")) - (n - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(n)))))
         .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("hx"))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 25, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 17, 8), 16, 10).cast("long")
+          .bitwiseOR(lit(1L)).as("h2"))
       .distinct()
-      .withColumn("h1", conv(substring(md5(col("g")), 25, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("g")), 17, 8), 16, 10).cast("long")
-        .bitwiseOR(lit(1L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the filter builds DISTRIBUTIVELY: partial bit arrays per task,
     // OR-merged — the driver receives one mBits/8-byte row however
