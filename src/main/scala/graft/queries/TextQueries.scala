@@ -1278,11 +1278,25 @@ object TextQueries {
     * filters (forced false positives) through the production path. */
   private[graft] def tDecontaminateBloomOf(docs: DataFrame, n: Int,
       benchMod: Int, mBits: Int, k: Int): DataFrame = {
-    // grams are hashed IN the explode projection so the distinct
-    // shuffles 16-byte (doc_id, h1, h2) rows, never gram strings —
-    // "distinct gram" becomes "distinct md5 halves", equal up to
-    // 2^-64 within-doc collisions (the t_substring_spans deal)
-    val grams = docs
+    // ONE hashed-gram frame serves the build leg and the probe leg
+    val grams = bloomGramHashes(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = bloomWordsOf(grams.filter(col("doc_id") % benchMod === 0),
+      mBits, k)
+    bloomProbeCounts(grams.filter(col("doc_id") % benchMod =!= 0),
+        docs.filter(col("doc_id") % benchMod =!= 0), words, mBits, k)
+      .transform(CacheScope.owned(_, grams))
+  }
+
+  /** Distinct (doc_id, h1, h2) md5 double-hash rows of a frame's word
+    * n-grams — ONE expression tree shared by the batch query and the
+    * streaming micro-batch twin (StreamOps.decontaminateBloomBatch).
+    * Grams are hashed IN the explode projection so the distinct
+    * shuffles 16-byte rows, never gram strings — "distinct gram"
+    * becomes "distinct md5 halves", equal up to 2^-64 within-doc
+    * collisions (the t_substring_spans deal). */
+  private[graft] def bloomGramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(lower(trim(col("text")))).as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= n,
         transform(sequence(lit(1), size(col("w")) - (n - 1)),
@@ -1294,30 +1308,39 @@ object TextQueries {
         conv(substring(col("hx"), 17, 8), 16, 10).cast("long")
           .bitwiseOR(lit(1L)).as("h2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the filter builds DISTRIBUTIVELY: partial bit arrays per task,
-    // OR-merged — the driver receives one mBits/8-byte row however
-    // large the benchmark is (no per-gram collect, no size contract)
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val words: Array[Long] = graft.functions.BloomAgg.wordsOf(
-      grams.filter(col("doc_id") % benchMod === 0)
-        .agg(call_function("graft_bloom_agg",
-          col("h1"), col("h2"), lit(mBits), lit(k)).as("bits"))
-        .collect()(0).getAs[Array[Byte]](0))
-    val bits = typedlit(words.toIndexedSeq)
+
+  /** OR-aggregate a hashed-gram frame into the filter's word array.
+    * The build is DISTRIBUTIVE (graft_bloom_agg: partial bit arrays
+    * per task, bitwise-OR merge) — the driver receives one
+    * mBits/8-byte row however large the benchmark is. */
+  private[graft] def bloomWordsOf(grams: DataFrame, mBits: Int,
+      k: Int): IndexedSeq[Long] = {
+    graft.functions.GraftFunctions.ensureRegistered(grams.sparkSession)
+    graft.functions.BloomAgg.wordsOf(
+      grams.agg(call_function("graft_bloom_agg",
+        col("h1"), col("h2"), lit(mBits), lit(k)).as("bits"))
+        .collect()(0).getAs[Array[Byte]](0)).toIndexedSeq
+  }
+
+  /** Probe leg: per-doc count of grams whose k filter positions are
+    * all set — a pure map-side test (element_at probes into the
+    * codegen'd literal word array; no join) plus one doc_id-keyed
+    * count. `docs` supplies the row universe (docs with zero hits
+    * emit 0). */
+  private[graft] def bloomProbeCounts(grams: DataFrame, docs: DataFrame,
+      words: IndexedSeq[Long], mBits: Int, k: Int): DataFrame = {
+    val bits = typedlit(words)
     val hitCond = (0 until k).map { j =>
       val p = pmod(col("h1") + lit(j.toLong) * col("h2"), lit(mBits.toLong))
       val word = element_at(bits, (p / 64).cast("int") + 1)
       word.bitwiseAND(call_function("shiftleft", lit(1L),
         pmod(p, lit(64L)).cast("int"))) =!= 0
     }.reduce(_ && _)
-    val hits = grams.filter(col("doc_id") % benchMod =!= 0)
-      .filter(hitCond)
+    val hits = grams.filter(hitCond)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
-    docs.filter(col("doc_id") % benchMod =!= 0)
+    docs.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
-      .transform(CacheScope.owned(_, grams))
   }
 
   private[graft] val BloomMBits = 1 << 17

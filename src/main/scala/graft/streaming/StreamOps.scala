@@ -112,6 +112,29 @@ object StreamOps {
       .select(col("doc_id"), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
   }
 
+  /** Build the Bloom decontamination filter ONCE from a benchmark
+    * corpus, for decontaminateBloomBatch below — the stream-start
+    * analog of t_decontaminate_bloom's build leg (the same
+    * distributive graft_bloom_agg; the result is mBits/8 bytes no
+    * matter how large the benchmark is). */
+  def bloomFilterOf(bench: DataFrame, n: Int = 5): IndexedSeq[Long] =
+    graft.queries.TextQueries.bloomWordsOf(
+      graft.queries.TextQueries.bloomGramHashes(bench, n),
+      graft.queries.TextQueries.BloomMBits, graft.queries.TextQueries.BloomK)
+
+  /** Streaming Bloom decontamination: probe each arriving micro-batch
+    * against a pre-built filter. Stateless per batch, and — unlike
+    * decontaminateBatch's broadcast gram set — the per-batch plan
+    * carries a CONSTANT-size literal (16 KiB at the default), so the
+    * stream's cost profile is independent of benchmark growth. Same
+    * hashed-gram + probe expression tree as t_decontaminate_bloom, so
+    * the batch query's DuckDB oracle doubles as the semantics check. */
+  def decontaminateBloomBatch(batch: DataFrame, words: IndexedSeq[Long],
+      n: Int = 5): DataFrame =
+    graft.queries.TextQueries.bloomProbeCounts(
+      graft.queries.TextQueries.bloomGramHashes(batch, n), batch, words,
+      graft.queries.TextQueries.BloomMBits, graft.queries.TextQueries.BloomK)
+
   /** Streaming quality gate: apply the composite keep/drop rule
     * bundle to each arriving micro-batch of (doc_id, text) rows.
     * All features (token/stopword ratios, uniq-token and top-bigram

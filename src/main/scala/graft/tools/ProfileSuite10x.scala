@@ -71,7 +71,14 @@ object ProfileSuite10x {
     "e2_sessionize" -> LinearBound,
     "t_source_filter" -> LinearBound,
     "t_source_overlap" -> LinearBound,
-    "t_hybrid_rrf" -> LinearBound)
+    "t_hybrid_rrf" -> LinearBound,
+    // round-9 additions: the sketched overlap (constant per-source
+    // state — the agg scan is the only corpus-sized term), the
+    // Bloom decontamination (one distinct + map-side probes), and
+    // the drift grid (two scans into a |types|×|bins| agg)
+    "t_source_overlap_minhash" -> LinearBound,
+    "t_decontaminate_bloom" -> LinearBound,
+    "e10_drift" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

@@ -107,6 +107,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("decontaminateBloomBatch: per-batch probes against a filter built once") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = StreamOps.bloomFilterOf(
+      Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+    val in = MemoryStream[(Long, String)]
+    val sink = collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= StreamOps.decontaminateBloomBatch(b, words)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    in.addData((1L, "alpha beta gamma delta epsilon"), // the 1st bench gram
+      (2L, "totally unrelated words right here"))      // clean
+    q.processAllAvailable()
+    in.addData((3L, "xx alpha beta gamma delta epsilon yy")) // 3 grams, 1 hit
+    q.processAllAvailable(); q.stop()
+    // at the production filter size the FP probability for these
+    // probes is ~(8/131072)^4 — the exact counts are deterministic
+    assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
   test("qualityGateBatch verdicts match the batch gate on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftFunctions.ensureRegistered(spark)
