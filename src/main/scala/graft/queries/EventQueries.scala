@@ -284,6 +284,12 @@ object EventQueries {
     * map-side partials — output is |types|×|bins| rows regardless of
     * corpus size, and the rate normalization is a window over that
     * tiny grid, never over events. */
+  /** The drift grid's bin expression — ONE definition shared by the
+    * batch audit and the streaming monitor (StreamOps.driftBatch). */
+  private[graft] def valueBin(value: org.apache.spark.sql.Column,
+      binWidth: Double, nBins: Int): org.apache.spark.sql.Column =
+    least(floor(value / binWidth).cast("int"), lit(nBins - 1))
+
   def e10Drift(spark: SparkSession, dir: String,
       binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -292,7 +298,7 @@ object EventQueries {
     val g = ev.crossJoin(broadcast(mid))
       .select(col("event_type"),
         (col("us") >= col("mid")).as("late"),
-        least(floor(col("value") / binWidth).cast("int"), lit(nBins - 1)).as("bin"))
+        valueBin(col("value"), binWidth, nBins).as("bin"))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(when(!col("late"), 1)).as("n_early"),
         count(when(col("late"), 1)).as("n_late"))

@@ -135,6 +135,55 @@ object StreamOps {
       graft.queries.TextQueries.bloomGramHashes(batch, n), batch, words,
       graft.queries.TextQueries.BloomMBits, graft.queries.TextQueries.BloomK)
 
+  /** Reference value-histogram per (event_type, bin) — the trusted
+    * baseline a streaming drift monitor compares arriving batches
+    * against (the stream-shaped half of `e10_drift`'s batch audit:
+    * there the two halves of one corpus compare against each other;
+    * here a trusted window is profiled ONCE and each micro-batch
+    * compares against it). Output is types×bins rows — collect or
+    * persist it; it is constant-size however large the profiled
+    * window was. */
+  def driftReferenceOf(events: DataFrame,
+      binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    events
+      .groupBy(col("event_type"),
+        graft.queries.EventQueries.valueBin(col("value"), binWidth, nBins)
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("n") / sum(col("n")).over(byType)).as("ref_rate"))
+  }
+
+  /** Per-micro-batch drift against the reference profile: the
+    * arriving batch's per-(type, bin) rates joined FULL-OUTER with
+    * the reference grid — full outer because both absences are
+    * signals (a reference bin the batch no longer populates has
+    * drifted to zero; a batch bin the reference never saw is novel
+    * mass). Stateless per batch; the reference is a types×bins frame
+    * on the small side of every join. Same bin expression as the
+    * batch audit (EventQueries.valueBin), so thresholds tuned on
+    * e10_drift transfer unchanged. */
+  def driftBatch(batch: DataFrame, ref: DataFrame,
+      binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val h = batch
+      .groupBy(col("event_type"),
+        graft.queries.EventQueries.valueBin(col("value"), binWidth, nBins)
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rate", col("n") / sum(col("n")).over(byType))
+    h.join(ref, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("rate"), lit(0.0)), 6).as("rate"),
+        round(coalesce(col("ref_rate"), lit(0.0)), 6).as("ref_rate"),
+        round(abs(coalesce(col("rate"), lit(0.0)) -
+          coalesce(col("ref_rate"), lit(0.0))), 6).as("delta"))
+  }
+
   /** Streaming quality gate: apply the composite keep/drop rule
     * bundle to each arriving micro-batch of (doc_id, text) rows.
     * All features (token/stopword ratios, uniq-token and top-bigram

@@ -107,6 +107,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("driftBatch: per-batch rates vs a reference profile, absences both ways") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference window: type A uniform over bins 0 and 1; type B all bin 0
+    val refEvents = Seq(
+      ("A", 10.0), ("A", 10.0), ("A", 30.0), ("A", 30.0),
+      ("B", 5.0), ("B", 5.0)).toDF("event_type", "value")
+    val ref = StreamOps.driftReferenceOf(refEvents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = MemoryStream[(String, Double)]
+    val sink = collection.mutable.ArrayBuffer[(String, Int, Long, Double, Double, Double)]()
+    val q = in.toDF().toDF("event_type", "value").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= StreamOps.driftBatch(b, ref)
+            .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        }
+        ()
+      }.start()
+    // batch: A shifted entirely into bin 1 (ref bin 0 drifts to zero),
+    // B novel mass in bin 3 the reference never saw
+    in.addData(("A", 30.0), ("A", 30.0), ("B", 5.0), ("B", 80.0))
+    q.processAllAvailable(); q.stop()
+    val got = sink.toSet
+    assert(got == Set(
+      ("A", 0, 0L, 0.0, 0.5, 0.5),   // reference bin, absent in batch
+      ("A", 1, 2L, 1.0, 0.5, 0.5),   // all of A's batch mass
+      ("B", 0, 1L, 0.5, 1.0, 0.5),
+      ("B", 3, 1L, 0.5, 0.0, 0.5)),  // novel bin, absent in reference
+      s"got $got")
+    ref.unpersist()
+  }
+
   test("decontaminateBloomBatch: per-batch probes against a filter built once") {
     implicit val sqlCtx = spark.sqlContext
     val words = StreamOps.bloomFilterOf(
