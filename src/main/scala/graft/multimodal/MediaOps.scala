@@ -455,11 +455,103 @@ object MediaOps {
     bits
   }
 
+  /** Perceptual image hash (pHash — the DCT variant): the luminance
+    * plane is nearest-neighbor-sampled onto a 32×32 grid, transformed
+    * by a 2-D DCT-II, and bit k of the hash records whether
+    * low-frequency coefficient k (the top-left 8×8 block, row-major)
+    * exceeds the MEDIAN of the 63 non-DC coefficients. Median
+    * thresholding makes the hash invariant under any positive-linear
+    * luma regrade (DCT is linear: AC coefficients scale together, the
+    * DC shift is excluded from the median), and low-frequency-only
+    * makes it robust to blur/re-encode noise dHash's neighbor
+    * gradients still see. dHash stays the cheap first pass; pHash is
+    * the second opinion on its candidates — complementary failure
+    * modes, same 64-bit pigeonhole machinery.
+    *
+    * Only the 8 needed DCT rows/cols are computed (two N×K passes,
+    * ~16 K multiplies per image) — cost is per-IMAGE constant, so the
+    * scan stays one narrow map over the decoded planes. */
+  def pHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val N = 32; val K = 8
+    val g = new Array[Double](N * N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val sx = if (w <= 0) 0 else math.min(x * w / N, w - 1)
+        val sy = if (h <= 0) 0 else math.min(y * h / N, h - 1)
+        val idx = sy * w + sx
+        g(y * N + x) =
+          if (idx >= 0 && idx < pixels.length) (pixels(idx) & 0xFF).toDouble
+          else 0.0
+        x += 1
+      }
+      y += 1
+    }
+    // cos table: c(k)(n) = cos(pi/N * (n + 0.5) * k)
+    val c = Array.tabulate(K, N)((k, n) => math.cos(math.Pi / N * (n + 0.5) * k))
+    // DCT along x: tmp(y, u) = sum_x g(y, x) c(u)(x), u < K
+    val tmp = new Array[Double](N * K)
+    y = 0
+    while (y < N) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0; var x = 0
+        while (x < N) { s += g(y * N + x) * c(u)(x); x += 1 }
+        tmp(y * K + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // DCT along y: f(v, u) = sum_y tmp(y, u) c(v)(y)
+    val f = new Array[Double](K * K)
+    var v = 0
+    while (v < K) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0; var yy = 0
+        while (yy < N) { s += tmp(yy * K + u) * c(v)(yy); yy += 1 }
+        f(v * K + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    // numeric dust: a mathematically-zero AC coefficient (flat
+    // plane, exact symmetry) comes back ~1e-14x the plane energy from
+    // the cos sums, and the median-split would turn that noise into
+    // hash bits. Zero everything below a DC-relative epsilon — real
+    // image structure sits within ~6 orders of the DC, dust ~16, so
+    // the 1e-12 cut has huge margin either side and scales with any
+    // linear regrade.
+    val thresh = (math.abs(f(0)) + 1.0) * 1e-12
+    var i = 1
+    while (i < 64) {
+      if (math.abs(f(i)) < thresh) f(i) = 0.0
+      i += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, K * K)
+    java.util.Arrays.sort(ac)
+    val median = (ac(30) + ac(31)) / 2.0 // of the 63 non-DC coefficients
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (f(i) > median) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   /** Per-row perceptual hashes of the decoded plane (real pixels for
     * image rows, the deterministic stub plane otherwise). */
   def imageHashes(media: DataFrame): Dataset[ImageHash] = {
     implicit val enc = Encoders.product[ImageHash]
     decode(media).map(d => ImageHash(d.media_id, dHash64(d.pixels, d.width, d.height)))
+  }
+
+  /** pHash per row — same shape as imageHashes, second-opinion hash. */
+  def imagePHashes(media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    decode(media).map(d => ImageHash(d.media_id, pHash64(d.pixels, d.width, d.height)))
   }
 
   /** Near-duplicate images: pairs with dHash hamming ≤ `maxDist` —
@@ -470,10 +562,21 @@ object MediaOps {
     * threshold and the self-join stays bucket-local, never corpus².
     * Media blobs are projected away before the shuffle — only
     * (id, 64-bit hash) rows move. */
-  def imageNearDup(media: DataFrame, maxDist: Int = 6): DataFrame = {
+  def imageNearDup(media: DataFrame, maxDist: Int = 6): DataFrame =
+    nearDupOnSig(imageHashes(media).toDF(), maxDist)
+
+  /** imageNearDup with the DCT pHash instead of dHash — same exact
+    * pigeonhole candidate generation; use on dHash's candidates (or
+    * standalone) when blur/re-encode robustness matters more than
+    * gradient sensitivity. */
+  def imageNearDupPHash(media: DataFrame, maxDist: Int = 6): DataFrame =
+    nearDupOnSig(imagePHashes(media).toDF(), maxDist)
+
+  /** The shared hamming-pair machinery over any (media_id, phash)
+    * signature frame. */
+  private def nearDupOnSig(sig: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < 8,
       s"pigeonhole blocks are exact only for maxDist < 8, got $maxDist")
-    val sig: DataFrame = imageHashes(media).toDF()
     val blocked = sig.select(col("media_id"), col("phash"),
       posexplode(array((0 until 8).map(q =>
         shiftrightunsigned(col("phash"), q * 8).bitwiseAND(lit(0xFFL))): _*)))

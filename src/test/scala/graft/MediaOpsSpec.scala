@@ -286,6 +286,84 @@ class MediaOpsSpec extends SparkSpec {
     assert(hTex != 0L && hTex != -1L)
   }
 
+  test("pHash64: flat-plane known answer, regrade and upscale invariance") {
+    val w = 18; val h = 16
+    // flat nonzero plane: every AC coefficient is exactly 0, the DC
+    // is positive -> only bit 0 (DC > median 0) is set
+    assert(MediaOps.pHash64(Array.fill[Byte](w * h)(100.toByte), w, h) == 1L)
+    // flat zero plane: all coefficients 0, nothing exceeds the median
+    assert(MediaOps.pHash64(Array.fill[Byte](w * h)(0), w, h) == 0L)
+    // EVEN-valued texture so the v/2+10 regrade is exactly linear in
+    // doubles: AC coefficients and their median halve exactly, DC
+    // stays dominant -> bit-identical hash
+    val tex = Array.tabulate[Byte](w * h)(i =>
+      ((((i % w) * 31 + (i / w) * 17) % 90) * 2).toByte)
+    val hTex = MediaOps.pHash64(tex, w, h)
+    val regraded = tex.map(v => ((v & 0xFF) / 2 + 10).toByte)
+    assert(MediaOps.pHash64(regraded, w, h) == hTex)
+    // 2x pixel replication samples identical source pixels
+    val up = Array.tabulate[Byte](w * 2 * h * 2) { i =>
+      val x = (i % (w * 2)) / 2; val y = (i / (w * 2)) / 2; tex(y * w + x)
+    }
+    assert(MediaOps.pHash64(up, w * 2, h * 2) == hTex)
+    assert(hTex != 0L && hTex != -1L && hTex != 1L)
+  }
+
+  test("imageNearDupPHash equals brute-force hamming; blur-robust where dHash flips") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val w = 16; val h = 16
+    def texture(a: Int, b: Int, c: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h)(i =>
+        (((i % w) * a + (i / w) * b + c) % 180 + 10).toByte)
+    val base = texture(31, 17, 0)
+    // 3x3 box blur: kills pixel-level gradients, keeps low frequencies
+    val blurred = Array.tabulate[Byte](w * h) { i =>
+      val x = i % w; val y = i / w
+      var s = 0; var n = 0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val xx = x + dx; val yy = y + dy
+        if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
+          s += base(yy * w + xx) & 0xFF; n += 1
+        }
+      }
+      (s / n).toByte
+    }
+    val rows = Seq(
+      Row(1L, "image", "mem://base", png(base, w, h), Row(w, h, null, "png")),
+      Row(2L, "image", "mem://copy", png(base.clone(), w, h), Row(w, h, null, "png")),
+      Row(3L, "image", "mem://blur", png(blurred, w, h), Row(w, h, null, "png")),
+      Row(4L, "image", "mem://tex2", png(texture(53, 29, 7), w, h), Row(w, h, null, "png")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val hashes = MediaOps.imagePHashes(df).collect().map(x => x.media_id -> x.phash).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    val got = MediaOps.imageNearDupPHash(df, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+    assert(got.contains((1L, 2L, 0)))
+    // the complementary-failure-mode claim, measured: the blur stays
+    // inside pHash's threshold but pushes dHash beyond it
+    assert(got.exists { case (a, b, _) => (a, b) == (1L, 3L) },
+      s"blur drifted beyond pHash threshold: " +
+        s"${java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))}")
+    val dh = MediaOps.imageHashes(df).collect().map(x => x.media_id -> x.phash).toMap
+    assert(java.lang.Long.bitCount(dh(1L) ^ dh(3L)) > 6,
+      "expected the box blur to flip dHash gradients beyond the threshold")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) > 6,
+      "unrelated texture unexpectedly near base under pHash")
+  }
+
   test("imageNearDup equals brute-force hamming over real PNG fixtures") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
