@@ -554,6 +554,47 @@ object MediaOps {
     decode(media).map(d => ImageHash(d.media_id, pHash64(d.pixels, d.width, d.height)))
   }
 
+  /** Audio fingerprint (64-bit): the dHash idea on the ENERGY
+    * ENVELOPE — the 16-bit-LE PCM stream (channels summed; envelope
+    * shape is mix-invariant) is split into 65 equal windows of
+    * summed |sample|, and bit w records whether window w is louder
+    * than window w+1. Envelope-delta signs survive amplitude
+    * regrades, re-encodes, and codec round-trips (G.711/ADPCM noise
+    * perturbs samples, not the macro envelope), which byte-exact
+    * dedup does not. Integer-only — bit-reproducible anywhere. */
+  def audioHash64(pcm16le: Array[Byte], channels: Int): Long = {
+    val n = pcm16le.length / 2 // total 16-bit samples across channels
+    if (n == 0) return 0L
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = ((pcm16le(2 * i + 1) << 8) | (pcm16le(2 * i) & 0xFF)).toShort
+      e((i.toLong * 65 / n).toInt) += math.abs(s.toInt).toLong
+      i += 1
+    }
+    var bits = 0L
+    var w = 0
+    while (w < 64) {
+      if (e(w) > e(w + 1)) bits |= 1L << w
+      w += 1
+    }
+    bits
+  }
+
+  /** Per-row audio fingerprints (real PCM for decodable audio, the
+    * deterministic stub plane otherwise — same dispatch as decode). */
+  def audioHashes(media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    decode(media).map(d => ImageHash(d.media_id, audioHash64(d.pixels, d.height)))
+  }
+
+  /** Near-duplicate audio: envelope-fingerprint hamming ≤ `maxDist`
+    * through the SAME exact 8-block pigeonhole join as the image
+    * paths — PCM blobs are projected away before any shuffle; only
+    * (id, 64-bit hash) rows move. */
+  def audioNearDup(media: DataFrame, maxDist: Int = 6): DataFrame =
+    nearDupOnSig(audioHashes(media).toDF(), maxDist)
+
   /** Near-duplicate images: pairs with dHash hamming ≤ `maxDist` —
     * the multimodal twin of text near-dup, using the same 8-bit
     * pigeonhole block join as TextQueries.dedupSimhash: any pair

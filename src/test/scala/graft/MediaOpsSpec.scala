@@ -286,6 +286,66 @@ class MediaOpsSpec extends SparkSpec {
     assert(hTex != 0L && hTex != -1L)
   }
 
+  test("audioHash64: envelope known answers, gain invariance; near-dup vs brute force") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def pcmOf(amps: Array[Int], perWindow: Int): Array[Byte] = {
+      // square-ish blocks: every sample in block b has |amplitude|
+      // amps(b), alternating sign to keep a real waveform shape
+      val out = new Array[Byte](amps.length * perWindow * 2)
+      for (b <- amps.indices; i <- 0 until perWindow) {
+        val v = if (i % 2 == 0) amps(b) else -amps(b)
+        val idx = (b * perWindow + i) * 2
+        out(idx) = (v & 0xFF).toByte
+        out(idx + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    // 65 blocks map 1:1 onto the 65 energy windows
+    val rampUp = pcmOf(Array.tabulate(65)(b => 100 + b * 400), 64)
+    assert(MediaOps.audioHash64(rampUp, 1) == 0L)         // never louder than next
+    val rampDown = pcmOf(Array.tabulate(65)(b => 26000 - b * 400), 64)
+    assert(MediaOps.audioHash64(rampDown, 1) == -1L)      // always louder than next
+    val tex = pcmOf(Array.tabulate(65)(b => 2000 + (b * 5077) % 20000), 64)
+    val hTex = MediaOps.audioHash64(tex, 1)
+    assert(hTex != 0L && hTex != -1L)
+    // -6 dB regrade: halving every sample halves every window energy
+    // exactly (amplitudes here are even), envelope order unchanged
+    val half = pcmOf(Array.tabulate(65)(b => (2000 + (b * 5077) % 20000) / 2), 64)
+    assert(MediaOps.audioHash64(half, 1) == hTex)
+
+    def wavOf(pcm: Array[Byte]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // a local edit: one block's amplitude bumped — flips at most the
+    // two comparisons that window participates in
+    val edited = Array.tabulate(65)(b => 2000 + (b * 5077) % 20000)
+    edited(30) = 21000
+    val rows = Seq(
+      Row(1L, "audio", "mem://a", wavOf(tex), Row(null, null, 1, "wav")),
+      Row(2L, "audio", "mem://b", wavOf(half), Row(null, null, 1, "wav")),
+      Row(3L, "audio", "mem://c", wavOf(pcmOf(edited, 64)), Row(null, null, 1, "wav")),
+      Row(4L, "audio", "mem://d", wavOf(rampUp), Row(null, null, 1, "wav")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MediaOps.mediaSchema)
+    val hashes = MediaOps.audioHashes(df).collect().map(x => x.media_id -> x.phash).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    val got = MediaOps.audioNearDup(df, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+    assert(got.contains((1L, 2L, 0)))                     // re-grade: identical
+    assert(got.exists { case (a, b, _) => (a, b) == (1L, 3L) }, "local edit lost")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) > 6,
+      "unrelated envelope unexpectedly near")
+  }
+
   test("pHash64: flat-plane known answer, regrade and upscale invariance") {
     val w = 18; val h = 16
     // flat nonzero plane: every AC coefficient is exactly 0, the DC
