@@ -27,6 +27,22 @@ class MediaFuzzSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hashes are total on arbitrary planes and PCM") {
+    // empty inputs, odd PCM lengths, dims that disagree with the
+    // buffer, zero/negative dims — every combination must return a
+    // value, never throw
+    assert(MediaOps.pHash64(Array.emptyByteArray, 0, 0) == 0L)
+    assert(MediaOps.audioHash64(Array.emptyByteArray, 1) == 0L)
+    assert(MediaOps.audioHash64(Array[Byte](7), 1) == 0L) // < one sample
+    for (_ <- 1 to 100) {
+      val n = rnd.nextInt(600)
+      val plane = randomBytes(n)
+      MediaOps.pHash64(plane, rnd.nextInt(40) - 2, rnd.nextInt(40) - 2)
+      MediaOps.dHash64(plane, rnd.nextInt(40) - 2, rnd.nextInt(40) - 2)
+      MediaOps.audioHash64(plane, 1 + rnd.nextInt(3))
+    }
+  }
+
   test("crafted RIFF chunks (negative / zero / huge sizes) terminate") {
     def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)

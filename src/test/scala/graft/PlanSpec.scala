@@ -535,4 +535,44 @@ class PlanSpec extends SparkSpec {
     assert(hy.contains("TakeOrderedAndProject"), hy.take(2000))
     assert(!hy.contains("CartesianProduct"))
   }
+
+  test("sketched overlap: one signature agg, pair join is broadcast NL, no cartesian") {
+    spark.catalog.clearCache()
+    val plan = planString(TextQueries.tSourceOverlapMinhash(spark, dir))
+    // both legs of the a<b pair join must read the persisted
+    // signature frame — a second HashAggregate over the corpus means
+    // the persist was lost and the shingle scan runs twice
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 4, // partial+final of ONE 32-min agg (+AQE variants)
+      s"$aggs HashAggregates — the signature frame is being recomputed:\n" +
+        plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the S-row pair join fell to a sort-merge:\n" + plan.take(2000))
+  }
+
+  test("bloom decontamination: probe is map-side (no probe-side join), one gram distinct") {
+    spark.catalog.clearCache()
+    val plan = planString(TextQueries.tDecontaminateBloom(spark, dir))
+    // exactly one join in the whole plan: the final left join of doc
+    // ids to hit counts. A second join means the membership test
+    // regressed from the literal-array probe to a semi-join against
+    // a materialized position set.
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 1,
+      s"$joins joins — bloom probe is no longer map-side:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("drift grid: singleton bounds broadcast; grid agg partials map-side") {
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e10Drift(spark, dir))
+    // the 1-row (mid) frame joins the corpus via broadcast NL — a
+    // sort-merge or cartesian here would shuffle the corpus against
+    // one row
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
