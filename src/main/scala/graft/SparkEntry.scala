@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s: SparkSession, d: String) => VectorQueries.annPqTopk(s, d)),
     "ann_ivf_stored" -> (VectorIndex.annIvfStored _),
     "ann_pq_stored" -> (VectorIndex.annPqStored _),
+    "ann_ivfpq_stored" -> (VectorIndex.annIvfPqStored _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_decontaminate" -> ((s: SparkSession, d: String) => VectorQueries.embDecontaminate(s, d)),
@@ -1287,5 +1288,6 @@ object SparkEntry {
     graft.queries.VectorQueries.ivfOracleSql.map("ann_ivf_topk" -> _) ++
     graft.queries.VectorQueries.pqOracleSql.map("ann_pq_topk" -> _) ++
     graft.queries.VectorIndex.storedIvfOracleSql.map("ann_ivf_stored" -> _) ++
-    graft.queries.VectorIndex.storedPqOracleSql.map("ann_pq_stored" -> _)
+    graft.queries.VectorIndex.storedPqOracleSql.map("ann_pq_stored" -> _) ++
+    graft.queries.VectorIndex.storedIvfPqOracleSql.map("ann_ivfpq_stored" -> _)
 }

@@ -84,6 +84,14 @@ object VectorIndex {
     searchPq(spark, dir, idx, corpusQueries(spark, dir))
   }
 
+  /** Composed IVF-PQ twin — the FAISS-production serving structure
+    * as a driver query: probe prunes the scan fraction, codes bound
+    * the bytes per row, one exact re-rank on the shortlist. */
+  def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensure(spark, dir, "ivfpq")(buildIvfPq(spark, dir, _))
+    searchIvfPq(spark, dir, idx, corpusQueries(spark, dir))
+  }
+
   private def corpusQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -262,6 +270,7 @@ object VectorIndex {
       .select(col("kk"), col("cent")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val book = readBook(spark, indexPath)
+    lastStoredIvfPq = Some((cents, book, nprobe, shortlist))
     val m = book.length; val k = book.head.length
     val qVecs = queries
       .select(col("qid").cast("long"),
@@ -392,4 +401,11 @@ object VectorIndex {
   private[graft] def storedPqOracleSql: Option[String] =
     lastStoredPq.map { case (book, shortlist) =>
       VectorQueries.pqOracleSqlOf(book, shortlist, excludeSelf = false) }
+
+  @volatile private[graft] var lastStoredIvfPq:
+    Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int)] = None
+
+  private[graft] def storedIvfPqOracleSql: Option[String] =
+    lastStoredIvfPq.map { case (cents, book, nprobe, shortlist) =>
+      VectorQueries.ivfPqOracleSqlOf(cents, book, nprobe, shortlist) }
 }

@@ -579,6 +579,69 @@ object VectorQueries {
     lastPqModel.map { case (book, shortlist) =>
       pqOracleSqlOf(book, shortlist, excludeSelf = true) }
 
+  /** DuckDB oracle for the composed stored IVF-PQ index: the IVF
+    * oracle's cell-assignment/probe CTEs gate the PQ oracle's
+    * ADC scoring — candidates are exactly the probed cells' members,
+    * ADC picks the shortlist, the exact re-rank picks top-5. Every
+    * stage reuses the bit-parity pieces of its component oracles
+    * (max-dot cell with lowest-cid ties, unrolled subspace-order ADC
+    * sum, rounded exact sim), so the composition is pinned end to
+    * end, serving semantics (self-matches included). */
+  private[queries] def ivfPqOracleSqlOf(cents: Seq[Seq[Double]],
+      book: Seq[Seq[Seq[Double]]], nprobe: Int, shortlist: Int): String = {
+    val m = book.length; val k = book.head.length
+    val sub = book.head.head.length
+    val adcTerms = (0 until m).map(mm => s"lut[c$mm + ${mm * k} + 1]")
+      .mkString(" + ")
+    val codeCols = (0 until m)
+      .map(mm => s"max(CASE WHEN mm = $mm THEN code END) AS c$mm")
+      .mkString(",\n                ")
+    s"""WITH $NormedCte,
+          cents(cid, w, c2) AS (VALUES
+         ${centroidValues(cents)}),
+          book(mm, kk, w, c2) AS (VALUES
+         ${bookValues(book)}),
+          d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
+                FROM e CROSS JOIN cents),
+          rkc AS (SELECT vec_id, cid AS cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
+                FROM d),
+          corpus AS (SELECT vec_id, cell FROM rkc WHERE rk = 1),
+          qc AS (SELECT vec_id AS qid, cell FROM rkc
+                WHERE vec_id < $QueryK AND rk <= $nprobe),
+          sc AS (SELECT e.vec_id, b.mm, b.kk,
+                2 * list_dot_product(e.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w)
+                  - b.c2 AS score
+                FROM e CROSS JOIN book b),
+          cr AS (SELECT vec_id, mm, kk AS code,
+                row_number() OVER (PARTITION BY vec_id, mm ORDER BY score DESC, kk) AS rk
+                FROM sc),
+          cd AS (SELECT vec_id,
+                $codeCols
+                FROM cr WHERE rk = 1 GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < $QueryK),
+          lt AS (SELECT q.qid, b.mm, b.kk,
+                list_dot_product(q.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w) AS v
+                FROM q CROSS JOIN book b),
+          lu AS (SELECT qid, list(v ORDER BY mm, kk) AS lut FROM lt GROUP BY qid),
+          cand AS (SELECT DISTINCT qc.qid, c.vec_id AS nid
+                FROM corpus c JOIN qc USING (cell)),
+          adc AS (SELECT cand.qid, cand.nid, $adcTerms AS adc_score
+                FROM cand JOIN cd ON cd.vec_id = cand.nid
+                          JOIN lu ON lu.qid = cand.qid),
+          sl AS (SELECT qid, nid FROM (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, nid) AS rk
+                FROM adc) WHERE rk <= $shortlist),
+          pr AS (SELECT sl.qid, sl.nid,
+                round(list_dot_product(qe.emb, ne.emb), 4) AS sim
+                FROM sl JOIN e qe ON qe.vec_id = sl.qid
+                        JOIN e ne ON ne.vec_id = sl.nid),
+          r AS (SELECT qid, nid, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                FROM pr)
+       SELECT qid, rank, nid, sim FROM r WHERE rank <= 5"""
+  }
+
   /** ANN via product quantization with asymmetric distance (ADC) —
     * the FAISS-style compression path for 100 TB of embeddings. The
     * corpus is re-encoded as `m` small codes (one per subspace,

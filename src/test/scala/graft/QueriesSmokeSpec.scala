@@ -69,7 +69,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // the static list honest by actually populating the registers.
   private val registerBackedOracles = Set("t_quality_classifier",
     "emb_kmeans", "emb_semdedup", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivf_stored", "ann_pq_stored")
+    "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored")
 
   test("every query has ground truth: a SQL oracle or a named exact spec") {
     val unverified = SparkEntry.queries.keySet --
