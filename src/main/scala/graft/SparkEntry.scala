@@ -50,6 +50,7 @@ object SparkEntry {
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
     "a6_rollup" -> (CoreQueries.a6Rollup _),
     "a7_pivot" -> (CoreQueries.a7Pivot _),
+    "a9_cube" -> (CoreQueries.a9Cube _),
     "a8_corr_stats" -> (CoreQueries.a8CorrStats _),
     "t_redact_pii" -> (CoreQueries.tRedactPii _),
     "s4_set_ops" -> (CoreQueries.s4SetOps _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
     "e9_resample" -> ((s: SparkSession, d: String) => EventQueries.e9Resample(s, d)),
     "e10_drift" -> ((s: SparkSession, d: String) => EventQueries.e10Drift(s, d)),
+    "k7_scd2" -> (EventQueries.k7Scd2 _),
     // — text analysis / dedup —
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
@@ -279,6 +281,29 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "a9_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    // SCD2: the lag/lead reconstruction is pure integer/timestamp
+    // window arithmetic — both engines compute it identically
+    "k7_scd2" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+                    CAST(floor(value / 100) AS INT) AS tier
+                    FROM events WHERE event_type = 'purchase'),
+              l AS (SELECT *, lag(tier) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+                    FROM p),
+              c AS (SELECT user_id, ts, event_id, tier FROM l
+                    WHERE prev_tier IS NULL OR prev_tier <> tier),
+              v AS (SELECT user_id, tier, ts, lead(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+                    FROM c)
+         SELECT user_id, tier,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           vt IS NULL AS is_current
+         FROM v""",
     "a7_pivot" ->
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,

@@ -300,6 +300,18 @@ object CoreQueries {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** CUBE: every grouping-set combination of (returnflag, linestatus)
+    * in ONE pass — like a6's ROLLUP this plans as a single Expand +
+    * hash aggregate (rows duplicated per grouping set map-side, then
+    * one shuffle on the expanded keys), NOT four separate scans
+    * unioned; the 4× expansion multiplies map output, never the scan
+    * or the shuffle count. */
+  def a9Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   /** Pivot (long→wide): per-returnflag quantity split into one column
     * per linestatus. Values are ENUMERATED (F/O) rather than
     * discovered: an un-enumerated pivot needs an extra distinct pass

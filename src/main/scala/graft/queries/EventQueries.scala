@@ -268,6 +268,33 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** K7: SCD Type-2 reconstruction from an event stream — the
+    * warehouse shape a sync service maintains for every dimension it
+    * tracks: each user's purchase "tier" (a value bucket) becomes a
+    * validity-interval table — one row per CHANGE, [valid_from,
+    * valid_to) half-open, `valid_to` null on the current row.
+    * Gaps-and-islands again: change detection is one lag() and the
+    * interval close is one lead(), both over the same (user_id)
+    * partition — ONE shuffle keyed by the uniform user_id carries
+    * the whole reconstruction; nothing global, no self-join.
+    * Timestamps are emitted as formatted strings so the DuckDB
+    * oracle hashes identically (e1's deal). */
+  def k7Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 100).cast("int").as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("tier"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
   /** E10: distribution-drift audit — the monitor a continuously-
     * ingesting pipeline runs before trusting a new data window: per
     * event type, the `value` histogram of the first half of the time

@@ -78,6 +78,40 @@ class EventQueriesSpec extends SparkSpec {
       ("B", "2024-01-01 12:00:00") -> ((1L, 0L, Some(3.0)))))
   }
 
+  test("k7Scd2 core: change detection, interval chaining, ties, oscillation") {
+    import spark.implicits._
+    // windows run over any (user_id, ts, event_id, event_type, value)
+    // frame — drive the production expressions through a fixture
+    val df = Seq(
+      // user 1: tier 1 -> 1 (no change) -> 2 -> 1 (oscillation back)
+      (1L, "2026-01-01 10:00:00", 1L, "purchase", 150.0),
+      (1L, "2026-01-01 11:00:00", 2L, "purchase", 199.0),
+      (1L, "2026-01-01 12:00:00", 3L, "purchase", 250.0),
+      (1L, "2026-01-01 13:00:00", 4L, "purchase", 120.0),
+      // user 2: one purchase -> a single current row
+      (2L, "2026-01-02 09:00:00", 5L, "purchase", 10.0),
+      // user 2: non-purchase events never open intervals
+      (2L, "2026-01-02 10:00:00", 6L, "click", 999.0),
+      // user 3: same-timestamp tie broken by event_id (tier 3 then 4)
+      (3L, "2026-01-03 08:00:00", 7L, "purchase", 310.0),
+      (3L, "2026-01-03 08:00:00", 8L, "purchase", 420.0))
+      .map { case (u, t, e, tp, v) =>
+        (u, java.sql.Timestamp.valueOf(t), e, tp, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    df.write.mode("overwrite").parquet("/tmp/graft_scd2_fixture/events.parquet")
+    val got = EventQueries.k7Scd2(spark, "/tmp/graft_scd2_fixture")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3)).orNull, r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 1, "2026-01-01 10:00:00", "2026-01-01 12:00:00", false),
+      (1L, 2, "2026-01-01 12:00:00", "2026-01-01 13:00:00", false),
+      (1L, 1, "2026-01-01 13:00:00", null, true),
+      (2L, 0, "2026-01-02 09:00:00", null, true),
+      (3L, 3, "2026-01-03 08:00:00", "2026-01-03 08:00:00", false),
+      (3L, 4, "2026-01-03 08:00:00", null, true)), s"got $got")
+  }
+
   test("e10Drift matrix equals a driver-side histogram recompute at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val raw = graft.sources.Tables.events(spark, dir)
