@@ -78,7 +78,15 @@ object ProfileSuite10x {
     // the drift grid (two scans into a |types|×|bins| agg)
     "t_source_overlap_minhash" -> LinearBound,
     "t_decontaminate_bloom" -> LinearBound,
-    "e10_drift" -> LinearBound)
+    "e10_drift" -> LinearBound,
+    // late round-9: SCD2 (one user_id window shuffle), CUBE (Expand
+    // + one agg), and the composed stored index (bounded trainers;
+    // the build cost amortizes across serving queries but is timed
+    // here cold, so it gets the linear bound like the other
+    // train-in-query entries)
+    "k7_scd2" -> LinearBound,
+    "a9_cube" -> LinearBound,
+    "ann_ivfpq_stored" -> LinearBound)
 
   private val KeyOffset = 100000000L
 
