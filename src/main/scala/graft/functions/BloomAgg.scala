@@ -46,9 +46,10 @@ case class BloomAgg(
         s"graft_bloom_agg hashes must be BIGINT, got " +
           s"${h1.dataType.sql}, ${h2.dataType.sql}")
     else if (!mBitsExpr.foldable || !kExpr.foldable ||
-        mBitsExpr.dataType != IntegerType || kExpr.dataType != IntegerType)
+        mBitsExpr.dataType != IntegerType || kExpr.dataType != IntegerType ||
+        mBitsExpr.eval() == null || kExpr.eval() == null)
       TypeCheckResult.TypeCheckFailure(
-        "graft_bloom_agg mBits and k must be INT literals")
+        "graft_bloom_agg mBits and k must be non-null INT literals")
     else if (mBits <= 0 || mBits % 64 != 0 || k <= 0)
       TypeCheckResult.TypeCheckFailure(
         s"graft_bloom_agg needs mBits a positive multiple of 64 and " +

@@ -563,13 +563,17 @@ object MediaOps {
     * perturbs samples, not the macro envelope), which byte-exact
     * dedup does not. Integer-only — bit-reproducible anywhere. */
   def audioHash64(pcm16le: Array[Byte], channels: Int): Long = {
+    val ch = math.max(channels, 1)
     val n = pcm16le.length / 2 // total 16-bit samples across channels
-    if (n == 0) return 0L
+    val frames = n / ch
+    if (frames == 0) return 0L
     val e = new Array[Long](65)
+    // window boundaries are FRAME-aligned (i / ch), so a stereo file
+    // and its mono mixdown agree on which window a moment falls in
     var i = 0
-    while (i < n) {
+    while (i < frames * ch) {
       val s = ((pcm16le(2 * i + 1) << 8) | (pcm16le(2 * i) & 0xFF)).toShort
-      e((i.toLong * 65 / n).toInt) += math.abs(s.toInt).toLong
+      e(((i / ch).toLong * 65 / frames).toInt) += math.abs(s.toInt).toLong
       i += 1
     }
     var bits = 0L

@@ -312,6 +312,14 @@ class MediaOpsSpec extends SparkSpec {
     // exactly (amplitudes here are even), envelope order unchanged
     val half = pcmOf(Array.tabulate(65)(b => (2000 + (b * 5077) % 20000) / 2), 64)
     assert(MediaOps.audioHash64(half, 1) == hTex)
+    // dual-mono stereo: frame-aligned windows mean L=R interleaving
+    // doubles every window energy uniformly — hash-identical to mono
+    val stereo = new Array[Byte](tex.length * 2)
+    for (f <- 0 until tex.length / 2; c <- 0 to 1) {
+      stereo((f * 2 + c) * 2) = tex(f * 2)
+      stereo((f * 2 + c) * 2 + 1) = tex(f * 2 + 1)
+    }
+    assert(MediaOps.audioHash64(stereo, 2) == hTex)
 
     def wavOf(pcm: Array[Byte]): Array[Byte] = {
       val fmt = new AudioFormat(8000f, 16, 1, true, false)
