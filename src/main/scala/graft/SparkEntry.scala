@@ -129,6 +129,16 @@ object SparkEntry {
     "g4_components" -> ((s: SparkSession, d: String) => GraphQueries.g4Components(s, d)),
   )
 
+  /** Queries whose oracle SQL is rendered from a trained-model
+    * register and therefore appears in `oracleSql` only AFTER the
+    * query has run in this JVM. THE canonical list — the smoke
+    * tripwire, the SQL-door inventory, and the dialect scan all
+    * consume it, so a new register-gated query is added exactly
+    * once. */
+  val registerGatedQueries: Seq[String] = Seq(
+    "t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored")
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -459,7 +459,8 @@ object MediaOps {
     * plane is nearest-neighbor-sampled onto a 32×32 grid, transformed
     * by a 2-D DCT-II, and bit k of the hash records whether
     * low-frequency coefficient k (the top-left 8×8 block, row-major)
-    * exceeds the MEDIAN of the 63 non-DC coefficients. Median
+    * exceeds the even-median midpoint of the 63 non-DC coefficients
+    * (the classic 64-coefficient pHash split point). Median
     * thresholding makes the hash invariant under any positive-linear
     * luma regrade (DCT is linear: AC coefficients scale together, the
     * DC shift is excluded from the median), and low-frequency-only
@@ -471,8 +472,16 @@ object MediaOps {
     * Only the 8 needed DCT rows/cols are computed (two N×K passes,
     * ~16 K multiplies per image) — cost is per-IMAGE constant, so the
     * scan stays one narrow map over the decoded planes. */
+  // the 8×32 DCT-II basis rows — constants of (K, N), hoisted so the
+  // corpus-scale hash map pays zero transcendental work per image
+  private val PHashN = 32
+  private val PHashK = 8
+  private val PHashCos: Array[Array[Double]] =
+    Array.tabulate(PHashK, PHashN)((k, n) =>
+      math.cos(math.Pi / PHashN * (n + 0.5) * k))
+
   def pHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
-    val N = 32; val K = 8
+    val N = PHashN; val K = PHashK
     val g = new Array[Double](N * N)
     var y = 0
     while (y < N) {
@@ -488,8 +497,7 @@ object MediaOps {
       }
       y += 1
     }
-    // cos table: c(k)(n) = cos(pi/N * (n + 0.5) * k)
-    val c = Array.tabulate(K, N)((k, n) => math.cos(math.Pi / N * (n + 0.5) * k))
+    val c = PHashCos // c(k)(n) = cos(pi/N * (n + 0.5) * k)
     // DCT along x: tmp(y, u) = sum_x g(y, x) c(u)(x), u < K
     val tmp = new Array[Double](N * K)
     y = 0
@@ -531,7 +539,11 @@ object MediaOps {
     }
     val ac = java.util.Arrays.copyOfRange(f, 1, K * K)
     java.util.Arrays.sort(ac)
-    val median = (ac(30) + ac(31)) / 2.0 // of the 63 non-DC coefficients
+    // the classic 64-coefficient pHash split point: the midpoint of
+    // the 31st/32nd smallest non-DC coefficients (even-median
+    // convention over the 63 values — NOT ac(31), the odd median;
+    // the spec pins hashes to this exact formula)
+    val median = (ac(30) + ac(31)) / 2.0
     var bits = 0L
     i = 0
     while (i < 64) {

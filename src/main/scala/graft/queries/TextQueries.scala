@@ -680,7 +680,7 @@ object TextQueries {
                     FROM h GROUP BY source)
          SELECT a.source AS source_a, b.source AS source_b,
            CAST($eq AS BIGINT) AS sig_match,
-           round(CAST($eq AS DOUBLE) / 32, 4) AS est_jaccard
+           round(CAST($eq AS DOUBLE) / $MinhashHashes, 4) AS est_jaccard
          FROM sig a JOIN sig b ON a.source < b.source"""
   }
 
@@ -1284,7 +1284,7 @@ object TextQueries {
     val words = bloomWordsOf(grams.filter(col("doc_id") % benchMod === 0),
       mBits, k)
     bloomProbeCounts(grams.filter(col("doc_id") % benchMod =!= 0),
-        docs.filter(col("doc_id") % benchMod =!= 0), words, mBits, k)
+        docs.filter(col("doc_id") % benchMod =!= 0), words, k)
       .transform(CacheScope.owned(_, grams))
   }
 
@@ -1326,9 +1326,12 @@ object TextQueries {
     * all set — a pure map-side test (element_at probes into the
     * codegen'd literal word array; no join) plus one doc_id-keyed
     * count. `docs` supplies the row universe (docs with zero hits
-    * emit 0). */
+    * emit 0). The modulus is DERIVED from the filter itself
+    * (words.length × 64), so a probe can never silently disagree
+    * with the filter it was handed. */
   private[graft] def bloomProbeCounts(grams: DataFrame, docs: DataFrame,
-      words: IndexedSeq[Long], mBits: Int, k: Int): DataFrame = {
+      words: IndexedSeq[Long], k: Int): DataFrame = {
+    val mBits = words.length * 64
     val bits = typedlit(words)
     val hitCond = (0 until k).map { j =>
       val p = pmod(col("h1") + lit(j.toLong) * col("h2"), lit(mBits.toLong))

@@ -131,9 +131,11 @@ object StreamOps {
     * the batch query's DuckDB oracle doubles as the semantics check. */
   def decontaminateBloomBatch(batch: DataFrame, words: IndexedSeq[Long],
       n: Int = 5): DataFrame =
+    // the probe modulus derives from words.length, so a filter built
+    // at ANY size probes correctly here
     graft.queries.TextQueries.bloomProbeCounts(
       graft.queries.TextQueries.bloomGramHashes(batch, n), batch, words,
-      graft.queries.TextQueries.BloomMBits, graft.queries.TextQueries.BloomK)
+      graft.queries.TextQueries.BloomK)
 
   /** Reference value-histogram per (event_type, bin) — the trusted
     * baseline a streaming drift monitor compares arriving batches

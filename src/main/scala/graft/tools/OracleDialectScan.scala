@@ -18,8 +18,7 @@ object OracleDialectScan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SqlGateway.open(spark, dir)
-    Seq("t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
-      "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored")
+    graft.SparkEntry.registerGatedQueries
       .foreach(n => graft.SparkEntry.queries(n)(spark, dir).count())
     val fnRe = "(?s).*routine `?([A-Za-z0-9_]+)`?.*".r
     graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, q) =>

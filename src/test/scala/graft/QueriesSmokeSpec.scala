@@ -67,9 +67,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // tripwire must not depend on which earlier tests ran in this JVM,
   // so these are credited statically; the companion test below keeps
   // the static list honest by actually populating the registers.
-  private val registerBackedOracles = Set("t_quality_classifier",
-    "emb_kmeans", "emb_semdedup", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored")
+  private val registerBackedOracles =
+    SparkEntry.registerGatedQueries.toSet
 
   test("every query has ground truth: a SQL oracle or a named exact spec") {
     val unverified = SparkEntry.queries.keySet --

@@ -76,9 +76,8 @@ class SqlGatewaySpec extends SparkSpec {
 
   test("inventory: the verbatim-portable subset of the oracle SQL is pinned") {
     SqlGateway.open(spark, sf)
-    // render the register-gated oracles so the inventory sees all 92
-    Seq("t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
-      "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored")
+    // render the register-gated oracles so the inventory sees them all
+    SparkEntry.registerGatedQueries
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val outcomes = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, q) =>
       name -> scala.util.Try(rows(spark.sql(q)))
