@@ -247,6 +247,70 @@ object StreamOps {
       }
   }
 
+  /** A purchase event reduced to its SCD2-relevant fields. */
+  case class TierEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, tier: Int)
+
+  /** Per-user SCD2 state: the open interval's tier and start. */
+  case class TierOpen(tier: Int, validFromMs: Long)
+
+  /** A CLOSED validity interval (append-safe streaming output). */
+  case class TierInterval(user_id: Long, tier: Int,
+    valid_from: String, valid_to: String, is_current: Boolean)
+
+  /** Streaming SCD Type-2 maintenance — the continuous twin of the
+    * batch `k7_scd2` reconstruction: per-user tier state lives in the
+    * state store (one small row per ACTIVE user); each micro-batch
+    * sorts its group's purchases by (ts, event_id) — the batch
+    * query's exact tie order — and every tier CHANGE emits the
+    * interval it closes. Only CLOSED intervals are emitted (an open
+    * interval would need retraction when it later closes, which
+    * append mode cannot express); the open tail lives in the state
+    * store, and `k7Scd2` over the accumulated lake recovers it —
+    * closed rows from this stream are spec-pinned row-identical to
+    * the batch query's `is_current = false` rows on the same events.
+    *
+    * Ordering contract: correct for events that arrive in micro-batch
+    * order per user (an event older than the open interval's start
+    * would reorder history — the same contract every streaming SCD
+    * maintains; route late corrections through the batch rebuild). */
+  def scd2Stream(events: DataFrame): Dataset[TierInterval] = {
+    import events.sparkSession.implicits._
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    def render(ms: Long): String = {
+      val f = new java.text.SimpleDateFormat(fmt)
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(new java.util.Date(ms))
+    }
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"),
+        floor(col("value") / 100).cast("int").as("tier"))
+      .as[TierEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TierOpen, TierInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TierEvent], state: GroupState[TierOpen]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[TierInterval]
+          for (e <- sorted) {
+            cur match {
+              case None =>
+                cur = Some(TierOpen(e.tier, e.ts.getTime))
+              case Some(s) if s.tier != e.tier =>
+                out += TierInterval(uid, s.tier,
+                  render(s.validFromMs), render(e.ts.getTime),
+                  is_current = false)
+                cur = Some(TierOpen(e.tier, e.ts.getTime))
+              case _ => () // same tier: interval stays open
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Bucket-partition count of the lake-table LSH index. Both index
     * tables are written `partitionBy("bkt")` so per-batch joins read
     * only the partitions the batch can possibly touch (below). 64 is

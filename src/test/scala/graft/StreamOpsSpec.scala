@@ -107,6 +107,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink.toSet == Set((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("scd2Stream: closed intervals equal the batch reconstruction; state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamOps.scd2Stream(
+      in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 1 opens tier 1 then moves to tier 2 (one close
+    // emitted); user 2 opens tier 0; a click must be ignored
+    in.addData(
+      (1L, t("2026-01-01 10:00:00"), 1L, "purchase", 150.0),
+      (1L, t("2026-01-01 11:00:00"), 2L, "purchase", 250.0),
+      (2L, t("2026-01-01 12:00:00"), 3L, "purchase", 50.0),
+      (2L, t("2026-01-01 12:30:00"), 4L, "click", 999.0))
+    q.processAllAvailable()
+    // batch 2: user 1's tier-2 interval (opened LAST batch) closes —
+    // the state-store carry; user 2 stays tier 0 (nothing emitted)
+    in.addData(
+      (1L, t("2026-01-01 15:00:00"), 5L, "purchase", 120.0),
+      (2L, t("2026-01-01 16:00:00"), 6L, "purchase", 80.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2s").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    // ground truth: the batch query over the SAME accumulated events,
+    // keeping only its closed rows
+    val all = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "purchase", 150.0),
+      (1L, t("2026-01-01 11:00:00"), 2L, "purchase", 250.0),
+      (2L, t("2026-01-01 12:00:00"), 3L, "purchase", 50.0),
+      (2L, t("2026-01-01 12:30:00"), 4L, "click", 999.0),
+      (1L, t("2026-01-01 15:00:00"), 5L, "purchase", 120.0),
+      (2L, t("2026-01-01 16:00:00"), 6L, "purchase", 80.0))
+    all.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft_scd2s_fixture/events.parquet")
+    val batchClosed = graft.queries.EventQueries
+      .k7Scd2(spark, "/tmp/graft_scd2s_fixture")
+      .filter(!col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(streamed == batchClosed,
+      s"streaming closed set != batch closed set:\n  stream=$streamed\n  batch=$batchClosed")
+    // and the cross-batch close really happened (user 1 tier 2,
+    // opened batch 1, closed batch 2)
+    assert(streamed.exists { case (u, tier, _, _, _) => u == 1L && tier == 2 })
+  }
+
   test("driftBatch: per-batch rates vs a reference profile, absences both ways") {
     implicit val sqlCtx = spark.sqlContext
     // reference window: type A uniform over bins 0 and 1; type B all bin 0
