@@ -64,12 +64,23 @@ case class BloomAgg(
     if (a != null && b != null) {
       val v1 = a.asInstanceOf[Long]
       val v2 = b.asInstanceOf[Long]
+      // exact (h1 + j·h2) mod m for ARBITRARY longs: reduce each
+      // operand first, then step the position incrementally — both
+      // addends stay < m ≤ 2^31, so the sum can never wrap, unlike
+      // floorMod(v1 + j*v2, m) whose wrapped sum silently disagrees
+      // with the documented positions (and any exact-arithmetic
+      // oracle) once v1 + j·v2 overflows. Identical positions to the
+      // old form whenever no overflow occurred (all current callers
+      // pass 32-bit hashes), so existing filters stay bit-compatible.
+      val m = mBits.toLong
+      val step = java.lang.Math.floorMod(v2, m)
+      var p = java.lang.Math.floorMod(v1, m)
       var j = 0
       while (j < k) {
-        // callers pass non-negative 32-bit hashes, but stay sign-safe
-        // for arbitrary longs: floorMod keeps the position in range
-        val p = java.lang.Math.floorMod(v1 + j * v2, mBits.toLong).toInt
-        buffer(p >> 6) |= (1L << (p & 63))
+        val pi = p.toInt
+        buffer(pi >> 6) |= (1L << (pi & 63))
+        p += step
+        if (p >= m) p -= m
         j += 1
       }
     }

@@ -44,7 +44,25 @@ object CacheScope {
   // transformation builds a NEW plan over the Dataset's ANALYZED
   // plan object — matching only one of the two misses half the
   // action surface.
-  private final case class Entry(owners: Seq[LogicalPlan], deps: Seq[Dataset[_]])
+  // Owners are held WEAKLY: the owner plans are reachable only
+  // through the result Dataset the caller received (deps reference
+  // nothing upward), so once the caller drops that Dataset no action
+  // can ever consume it — the cleared references make the entry
+  // collectable and its deps releasable. A still-held result keeps
+  // its plans strongly reachable, so a live entry can never be
+  // swept out from under the caller.
+  private final case class Entry(
+      owners: Seq[java.lang.ref.WeakReference[LogicalPlan]],
+      deps: Seq[Dataset[_]]) {
+    def abandoned: Boolean = owners.forall(_.get() == null)
+  }
+
+  /** Registry cap per session: a prepare-but-never-run gateway path
+    * registering unboundedly many owned results would pin caches even
+    * with live references; past this many pending entries the OLDEST
+    * is force-released (recompute cost on a path that by definition
+    * has not run anything, never a correctness issue). */
+  private[graft] val MaxPending = 64
 
   // Keyed by session so concurrent sessions (tests) don't see each
   // other's entries. Entries are few (one per in-flight query).
@@ -57,19 +75,44 @@ object CacheScope {
     * the deps are unpersisted and dropped from the registry. Returns
     * `result` unchanged, so call sites read as `CacheScope.owned(out, tmp)`.
     *
-    * If the caller never materializes the result, the deps stay
-    * registered (and cached) until [[releaseAll]] or session close —
-    * same contract as any lazy cache.
+    * Abandoned results cannot pin caches indefinitely: owner plans
+    * are tracked through WeakReferences, so an entry whose result
+    * Dataset was dropped without materializing is swept (deps
+    * unpersisted) on the next registration or query completion, and
+    * a per-session [[MaxPending]] cap force-releases the oldest
+    * entry if a prepare-only path registers unboundedly.
+    * [[releaseAll]] remains the immediate escape hatch.
     */
   def owned[T](result: Dataset[T], deps: Dataset[_]*): Dataset[T] = {
     val spark = result.sparkSession
     ensureListener(spark)
     val qe = result.queryExecution
-    registry
+    val entries = registry
       .computeIfAbsent(spark, _ =>
         java.util.Collections.synchronizedList(new java.util.ArrayList[Entry]()))
-      .add(Entry(Seq(qe.logical, qe.analyzed), deps))
+    val evicted = new java.util.ArrayList[Entry]()
+    entries.synchronized {
+      sweepAbandoned(entries, evicted)
+      entries.add(Entry(
+        Seq(new java.lang.ref.WeakReference(qe.logical),
+          new java.lang.ref.WeakReference(qe.analyzed)), deps))
+      while (entries.size() > MaxPending) evicted.add(entries.remove(0))
+    }
+    evicted.forEach(_.deps.foreach(_.unpersist(blocking = false)))
     result
+  }
+
+  // Drop entries whose owner plans have ALL been collected — the
+  // caller discarded the result without materializing it, so nothing
+  // can ever consume the owner. Must run under `entries.synchronized`;
+  // unpersists are collected by the caller and run outside the lock.
+  private def sweepAbandoned(entries: java.util.List[Entry],
+      out: java.util.List[Entry]): Unit = {
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.abandoned) { out.add(e); it.remove() }
+    }
   }
 
   /** Unpersist every registered dependency for `spark` immediately —
@@ -128,11 +171,13 @@ object CacheScope {
       catch { case _: Throwable => return }
     val matched = new java.util.ArrayList[Entry]()
     entries.synchronized {
+      sweepAbandoned(entries, matched)
       val it = entries.iterator()
       while (it.hasNext) {
         val e = it.next()
-        val hit = acted.exists(p => e.owners.exists(_ eq p)) ||
-          (try e.owners.exists(o => acted.exists(o.sameResult(_)))
+        val owners = e.owners.flatMap(r => Option(r.get()))
+        val hit = acted.exists(p => owners.exists(_ eq p)) ||
+          (try owners.exists(o => acted.exists(o.sameResult(_)))
            catch { case _: Throwable => false })
         if (hit) { matched.add(e); it.remove() }
       }

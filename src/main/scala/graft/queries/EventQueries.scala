@@ -280,6 +280,21 @@ object EventQueries {
     * Timestamps are emitted as formatted strings so the DuckDB
     * oracle hashes identically (e1's deal). */
   def k7Scd2(spark: SparkSession, dir: String): DataFrame = {
+    // Interval strings render in UTC regardless of the caller's
+    // session timezone: date_format resolves its zone at ANALYSIS
+    // time (ResolveTimeZone reads the session conf when the frame is
+    // built), so pinning the conf around construction bakes UTC into
+    // the plan. scd2Stream renders UTC explicitly — batch and stream
+    // closed rows must stay byte-identical in ANY session, not just
+    // the UTC-pinned harnesses.
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try k7Scd2Local(spark, dir)
+    finally spark.conf.set(tzKey, prevTz)
+  }
+
+  private def k7Scd2Local(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
@@ -321,7 +336,10 @@ object EventQueries {
       binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
-    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    // shiftright = floor division by 2 for any sign, matching the
+    // oracle's DuckDB `//` (floor); `div` truncates toward zero and
+    // would flip boundary rows when min+max is negative (pre-1970 data)
+    val mid = ev.agg(expr("shiftright(min(us) + max(us), 1)").as("mid"))
     val g = ev.crossJoin(broadcast(mid))
       .select(col("event_type"),
         (col("us") >= col("mid")).as("late"),

@@ -291,7 +291,12 @@ object StreamOps {
       .flatMapGroupsWithState[TierOpen, TierInterval](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TierEvent], state: GroupState[TierOpen]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision order: getTime alone truncates to millis,
+          // so two purchases in the same millisecond but different
+          // microseconds would tie-break on event_id where the batch
+          // k7_scd2 window (ORDER BY ts, event_id) sees distinct ts
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var cur = state.getOption
           val out = Seq.newBuilder[TierInterval]
           for (e <- sorted) {

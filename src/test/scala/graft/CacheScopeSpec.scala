@@ -91,6 +91,45 @@ class CacheScopeSpec extends SparkSpec {
     assert(CacheScope.pendingCount(spark) == 0)
   }
 
+  // The abandoned owner must be created in its OWN frame: a reference
+  // that ever appears in the test method's frame (including ScalaTest
+  // assert-macro temporaries) can stay JVM-reachable until the method
+  // returns, which would defeat the weak-reference sweep under test.
+  private def registerAndDrop(dep: DataFrame): Unit = {
+    CacheScope.owned(dep.select(col("id")), dep) // result discarded here
+    ()
+  }
+
+  test("abandoned results (dropped unmaterialized) are swept via weak owners") {
+    val baseline = CacheScope.pendingCount(spark)
+    val dep = freshDf("ab").persist()
+    registerAndDrop(dep)
+    assert(CacheScope.pendingCount(spark) == baseline + 1)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (CacheScope.pendingCount(spark) > baseline && System.nanoTime() < deadline) {
+      System.gc()
+      freshDf("abTick").count() // any completed query triggers the sweep
+      Thread.sleep(50)
+    }
+    assert(CacheScope.pendingCount(spark) == baseline,
+      "abandoned entry not swept after owner plans became unreachable")
+    awaitReleased(dep)
+  }
+
+  test("MaxPending cap force-releases the oldest prepare-only entry") {
+    val first = freshDf("cap0").persist()
+    val keep = CacheScope.owned(first.select(col("id")), first)
+    // fill the registry with MaxPending more live (referenced) entries
+    val held = (1 to CacheScope.MaxPending).map { i =>
+      val d = freshDf(s"cap$i").persist()
+      (d, CacheScope.owned(d.select(col("id")), d))
+    }
+    assert(keep != null && held.size == CacheScope.MaxPending)
+    awaitReleased(first) // oldest evicted despite its live reference
+    CacheScope.releaseAll(spark)
+    held.foreach { case (d, _) => awaitReleased(d) }
+  }
+
   test("releaseAll is the escape hatch for never-materialized results") {
     val dep = freshDf("ra").persist()
     CacheScope.owned(dep.select(col("id")), dep)

@@ -156,6 +156,63 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exists { case (u, tier, _, _, _) => u == 1L && tier == 2 })
   }
 
+  test("scd2Stream: same-millisecond purchases order by full microsecond ts, not event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamOps.scd2Stream(
+      in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("scd2us")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // same millisecond, microseconds apart, event ids REVERSED vs time
+    // order: a millis-precision sort would tie-break on event_id and
+    // see tier 2 before tier 1, closing the wrong interval
+    val rows = Seq(
+      (7L, t("2026-01-01 10:00:00.000456"), 8L, "purchase", 250.0), // tier 2, LATER
+      (7L, t("2026-01-01 10:00:00.000123"), 9L, "purchase", 150.0)) // tier 1, EARLIER
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2us").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    val dir = "/tmp/graft_scd2us_fixture"
+    rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchClosed = graft.queries.EventQueries.k7Scd2(spark, dir)
+      .filter(!col("is_current")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(streamed == batchClosed,
+      s"sub-millisecond order diverged:\n  stream=$streamed\n  batch=$batchClosed")
+    // and it is the time order that won: tier 1 (the earlier micro-ts) closed
+    assert(streamed.map(_._2) == Set(1))
+  }
+
+  test("k7_scd2 renders UTC intervals under a non-UTC session timezone") {
+    val dir = "/tmp/graft_scd2tz_fixture"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "purchase", 150.0),
+      (1L, t("2026-01-01 11:00:00"), 2L, "purchase", 250.0),
+      (2L, t("2026-01-01 12:00:00"), 3L, "purchase", 50.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run() = graft.queries.EventQueries.k7Scd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    val utcRows = run()
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    // half-hour offset: any leaked session-tz rendering shifts strings
+    spark.conf.set(tzKey, "Asia/Kolkata")
+    val kolkataRows = try run() finally spark.conf.set(tzKey, prev)
+    assert(kolkataRows == utcRows,
+      s"session tz leaked into interval strings:\n  utc=$utcRows\n  kolkata=$kolkataRows")
+    assert(spark.conf.get(tzKey) == prev)
+    // the strings really are UTC wall clock (fixture written under UTC session)
+    assert(utcRows.exists(_._3 == "2026-01-01 10:00:00"))
+  }
+
   test("driftBatch: per-batch rates vs a reference profile, absences both ways") {
     implicit val sqlCtx = spark.sqlContext
     // reference window: type A uniform over bins 0 and 1; type B all bin 0
