@@ -75,6 +75,7 @@ object SparkEntry {
     "t_source_filter" -> (TextQueries.tSourceFilter _),
     "t_source_overlap" -> (TextQueries.tSourceOverlap _),
     "t_source_overlap_minhash" -> (TextQueries.tSourceOverlapMinhash _),
+    "t_source_overlap_lsh" -> (TextQueries.tSourceOverlapLsh _),
     "t_curation_e2e" -> (graft.queries.CurationQueries.tCurationE2e _),
     "t_quality_classifier" -> ((s: SparkSession, d: String) => TextQueries.tQualityClassifier(s, d)),
     "t_stratified_sample" -> ((s: SparkSession, d: String) => TextQueries.tStratifiedSample(s, d)),
@@ -1247,6 +1248,7 @@ object SparkEntry {
     // BIGINT arithmetic in both engines, so the sketch itself (not a
     // ground-truth proxy) is recomputed bit-identically
     "t_source_overlap_minhash" -> TextQueries.srcOverlapMinhashOracleSql,
+    "t_source_overlap_lsh" -> TextQueries.srcOverlapLshOracleSql,
     // the composed final pass: every ingredient is the same recompute
     // as its own oracle row (t_quality_gate / dedup_exact /
     // emb_outliers), fused into one decision table

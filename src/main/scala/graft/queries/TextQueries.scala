@@ -624,7 +624,15 @@ object TextQueries {
     * sets (standard MinHash; ±1/√32 ≈ 0.18 resolution — a triage
     * signal ranking which pairs deserve the exact tSourceOverlap
     * census, not a replacement for it). */
-  def tSourceOverlapMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-source 32-component MinHash signature frame (source,
+    * m0..m31) — ONE narrow corpus scan (fused shingle pass → exploded
+    * 32-bit md5 hashes) into a map-side-combinable 32-min agg keyed
+    * by source: partial mins collapse inside map tasks, so the
+    * shuffle carries ≤ 32 longs per source per task and per-source
+    * state is constant REGARDLESS of corpus size. Shared by the exact
+    * pair matrix (tSourceOverlapMinhash) and the banded candidate
+    * path (tSourceOverlapLsh); callers persist. */
+  private[graft] def srcSignatures(spark: SparkSession, dir: String): DataFrame = {
     val M = 4294967296L // 2^32
     val sh = Tables.documents(spark, dir)
       .select(col("source"), tokens(normText(col("text"))).as("toks"))
@@ -637,10 +645,14 @@ object TextQueries {
     val minCols = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(M))).as(s"m$i")
     }
+    sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  def tSourceOverlapMinhash(spark: SparkSession, dir: String): DataFrame = {
     // persisted: both legs of the a<b pair join read the signature
     // frame (S rows); unpersisted, each leg re-runs the full corpus
     // shingle scan + agg
-    val sig = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val sig = srcSignatures(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("source").as("source_a") +:
       (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -682,6 +694,118 @@ object TextQueries {
            CAST($eq AS BIGINT) AS sig_match,
            round(CAST($eq AS DOUBLE) / $MinhashHashes, 4) AS est_jaccard
          FROM sig a JOIN sig b ON a.source < b.source"""
+  }
+
+  /** Banding parameters of the LSH source-overlap QUERY entry: 32
+    * bands × 1 row over the 32-component signature, reporting pairs
+    * agreeing on ≥ 2 components (est_jaccard ≥ 0.0625) — the audit
+    * setting sized so the synthetic corpus (whose 20 sources top out
+    * near 4/32 agreement) produces a non-trivial answer. The SCALE
+    * setting for "millions of domains" is coarser — 16 bands × 2
+    * rows with minMatch 17 — and carries the same exactness
+    * guarantee; both run through the one parameterized pipeline and
+    * the spec proves banded ≡ exact-filtered at both settings. */
+  private[graft] val SrcLshBands = 32
+  private[graft] val SrcLshMinMatch = 2
+
+  /** Cross-source overlap, the BANDED scale path — the subquadratic
+    * step past tSourceOverlapMinhash's S² pair matrix that "millions
+    * of raw domains" requires: the same per-source 32-long signatures
+    * feed MinHash banding (dedupMinhash's machinery at source
+    * granularity), so candidate pairs come from equi-joined band
+    * buckets — shuffle bounded by band-row count (bands × S), never
+    * by S² — and only candidates pay the component-agreement scoring.
+    *
+    * EXACT above the threshold, not approximate: with `bands` bands
+    * over the 32 components, a pair with ≥ 33 − bands agreeing
+    * components has at most bands − 1 disagreements, which can break
+    * at most bands − 1 bands — at least one band survives intact
+    * (pigeonhole), so every pair at or above `minMatch ≥ 33 − bands`
+    * shares a full band and is GUARANTEED a candidate. Hash-collision
+    * candidates (xxhash64 band keys) only ADD candidates, which the
+    * exact sig_match filter removes — so the output is identical to
+    * the full matrix filtered to sig_match ≥ minMatch, and the spec
+    * pins that identity. Output schema matches tSourceOverlapMinhash
+    * (source_a, source_b, sig_match, est_jaccard).
+    *
+    * Scale shape: one corpus scan → signature agg (srcSignatures),
+    * band rows via posexplode of slice-hashes (narrow), ONE shuffle
+    * keyed (band, band_key) for the bucket self-join, candidate pairs
+    * deduped before scoring, scoring via two broadcast-size hash
+    * joins against the S-row signature frame. No nested-loop or
+    * cartesian anywhere (PlanSpec pins it). At extreme hot-bucket
+    * skew the dedupMinhash bucket-cap machinery applies, traded
+    * against the exactness guarantee — at source granularity bucket
+    * population is sources-per-band-key, orders of magnitude below
+    * document banding. */
+  def tSourceOverlapLsh(spark: SparkSession, dir: String): DataFrame =
+    tSourceOverlapLshOf(srcSignatures(spark, dir), SrcLshBands, SrcLshMinMatch)
+
+  private[graft] def tSourceOverlapLshOf(sig0: DataFrame, bands: Int,
+      minMatch: Int): DataFrame = {
+    require(MinhashHashes % bands == 0,
+      s"bands must divide $MinhashHashes, got $bands")
+    require(minMatch >= MinhashHashes - bands + 1,
+      s"exactness guarantee needs minMatch >= ${MinhashHashes - bands + 1} " +
+        s"at $bands bands, got $minMatch")
+    val r = MinhashHashes / bands
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sig
+      .select(col("source"),
+        array((0 until MinhashHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("source"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+      .select(col("source"), col("pos").as("band"), col("col").as("band_key"))
+    val cand = bandRows.select(col("band"), col("band_key"), col("source").as("source_a"))
+      .join(bandRows.select(col("band"), col("band_key"), col("source").as("source_b")),
+        Seq("band", "band_key"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"))
+      .distinct()
+    val a = sig.select(col("source").as("source_a") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(col("source").as("source_b") +:
+      (0 until MinhashHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, Seq("source_a")).join(b, Seq("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("sig_match"),
+        round(matches.cast("double") / MinhashHashes, 4).as("est_jaccard"))
+      .filter(col("sig_match") >= minMatch)
+      .transform(CacheScope.owned(_, sig))
+  }
+
+  /** The DuckDB oracle for tSourceOverlapLsh — the EXACT pair matrix
+    * (srcOverlapMinhashOracleSql's recompute) filtered to the query's
+    * threshold: the banding guarantee makes the banded output
+    * identical to this filter, so the oracle needs no band
+    * simulation. */
+  private[graft] def srcOverlapLshOracleSql: String = {
+    val mins = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % 4294967296) AS m$i"
+    }.mkString(",\n                    ")
+    val eq = (0 until MinhashHashes)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source,
+                    string_split_regex(trim(lower(trim(text))), '\\s+') AS toks
+                    FROM documents),
+              s AS (SELECT source, unnest(
+                    list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              h AS (SELECT source,
+                    ('0x' || substr(md5(sh), 25, 8))::BIGINT AS h FROM s),
+              sig AS (SELECT source,
+                    $mins
+                    FROM h GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST($eq AS BIGINT) AS sig_match,
+           round(CAST($eq AS DOUBLE) / $MinhashHashes, 4) AS est_jaccard
+         FROM sig a JOIN sig b ON a.source < b.source
+         WHERE ($eq) >= $SrcLshMinMatch"""
   }
 
   /** Exact digest of a hashed-shingle SET: order-normalized before

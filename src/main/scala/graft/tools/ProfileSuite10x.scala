@@ -77,6 +77,7 @@ object ProfileSuite10x {
     // Bloom decontamination (one distinct + map-side probes), and
     // the drift grid (two scans into a |types|×|bins| agg)
     "t_source_overlap_minhash" -> LinearBound,
+    "t_source_overlap_lsh" -> LinearBound,
     "t_decontaminate_bloom" -> LinearBound,
     "e10_drift" -> LinearBound,
     // late round-9: SCD2 (one user_id window shuffle), CUBE (Expand

@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), "vector math not using the native expression")
   }
 
+  test("t_source_overlap_lsh: banded equi-join candidates, never the S² pair product") {
+    // the whole point of the banded variant vs tSourceOverlapMinhash's
+    // a<b broadcast nested loop: candidates come from hash-joined band
+    // buckets, so no nested-loop or cartesian may appear anywhere
+    val plan = planString(TextQueries.tSourceOverlapLsh(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "banded overlap fell back to the S² pair product")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("w1 top-k per group: WindowGroupLimit prunes before the shuffle") {
     // rank <= k over a LOW-cardinality partition key would bottleneck
     // on k sort partitions at scale; Spark's WindowGroupLimit keeps

@@ -66,13 +66,14 @@ class SqlGatewaySpec extends SparkSpec {
   //    t_source_overlap)
   //  - 1-based vs 0-based `arr[i]` element access — syntax-level,
   //    unreachable from a function registry.
-  //    (p7_spec_resolver, dedup_simhash, t_source_overlap_minhash —
-  //    the last also casts '0x…' hex strings, which Spark's
-  //    non-ANSI string→BIGINT cast nulls)
+  //    (p7_spec_resolver, dedup_simhash, t_source_overlap_minhash and
+  //    t_source_overlap_lsh — the overlap pair also casts '0x…' hex
+  //    strings, which Spark's non-ANSI string→BIGINT cast nulls)
   private val KnownDivergent = Set(
     "dedup_exact", "t_fingerprint", "t_redact_pii", "t_quality_score",
     "t_tfidf", "t_bm25_topk", "t_source_filter", "t_source_overlap",
-    "p7_spec_resolver", "dedup_simhash", "t_source_overlap_minhash")
+    "p7_spec_resolver", "dedup_simhash", "t_source_overlap_minhash",
+    "t_source_overlap_lsh")
 
   test("inventory: the verbatim-portable subset of the oracle SQL is pinned") {
     SqlGateway.open(spark, sf)

@@ -804,4 +804,60 @@ class TextQueriesSpec extends SparkSpec {
     assert(got == want,
       s"missed=${(want -- got).size} extra=${(got -- want).size}")
   }
+
+  test("tSourceOverlapLsh equals the exact matrix filtered to the threshold (query setting)") {
+    // the banding guarantee is EXACTNESS above minMatch — so the
+    // banded output must be set-identical to the full S² matrix
+    // filtered to sig_match >= minMatch, on real data
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(TextQueries.tSourceOverlapMinhash(spark, dir))
+      .filter(_._3 >= TextQueries.SrcLshMinMatch)
+    val banded = rows(TextQueries.tSourceOverlapLsh(spark, dir))
+    assert(banded.nonEmpty, "threshold too high for the synthetic corpus — vacuous test")
+    assert(banded == exact,
+      s"missed=${(exact -- banded).size} extra=${(banded -- exact).size}")
+  }
+
+  test("tSourceOverlapLsh at the 16×2 scale setting: pigeonhole boundary is exact") {
+    // Synthetic signatures drive the WORST case for 16 bands × 2 rows,
+    // minMatch 17: a pair with exactly 17 agreements whose 15
+    // disagreements break 15 of the 16 bands (one intact band left —
+    // the pigeonhole minimum), a pair at 16 agreements with every band
+    // broken, and an exact duplicate.
+    import spark.implicits._
+    def sig(name: String, agreeWithBase: Set[Int]): (String, Seq[Long]) =
+      (name, (0 until 32).map(i =>
+        if (agreeWithBase(i)) 1000L + i else name.hashCode.toLong * 100 + i))
+    val all = Set.range(0, 32)
+    // band b = components (2b, 2b+1); agree fully on band 0, then one
+    // agreement + one disagreement in each of bands 1..15 → 17 agree
+    val seventeen = Set(0, 1) ++ (1 to 15).map(_ * 2).toSet
+    // one agreement + one disagreement in EVERY band → 16 agree, all broken
+    val sixteen = (0 to 15).map(_ * 2).toSet
+    val defs = Seq(sig("sBase", all), sig("sDup", all),
+      sig("sSeventeen", seventeen), sig("sSixteen", sixteen))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(StructField("source", StringType) +:
+      (0 until 32).map(i => StructField(s"m$i", LongType)))
+    val fullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(defs.map { case (n, ms) => Row.fromSeq(n +: ms) }),
+      schema)
+    val got = TextQueries.tSourceOverlapLshOf(fullDf, bands = 16, minMatch = 17)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // driver-side exact matrix filtered to >= 17
+    val bySrc = defs.toMap
+    val srcs = defs.map(_._1).sorted
+    val want = (for { a <- srcs; b <- srcs if a < b } yield
+      (a, b, bySrc(a).zip(bySrc(b)).count { case (x, y) => x == y }.toLong))
+      .filter(_._3 >= 17).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // the boundary pair was really exercised, and the all-bands-broken
+    // sub-threshold pair really excluded
+    assert(got.contains(("sBase", "sSeventeen", 17L)))
+    assert(got.contains(("sBase", "sDup", 32L)))
+    assert(!got.exists(p => p._1 == "sBase" && p._2 == "sSixteen"))
+  }
 }
