@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-ingest INDEX-GROWTH rehearsal — round 10's complement
+  * to ProfileScale §3 (which pins per-batch flatness across BATCH
+  * COUNT at a small accumulated index): here the accumulated index
+  * itself grows 10×, and the cost of one standard probe batch is
+  * measured at 1×, 3× and 10× index volume for both lake-table
+  * ingest paths (`nearDupIngestBatch` text LSH, `imageIngestBatch`
+  * pHash blocks).
+  *
+  * The claim under test: a probe batch's cost is
+  * `fixed + c · touched_index_bytes`, where the touched bytes are
+  * bounded by the bucket-pruned partition read and the column-pruned
+  * (two join columns) scan — NOT by total index size. A full-scan
+  * regression (losing the `bkt` partition filter, or dragging the
+  * shingle arrays through the candidate join) turns the curve linear
+  * with a large constant, far outside the bound.
+  *
+  * Fixture honesty: each seeding replica rewrites EVERY token
+  * (per-replica word prefix), so replicas are genuinely novel to the
+  * near-dup gate and the index really accumulates; each probe batch
+  * uses a fresh per-checkpoint transform so every probe does the
+  * same novel-content work (drop-path probes would do different,
+  * cheaper work). Probe appends (~500 docs) are negligible against
+  * the seeded volume.
+  *
+  * Usage: runMain graft.tools.ProfileIngest10x [sfDir]
+  * Prints the two flat-cost curves; exits non-zero if
+  * cost(10×)/cost(1×) exceeds [[GrowthBound]] for either path.
+  */
+object ProfileIngest10x {
+
+  /** Probe-cost growth bound across a 10× index. The linear term is
+    * the column-pruned two-column scan of touched partitions — tiny
+    * against the fixed per-batch cost at these volumes; 2× leaves
+    * room for it plus co-tenant noise while still catching any
+    * full-scan / lost-pruning regression (which measures ~10×). */
+  val GrowthBound = 2.0
+
+  private def tagWords(df: DataFrame, tag: String): DataFrame =
+    df.select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", tag + "_$1").as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---------- text LSH ingest ----------
+    val offset = 10000000L
+    val base = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBase = base.count()
+    val probeSrc = base.limit(500)
+      .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probeSrc.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft-ingest10x").toString + "/index"
+    println(s"[ingest10x] text: base $nBase docs/replica, probe 500 docs, index at $idx")
+
+    var batchId = 0L
+    def seed(k: Int): Unit = {
+      val replica = tagWords(
+        base.select((col("doc_id") + lit(k * offset)).as("doc_id"), col("text")),
+        s"r$k")
+      batchId += 1
+      val kept = graft.streaming.StreamOps
+        .nearDupIngestBatch(idx)(replica, batchId).count()
+      require(kept > nBase * 0.9,
+        s"replica $k was near-dup-suppressed ($kept/$nBase kept) — fixture broken")
+    }
+    def probeCost(chk: String): Double = {
+      val probe = tagWords(probeSrc, s"p$chk")
+      batchId += 1
+      val t0 = System.nanoTime()
+      graft.streaming.StreamOps.nearDupIngestBatch(idx)(probe, batchId).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def indexDocs(): Long =
+      spark.read.parquet(s"$idx/shingles").count()
+
+    seed(0)
+    val t1 = probeCost("a")
+    println(f"[ingest10x] text probe at  1x index (${indexDocs()}%7d sets)  $t1%6.2fs")
+    (1 until 3).foreach(seed)
+    val t3 = probeCost("b")
+    println(f"[ingest10x] text probe at  3x index (${indexDocs()}%7d sets)  $t3%6.2fs")
+    (3 until 10).foreach(seed)
+    val t10 = probeCost("c")
+    println(f"[ingest10x] text probe at 10x index (${indexDocs()}%7d sets)  $t10%6.2fs")
+    val textRatio = t10 / t1
+    println(f"[ingest10x] text probe growth 10x/1x = $textRatio%.2f (bound $GrowthBound%.1f)")
+
+    // ---------- image pHash ingest ----------
+    val w = 16; val h = 16
+    def texture(seed: Int): Array[Byte] = {
+      // per-(pixel, seed) mix — gradient textures collide at pHash
+      // hamming ≤ 6 and would dedup away most of the seeded volume
+      Array.tabulate[Byte](w * h) { i =>
+        var x = i.toLong * 2654435761L + seed.toLong * 0x9E3779B97F4A7C15L
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+        ((x & 0x7FFFFFFF) % 200 + 10).toByte
+      }
+    }
+    def png(pix: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def mediaDf(ids: Range): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(ids.map { id =>
+        Row(id.toLong, "image", s"mem://$id", png(texture(id)), Row(w, h, null, "png"))
+      }, 8), graft.multimodal.MediaOps.mediaSchema)
+    val imgIdx = java.nio.file.Files.createTempDirectory("graft-ingest10x-img").toString
+    val perSeed = 2000
+    var imgBatch = 0L
+    def seedImg(k: Int): Unit = {
+      imgBatch += 1
+      graft.streaming.StreamOps.imageIngestBatch(imgIdx)(
+        mediaDf(k * perSeed until (k + 1) * perSeed), imgBatch).count()
+    }
+    def probeImg(chk: Int): Double = {
+      imgBatch += 1
+      val probe = mediaDf(900000 + chk * 1000 until 900000 + chk * 1000 + 200)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamOps.imageIngestBatch(imgIdx)(probe, imgBatch).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def indexImgs(): Long = spark.read.parquet(s"$imgIdx/blocks").count() / 8
+
+    seedImg(0)
+    val i1 = probeImg(1)
+    println(f"[ingest10x] image probe at  1x index (${indexImgs()}%7d imgs)  $i1%6.2fs")
+    (1 until 3).foreach(seedImg)
+    val i3 = probeImg(2)
+    println(f"[ingest10x] image probe at  3x index (${indexImgs()}%7d imgs)  $i3%6.2fs")
+    (3 until 10).foreach(seedImg)
+    val i10 = probeImg(3)
+    println(f"[ingest10x] image probe at 10x index (${indexImgs()}%7d imgs)  $i10%6.2fs")
+    val imgRatio = i10 / i1
+    println(f"[ingest10x] image probe growth 10x/1x = $imgRatio%.2f (bound $GrowthBound%.1f)")
+
+    if (textRatio > GrowthBound || imgRatio > GrowthBound) {
+      System.err.println(f"[ingest10x] FAIL: text $textRatio%.2f image $imgRatio%.2f " +
+        f"vs bound $GrowthBound%.1f")
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+}
