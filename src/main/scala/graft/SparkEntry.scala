@@ -44,6 +44,7 @@ object SparkEntry {
     "w1_topk_per_group" -> (CoreQueries.w1TopkPerGroup _),
     "w2_running_total" -> (CoreQueries.w2RunningTotal _),
     "w3_order_gaps" -> (CoreQueries.w3OrderGaps _),
+    "w4_running_total_twophase" -> (CoreQueries.w4RunningTotalTwoPhase _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
@@ -280,6 +281,17 @@ object SparkEntry {
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
+    // deliberately the ONE-PASS window on the same exact decimal the
+    // engine's two-phase decomposition uses: agreement proves the
+    // month-bucketed regrouping, not just the arithmetic
+    "w4_running_total_twophase" ->
+      """SELECT o_custkey, o_orderkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS running_total
          FROM orders""",
     "w3_order_gaps" ->
       """SELECT o_custkey, o_orderkey,

@@ -272,6 +272,53 @@ object CoreQueries {
         round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
   }
 
+  /** W4: the running total again, as the SKEW-SAFE two-phase
+    * decomposition — the documented mitigation (PROFILE_SKEW.md) for
+    * per-key ordered windows when one key owns a pathological share
+    * of the rows: Spark cannot split a window partition, so w2's
+    * single (customer) partition puts the whole hot key in ONE task.
+    * This form splits it by a coarse ORDER-ALIGNED bucket (calendar
+    * month): phase 1 pre-aggregates (customer, month) sums — a
+    * map-side-combinable groupBy, skew-flat; phase 2 prefix-sums
+    * those monthly sums per customer — a window over the TINY
+    * per-month frame (|customers|×|months| rows); phase 3 windows
+    * WITHIN (customer, month) partitions and adds the prior-months
+    * offset — the hot key's work is now spread across |months|
+    * independent tasks, bounded by its busiest month instead of its
+    * lifetime.
+    *
+    * Exactness: sums run in DECIMAL(18,2) — associative and exact,
+    * so regrouping by month changes nothing — and the DuckDB oracle
+    * is deliberately the ONE-PASS window on the same decimal: oracle
+    * agreement PROVES the decomposition, not just the arithmetic.
+    * (w2 keeps the one-pass double form — the common case where the
+    * key is uniform and one ordered scan is optimal.) */
+  def w4RunningTotalTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    runningTotalTwoPhaseOf(Tables.orders(spark, dir))
+
+  /** The two-phase core over any (o_custkey, o_orderkey, o_orderdate,
+    * o_totalprice) frame — exposed so specs can drive it with a
+    * synthetic hot-key fixture. */
+  private[graft] def runningTotalTwoPhaseOf(orders: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .withColumn("b", year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+    val monthly = o.groupBy(col("o_custkey"), col("b")).agg(sum(col("p")).as("bsum"))
+    val priorMonths = Window.partitionBy(col("o_custkey")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = monthly.select(col("o_custkey"), col("b"),
+      coalesce(sum(col("bsum")).over(priorMonths),
+        lit(0).cast("decimal(28,2)")).as("off"))
+    val withinMonth = Window.partitionBy(col("o_custkey"), col("b"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("local", sum(col("p")).over(withinMonth))
+      .join(offsets, Seq("o_custkey", "b"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round((col("local") + col("off")).cast("double"), 2).as("running_total"))
+  }
+
   /** Inter-order gap per customer via `lag` — the offset-window
     * family (lead/lag). The gap-days distribution is the standard
     * churn/recency signal; NULL marks each customer's first order,

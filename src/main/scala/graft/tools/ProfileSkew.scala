@@ -63,6 +63,7 @@ object ProfileSkew {
   val Plan: Seq[(String, String)] = Seq(
     "w1_topk_per_group" -> "window top-k; WindowGroupLimit pre-prune (hot segment 60%)",
     "w2_running_total" -> "per-key ordered window (hot customer 20%)",
+    "w4_running_total_twophase" -> "two-phase month-split running total (hot customer 20%)",
     "w3_order_gaps" -> "per-key lag window (hot customer 20%)",
     "e2_sessionize" -> "per-key session window (hot user 20%)",
     "e4_salted_rollup" -> "two-phase salted groupBy (hot user 20%)",

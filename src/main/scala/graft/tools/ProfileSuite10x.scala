@@ -86,6 +86,7 @@ object ProfileSuite10x {
     // here cold, so it gets the linear bound like the other
     // train-in-query entries)
     "k7_scd2" -> LinearBound,
+    "w4_running_total_twophase" -> LinearBound,
     "a9_cube" -> LinearBound,
     "ann_ivfpq_stored" -> LinearBound)
 

@@ -53,6 +53,41 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("w4 two-phase running total: exact on a hot-key fixture, month split in the plan") {
+    import spark.implicits._
+    // one customer owns 80% of the orders, spread across 12 months —
+    // the shape whose single w2-style window partition is the 100 TB
+    // straggler; the two-phase form must produce the EXACT same
+    // running totals while partitioning by (customer, month)
+    val rows = (1 to 2000).map { i =>
+      val cust = if (i % 5 != 0) 1L else 100L + i % 7
+      val day = 1 + i % 28; val mon = 1 + i % 12
+      (cust, i.toLong, java.sql.Date.valueOf(f"2025-$mon%02d-$day%02d"),
+        (i % 997) + 0.25)
+    }
+    val orders = rows.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = CoreQueries.runningTotalTwoPhaseOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver ground truth: BigDecimal running sums in (date, orderkey)
+    // order per customer — the one-pass definition
+    val want = rows.groupBy(_._1).flatMap { case (_, os) =>
+      var acc = BigDecimal(0)
+      os.sortBy(o => (o._3.toString, o._2)).map { o =>
+        acc += BigDecimal(o._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        (o._1, o._2) -> acc.toDouble
+      }
+    }
+    assert(got.size == want.size)
+    val bad = want.collect { case (k, w) if math.abs(got(k) - w) > 1e-9 => (k, w, got(k)) }
+    assert(bad.isEmpty, s"two-phase diverged on ${bad.take(5)}")
+    // the plan really windows by (custkey, bucket), not bare custkey
+    val plan = CoreQueries.runningTotalTwoPhaseOf(orders)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(o_custkey"), plan.take(1500))
+    assert(plan.contains("windowspecdefinition(o_custkey#") &&
+      plan.contains(", b#"), "within-month window lost its bucket key:\n" + plan.take(1500))
+  }
+
   test("k5SnapshotDiff classifies exactly the keys the modular rules predict") {
     val dir = "/root/testdata/sf0.001"
     val keys = graft.sources.Tables.orders(spark, dir)

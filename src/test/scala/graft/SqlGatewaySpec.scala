@@ -53,7 +53,7 @@ class SqlGatewaySpec extends SparkSpec {
     "q_validate", "s1_full_scan", "s2_filtered_scan", "s4_set_ops",
     "s8_docstore_scan", "t_corpus_mix", "t_heavy_hitters",
     "t_inverted_index", "t_stratified_sample",
-    "w1_topk_per_group", "w2_running_total")
+    "w1_topk_per_group", "w2_running_total", "w4_running_total_twophase")
 
   // Runs in BOTH dialects but means something different — each entry
   // pinned with its cause so the overlap can't drift silently:
