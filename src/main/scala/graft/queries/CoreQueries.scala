@@ -313,8 +313,15 @@ object CoreQueries {
     val withinMonth = Window.partitionBy(col("o_custkey"), col("b"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-SAFE join keys: a null o_orderdate (null bucket) or null
+    // o_custkey must flow through exactly as the one-pass window
+    // treats it (its own group / NULLS FIRST), not vanish on a
+    // null=null inner-join miss
+    val offRenamed = offsets.select(col("o_custkey").as("off_ck"),
+      col("b").as("off_b"), col("off"))
     o.withColumn("local", sum(col("p")).over(withinMonth))
-      .join(offsets, Seq("o_custkey", "b"))
+      .join(offRenamed,
+        col("o_custkey") <=> col("off_ck") && col("b") <=> col("off_b"))
       .select(col("o_custkey"), col("o_orderkey"),
         round((col("local") + col("off")).cast("double"), 2).as("running_total"))
   }

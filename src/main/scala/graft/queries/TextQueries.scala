@@ -1457,8 +1457,15 @@ object TextQueries {
       words: IndexedSeq[Long], k: Int): DataFrame = {
     val mBits = words.length * 64
     val bits = typedlit(words)
+    // pre-reduced double-hash stepping — the SAME exact (h1 + j·h2)
+    // mod m arithmetic BloomAgg.update performs, so build and probe
+    // agree for ARBITRARY long hashes, not just the md5-low-32 ones
+    // current callers pass (reduced operands stay < m, so j·h2r + h1r
+    // cannot wrap for any real (k, m))
     val hitCond = (0 until k).map { j =>
-      val p = pmod(col("h1") + lit(j.toLong) * col("h2"), lit(mBits.toLong))
+      val h1r = pmod(col("h1"), lit(mBits.toLong))
+      val h2r = pmod(col("h2"), lit(mBits.toLong))
+      val p = pmod(h1r + lit(j.toLong) * h2r, lit(mBits.toLong))
       val word = element_at(bits, (p / 64).cast("int") + 1)
       word.bitwiseAND(call_function("shiftleft", lit(1L),
         pmod(p, lit(64L)).cast("int"))) =!= 0

@@ -139,23 +139,46 @@ object ProfileSkew {
     * action ran (a DataFrameWriter would plan a fresh one and show
     * the un-executed AQE skeleton). */
   def demoSkewJoinSplit(spark: SparkSession, skewDir: String): Boolean = {
-    val confs = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val ev = spark.read.parquet(s"$skewDir/events.parquet")
+    val big = ev.select(col("user_id").as("k"),
+      md5(concat_ws(":", col("event_id"), col("ts"), col("value"))).as("payload"))
+      .repartition(32)
+    val small = ev.filter(pmod(col("event_id"), lit(1000)) === 0)
+      .select(col("user_id").as("k"), col("value").as("v"))
+    skewJoinSplitFires(big, small)
+  }
+
+  /** Skew-demo session confs — ONE definition shared by the tool and
+    * the PlanSpec CI pin so thresholds and detection cannot drift. */
+  val SkewDemoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
+  /** Set `confs`, run `body`, ALWAYS restore previous values. */
+  def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val ev = spark.read.parquet(s"$skewDir/events.parquet")
-      val big = ev.select(col("user_id"),
-        md5(concat_ws(":", col("event_id"), col("ts"), col("value"))).as("payload"))
-        .repartition(32)
-      val small = ev.filter(pmod(col("event_id"), lit(1000)) === 0)
-        .select(col("user_id"), col("value"))
-      val joined = big.join(small, Seq("user_id"))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The shared demo core: force-SMJ `big ⋈ small` on column `k`
+    * (big must carry an incompressible `payload` and multiple
+    * mappers; see the fire conditions above), aggregate on a NON-join
+    * key, execute, and report whether the final adaptive plan shows
+    * the split (`skew=true`). Used by the tool's fixture demo AND the
+    * PlanSpec pin with a synthetic frame. */
+  def skewJoinSplitFires(big: DataFrame, small: DataFrame): Boolean = {
+    val spark = big.sparkSession
+    withConfs(spark, SkewDemoConfs) {
+      val joined = big.join(small, Seq("k"))
         .groupBy(substring(col("payload"), 1, 1).as("pfx"))
         .agg(count(lit(1)).as("n"))
       joined.collect()
@@ -164,9 +187,6 @@ object ProfileSkew {
         case other => other.toString
       }
       finalPlan.contains("skew=true")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

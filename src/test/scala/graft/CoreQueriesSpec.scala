@@ -80,12 +80,31 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.size == want.size)
     val bad = want.collect { case (k, w) if math.abs(got(k) - w) > 1e-9 => (k, w, got(k)) }
     assert(bad.isEmpty, s"two-phase diverged on ${bad.take(5)}")
-    // the plan really windows by (custkey, bucket), not bare custkey
+    // the WITHIN-MONTH window really partitions by (custkey, bucket):
+    // its spec lists b as a bare PARTITION column followed by the
+    // o_orderdate sort — the phase-2 offsets window (which has b only
+    // as an ORDER column, "b#N ASC") must not satisfy this
     val plan = CoreQueries.runningTotalTwoPhaseOf(orders)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(o_custkey"), plan.take(1500))
-    assert(plan.contains("windowspecdefinition(o_custkey#") &&
-      plan.contains(", b#"), "within-month window lost its bucket key:\n" + plan.take(1500))
+    val withinMonthSpec =
+      """windowspecdefinition\(o_custkey#\d+L?, b#\d+, o_orderdate#""".r
+    assert(withinMonthSpec.findFirstIn(plan).isDefined,
+      "within-month window lost its bucket partition key:\n" + plan.take(1500))
+    // null keys flow through the null-safe join instead of vanishing:
+    // a null date lands in the null bucket, a null customer stays its
+    // own group — row count must match the one-pass semantics
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nSchema = StructType(Seq(StructField("o_custkey", LongType),
+      StructField("o_orderkey", LongType), StructField("o_orderdate", DateType),
+      StructField("o_totalprice", DoubleType)))
+    val nRows = rows.take(10).map(r => Row(r._1, r._2, r._3, r._4)) ++ Seq(
+      Row(1L, 9001L, null, 10.25),
+      Row(null, 9002L, java.sql.Date.valueOf("2025-06-15"), 20.50))
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(nRows), nSchema)
+    assert(CoreQueries.runningTotalTwoPhaseOf(withNulls).count() == 12,
+      "null o_orderdate/o_custkey rows were dropped by the offset join")
   }
 
   test("k5SnapshotDiff classifies exactly the keys the modular rules predict") {

@@ -119,36 +119,17 @@ class PlanSpec extends SparkSpec {
     // measured compressed. Thresholds are lowered to fire at test
     // size — at production sizes the 256 MB defaults fire unaided.
     import org.apache.spark.sql.functions._
-    val confs = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // 50% of rows on one key, incompressible per-row payload
-      val big = spark.range(60000)
-        .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
-          md5(col("id").cast("string")).as("payload"))
-        .repartition(16)
-      val small = spark.range(500).select(col("id").as("k"), lit(1.0).as("v"))
-      val joined = big.join(small, Seq("k"))
-        .groupBy(substring(col("payload"), 1, 1).as("pfx"))
-        .agg(count(lit(1)).as("n"))
-      joined.collect()
-      val finalPlan = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-        case other => other.toString
-      }
-      assert(finalPlan.contains("skew=true"),
-        "hot-key SMJ was not skew-split:\n" + finalPlan.take(3000))
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // 50% of rows on one key, incompressible per-row payload; the
+    // conf thresholds, the forced-SMJ shape, and the skew=true
+    // detection live in ONE place (ProfileSkew.skewJoinSplitFires)
+    // shared with the tool's fixture demo
+    val big = spark.range(60000)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      .repartition(16)
+    val small = spark.range(500).select(col("id").as("k"), lit(1.0).as("v"))
+    assert(graft.tools.ProfileSkew.skewJoinSplitFires(big, small),
+      "hot-key SMJ was not skew-split")
   }
 
   test("w1 top-k per group: WindowGroupLimit prunes before the shuffle") {
