@@ -165,8 +165,10 @@ object VectorIndex {
   }
 
   /** 0-based nearest-centroid cell by max dot (normalized corpus:
-    * cosine == dot); ties to the lowest cell. */
-  private def nearestCellExpr(cents: Seq[Seq[Double]], v: Column): Column = {
+    * cosine == dot); ties to the lowest cell. Shared with the
+    * streaming maintenance path (StreamOps.ivfIngestBatch) so batch
+    * build and incremental add can never assign differently. */
+  private[graft] def nearestCellExpr(cents: Seq[Seq[Double]], v: Column): Column = {
     val dots = array(cents.map(c =>
       call_function("graft_dot", v, typedlit(c))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")

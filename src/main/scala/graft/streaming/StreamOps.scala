@@ -730,6 +730,57 @@ object StreamOps {
     * and an image index sharing a root can never confuse batchIds. */
   private val PhashMarkersDir = "_graft_phash_batches"
 
+  /** Marker ledger of ivfIngestBatch. */
+  private val IvfMarkersDir = "_graft_ivf_batches"
+
+  /** Streaming IVF index maintenance — the vector twin of the LSH /
+    * pHash lake-table ingests, and FAISS's `add()` contract made
+    * explicit: the coarse quantizer (the stored centroid table,
+    * `VectorIndex.buildIvf`) is FIXED at build time; each micro-batch
+    * of (vec_id, emb) rows is L2-normalized, assigned to its nearest
+    * cell with the broadcast centroids through the IDENTICAL
+    * expression the batch builder uses (`nearestCellExpr` — build and
+    * add can never disagree), and appended `partitionBy(cell)` — one
+    * file per touched cell per batch, so `searchIvf`'s probe-pruned
+    * partition read stays exact however many batches arrive. Because
+    * assignment is per-row against fixed centroids, an index grown by
+    * N micro-batches is ROW-IDENTICAL to the same vectors added in
+    * one batch (spec-pinned), and serving needs no refresh step.
+    * Replay-idempotent via the batch-marker ledger (at-least-once
+    * delivery re-runs skip the append and return the original
+    * assignments). Retraining the quantizer on drifted data is the
+    * batch rebuild's job — exactly FAISS's train-once/add-many split.
+    * Returns the batch's (vec_id, cell) assignments. */
+  def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
+      .select(col("kk"), col("cent")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val assigned = batch
+      .select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+      .withColumn("cell",
+        graft.queries.VectorIndex.nearestCellExpr(cents, col("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hp = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IvfMarkersDir/b$batchId")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied && !assigned.isEmpty) {
+      assigned.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(hp.toString)
+    }
+    if (!alreadyApplied) fs.create(marker, true).close()
+    val out = assigned.select(col("vec_id"), col("cell")).localCheckpoint(true)
+    assigned.unpersist(false)
+    out
+  }
+
   /** The 8 pigeonhole block rows of each (media_id, phash), with the
     * index partition bucket derived from (block, key) — the exact
     * frame the block index persists and the block join runs on. */

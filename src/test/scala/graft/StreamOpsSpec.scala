@@ -213,6 +213,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(utcRows.exists(_._3 == "2026-01-01 10:00:00"))
   }
 
+  test("ivfIngestBatch: micro-batch adds equal one-shot adds; replay no-op; new vectors serve") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idxA = java.nio.file.Files.createTempDirectory("ivf-one").toString
+    val idxB = java.nio.file.Files.createTempDirectory("ivf-many").toString
+    // deterministic training sample → both builds produce identical
+    // centroids, so any serving difference comes from the ADD path
+    VectorIndex.buildIvf(spark, dir, idxA)
+    VectorIndex.buildIvf(spark, dir, idxB)
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(90).cache()
+    // one-shot vs three micro-batches of the SAME vectors
+    StreamOps.ivfIngestBatch(idxA)(extras, 1L).count()
+    val parts = (0 until 3).map(i => extras.filter(pmod(col("vec_id"), lit(3)) === i))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamOps.ivfIngestBatch(idxB)(p, (i + 1).toLong).count()
+    }
+    def served(idx: String) = {
+      val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      VectorIndex.searchIvf(spark, idx, queries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    val one = served(idxA)
+    val many = served(idxB)
+    assert(one.nonEmpty && one == many,
+      s"micro-batch adds diverged from the one-shot add: " +
+        s"missing=${(one -- many).size} extra=${(many -- one).size}")
+    // the added vectors really serve: query 3's own re-keyed copy is
+    // an exact cosine-1.0 match and must outrank the original corpus
+    assert(many.exists { case (qid, rank, nid, _) =>
+      qid == 3L && rank <= 2 && nid == 10003L })
+    // replay of an applied batchId appends nothing and returns the
+    // original assignments
+    val before = spark.read.parquet(s"$idxB/cells").count()
+    val replay = StreamOps.ivfIngestBatch(idxB)(parts(1), 2L)
+    assert(replay.count() == parts(1).count())
+    assert(spark.read.parquet(s"$idxB/cells").count() == before,
+      "replayed batch re-appended index rows")
+    assert(served(idxB) == many)
+    extras.unpersist()
+  }
+
   test("driftBatch: per-batch rates vs a reference profile, absences both ways") {
     implicit val sqlCtx = spark.sqlContext
     // reference window: type A uniform over bins 0 and 1; type B all bin 0
