@@ -648,6 +648,28 @@ object TextQueries {
     sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Per-DOCUMENT partial of the source-overlap sketch: this doc's 32
+    * affine mins — the map-side partial the batch agg combines,
+    * exposed row-wise so the STREAMING maintenance path
+    * (StreamOps.srcSignatureStream) can merge the identical partials
+    * into keyed state (component-wise min: associative, commutative,
+    * idempotent). Docs under 3 tokens contribute nothing, exactly
+    * like the batch filter. */
+  private[graft] def srcDocSignatures(docs: DataFrame): DataFrame = {
+    val M = 4294967296L
+    val minCols = srcMinhashAbs.map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(M))))
+    }
+    docs.select(col("source"), tokens(normText(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))").as("shs"))
+      .select(col("source"), transform(col("shs"),
+        s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")).as("hs"))
+      .select(col("source"), array(minCols: _*).as("sig"))
+  }
+
   def tSourceOverlapMinhash(spark: SparkSession, dir: String): DataFrame = {
     // persisted: both legs of the a<b pair join read the signature
     // frame (S rows); unpersisted, each leg re-runs the full corpus
@@ -956,7 +978,7 @@ object TextQueries {
 
   // MinHash family parameters — ONE definition so batch queries and
   // the streaming ingest index always hash into the same bands.
-  private val MinhashHashes = 32
+  private[graft] val MinhashHashes = 32
   private val MinhashBands = 8
 
   /** Frequency cap on a (band, band_key) bucket admitted to the

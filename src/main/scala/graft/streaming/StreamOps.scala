@@ -733,6 +733,40 @@ object StreamOps {
   /** Marker ledger of ivfIngestBatch. */
   private val IvfMarkersDir = "_graft_ivf_batches"
 
+  case class SrcSig(source: String, sig: Seq[Long])
+
+  /** Streaming maintenance of the per-source MinHash signatures
+    * behind the source-overlap family (tSourceOverlapMinhash /
+    * tSourceOverlapLsh): component-wise MIN is associative,
+    * commutative and idempotent, so the sketch is a PERFECT streaming
+    * accumulator — per-source state is exactly 32 longs forever,
+    * each micro-batch folds its docs' partial signatures
+    * (TextQueries.srcDocSignatures — the identical map-side partial
+    * the batch agg combines) into keyed state, and every updated
+    * source emits its CURRENT signature, equal at any point to the
+    * batch srcSignatures over all data seen so far (spec-pinned,
+    * including re-delivered docs: idempotence makes replays free).
+    * Downstream, the emitted signatures feed the same pair matrix or
+    * banding the batch paths use. */
+  def srcSignatureStream(docs: DataFrame): Dataset[SrcSig] = {
+    import docs.sparkSession.implicits._
+    val n = graft.queries.TextQueries.MinhashHashes
+    graft.queries.TextQueries.srcDocSignatures(docs)
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], SrcSig](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Seq[Long])],
+            state: GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(Array.fill(n)(Long.MaxValue))
+          for ((_, sig) <- rows) {
+            var i = 0
+            while (i < n) { if (sig(i) < cur(i)) cur(i) = sig(i); i += 1 }
+          }
+          state.update(cur)
+          SrcSig(src, cur.toVector)
+      }
+  }
+
   /** Streaming IVF index maintenance — the vector twin of the LSH /
     * pHash lake-table ingests, and FAISS's `add()` contract made
     * explicit: the coarse quantizer (the stored centroid table,
@@ -977,6 +1011,42 @@ object StreamOps {
         }
         fs.delete(old, true)
       }
+    }
+  }
+
+  /** Compaction + repair for the streaming IVF cells table — the
+    * same maintenance contract as compactNearDupIndex: ingest
+    * appends one file per touched cell per batch, so after thousands
+    * of batches serving pays file-open overhead per tiny file.
+    * Rewrites cells via the checked tmp+swap, PRESERVING the `cell`
+    * partitioning `searchIvf`'s probe pruning depends on, and the
+    * distinct() drops duplicate rows a crash between the append and
+    * its batch marker can leave on replay (duplicates are visible in
+    * serving — the same vector would occupy two ranks — so unlike
+    * the text index, compaction here is also a CORRECTNESS repair).
+    * Run from a maintenance schedule, never concurrently with
+    * ingest. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPartitions: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    val fs = p.getFileSystem(hconf)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cells__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(p.toString).distinct()
+        .repartition(targetPartitions, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/cells__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
     }
   }
 

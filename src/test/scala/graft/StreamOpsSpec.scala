@@ -255,7 +255,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idxB/cells").count() == before,
       "replayed batch re-appended index rows")
     assert(served(idxB) == many)
+
+    // crash-window repair + small-files compaction: delete batch 2's
+    // marker (simulating a crash between append and marker) and
+    // replay — the append duplicates batch 2's rows, which serving
+    // SEES (the same vector occupies two ranks); compaction dedups
+    // and rewrites to few files, restoring the original results
+    def cellFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idxB/cells")).count(_.getName.endsWith(".parquet"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(idxB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxB/_graft_ivf_batches/b2"), false)
+    StreamOps.ivfIngestBatch(idxB)(parts(1), 2L).count()
+    assert(spark.read.parquet(s"$idxB/cells").count() ==
+      before + parts(1).count(), "lost-marker replay should have re-appended")
+    val filesBefore = cellFiles()
+    StreamOps.compactIvfIndex(spark, idxB, targetPartitions = 4)
+    assert(spark.read.parquet(s"$idxB/cells").count() == before,
+      "compaction did not drop the crash-replay duplicates")
+    assert(cellFiles() < filesBefore, "compaction did not reduce file count")
+    assert(served(idxB) == many, "serving changed after compaction")
     extras.unpersist()
+  }
+
+  test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Set[(String, Seq[Long])])]()
+    val q = StreamOps.srcSignatureStream(in.toDF().toDF("source", "text"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.SrcSig], id: Long) =>
+        emitted.synchronized {
+          emitted += ((id, b.collect().map(s => (s.source, s.sig)).toSet)); ()
+        }
+      }.start()
+    val b1 = Seq(
+      ("srcA", "alpha beta gamma delta epsilon zeta"),
+      ("srcA", "one two three four five six seven"),
+      ("srcB", "lorem ipsum dolor sit amet consectetur"))
+    val b2 = Seq(
+      ("srcA", "alpha beta gamma NEW words here now"), // merges into srcA
+      ("srcC", "fresh source third batch content here"),
+      ("srcB", "lorem ipsum dolor sit amet consectetur")) // exact replay: idempotent
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+
+    // ground truth: batch srcSignatures over all docs seen so far
+    def batchSigs(docs: Seq[(String, String)]): Set[(String, Seq[Long])] = {
+      import spark.implicits._
+      graft.queries.TextQueries
+        .srcSignatures(spark, {
+          val dir = java.nio.file.Files.createTempDirectory("srcsig").toString
+          docs.toDF("source", "text").withColumn("doc_id", lit(0L))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          dir
+        })
+        .collect()
+        .map(r => (r.getString(0), (1 to 32).map(r.getLong(_)).toVector: Seq[Long]))
+        .toSet
+    }
+    val afterB1 = emitted.find(_._1 == 0L).get._2
+    assert(afterB1 == batchSigs(b1))
+    val updatesB2 = emitted.find(_._1 == 1L).get._2
+    // every update reflects ALL data seen so far (A merged across
+    // batches; B's exact replay emits the unchanged signature —
+    // idempotent; C is new)
+    assert(updatesB2.map(_._1) == Set("srcA", "srcB", "srcC"))
+    val full = batchSigs(b1 ++ b2)
+    assert(updatesB2.subsetOf(full),
+      s"stream state diverged from the batch sketch over the union")
+    assert((afterB1.filter(_._1 == "srcB") ++ updatesB2) == full)
   }
 
   test("driftBatch: per-batch rates vs a reference profile, absences both ways") {
