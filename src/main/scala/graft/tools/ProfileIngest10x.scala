@@ -153,9 +153,61 @@ object ProfileIngest10x {
     val imgRatio = i10 / i1
     println(f"[ingest10x] image probe growth 10x/1x = $imgRatio%.2f (bound $GrowthBound%.1f)")
 
-    if (textRatio > GrowthBound || imgRatio > GrowthBound) {
+    // ---------- vector IVF ingest + serving ----------
+    // The append path reads NO index (assignment is vs broadcast
+    // centroids) — its cost must be dead flat. Serving reads the
+    // nprobe/k cell fraction of the index — the pruning claim — so
+    // its growth must track that fraction's bytes, not full-scan 10×.
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft-ingest10x-ivf").toString
+    graft.queries.VectorIndex.buildIvf(spark, dir, ivfIdx)
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEmb = embBase.count()
+    val queries10 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    var vecBatch = 0L
+    def seedVec(k: Int): Unit = {
+      vecBatch += 1
+      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx)(
+        embBase.select((col("vec_id") + lit(k * offset)).as("vec_id"), col("emb")),
+        vecBatch).count()
+    }
+    def probeVec(chk: Int): (Double, Double) = {
+      vecBatch += 1
+      val probe = embBase.limit(200)
+        .select((col("vec_id") + lit(95000000L + chk * 1000L)).as("vec_id"), col("emb"))
+      val t0 = System.nanoTime()
+      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx)(probe, vecBatch).count()
+      val ing = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.queries.VectorIndex.searchIvf(spark, ivfIdx, queries10).count()
+      (ing, (System.nanoTime() - t1) / 1e9)
+    }
+    def indexVecs(): Long = spark.read.parquet(s"$ivfIdx/cells").count()
+
+    seedVec(0)
+    val (v1i, v1s) = probeVec(1)
+    println(f"[ingest10x] ivf probe at  1x index (${indexVecs()}%7d vecs)  " +
+      f"add $v1i%6.2fs  serve $v1s%6.2fs")
+    (1 until 3).foreach(seedVec)
+    val (v3i, v3s) = probeVec(2)
+    println(f"[ingest10x] ivf probe at  3x index (${indexVecs()}%7d vecs)  " +
+      f"add $v3i%6.2fs  serve $v3s%6.2fs")
+    (3 until 10).foreach(seedVec)
+    val (v10i, v10s) = probeVec(3)
+    println(f"[ingest10x] ivf probe at 10x index (${indexVecs()}%7d vecs)  " +
+      f"add $v10i%6.2fs  serve $v10s%6.2fs")
+    val vecIngRatio = v10i / v1i
+    val vecSrvRatio = v10s / v1s
+    println(f"[ingest10x] ivf add growth 10x/1x = $vecIngRatio%.2f, " +
+      f"serve growth = $vecSrvRatio%.2f (bound $GrowthBound%.1f)")
+
+    if (textRatio > GrowthBound || imgRatio > GrowthBound ||
+        vecIngRatio > GrowthBound || vecSrvRatio > GrowthBound) {
       System.err.println(f"[ingest10x] FAIL: text $textRatio%.2f image $imgRatio%.2f " +
-        f"vs bound $GrowthBound%.1f")
+        f"ivf-add $vecIngRatio%.2f ivf-serve $vecSrvRatio%.2f vs bound $GrowthBound%.1f")
       sys.exit(1)
     }
     spark.stop()
