@@ -54,6 +54,38 @@ object VectorIndex {
     emb.unpersist(false)
   }
 
+  /** Per-path cache of the stored coarse quantizer. The centroid
+    * table is IMMUTABLE for an index's lifetime (FAISS's train-once
+    * contract — only a full rebuild rewrites it, and the builders
+    * invalidate below), so every serving call and every streaming
+    * ingest micro-batch (StreamOps.ivfIngestBatch) shares one
+    * driver-side copy instead of paying a parquet read + collect per
+    * call. Bounded: k×dim doubles per distinct index path. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
+  private[graft] def cachedCentroids(spark: SparkSession,
+      indexPath: String): Seq[Seq[Double]] =
+    centroidCache.computeIfAbsent(indexPath, _ =>
+      spark.read.parquet(s"$indexPath/cents")
+        .select(col("kk"), col("cent")).collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq)
+
+  private[graft] def invalidateCentroids(indexPath: String): Unit =
+    centroidCache.remove(indexPath)
+
+  /** Heal an interrupted cells-table compaction swap before reading —
+    * the serving-side half of the heal-first discipline shared with
+    * the streaming ingest (StreamOps.recoverCompaction has the full
+    * state argument). Without it, a serve issued in the crash window
+    * fails on a missing path, and one issued after an un-healed
+    * recreate would silently answer from a nearly-empty index. */
+  private def healCells(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    graft.streaming.StreamOps.recoverCompaction(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** The stored quantizer, reassembled. */
   private def readBook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] = {
     val rows = spark.read.parquet(s"$indexPath/book")
@@ -154,6 +186,7 @@ object VectorIndex {
     val cents = VectorQueries.pqTrain(sample, 1, k, VectorQueries.Dim, lloydRounds).head
 
     import spark.implicits._
+    invalidateCentroids(indexPath) // rebuild replaces the quantizer
     cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
     val assign = nearestCellExpr(cents, col("emb"))
@@ -184,9 +217,8 @@ object VectorIndex {
     import spark.implicits._
     // self-contained path: nothing upstream registers the native dot
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
-      .select(col("kk"), col("cent")).collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    healCells(spark, indexPath)
+    val cents = cachedCentroids(spark, indexPath)
     lastStoredIvf = Some((cents, nprobe))
     val qVecs = queries
       .select(col("qid").cast("long"),
@@ -245,6 +277,7 @@ object VectorIndex {
     val book = VectorQueries.pqTrain(sample, m, kCodes, sub, lloydRounds)
 
     import spark.implicits._
+    invalidateCentroids(indexPath) // rebuild replaces the quantizer
     cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
     book.zipWithIndex.flatMap { case (cs, mm) =>
@@ -268,9 +301,8 @@ object VectorIndex {
       maxQueryBatch: Int = 8192): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
-      .select(col("kk"), col("cent")).collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    healCells(spark, indexPath)
+    val cents = cachedCentroids(spark, indexPath)
     val book = readBook(spark, indexPath)
     lastStoredIvfPq = Some((cents, book, nprobe, shortlist))
     val m = book.length; val k = book.head.length

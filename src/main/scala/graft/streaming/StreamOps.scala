@@ -486,8 +486,17 @@ object StreamOps {
     * complete pre-compaction copy sits in `__old` (the only state a
     * crash inside compactNearDupIndex's rename pair leaves). Without
     * this the next batch would read batch-0 semantics and silently
-    * lose the entire accumulated dedup index. */
-  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+    * lose the entire accumulated dedup index. With EVERY reader and
+    * ingester healing first (readIndex, readPhashIndex,
+    * ivfIngestBatch, VectorIndex.searchIvf/searchIvfPq), the only
+    * state where `__old` exists ALONGSIDE the table is a crash after
+    * the swap completed but before the `__old` cleanup delete — the
+    * table is then the complete compacted copy and authoritative, so
+    * both-present needs no action here (the next compaction deletes
+    * the stale `__old`). Shared across the text/phash/IVF index
+    * families — `private[graft]` so the serving paths outside this
+    * object apply the same heal-first discipline. */
+  private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
     if (!fs.exists(p) && fs.exists(old)) {
@@ -788,9 +797,11 @@ object StreamOps {
   def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexPath/cents")
-      .select(col("kk"), col("cent")).collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    // fixed-quantizer contract makes the centroid table immutable for
+    // the index's lifetime — cache it per path instead of paying a
+    // parquet read + collect every micro-batch of a long-running
+    // stream (invalidated only by invalidateCentroids on rebuild)
+    val cents = graft.queries.VectorIndex.cachedCentroids(spark, indexPath)
     val assigned = batch
       .select(col("vec_id").cast("long"),
         col("emb").cast("array<double>").as("emb"))
@@ -803,6 +814,12 @@ object StreamOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hp = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal-first discipline (same as readIndex/readPhashIndex): a
+    // crash inside compactIvfIndex's rename pair leaves cells absent
+    // with the complete copy in cells__old; appending WITHOUT healing
+    // would recreate cells holding only this batch, permanently
+    // blocking the restore — silent loss of the accumulated index
+    recoverCompaction(fs, hp)
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IvfMarkersDir/b$batchId")
     val alreadyApplied = fs.exists(marker)
     if (!alreadyApplied && !assigned.isEmpty) {
@@ -1024,8 +1041,13 @@ object StreamOps {
     * its batch marker can leave on replay (duplicates are visible in
     * serving — the same vector would occupy two ranks — so unlike
     * the text index, compaction here is also a CORRECTNESS repair).
-    * Run from a maintenance schedule, never concurrently with
-    * ingest. */
+    * Run from a maintenance schedule, never concurrently with ingest
+    * OR serving: the rename-pair swap has a window where `cells` is
+    * absent, so a concurrent searchIvf/searchIvfPq would fail (or on
+    * a store with non-atomic rename, read a partial view) — serving
+    * must drain or be routed around the maintenance window, the same
+    * single-writer-plus-quiesced-readers discipline as any
+    * swap-based table rewrite. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration

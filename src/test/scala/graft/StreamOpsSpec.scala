@@ -281,6 +281,48 @@ class StreamOpsSpec extends SparkSpec {
     extras.unpersist()
   }
 
+  test("IVF compaction crash window: ingest and serving heal cells before touching it") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivf-heal").toString
+    VectorIndex.buildIvf(spark, dir, idx)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def served() = VectorIndex.searchIvf(spark, idx, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val baseline = served()
+    val n0 = spark.read.parquet(s"$idx/cells").count()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(s"$idx/cells")
+    val old = new org.apache.hadoop.fs.Path(s"$idx/cells__old")
+
+    // crash between compactIvfIndex's rename pair: cells absent, the
+    // complete copy staged in __old — serving must heal, not fail
+    assert(fs.rename(cells, old))
+    assert(served() == baseline, "serving after heal diverged from baseline")
+    assert(!fs.exists(old) && fs.exists(cells))
+
+    // the ADVICE scenario: same crash state, then an ingest batch
+    // arrives FIRST. Without heal-first the append recreates cells
+    // holding only the batch, recoverCompaction never restores (path
+    // exists), and the next compaction deletes __old — silent loss of
+    // the accumulated index. With the heal the batch lands ON TOP of
+    // the restored rows.
+    assert(fs.rename(cells, old))
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 50000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(20)
+    StreamOps.ivfIngestBatch(idx)(extras, 7L).count()
+    assert(!fs.exists(old), "ingest did not heal the staged __old copy")
+    assert(spark.read.parquet(s"$idx/cells").count() == n0 + 20,
+      "accumulated index rows lost across the crash-window ingest")
+    // and a subsequent compaction keeps everything (no stale __old to eat)
+    StreamOps.compactIvfIndex(spark, idx, targetPartitions = 4)
+    assert(spark.read.parquet(s"$idx/cells").count() == n0 + 20)
+  }
+
   test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
