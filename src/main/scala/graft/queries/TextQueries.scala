@@ -755,32 +755,67 @@ object TextQueries {
     * keyed (band, band_key) for the bucket self-join, candidate pairs
     * deduped before scoring, scoring via two broadcast-size hash
     * joins against the S-row signature frame. No nested-loop or
-    * cartesian anywhere (PlanSpec pins it). At extreme hot-bucket
-    * skew the dedupMinhash bucket-cap machinery applies, traded
-    * against the exactness guarantee — at source granularity bucket
-    * population is sources-per-band-key, orders of magnitude below
-    * document banding. */
+    * cartesian anywhere (PlanSpec pins it). Extreme hot-bucket skew
+    * is guarded by the SAME two dedupMinhash mechanisms, at signature
+    * granularity: identical full signatures (mirror domains serving
+    * the same corpus) are digest-collapsed to one representative
+    * BEFORE banding — their n² output pairs come from an output-bound
+    * expansion join, never an n²-row bucket — and residual buckets
+    * holding > maxBucket DISTINCT signatures are excluded from the
+    * pairwise join. The exclusion trades against the pigeonhole
+    * guarantee exactly as MaxBandBucket does for documents: a bucket
+    * that hot means one band's slice is shared by hundreds of
+    * genuinely different signatures (a degenerate band); excluded
+    * members keep their other bands, so an above-threshold pair is
+    * lost ONLY if every band it agrees on is saturated, and
+    * identical-signature pairs are immune entirely (the digest path
+    * reports them before banding). At the query settings the cap
+    * never fires on non-degenerate corpora (bucket population is
+    * sources-per-band-key), so the oracle identity holds; the forced
+    * hot-band spec pins both the fire and the non-degenerate
+    * pairs surviving it. */
   def tSourceOverlapLsh(spark: SparkSession, dir: String): DataFrame =
     tSourceOverlapLshOf(srcSignatures(spark, dir), SrcLshBands, SrcLshMinMatch)
 
   private[graft] def tSourceOverlapLshOf(sig0: DataFrame, bands: Int,
-      minMatch: Int): DataFrame = {
+      minMatch: Int, maxBucket: Int = MaxBandBucket): DataFrame = {
     require(MinhashHashes % bands == 0,
       s"bands must divide $MinhashHashes, got $bands")
     require(minMatch >= MinhashHashes - bands + 1,
       s"exactness guarantee needs minMatch >= ${MinhashHashes - bands + 1} " +
         s"at $bands bands, got $minMatch")
+    require(minMatch <= MinhashHashes,
+      s"minMatch > $MinhashHashes can never match")
     val r = MinhashHashes / bands
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = sig
-      .select(col("source"),
-        array((0 until MinhashHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .select(col("source"),
+    val sigArr = sig.select(col("source"),
+      array((0 until MinhashHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // exact-signature digest — the source-granularity shingleDigest
+    // (no array_sort: component order is significant in a signature)
+    val sigDig = sigArr.select(col("source"), xxhash64(col("sig")).as("dig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sigArr
+      .select(col("source"), xxhash64(col("sig")).as("dig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
-      .select(col("source"), col("pos").as("band"), col("col").as("band_key"))
-    val cand = bandRows.select(col("band"), col("band_key"), col("source").as("source_a"))
-      .join(bandRows.select(col("band"), col("band_key"), col("source").as("source_b")),
+      .select(col("source"), col("dig"), col("pos").as("band"), col("col").as("band_key"))
+    // one row per (bucket, distinct signature); min(source) is the
+    // digest's global representative because identical signatures
+    // produce identical band rows in every band (map-side combinable)
+    val collapsed = bandRows
+      .groupBy(col("band"), col("band_key"), col("dig"))
+      .agg(min(col("source")).as("source"))
+    // same one-shuffle cap as minhashCandidatesOf: the count is a
+    // window over the join key, so capping rides the exchange the
+    // self-join needs anyway
+    val admitted = collapsed
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_key"), col("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = admitted.select(col("band"), col("band_key"), col("source").as("source_a"))
+      .join(admitted.select(col("band"), col("band_key"), col("source").as("source_b")),
         Seq("band", "band_key"))
       .filter(col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"))
@@ -792,11 +827,29 @@ object TextQueries {
     val matches = (0 until MinhashHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand.join(a, Seq("source_a")).join(b, Seq("source_b"))
-      .select(col("source_a"), col("source_b"), matches.as("sig_match"),
-        round(matches.cast("double") / MinhashHashes, 4).as("est_jaccard"))
+    val repPairs = cand.join(a, Seq("source_a")).join(b, Seq("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("sig_match"))
       .filter(col("sig_match") >= minMatch)
-      .transform(CacheScope.owned(_, sig))
+    // expansion back to member pairs (output-bound: every emitted row
+    // IS a result pair), plus the within-digest pairs — identical
+    // signatures agree on all components by definition
+    val cross = repPairs
+      .join(sigDig.select(col("source").as("source_a"), col("dig").as("a_dig")),
+        Seq("source_a"))
+      .join(sigDig.select(col("source").as("source_b"), col("dig").as("b_dig")),
+        Seq("source_b"))
+      .join(sigDig.select(col("dig").as("a_dig"), col("source").as("a_m")), Seq("a_dig"))
+      .join(sigDig.select(col("dig").as("b_dig"), col("source").as("b_m")), Seq("b_dig"))
+      .select(least(col("a_m"), col("b_m")).as("source_a"),
+        greatest(col("a_m"), col("b_m")).as("source_b"), col("sig_match"))
+    val within = sigDig.as("l").join(sigDig.as("r"), Seq("dig"))
+      .filter(col("l.source") < col("r.source"))
+      .select(col("l.source").as("source_a"), col("r.source").as("source_b"),
+        lit(MinhashHashes.toLong).as("sig_match"))
+    cross.unionByName(within)
+      .select(col("source_a"), col("source_b"), col("sig_match"),
+        round(col("sig_match").cast("double") / MinhashHashes, 4).as("est_jaccard"))
+      .transform(CacheScope.owned(_, sig, sigDig, admitted))
   }
 
   /** The DuckDB oracle for tSourceOverlapLsh — the EXACT pair matrix

@@ -860,4 +860,57 @@ class TextQueriesSpec extends SparkSpec {
     assert(got.contains(("sBase", "sDup", 32L)))
     assert(!got.exists(p => p._1 == "sBase" && p._2 == "sSixteen"))
   }
+
+  test("tSourceOverlapLsh hot-bucket cap: cap fires on a degenerate band, " +
+      "non-degenerate and identical-signature pairs unchanged") {
+    // bands = 16, r = 2 (band b = components 2b, 2b+1), minMatch = 17.
+    // ARMY: 6 DISTINCT signatures sharing components 0..17 (pairwise
+    // sig_match 18 ≥ 17) — bands 0..8 fully agree, so every band
+    // bucket they occupy holds 6 distinct signatures and saturates at
+    // cap 4; bands 9..15 are unique per member (no other collisions).
+    // PAIR (pX, pY): agree on components 14..31 (sig_match 18) with
+    // values disjoint from the army's — their bands 7..15 buckets
+    // hold just the two of them.
+    // MIRRORS (mA, mB): identical signatures — digest-collapsed, so
+    // immune to any cap by construction.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def army(i: Int): (String, Seq[Long]) =
+      (s"army$i", (0 until 32).map(c =>
+        if (c <= 17) 5000L + c else 900000L + i * 100 + c))
+    val pairSig: Int => Long = c => 7000L + c
+    val px = ("pX", (0 until 32).map(c =>
+      if (c >= 14) pairSig(c) else 800001L + c): Seq[Long])
+    val py = ("pY", (0 until 32).map(c =>
+      if (c >= 14) pairSig(c) else 810001L + c): Seq[Long])
+    val mirror = (0 until 32).map(c => 6000L + c): Seq[Long]
+    val defs = (0 until 6).map(army) ++ Seq(px, py, ("mA", mirror), ("mB", mirror))
+    val schema = StructType(StructField("source", StringType) +:
+      (0 until 32).map(i => StructField(s"m$i", LongType)))
+    val fullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(defs.map { case (n, ms) => Row.fromSeq(n +: ms) }),
+      schema)
+    def run(cap: Int) = graft.queries.TextQueries
+      .tSourceOverlapLshOf(fullDf, bands = 16, minMatch = 17, maxBucket = cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // exact matrix ≥ 17, driver-side
+    val bySrc = defs.toMap
+    val srcs = defs.map(_._1).sorted
+    val want = (for { a <- srcs; b <- srcs if a < b } yield
+      (a, b, bySrc(a).zip(bySrc(b)).count { case (x, y) => x == y }.toLong))
+      .filter(_._3 >= 17).toSet
+    val armyPairs = want.filter(p => p._1.startsWith("army") && p._2.startsWith("army"))
+    assert(armyPairs.size == 15)
+
+    // generous cap: full exactness (the baseline the cap trades from)
+    assert(run(256) == want)
+    // cap 4 < 6 army members: every band the army agrees on is
+    // saturated, so exactly its 15 pairs are lost; the non-degenerate
+    // pair and the collapsed identical-signature pair both survive
+    val capped = run(4)
+    assert(capped == want -- armyPairs,
+      s"missed=${(want -- armyPairs) -- capped} extra=${capped -- (want -- armyPairs)}")
+    assert(capped.contains(("pX", "pY", 18L)))
+    assert(capped.contains(("mA", "mB", 32L)))
+  }
 }
