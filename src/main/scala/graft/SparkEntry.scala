@@ -64,6 +64,7 @@ object SparkEntry {
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
     "e5_range_join" -> (EventQueries.e5RangeJoin _),
     "e6_funnel" -> (EventQueries.e6Funnel _),
+    "e11_funnel_twophase" -> (EventQueries.e11FunnelTwoPhase _),
     "e7_retention" -> (EventQueries.e7Retention _),
     "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
     "e9_resample" -> ((s: SparkSession, d: String) => EventQueries.e9Resample(s, d)),
@@ -460,6 +461,38 @@ object SparkEntry {
     // conditional min over the same per-user frame; stage k counts
     // only at-or-after stage k-1's first time
     "e6_funnel" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                    FROM events),
+              l1 AS (SELECT user_id, ts, event_id, event_type,
+                    min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+                    FROM s),
+              l2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                           AND view_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+                    FROM l1),
+              l3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND click_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts
+                    FROM l2),
+              agg AS (SELECT user_id,
+                    epoch_us(min(view_ts)) AS view_us,
+                    epoch_us(min(click_ts)) AS click_us,
+                    epoch_us(min(purchase_ts)) AS purchase_us
+                    FROM l3 GROUP BY user_id)
+         SELECT user_id, view_us, click_us, purchase_us,
+           CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+                WHEN click_us IS NOT NULL THEN 2
+                WHEN view_us IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS depth
+         FROM agg""",
+    // deliberately the ONE-PASS funnel (e6's oracle verbatim): the
+    // engine runs the (user, day)-bucketed two-phase decomposition,
+    // so agreement proves the regrouping, not just the stage logic
+    "e11_funnel_twophase" ->
       """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
                     FROM events),
               l1 AS (SELECT user_id, ts, event_id, event_type,

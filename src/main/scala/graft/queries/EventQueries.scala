@@ -173,6 +173,85 @@ object EventQueries {
           .otherwise(0L))
   }
 
+  /** E11: the funnel again, as the SKEW-SAFE two-phase decomposition —
+    * the w4 pattern extended to the next ordered-window family
+    * (PROFILE_SKEW's structural limit: Spark cannot split a window
+    * partition, so e6's per-user frame puts a pathological user's
+    * whole history in ONE task). The funnel's algebra admits a
+    * (user, day-bucket) split because stage qualification needs only
+    * that SOME prior-stage event exists at-or-before, not WHICH one:
+    * any view in an EARLIER bucket precedes every position in this
+    * bucket, so once one exists, ALL of this bucket's clicks qualify —
+    * and likewise for purchases once an earlier qualifying click
+    * exists. A bucket's contribution to each stage therefore
+    * collapses to six fixed partials:
+    *   pv  — min view ts
+    *   ca  — min click ts            (used when an earlier bucket has a view)
+    *   cv  — min click after a within-bucket view        (nothing earlier)
+    *   pa  — min purchase ts         (earlier qualifying click exists)
+    *   puv — min purchase after any within-bucket click  (earlier view only)
+    *   pu0 — min purchase after a within-bucket qualified click (nothing earlier)
+    * Phase 1 computes them with the one-pass window logic inside
+    * (user, day) partitions — the hot user's work spreads across its
+    * days, bounded by its busiest day. Phase 2 selects per bucket by
+    * prefix-min state and aggregates the tiny (user, day) frame.
+    * Unlike w4 there is no phase-3 join back to events: the output is
+    * per-user, so a groupBy finishes it. Exact by min's associativity
+    * (no arithmetic at all); the DuckDB oracle is deliberately e6's
+    * ONE-PASS form — agreement proves the decomposition. Ties are
+    * safe at bucket boundaries by construction: equal timestamps land
+    * in the same bucket, and within a bucket the window order is the
+    * same (ts, event_id) as the one-pass form. */
+  def e11FunnelTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    funnelTwoPhaseOf(Tables.events(spark, dir))
+
+  /** The two-phase funnel core over any (user_id, ts, event_id,
+    * event_type) frame — exposed so specs can drive it with hot-user
+    * fixtures against funnelOf. */
+  private[graft] def funnelTwoPhaseOf(events: DataFrame): DataFrame = {
+    val wb = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("d", to_date(col("ts")))
+      // running within-bucket state at each row: a view / any click /
+      // a within-bucket-qualified click at-or-before this position
+      .withColumn("rv", min(when(col("event_type") === "view", col("ts"))).over(wb))
+      .withColumn("rc", min(when(col("event_type") === "click", col("ts"))).over(wb))
+      .withColumn("rq", min(when(col("event_type") === "click" &&
+        col("rv").isNotNull, col("ts"))).over(wb))
+    val partials = staged.groupBy(col("user_id"), col("d")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("pv"),
+      min(when(col("event_type") === "click", col("ts"))).as("ca"),
+      min(when(col("event_type") === "click" &&
+        col("rv").isNotNull, col("ts"))).as("cv"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("pa"),
+      min(when(col("event_type") === "purchase" &&
+        col("rc").isNotNull, col("ts"))).as("puv"),
+      min(when(col("event_type") === "purchase" &&
+        col("rq").isNotNull, col("ts"))).as("pu0"))
+    val wpre = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val selected = partials
+      .withColumn("v_prev", min(col("pv")).over(wpre))
+      .withColumn("qc", when(col("v_prev").isNotNull, col("ca")).otherwise(col("cv")))
+      .withColumn("c_prev", min(col("qc")).over(wpre))
+      .withColumn("qp",
+        when(col("c_prev").isNotNull, col("pa"))
+          .when(col("v_prev").isNotNull, col("puv"))
+          .otherwise(col("pu0")))
+    selected.groupBy(col("user_id")).agg(
+        unix_micros(min(col("pv"))).as("view_us"),
+        unix_micros(min(col("qc"))).as("click_us"),
+        unix_micros(min(col("qp"))).as("purchase_us"))
+      .withColumn("depth",
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .when(col("view_us").isNotNull, 1L)
+          .otherwise(0L))
+  }
+
   /** E8: traffic-burst anomaly detection. An (event_type, hour)
     * bucket is a spike when its count reaches `factor`× that type's
     * mean per-hour count. The burst ratio is n·n_buckets/total —

@@ -68,6 +68,7 @@ object ProfileSkew {
     "e2_sessionize" -> "per-key session window (hot user 20%)",
     "e4_salted_rollup" -> "two-phase salted groupBy (hot user 20%)",
     "e6_funnel" -> "per-key stage window (hot user 20%)",
+    "e11_funnel_twophase" -> "two-phase day-split funnel (hot user 20%)",
     "e7_retention" -> "user-keyed aggs + join (hot user 20%)",
     "e8_spike" -> "type-keyed window over minute grid (hot user 20%)",
     "k7_scd2" -> "per-key SCD2 window (hot user 20%)",

@@ -88,7 +88,9 @@ object ProfileSuite10x {
     "k7_scd2" -> LinearBound,
     "w4_running_total_twophase" -> LinearBound,
     "a9_cube" -> LinearBound,
-    "ann_ivfpq_stored" -> LinearBound)
+    "ann_ivfpq_stored" -> LinearBound,
+    // round-11: the two-phase funnel (two bounded shuffles, no join)
+    "e11_funnel_twophase" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

@@ -54,6 +54,68 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("two-phase funnel equals the one-pass funnel on cross-bucket stage placements") {
+    // every cross-day case the decomposition must get right:
+    // u1: view day1, click day2, purchase day3 — pure cross-bucket
+    //     chain (qc via v_prev/ca, qp via c_prev/pa)
+    // u2: view day1; day2 has click-before-purchase — earlier view
+    //     qualifies the click, purchase must use puv (c_prev null)
+    // u3: day1 click BEFORE its view (unqualified), view later that
+    //     day; day2 purchase-before-click then click — the purchase
+    //     must NOT count (no qualifying click at-or-before it), a
+    //     day3 purchase must
+    // u4: everything in one bucket (pu0 path), including the
+    //     same-timestamp tie broken by event_id
+    // u5: click day1 with NO view ever — stays unqualified across
+    //     buckets
+    // u6: purchase day2, click day3 — order across buckets respected
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-02 10:00:00", "click"),
+      (1L, "2024-01-03 10:00:00", "purchase"),
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-02 09:00:00", "click"),
+      (2L, "2024-01-02 09:30:00", "purchase"),
+      (3L, "2024-01-01 08:00:00", "click"),
+      (3L, "2024-01-01 09:00:00", "view"),
+      (3L, "2024-01-02 07:00:00", "purchase"),
+      (3L, "2024-01-02 08:00:00", "click"),
+      (3L, "2024-01-03 08:00:00", "purchase"),
+      (4L, "2024-01-01 10:00:00", "view"),
+      (4L, "2024-01-01 10:00:00", "click"),
+      (4L, "2024-01-01 10:00:00", "purchase"),
+      (5L, "2024-01-01 10:00:00", "click"),
+      (5L, "2024-01-02 10:00:00", "purchase"),
+      (6L, "2024-01-01 10:00:00", "view"),
+      (6L, "2024-01-02 10:00:00", "purchase"),
+      (6L, "2024-01-03 10:00:00", "click")))
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSet
+    val onePass = rows(EventQueries.funnelOf(df))
+    val twoPhase = rows(EventQueries.funnelTwoPhaseOf(df))
+    assert(twoPhase == onePass,
+      s"missed=${onePass -- twoPhase} extra=${twoPhase -- onePass}")
+    // the interesting depths really happened
+    val depth = twoPhase.map(t => t._1 -> t._5).toMap
+    assert(depth === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 2L))
+    // u3's purchase is day3's, not day2's early one
+    val u3p = twoPhase.find(_._1 == 3L).get._4
+    assert(u3p.contains(ts("2024-01-03 08:00:00").getTime * 1000L))
+  }
+
+  test("two-phase funnel equals the one-pass funnel on the real corpus (sf0.001)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSet
+    val onePass = rows(EventQueries.funnelOf(ev))
+    val twoPhase = rows(EventQueries.funnelTwoPhaseOf(ev))
+    assert(onePass.nonEmpty)
+    assert(twoPhase == onePass,
+      s"missed=${(onePass -- twoPhase).size} extra=${(twoPhase -- onePass).size}")
+  }
+
   test("resample fills gaps with zero counts and carries the last value forward") {
     import spark.implicits._
     // 15-min buckets; type A observed at 10:00 and 10:45 → two gap

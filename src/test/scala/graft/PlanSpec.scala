@@ -283,6 +283,22 @@ class PlanSpec extends SparkSpec {
       s"funnel should shuffle once on user_id, saw $exchanges:\n" + plan.take(3000))
   }
 
+  test("two-phase funnel: two shuffles, no join back to events") {
+    // the skew-safe decomposition: phase 1 windows + aggregates
+    // inside (user_id, day) — ONE exchange that the per-bucket
+    // groupBy reuses — and phase 2's prefix-min window + final
+    // groupBy share the second (user_id) exchange. Unlike w4 there
+    // is no phase-3 join: a join appearing means the decomposition
+    // regressed to a stitch-back shape.
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e11FunnelTwoPhase(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "two-phase funnel grew a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected (user,day) + (user) exchanges, saw $exchanges:\n" + plan.take(3000))
+  }
+
   test("burst detection: per-type stats ride a broadcast, corpus scans once") {
     spark.catalog.clearCache()
     val plan = planString(EventQueries.e8Spike(spark, dir))
