@@ -116,6 +116,7 @@ object SparkEntry {
     "ann_ivf_stored" -> (VectorIndex.annIvfStored _),
     "ann_pq_stored" -> (VectorIndex.annPqStored _),
     "ann_ivfpq_stored" -> (VectorIndex.annIvfPqStored _),
+    "ann_ivf_staleness" -> (VectorIndex.annIvfStaleness _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_decontaminate" -> ((s: SparkSession, d: String) => VectorQueries.embDecontaminate(s, d)),
@@ -140,7 +141,8 @@ object SparkEntry {
     * once. */
   val registerGatedQueries: Seq[String] = Seq(
     "t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored")
+    "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored",
+    "ann_ivf_staleness")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1371,5 +1373,6 @@ object SparkEntry {
     graft.queries.VectorQueries.pqOracleSql.map("ann_pq_topk" -> _) ++
     graft.queries.VectorIndex.storedIvfOracleSql.map("ann_ivf_stored" -> _) ++
     graft.queries.VectorIndex.storedPqOracleSql.map("ann_pq_stored" -> _) ++
-    graft.queries.VectorIndex.storedIvfPqOracleSql.map("ann_ivfpq_stored" -> _)
+    graft.queries.VectorIndex.storedIvfPqOracleSql.map("ann_ivfpq_stored" -> _) ++
+    graft.queries.VectorIndex.stalenessOracleSql.map("ann_ivf_staleness" -> _)
 }

@@ -194,7 +194,106 @@ object VectorIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells")
+    // build-time quantization stats — the reference point ivfStaleness
+    // compares accumulated adds against. Computed from the WRITTEN
+    // cells (one extra index scan at build; self-describing — the
+    // stats always match what is on disk, not what was about to be).
+    cellStatsOf(spark.read.parquet(s"$indexPath/cells"), cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
     emb.unpersist(false)
+  }
+
+  /** Quantization summary of a cells-shaped frame: row count, exact
+    * decimal sum of the per-row 4dp-rounded max-dot (the assigned
+    * centroid IS the argmax, so array_max of the dot row equals the
+    * assignment quality), and the hottest cell's population. The 4dp
+    * round BEFORE summing makes the sum order-independent (decimal
+    * addition is associative, double addition is not) — the same
+    * exact-until-one-division discipline as e8. */
+  private def cellStatsOf(cells: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    cells
+      .withColumn("qd", round(array_max(array(cents.map(c =>
+        call_function("graft_dot", col("emb"), typedlit(c))): _*)), 4)
+        .cast("decimal(18,4)"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"), sum(col("qd")).as("sd"))
+      .agg(sum(col("n")).as("n"), sum(col("sd")).cast("decimal(38,4)").as("sumdot"),
+        max(col("n")).as("max_cell_n"))
+
+  /** Index-staleness audit — the missing WHEN for the train-once /
+    * add-many contract: `ivfIngestBatch` assigns every add against
+    * the build-time quantizer, so a drifting input distribution
+    * degrades quietly (vectors land in far-away cells; probes stop
+    * covering true neighbors) until a batch rebuild retrains.
+    * This query makes that degradation measurable from the index
+    * alone: it recomputes the current quantization stats over the
+    * ACCUMULATED cells table and compares against the build-time
+    * stats persisted by `buildIvf` —
+    *   mean_dot_*  — mean max-dot (assignment quality; cosine of
+    *                 each vector to its cell centroid)
+    *   occ_skew_*  — hottest-cell share × k (1.0 = uniform; large =
+    *                 adds piling into few cells, the probe-pruning
+    *                 killer)
+    *   rebuild     — quality dropped below `1 - relTol` of build
+    *                 (RELATIVE: mean dot scales with how clustered
+    *                 the embedding space is, so an absolute tolerance
+    *                 is mis-calibrated at both extremes) OR skew grew
+    *                 past `skewFactor`× the build-time skew
+    * One narrow index scan + two single-row aggregates — runnable on
+    * a schedule at any index size. Exactness: per-row dots are
+    * rounded to 4dp then summed as decimals (order-independent), so
+    * the DuckDB oracle recomputing both sides from the rendered
+    * centroids hash-matches. */
+  def ivfStaleness(spark: SparkSession, indexPath: String,
+      relTol: Double = StaleRelTol,
+      skewFactor: Double = StaleSkewFactor): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    healCells(spark, indexPath)
+    val cents = cachedCentroids(spark, indexPath)
+    val k = cents.length
+    val build = spark.read.parquet(s"$indexPath/stats")
+      .select(col("n").as("n_build"), col("sumdot").as("sd_build"),
+        col("max_cell_n").as("mx_build"))
+    val cur = cellStatsOf(spark.read.parquet(s"$indexPath/cells"), cents)
+      .select(col("n").as("n_total"), col("sumdot").as("sd_cur"),
+        col("max_cell_n").as("mx_cur"))
+    build.crossJoin(broadcast(cur)) // 1×1 summary rows
+      .select(
+        col("n_build"), col("n_total"),
+        round(col("sd_build").cast("double") / col("n_build"), 4).as("mean_dot_build"),
+        round(col("sd_cur").cast("double") / col("n_total"), 4).as("mean_dot_cur"),
+        round((col("mx_build") * lit(k)).cast("double") / col("n_build"), 4)
+          .as("occ_skew_build"),
+        round((col("mx_cur") * lit(k)).cast("double") / col("n_total"), 4)
+          .as("occ_skew_cur"))
+      .withColumn("rebuild",
+        col("mean_dot_cur") < lit(1 - relTol) * col("mean_dot_build") ||
+          col("occ_skew_cur") > lit(skewFactor) * col("occ_skew_build"))
+  }
+
+  /** Staleness thresholds — shared with the oracle renderer so the
+    * rendered SQL always tests the same flag the engine computed. */
+  private[graft] val StaleRelTol = 0.1
+  private[graft] val StaleSkewFactor = 2.0
+
+  /** Drifted adds land in the staleness query's id space far above
+    * the corpus ids. */
+  private[graft] val DriftOffset = 1000000L
+
+  /** The driver query form of ivfStaleness: a fresh stored index over
+    * the corpus, one streaming add batch from a DELIBERATELY shifted
+    * distribution (the corpus embeddings reversed component-wise —
+    * same norms, none of the cluster structure the quantizer was
+    * trained on), then the audit. Idempotent like every ingest
+    * rehearsal: the index root is signature-cached and the add is
+    * batch-marker-guarded, so re-runs re-measure without re-adding. */
+  def annIvfStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensure(spark, dir, "ivfdrift")(buildIvf(spark, dir, _))
+    val drifted = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + lit(DriftOffset)).as("vec_id"),
+        reverse(col("embedding")).as("emb"))
+    graft.streaming.StreamOps.ivfIngestBatch(idx)(drifted, 1L).count()
+    lastStaleness = Some(cachedCentroids(spark, idx))
+    ivfStaleness(spark, idx)
   }
 
   /** 0-based nearest-centroid cell by max dot (normalized corpus:
@@ -442,4 +541,59 @@ object VectorIndex {
   private[graft] def storedIvfPqOracleSql: Option[String] =
     lastStoredIvfPq.map { case (cents, book, nprobe, shortlist) =>
       VectorQueries.ivfPqOracleSqlOf(cents, book, nprobe, shortlist) }
+
+  @volatile private[graft] var lastStaleness: Option[Seq[Seq[Double]]] = None
+
+  /** DuckDB oracle for `ann_ivf_staleness`: recomputes BOTH sides
+    * from the rendered quantizer — build stats from the normalized
+    * corpus (equal to the engine's persisted `stats` because buildIvf
+    * derived them from the same table with the same expressions —
+    * a stale stats file surfaces as a loud mismatch), current stats
+    * from corpus ∪ the reversed drift batch. Per-row max-dots are
+    * rounded to 4dp then decimal-summed, so the cross-row aggregation
+    * is order-independent on both engines; the reversal is applied to
+    * the RAW array before the norm divide, mirroring the engine's
+    * reverse→normalize order (dot accumulation order matters to the
+    * last bit). */
+  private[graft] def stalenessOracleSql: Option[String] =
+    lastStaleness.map { cents =>
+      val k = cents.length
+      s"""WITH ${VectorQueries.NormedCte},
+            d0 AS (SELECT vec_id + $DriftOffset AS vec_id,
+                  list_reverse(CAST(embedding AS DOUBLE[])) AS emb FROM embeddings),
+            dn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM d0),
+            de AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
+                  FROM dn WHERE nrm > 0),
+            cents(cid, w, c2) AS (VALUES
+           ${VectorQueries.centroidValues(cents)}),
+            ball AS (SELECT vec_id, emb FROM e
+                  UNION ALL SELECT vec_id, emb FROM de),
+            sc AS (SELECT b.vec_id, c.cid, list_dot_product(b.emb, c.w) AS dp
+                  FROM ball b CROSS JOIN cents c),
+            asg AS (SELECT vec_id, dp,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk,
+                  cid FROM sc),
+            a1 AS (SELECT vec_id, cid, CAST(round(dp, 4) AS DECIMAL(18,4)) AS qd
+                  FROM asg WHERE rk = 1),
+            base AS (SELECT * FROM a1 WHERE vec_id < $DriftOffset),
+            bcell AS (SELECT cid, count(*) AS n FROM base GROUP BY cid),
+            bagg AS (SELECT CAST(sum(n) AS BIGINT) AS n_build, max(n) AS mx
+                  FROM bcell),
+            bdot AS (SELECT sum(qd) AS sd FROM base),
+            ccell AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+            cagg AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, max(n) AS mx
+                  FROM ccell),
+            cdot AS (SELECT sum(qd) AS sd FROM a1)
+         SELECT bagg.n_build, cagg.n_total,
+           round(CAST(bdot.sd AS DOUBLE) / bagg.n_build, 4) AS mean_dot_build,
+           round(CAST(cdot.sd AS DOUBLE) / cagg.n_total, 4) AS mean_dot_cur,
+           round(CAST(bagg.mx * $k AS DOUBLE) / bagg.n_build, 4) AS occ_skew_build,
+           round(CAST(cagg.mx * $k AS DOUBLE) / cagg.n_total, 4) AS occ_skew_cur,
+           (round(CAST(cdot.sd AS DOUBLE) / cagg.n_total, 4)
+              < ${1 - StaleRelTol} * round(CAST(bdot.sd AS DOUBLE) / bagg.n_build, 4)
+            OR round(CAST(cagg.mx * $k AS DOUBLE) / cagg.n_total, 4)
+              > $StaleSkewFactor * round(CAST(bagg.mx * $k AS DOUBLE) / bagg.n_build, 4))
+             AS rebuild
+         FROM bagg, cagg, bdot, cdot"""
+    }
 }

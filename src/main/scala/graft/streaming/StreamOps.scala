@@ -792,7 +792,11 @@ object StreamOps {
     * Replay-idempotent via the batch-marker ledger (at-least-once
     * delivery re-runs skip the append and return the original
     * assignments). Retraining the quantizer on drifted data is the
-    * batch rebuild's job — exactly FAISS's train-once/add-many split.
+    * batch rebuild's job — exactly FAISS's train-once/add-many split —
+    * and `VectorIndex.ivfStaleness` is the signal for WHEN: it
+    * compares the accumulated cells table's quantization stats
+    * (mean max-dot, cell-occupancy skew) against the build-time
+    * reference buildIvf persists, flagging rebuild-needed.
     * Returns the batch's (vec_id, cell) assignments. */
   def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession

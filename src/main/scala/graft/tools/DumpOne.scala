@@ -24,6 +24,13 @@ object DumpOne {
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     println(s"[dumpone] wrote $outDir/$name")
+    // after the run, so register-gated oracles have rendered
+    graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_oracle.sql"),
+        sql.getBytes("UTF-8"))
+      println(s"[dumpone] wrote $outDir/${name}_oracle.sql")
+    }
     spark.stop()
   }
 }

@@ -90,7 +90,9 @@ object ProfileSuite10x {
     "a9_cube" -> LinearBound,
     "ann_ivfpq_stored" -> LinearBound,
     // round-11: the two-phase funnel (two bounded shuffles, no join)
-    "e11_funnel_twophase" -> LinearBound)
+    // and the IVF staleness audit (build + one add + two summary aggs)
+    "e11_funnel_twophase" -> LinearBound,
+    "ann_ivf_staleness" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

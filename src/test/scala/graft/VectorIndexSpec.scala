@@ -133,4 +133,71 @@ class VectorIndexSpec extends SparkSpec {
     val cols = spark.read.parquet(s"$idx/cells").columns.toSet
     assert(cols == Set("vec_id", "codes", "cell"))
   }
+
+  test("ivfStaleness: fresh index reads clean; drifted adds move the stats; " +
+      "summary equals a driver recompute") {
+    val sdir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft-staleidx").toString
+    VectorIndex.buildIvf(spark, sdir, idx)
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    }
+    // immediately after build, current state IS the build state
+    val clean = row(VectorIndex.ivfStaleness(spark, idx))
+    assert(clean._1 == clean._2, "fresh index: n_build != n_total")
+    assert(clean._3 == clean._4 && clean._5 == clean._6)
+    assert(!clean._7, "fresh index flagged rebuild")
+
+    // drifted adds: the reversed corpus under offset ids
+    val drifted = graft.sources.Tables.embeddings(spark, sdir)
+      .select((col("vec_id") + lit(VectorIndex.DriftOffset)).as("vec_id"),
+        reverse(col("embedding")).as("emb"))
+    graft.streaming.StreamOps.ivfIngestBatch(idx)(drifted, 1L).count()
+    val got = row(VectorIndex.ivfStaleness(spark, idx))
+    assert(got._2 == 2 * got._1)
+    assert(got._4 < got._3, "reversed adds did not lower assignment quality")
+
+    // full driver recompute of the summary (same forward-loop dot,
+    // 4dp HALF_UP round, exact decimal sum, one final division)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$idx/cents")
+      .select(col("kk"), col("cent")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val k = cents.length
+    val raw = spark.read.parquet(s"$sdir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def stats(vs: Seq[Array[Double]]): (Long, BigDecimal, Long) = {
+      val assigned = vs.flatMap { v =>
+        val nrm = math.sqrt(dot(v, v.toSeq))
+        if (nrm <= 0) None else {
+          val u = v.map(_ / nrm)
+          val dots = cents.map(c => dot(u, c))
+          val mx = dots.max
+          Some((dots.indexOf(mx), q4(mx)))
+        }
+      }
+      (assigned.size.toLong, assigned.map(_._2).sum,
+        assigned.groupBy(_._1).values.map(_.size).max.toLong)
+    }
+    val base = raw.map(_._2).toSeq
+    val (nb, sdB, mxB) = stats(base)
+    val (nAll, sdAll, mxAll) = {
+      val both = base ++ raw.map(_._2.reverse)
+      stats(both)
+    }
+    def r4(x: Double) = q4(x).toDouble
+    val want = (nb, nAll,
+      r4(sdB.toDouble / nb), r4(sdAll.toDouble / nAll),
+      r4(mxB.toDouble * k / nb), r4(mxAll.toDouble * k / nAll))
+    assert((got._1, got._2, got._3, got._4, got._5, got._6) == want,
+      s"driver recompute mismatch: got=$got want=$want")
+    assert(got._7 == (got._4 < 0.9 * got._3 || got._6 > 2.0 * got._5))
+  }
 }
