@@ -136,8 +136,7 @@ object CacheScope {
     * ContextCleaner once unreferenced, so they are deliberately not
     * part of this check. */
   def sqlCacheEmpty(spark: SparkSession): Boolean =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sharedState.cacheManager.isEmpty
+    SparkInternals.sqlCacheEmpty(spark)
 
   private val installed =
     java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())

@@ -360,20 +360,11 @@ object EventQueries {
     * oracle hashes identically (e1's deal). */
   def k7Scd2(spark: SparkSession, dir: String): DataFrame = {
     // Interval strings render in UTC regardless of the caller's
-    // session timezone: date_format resolves its zone at ANALYSIS
-    // time (ResolveTimeZone reads SQLConf.get when the frame is
-    // built), so pinning UTC during construction bakes it into the
-    // plan. The pin is THREAD-SCOPED (SQLConf.get consults a
-    // thread-local before the session conf), so concurrent planning
-    // on other threads — a streaming micro-batch mid-analysis — never
-    // sees the altered zone, and there is no session-global
-    // set/restore race. scd2Stream renders UTC explicitly — batch
+    // session timezone — scd2Stream renders UTC explicitly, and batch
     // and stream closed rows must stay byte-identical in ANY session,
-    // not just the UTC-pinned harnesses.
-    val utcConf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.conf.clone()
-    utcConf.setConfString("spark.sql.session.timeZone", "UTC")
-    org.apache.spark.sql.internal.SQLConf.withExistingConf(utcConf) {
+    // not just the UTC-pinned harnesses. Thread-scoped pin semantics
+    // (and the internal-API fence) live in SparkInternals.
+    graft.ops.SparkInternals.withUtcRendering(spark) {
       k7Scd2Local(spark, dir)
     }
   }
