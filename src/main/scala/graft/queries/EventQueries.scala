@@ -201,7 +201,31 @@ object EventQueries {
     * ONE-PASS form — agreement proves the decomposition. Ties are
     * safe at bucket boundaries by construction: equal timestamps land
     * in the same bucket, and within a bucket the window order is the
-    * same (ts, event_id) as the one-pass form. */
+    * same (ts, event_id) as the one-pass form.
+    *
+    * WHERE THE PATTERN STOPS — e2Sessionize deliberately has no
+    * two-phase twin. Its gaps-and-islands state is not an
+    * associative min: whether the first event of bucket b+1 opens a
+    * new session depends on the LAST event timestamp of bucket b, so
+    * a bucket's contribution cannot collapse to seed-independent
+    * partials — every bucket's session numbering shifts with its
+    * predecessor's boundary state, which in turn shifts with ITS
+    * predecessor's (the session count is a running sum of gap
+    * indicators, one of which straddles each boundary). A stitch is
+    * expressible — per-bucket partials (first_ts, last_ts,
+    * boundary-open session aggregates) merged by a sequential
+    * per-user scan over the bucket frame — but the merge must
+    * re-aggregate the two half-sessions at every boundary (count,
+    * sum, max per straddling session), making phase 2 a second full
+    * gaps-and-islands over per-bucket SESSION rows, not a prefix-min
+    * over six columns. Since sessions are bounded by the 30-min gap,
+    * a hot user's per-bucket session frame is within a small factor
+    * of its raw event frame, and the stitch re-pays the one-pass
+    * cost it was meant to split — the trade w4/e11 win because their
+    * combine is O(1) per bucket. The honest mitigations for a
+    * pathological user in sessionize remain AQE's inability to help
+    * per-key windows (PROFILE_SKEW.md) plus upstream per-key volume
+    * caps. */
   def e11FunnelTwoPhase(spark: SparkSession, dir: String): DataFrame =
     funnelTwoPhaseOf(Tables.events(spark, dir))
 
