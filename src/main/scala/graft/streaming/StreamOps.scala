@@ -776,6 +776,79 @@ object StreamOps {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+
+  /** Per-user funnel state: the POSITIONS ((micros, event_id) in the
+    * batch window order) of the first view, first qualifying click,
+    * and first qualifying purchase. Long.MaxValue = unset. Positions
+    * (not booleans) are what make replays safe — see funnelStream. */
+  case class FunnelSt(vUs: Long, vId: Long, cUs: Long, cId: Long, pUs: Long)
+
+  case class FunnelRow(user_id: Long, view_us: Option[Long],
+    click_us: Option[Long], purchase_us: Option[Long], depth: Long)
+
+  /** Streaming ordered-funnel maintenance — the continuous twin of
+    * the batch e6Funnel/e11FunnelTwoPhase pair: per-user stage state
+    * is THREE positions (first view, first qualifying click, first
+    * qualifying purchase — constant size forever, like the SCD2 and
+    * source-signature twins), each micro-batch sorts its group by the
+    * batch window's exact (ts, sub-ms, event_id) order and advances
+    * the state per event, and every touched user emits its CURRENT
+    * funnel row — equal at any batch boundary to `funnelOf` over all
+    * events seen so far (spec-pinned), for streams delivered in order
+    * per user (the scd2Stream contract; late events route through the
+    * batch rebuild).
+    *
+    * Qualification is checked against stored POSITIONS, not presence
+    * flags: a click counts only if its (micros, event_id) position is
+    * at-or-after the first view's, exactly the batch semantics. That
+    * makes at-least-once replays IDEMPOTENT in the way a boolean
+    * state cannot: a re-delivered old click that preceded the first
+    * view fails the position check on replay too (with a presence
+    * flag it would wrongly qualify), so a replayed batch emits the
+    * same rows and leaves the same state. */
+  def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelSt]) =>
+          val M = Long.MaxValue
+          var st = state.getOption.getOrElse(FunnelSt(M, M, M, M, M))
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          for (e <- sorted) {
+            val eu = us(e.ts)
+            e.event_type match {
+              case "view" =>
+                if (eu < st.vUs || (eu == st.vUs && e.event_id < st.vId))
+                  st = st.copy(vUs = eu, vId = e.event_id)
+              case "click" =>
+                val qualifies = st.vUs != M &&
+                  (eu > st.vUs || (eu == st.vUs && e.event_id >= st.vId))
+                if (qualifies && (eu < st.cUs || (eu == st.cUs && e.event_id < st.cId)))
+                  st = st.copy(cUs = eu, cId = e.event_id)
+              case "purchase" =>
+                val qualifies = st.cUs != M &&
+                  (eu > st.cUs || (eu == st.cUs && e.event_id >= st.cId))
+                if (qualifies && eu < st.pUs) st = st.copy(pUs = eu)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          def opt(x: Long) = if (x == M) None else Some(x)
+          FunnelRow(uid, opt(st.vUs), opt(st.cUs), opt(st.pUs),
+            if (st.pUs != M) 3L else if (st.cUs != M) 2L
+            else if (st.vUs != M) 1L else 0L)
+      }
+  }
+
   /** Streaming IVF index maintenance — the vector twin of the LSH /
     * pHash lake-table ingests, and FAISS's `add()` contract made
     * explicit: the coarse quantizer (the stored centroid table,

@@ -323,6 +323,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/cells").count() == n0 + 20)
   }
 
+  test("funnelStream: state equals the batch funnel at every boundary; replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val latest = scala.collection.mutable.Map[Long, (Option[Long], Option[Long], Option[Long], Long)]()
+    val q = StreamOps.funnelStream(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.FunnelRow], id: Long) =>
+        latest.synchronized {
+          b.collect().foreach(r =>
+            latest(r.user_id) = (r.view_us, r.click_us, r.purchase_us, r.depth)); ()
+        }
+      }.start()
+
+    val b1 = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, t("2024-01-01 10:05:00"), 2L, "click"),
+      (2L, t("2024-01-01 09:00:00"), 3L, "click")) // click before ANY view
+    val b2 = Seq(
+      (2L, t("2024-01-01 09:30:00"), 4L, "view"),
+      (2L, t("2024-01-01 09:45:00"), 5L, "click"),
+      (1L, t("2024-01-01 10:10:00"), 6L, "purchase"))
+
+    def batchTruth(events: Seq[(Long, java.sql.Timestamp, Long, String)]) = {
+      import spark.implicits._
+      graft.queries.EventQueries.funnelOf(
+          events.toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))).toMap
+    }
+
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1))
+    in.addData(b2: _*); q.processAllAvailable()
+    val afterB2 = latest.synchronized(latest.toMap)
+    assert(afterB2 == batchTruth(b1 ++ b2))
+    // u2's early click (pos before its first view) must NOT have
+    // qualified; the later click did
+    assert(afterB2(2L)._2.contains(t("2024-01-01 09:45:00").getTime * 1000L))
+
+    // at-least-once replay of b1: u2's old click is re-delivered
+    // AFTER u2's view arrived — the POSITION check keeps it
+    // unqualified (a presence-flag state would wrongly accept it),
+    // so state and emitted rows are unchanged
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    assert(latest.synchronized(latest.toMap) == afterB2,
+      "replayed batch changed the funnel state")
+  }
+
   test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
