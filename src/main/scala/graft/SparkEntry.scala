@@ -61,6 +61,7 @@ object SparkEntry {
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
     "e3_asof_join" -> (EventQueries.e3AsofJoin _),
+    "e12_asof_twophase" -> (EventQueries.e12AsofTwoPhase _),
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
     "e5_range_join" -> (EventQueries.e5RangeJoin _),
     "e6_funnel" -> (EventQueries.e6Funnel _),
@@ -437,6 +438,15 @@ object SparkEntry {
            round(max(session_value), 2) AS max_session_value
          FROM per GROUP BY user_id""",
     "e3_asof_join" ->
+      """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""",
+    // deliberately e3's ONE-PASS ASOF oracle verbatim: the engine runs
+    // the (user, day)-bucketed two-phase decomposition, so agreement
+    // proves the regrouping (the w4/e11 proof trick)
+    "e12_asof_twophase" ->
       """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN

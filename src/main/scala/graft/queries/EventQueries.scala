@@ -60,8 +60,13 @@ object EventQueries {
     * this beats the naive t1⋈t2-then-max plan (which shuffles the
     * full pair product); cost is one sort of |clicks|+|errors| per
     * user partition. */
-  def e3AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def e3AsofJoin(spark: SparkSession, dir: String): DataFrame =
+    e3AsofJoinOf(Tables.events(spark, dir))
+
+  /** The one-pass as-of core over any (user_id, ts, event_id,
+    * event_type) frame — the ground truth the two-phase e12 specs
+    * compare against. */
+  private[graft] def e3AsofJoinOf(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
@@ -79,6 +84,67 @@ object EventQueries {
       .withColumn("asof_err_id", last(col("err_id"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("asof_err_id"))
+  }
+
+  /** E12: the as-of join again, as the SKEW-SAFE two-phase
+    * decomposition — the third member of the w4/e11 family, and the
+    * one that completes the pattern's taxonomy: w4's combine is an
+    * associative SUM, e11's a fixed set of MINs, and the as-of
+    * combine is LAST-NON-NULL — associative with O(1) state (the
+    * latest error's (ts, err_id)), which is exactly what sessionize
+    * lacks (see e11's Scaladoc). Phase 1 runs the one-pass
+    * carry-forward INSIDE (user, day) partitions — a pathological
+    * user's history spreads across its days — and reduces each
+    * bucket to its last error (one max(struct) on the same shuffle
+    * key). Phase 2 prefix-carries that last error over the tiny
+    * (user, day) frame. Phase 3 joins the carry back: each click
+    * takes its within-bucket as-of error if one exists (it is later
+    * than anything in earlier buckets) else the bucket's carry —
+    * w4's stitch shape, one join against a frame of |users|×|days|
+    * rows. Ties are bucket-safe (same ts ⟹ same bucket; within a
+    * bucket the order is the one-pass (ts, side, id) order; across
+    * buckets every earlier-bucket position precedes every later
+    * one). Oracle is deliberately e3's ONE-PASS ASOF SQL —
+    * agreement proves the decomposition. */
+  def e12AsofTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    asofTwoPhaseOf(Tables.events(spark, dir))
+
+  /** The two-phase as-of core over any (user_id, ts, event_id,
+    * event_type) frame — exposed for fixture specs against
+    * the one-pass form. */
+  private[graft] def asofTwoPhaseOf(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
+    val unioned = clicks
+      .withColumn("side", lit(1)).withColumn("err_id", lit(null).cast("long"))
+      .unionByName(errors
+        .withColumn("side", lit(0)).withColumn("event_id", lit(null).cast("long")))
+      .withColumn("d", to_date(col("ts")))
+    // phase 1: the one-pass order, restricted to the bucket
+    val wb = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("side"), coalesce(col("event_id"), col("err_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = unioned
+      .withColumn("local_err", last(col("err_id"), ignoreNulls = true).over(wb))
+    // per-bucket last error — max (ts, err_id) over error rows, a
+    // groupBy on the SAME (user_id, d) key the window shuffled on
+    val bucketLast = staged.groupBy(col("user_id"), col("d"))
+      .agg(max(when(col("side") === 0, struct(col("ts"), col("err_id")))).as("le"))
+    // phase 2: carry = the latest error in any STRICTLY EARLIER bucket
+    val wpre = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketLast
+      .withColumn("carry", last(col("le"), ignoreNulls = true).over(wpre))
+      .select(col("user_id").as("c_uid"), col("d").as("c_d"),
+        col("carry.err_id").as("carry_err"))
+    // phase 3: within-bucket as-of wins (it is later than any earlier
+    // bucket's error); else the carry. Null-safe keys like w4.
+    staged.filter(col("side") === 1)
+      .join(carries, col("user_id") <=> col("c_uid") && col("d") <=> col("c_d"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("local_err"), col("carry_err")).as("asof_err_id"))
   }
 
   /** Skew-aware heavy-hitter rollup: per (user, event_type) counts

@@ -116,6 +116,54 @@ class EventQueriesSpec extends SparkSpec {
       s"missed=${(onePass -- twoPhase).size} extra=${(twoPhase -- onePass).size}")
   }
 
+  test("two-phase as-of join equals the one-pass form on cross-bucket placements") {
+    // u1: error day1, clicks day1 (after) + day2 (no day-2 error) —
+    //     within-bucket win on day1, carry on day2
+    // u2: errors day1 AND day2; day2 click BEFORE day2's error takes
+    //     day1's carry, a later day2 click takes day2's error
+    // u3: click with NO error ever — null asof_err_id survives
+    // u4: same-timestamp error+click (error sorts first: inclusive
+    //     as-of) and two same-timestamp errors (max err_id wins)
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", "error"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-02 09:00:00", "click"),
+      (2L, "2024-01-01 08:00:00", "error"),
+      (2L, "2024-01-02 07:00:00", "click"),
+      (2L, "2024-01-02 08:00:00", "error"),
+      (2L, "2024-01-02 09:00:00", "click"),
+      (3L, "2024-01-01 10:00:00", "click"),
+      (4L, "2024-01-03 10:00:00", "error"),
+      (4L, "2024-01-03 10:00:00", "error"),
+      (4L, "2024-01-03 10:00:00", "click")))
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val onePass = rows(EventQueries.e3AsofJoinOf(df))
+    val twoPhase = rows(EventQueries.asofTwoPhaseOf(df))
+    assert(twoPhase == onePass,
+      s"missed=${onePass -- twoPhase} extra=${twoPhase -- onePass}")
+    // the interesting cases really happened: u2's early day-2 click
+    // carried day-1's error; u3 is null; u4 took the larger err_id
+    val byClick = twoPhase.map(t => t._1 -> t._3).toMap
+    assert(byClick(4L) == Some(3L))  // u2 day-2 07:00 click -> day-1 error (id 3)
+    assert(byClick(6L) == Some(5L))  // u2 day-2 09:00 click -> day-2 error (id 5)
+    assert(byClick(7L) == None)      // u3: no error ever
+    assert(byClick(10L) == Some(9L)) // u4: same-ts errors 8,9 -> max id 9
+  }
+
+  test("two-phase as-of join equals the one-pass form on the real corpus (sf0.001)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val onePass = rows(EventQueries.e3AsofJoinOf(ev))
+    val twoPhase = rows(EventQueries.asofTwoPhaseOf(ev))
+    assert(onePass.nonEmpty)
+    assert(twoPhase == onePass,
+      s"missed=${(onePass -- twoPhase).size} extra=${(twoPhase -- onePass).size}")
+  }
+
   test("resample fills gaps with zero counts and carries the last value forward") {
     import spark.implicits._
     // 15-min buckets; type A observed at 10:00 and 10:45 → two gap

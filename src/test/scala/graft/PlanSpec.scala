@@ -299,6 +299,18 @@ class PlanSpec extends SparkSpec {
       s"expected (user,day) + (user) exchanges, saw $exchanges:\n" + plan.take(3000))
   }
 
+  test("two-phase as-of join: bucketed windows + one carry join, no nested loop") {
+    // w4's stitch shape for the as-of carry: (user, day) window +
+    // same-key bucket agg, tiny carry frame, one equi-join back —
+    // never a per-click range probe (nested loop / cartesian)
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e12AsofTwoPhase(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of carry join regressed to a pair product")
+  }
+
   test("burst detection: per-type stats ride a broadcast, corpus scans once") {
     spark.catalog.clearCache()
     val plan = planString(EventQueries.e8Spike(spark, dir))
