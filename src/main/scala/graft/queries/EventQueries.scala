@@ -63,24 +63,31 @@ object EventQueries {
   def e3AsofJoin(spark: SparkSession, dir: String): DataFrame =
     e3AsofJoinOf(Tables.events(spark, dir))
 
-  /** The one-pass as-of core over any (user_id, ts, event_id,
-    * event_type) frame — the ground truth the two-phase e12 specs
-    * compare against. */
-  private[graft] def e3AsofJoinOf(ev: DataFrame): DataFrame = {
+  /** The side-tagged click∪error frame both as-of forms order over —
+    * ONE definition, so the one-pass oracle form and the two-phase
+    * engine can never diverge on the tagging or tie-order
+    * convention. Errors (side 0) sort before clicks (side 1) at an
+    * identical timestamp → "<= ts" inclusive as-of, matching ASOF
+    * JOIN. */
+  private def asofTagged(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
-    val unioned = clicks
+    clicks
       .withColumn("side", lit(1)).withColumn("err_id", lit(null).cast("long"))
       .unionByName(errors
         .withColumn("side", lit(0)).withColumn("event_id", lit(null).cast("long")))
-    // errors (side 0) sort before clicks (side 1) at an identical
-    // timestamp → "<= ts" inclusive as-of, matching ASOF JOIN.
+  }
+
+  /** The one-pass as-of core over any (user_id, ts, event_id,
+    * event_type) frame — the ground truth the two-phase e12 specs
+    * compare against. */
+  private[graft] def e3AsofJoinOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), coalesce(col("event_id"), col("err_id")))
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned
+    asofTagged(ev)
       .withColumn("asof_err_id", last(col("err_id"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("asof_err_id"))
@@ -113,15 +120,7 @@ object EventQueries {
     * event_type) frame — exposed for fixture specs against
     * the one-pass form. */
   private[graft] def asofTwoPhaseOf(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val errors = events.filter(col("event_type") === "error")
-      .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
-    val unioned = clicks
-      .withColumn("side", lit(1)).withColumn("err_id", lit(null).cast("long"))
-      .unionByName(errors
-        .withColumn("side", lit(0)).withColumn("event_id", lit(null).cast("long")))
-      .withColumn("d", to_date(col("ts")))
+    val unioned = asofTagged(events).withColumn("d", to_date(col("ts")))
     // phase 1: the one-pass order, restricted to the bucket
     val wb = Window.partitionBy(col("user_id"), col("d"))
       .orderBy(col("ts"), col("side"), coalesce(col("event_id"), col("err_id")))

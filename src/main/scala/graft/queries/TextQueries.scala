@@ -812,13 +812,18 @@ object TextQueries {
       .withColumn("bucket_n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("band_key"))))
       .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("band_key"), col("source"))
+      .select(col("band"), col("band_key"), col("source"), col("dig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = admitted.select(col("band"), col("band_key"), col("source").as("source_a"))
-      .join(admitted.select(col("band"), col("band_key"), col("source").as("source_b")),
+    // dig rides the candidate pairs (it is constant per
+    // representative), so the expansion below never has to join it
+    // back on
+    val cand = admitted.select(col("band"), col("band_key"),
+        col("source").as("source_a"), col("dig").as("a_dig"))
+      .join(admitted.select(col("band"), col("band_key"),
+        col("source").as("source_b"), col("dig").as("b_dig")),
         Seq("band", "band_key"))
       .filter(col("source_a") < col("source_b"))
-      .select(col("source_a"), col("source_b"))
+      .select(col("source_a"), col("source_b"), col("a_dig"), col("b_dig"))
       .distinct()
     val a = sig.select(col("source").as("source_a") +:
       (0 until MinhashHashes).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -828,16 +833,12 @@ object TextQueries {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val repPairs = cand.join(a, Seq("source_a")).join(b, Seq("source_b"))
-      .select(col("source_a"), col("source_b"), matches.as("sig_match"))
+      .select(col("a_dig"), col("b_dig"), matches.as("sig_match"))
       .filter(col("sig_match") >= minMatch)
     // expansion back to member pairs (output-bound: every emitted row
     // IS a result pair), plus the within-digest pairs — identical
     // signatures agree on all components by definition
     val cross = repPairs
-      .join(sigDig.select(col("source").as("source_a"), col("dig").as("a_dig")),
-        Seq("source_a"))
-      .join(sigDig.select(col("source").as("source_b"), col("dig").as("b_dig")),
-        Seq("source_b"))
       .join(sigDig.select(col("dig").as("a_dig"), col("source").as("a_m")), Seq("a_dig"))
       .join(sigDig.select(col("dig").as("b_dig"), col("source").as("b_m")), Seq("b_dig"))
       .select(least(col("a_m"), col("b_m")).as("source_a"),

@@ -56,20 +56,38 @@ object VectorIndex {
 
   /** Per-path cache of the stored coarse quantizer. The centroid
     * table is IMMUTABLE for an index's lifetime (FAISS's train-once
-    * contract — only a full rebuild rewrites it, and the builders
-    * invalidate below), so every serving call and every streaming
-    * ingest micro-batch (StreamOps.ivfIngestBatch) shares one
-    * driver-side copy instead of paying a parquet read + collect per
-    * call. Bounded: k×dim doubles per distinct index path. */
+    * contract — only a full rebuild rewrites it), so every serving
+    * call and every streaming ingest micro-batch
+    * (StreamOps.ivfIngestBatch) shares one driver-side copy instead
+    * of paying a parquet read + collect per call. Entries are keyed
+    * by the cents directory's FILE SIGNATURE (names + sizes +
+    * mtimes — one cheap metadata listing per call), not just the
+    * path: a rebuild performed by ANOTHER process rewrites the
+    * files, moves the signature, and invalidates naturally — the
+    * cross-process freshness the plain per-call read had, at
+    * metadata-listing cost. Same-JVM rebuilds additionally
+    * invalidate eagerly (the builders below). Bounded: k×dim
+    * doubles per distinct index path. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Seq[Double]])]()
+
+  private def centsSignature(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cents")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+  }
 
   private[graft] def cachedCentroids(spark: SparkSession,
-      indexPath: String): Seq[Seq[Double]] =
-    centroidCache.computeIfAbsent(indexPath, _ =>
-      spark.read.parquet(s"$indexPath/cents")
+      indexPath: String): Seq[Seq[Double]] = {
+    val sig = centsSignature(spark, indexPath)
+    centroidCache.compute(indexPath, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, spark.read.parquet(s"$indexPath/cents")
         .select(col("kk"), col("cent")).collect()
-        .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq)
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq))._2
+  }
 
   private[graft] def invalidateCentroids(indexPath: String): Unit =
     centroidCache.remove(indexPath)

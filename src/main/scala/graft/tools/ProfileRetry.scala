@@ -51,7 +51,7 @@ object ProfileRetry {
     "g1_pagerank", "g4_components", // iterative supersteps (localCheckpoint)
     "t_stratified_sample", "t_shard_shuffle", // deterministic-hash sampling/permutation
     "emb_hard_negatives",
-    "w4_running_total_twophase", "e11_funnel_twophase",
+    "w4_running_total_twophase", "e11_funnel_twophase", "e12_asof_twophase",
     "k7_scd2")
 
   /** First-attempt tasks with index ≡ KillResidue (mod KillMod) are

@@ -215,9 +215,14 @@ object ProfileSuite10x {
     }
     val bounds = selected.toMap
     val linear = rows.filter(_._5.startsWith("PASS"))
-    println(f"[10x] ${linear.size}/${rows.count(r => bounds(r._1) > 0)} bounded " +
-      f"queries within their ratio bound; worst bounded ratio " +
-      f"${rows.filter(r => bounds(r._1) > 0).map(_._4).max}%.2f")
+    val bounded = rows.filter(r => bounds(r._1) > 0)
+    if (bounded.isEmpty)
+      println("[10x] no bounded queries selected (filter matched only " +
+        "report-only or unknown names) — nothing to judge")
+    else
+      println(f"[10x] ${linear.size}/${bounded.size} bounded " +
+        f"queries within their ratio bound; worst bounded ratio " +
+        f"${bounded.map(_._4).max}%.2f")
     if (failures.nonEmpty) {
       System.err.println(s"[10x] super-linear entries: ${failures.mkString(", ")}")
       sys.exit(1)
