@@ -60,6 +60,7 @@ object SparkEntry {
     // — event-stream ops —
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
+    "e13_sessionize_twophase" -> (EventQueries.e13SessionizeTwoPhase _),
     "e3_asof_join" -> (EventQueries.e3AsofJoin _),
     "e12_asof_twophase" -> (EventQueries.e12AsofTwoPhase _),
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
@@ -419,6 +420,28 @@ object SparkEntry {
          event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
     "e2_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value, event_id,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              g AS (SELECT user_id, ts, value, event_id,
+                    CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                    FROM l),
+              s AS (SELECT user_id, value,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+                    FROM g),
+              per AS (SELECT user_id, session_id, count(*) AS n_events,
+                      round(sum(value), 2) AS session_value
+                      FROM s GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(max(session_value), 2) AS max_session_value
+         FROM per GROUP BY user_id""",
+    // deliberately e2's ONE-PASS oracle verbatim: the engine runs the
+    // (user, day)-bucketed session RENUMBERING, so agreement proves
+    // the decomposition (the w4/e11/e12 proof trick)
+    "e13_sessionize_twophase" ->
       """WITH l AS (SELECT user_id, ts, value, event_id,
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                     FROM events),

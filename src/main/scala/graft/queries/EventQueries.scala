@@ -31,10 +31,15 @@ object EventQueries {
     * sum, all window functions over one (user_id, ts) sort; scales
     * as one shuffle by user_id (the per-user partition is the only
     * ordering scope, never a global sort). */
-  def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir))
+
+  /** The one-pass sessionize core over any (user_id, ts, event_id,
+    * value) frame — ground truth for the two-phase e13 specs. */
+  private[graft] def sessionizeOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gapped = Tables.events(spark, dir)
+    val gapped = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -42,13 +47,83 @@ object EventQueries {
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    gapped.groupBy(col("user_id"), col("session_id"))
+    sessionRollup(gapped)
+  }
+
+  /** The shared session→user aggregation tail: grouping by the
+    * computed session_id, then the per-user summary. One definition
+    * so the one-pass and two-phase forms cannot diverge on the
+    * rollup. */
+  private def sessionRollup(withSid: DataFrame): DataFrame =
+    withSid.groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         round(max(col("session_value")), 2).as("max_session_value"))
+
+  /** E13: sessionize as the SKEW-SAFE two-phase decomposition — the
+    * fourth member of the w4/e11/e12 family, and a CORRECTION to the
+    * first version of e11's infeasibility note: gaps-and-islands DOES
+    * decompose, via GLOBAL SESSION RENUMBERING rather than session
+    * merging. The insight: an event's one-pass `new_session` flag is
+    * purely local — for a bucket-interior event it compares against
+    * the previous event in the same bucket; for a bucket-FIRST event
+    * it compares against the previous bucket's last event. So phase 1
+    * computes within-bucket flags and running counts inside
+    * (user, day) partitions (the hot user spreads across days) plus a
+    * 3-value bucket summary (first_ts, last_ts, internal flag count);
+    * phase 2 derives each bucket's boundary flag from its
+    * predecessor's last_ts (one lag) and prefix-sums flag counts into
+    * a per-bucket session-id BASE — O(1) state per bucket, the thing
+    * the session-MERGING formulation (re-aggregating straddling
+    * half-sessions) obscured; phase 3 stitches the base back
+    * (w4's join shape): global session_id = base + local running
+    * count, IDENTICAL to the one-pass numbering, and the shared
+    * rollup finishes. Oracle is deliberately e2's ONE-PASS SQL —
+    * agreement proves the renumbering. Ties bucket-safe as in
+    * e11/e12 (equal ts ⟹ same bucket). */
+  def e13SessionizeTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    sessionizeTwoPhaseOf(Tables.events(spark, dir))
+
+  private[graft] def sessionizeTwoPhaseOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("d", to_date(col("ts")))
+    val wb = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wb))
+      // bucket-first events get 0 here: their flag is the BUCKET's
+      // boundary flag, decided in phase 2 against the previous
+      // bucket's last event — the same gap rule on the same values
+      .withColumn("local_new",
+        when(col("prev_ts").isNotNull &&
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1L)
+          .otherwise(0L))
+      .withColumn("local_cum",
+        sum(col("local_new")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+    val buckets = local.groupBy(col("user_id"), col("d"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        sum(col("local_new")).as("internal_new"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val based = buckets
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(wu))
+      .withColumn("boundary_new",
+        when(col("prev_last").isNull ||
+          col("first_ts").cast("double") - col("prev_last").cast("double") > 1800d, 1L)
+          .otherwise(0L))
+      // base(b) = sessions started strictly before bucket b, plus
+      // b's own boundary flag — so base + local_cum reproduces the
+      // one-pass running count exactly
+      .withColumn("base",
+        sum(col("boundary_new") + col("internal_new"))
+          .over(wu.rowsBetween(Window.unboundedPreceding, 0)) - col("internal_new"))
+      .select(col("user_id").as("b_uid"), col("d").as("b_d"), col("base"))
+    val withSid = local
+      .join(based, col("user_id") <=> col("b_uid") && col("d") <=> col("b_d"))
+      .withColumn("session_id", col("base") + col("local_cum"))
+    sessionRollup(withSid)
   }
 
   /** As-of join (backward): for every click, the most recent error
@@ -268,29 +343,15 @@ object EventQueries {
     * in the same bucket, and within a bucket the window order is the
     * same (ts, event_id) as the one-pass form.
     *
-    * WHERE THE PATTERN STOPS — e2Sessionize deliberately has no
-    * two-phase twin. Its gaps-and-islands state is not an
-    * associative min: whether the first event of bucket b+1 opens a
-    * new session depends on the LAST event timestamp of bucket b, so
-    * a bucket's contribution cannot collapse to seed-independent
-    * partials — every bucket's session numbering shifts with its
-    * predecessor's boundary state, which in turn shifts with ITS
-    * predecessor's (the session count is a running sum of gap
-    * indicators, one of which straddles each boundary). A stitch is
-    * expressible — per-bucket partials (first_ts, last_ts,
-    * boundary-open session aggregates) merged by a sequential
-    * per-user scan over the bucket frame — but the merge must
-    * re-aggregate the two half-sessions at every boundary (count,
-    * sum, max per straddling session), making phase 2 a second full
-    * gaps-and-islands over per-bucket SESSION rows, not a prefix-min
-    * over six columns. Since sessions are bounded by the 30-min gap,
-    * a hot user's per-bucket session frame is within a small factor
-    * of its raw event frame, and the stitch re-pays the one-pass
-    * cost it was meant to split — the trade w4/e11 win because their
-    * combine is O(1) per bucket. The honest mitigations for a
-    * pathological user in sessionize remain AQE's inability to help
-    * per-key windows (PROFILE_SKEW.md) plus upstream per-key volume
-    * caps. */
+    * HOW FAR THE PATTERN REACHES — each family member has a
+    * different O(1)-per-bucket combine: w4 an associative decimal
+    * SUM, e11 a fixed set of MINs, e12 a LAST-NON-NULL carry, and
+    * e13 (sessionize) a session-count BASE — gaps-and-islands
+    * decomposes too, but only once reformulated as global session
+    * RENUMBERING (prefix-summed per-bucket flag counts + a boundary
+    * flag from the predecessor bucket's last_ts) rather than session
+    * MERGING, whose straddling half-session re-aggregation is not
+    * O(1). See e13SessionizeTwoPhase for the derivation. */
   def e11FunnelTwoPhase(spark: SparkSession, dir: String): DataFrame =
     funnelTwoPhaseOf(Tables.events(spark, dir))
 

@@ -66,6 +66,7 @@ object ProfileSkew {
     "w4_running_total_twophase" -> "two-phase month-split running total (hot customer 20%)",
     "w3_order_gaps" -> "per-key lag window (hot customer 20%)",
     "e2_sessionize" -> "per-key session window (hot user 20%)",
+    "e13_sessionize_twophase" -> "two-phase day-split sessionize (hot user 20%)",
     "e3_asof_join" -> "per-key carry-forward window (hot user 20%)",
     "e12_asof_twophase" -> "two-phase day-split as-of join (hot user 20%)",
     "e4_salted_rollup" -> "two-phase salted groupBy (hot user 20%)",

@@ -101,6 +101,7 @@ object ProfileSuite10x {
     // builds amortize across the best-of runs exactly like ivfpq)
     "e11_funnel_twophase" -> LinearBound,
     "e12_asof_twophase" -> LinearBound,
+    "e13_sessionize_twophase" -> LinearBound,
     "ann_ivf_staleness" -> LinearBound,
     "dedup_minhash_lsh" -> LinearBound,
     "ann_ivf_stored" -> LinearBound,

@@ -164,6 +164,51 @@ class EventQueriesSpec extends SparkSpec {
       s"missed=${(onePass -- twoPhase).size} extra=${(twoPhase -- onePass).size}")
   }
 
+  test("two-phase sessionize equals the one-pass form on cross-bucket placements") {
+    // u1: one session spanning midnight (23:50 -> 00:10 gap 20min —
+    //     boundary link) then a real gap into a second session
+    // u2: bucket ends early (10:00), next bucket starts 09:00+1d —
+    //     boundary gap > 30min opens a session even though both
+    //     buckets are internally gapless
+    // u3: three buckets chained by <=30min boundary links into ONE
+    //     session (base must propagate through multiple links)
+    // u4: single event (one session of one event)
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 23:50:00", "view"),
+      (1L, "2024-01-02 00:10:00", "view"),
+      (1L, "2024-01-02 09:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-02 09:00:00", "view"),
+      (3L, "2024-01-01 23:45:00", "view"),
+      (3L, "2024-01-02 00:05:00", "view"),
+      (3L, "2024-01-02 23:55:00", "view"), // same-bucket gap: new session
+      (3L, "2024-01-03 00:15:00", "view"),
+      (4L, "2024-01-01 12:00:00", "view")))
+      .withColumn("value", col("event_id").cast("double") + lit(0.25))
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val onePass = rows(EventQueries.sessionizeOf(df))
+    val twoPhase = rows(EventQueries.sessionizeTwoPhaseOf(df))
+    assert(twoPhase == onePass,
+      s"missed=${onePass -- twoPhase} extra=${twoPhase -- onePass}")
+    val byUser = twoPhase.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byUser(1L) == ((2L, 3L))) // midnight-link session + later one
+    assert(byUser(2L) == ((2L, 2L))) // boundary gap opened a session
+    assert(byUser(3L) == ((2L, 4L))) // two midnight links, one interior gap
+    assert(byUser(4L) == ((1L, 1L)))
+  }
+
+  test("two-phase sessionize equals the one-pass form on the real corpus (sf0.001)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val onePass = rows(EventQueries.sessionizeOf(ev))
+    val twoPhase = rows(EventQueries.sessionizeTwoPhaseOf(ev))
+    assert(onePass.nonEmpty)
+    assert(twoPhase == onePass,
+      s"missed=${(onePass -- twoPhase).size} extra=${(twoPhase -- onePass).size}")
+  }
+
   test("resample fills gaps with zero counts and carries the last value forward") {
     import spark.implicits._
     // 15-min buckets; type A observed at 10:00 and 10:45 → two gap

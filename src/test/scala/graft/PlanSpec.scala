@@ -311,6 +311,15 @@ class PlanSpec extends SparkSpec {
       "as-of carry join regressed to a pair product")
   }
 
+  test("two-phase sessionize: bucketed windows + base stitch, no pair product") {
+    spark.catalog.clearCache()
+    val plan = planString(EventQueries.e13SessionizeTwoPhase(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "session-base stitch regressed to a pair product")
+  }
+
   test("burst detection: per-type stats ride a broadcast, corpus scans once") {
     spark.catalog.clearCache()
     val plan = planString(EventQueries.e8Spike(spark, dir))

@@ -43,7 +43,8 @@ class SqlGatewaySpec extends SparkSpec {
     "a5_summary_rollup", "a6_rollup", "a7_pivot", "a8_corr_stats",
     "a9_cube", "k7_scd2",
     "dedup_editdist", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "e1_tumbling_window", "e2_sessionize", "e4_salted_rollup",
+    "e1_tumbling_window", "e2_sessionize", "e13_sessionize_twophase",
+    "e4_salted_rollup",
     "e5_range_join", "e6_funnel", "e11_funnel_twophase", "e8_spike",
     "g2_copurchase_lift", "g3_triangles", "j1_equi_join",
     "j2_substring_join", "j3_broadcast_lookup", "j4_outer_merge",
