@@ -849,6 +849,74 @@ object StreamOps {
       }
   }
 
+  /** Per-user sessionize state: the last event's position, the OPEN
+    * session's running aggregates, and the closed-session totals.
+    * `maxClosed` is only meaningful when `closedSessions > 0`. */
+  case class SessSt(lastUs: Long, openN: Long, openSum: Double,
+    closedSessions: Long, totalN: Long, maxClosed: Double)
+
+  case class SessRow(user_id: Long, n_sessions: Long, n_events: Long,
+    max_session_value: Double)
+
+  /** Streaming sessionization — the continuous twin of the batch
+    * e2Sessionize/e13SessionizeTwoPhase pair: per-user state is the
+    * open session's aggregates plus closed-session totals (constant
+    * size forever), each micro-batch sorts its group by the batch
+    * window's (ts, sub-ms, event_id) order and runs the same
+    * gap-rule automaton, and every touched user emits its CURRENT
+    * per-user summary — equal at any batch boundary to `sessionizeOf`
+    * over all events seen so far (spec-pinned), with the open-tail
+    * session counted exactly as the batch query counts it.
+    *
+    * Gap arithmetic mirrors the batch form to the bit: both sides
+    * compare DOUBLE second values (micros / 1e6, the
+    * `cast(ts as double)` the batch window uses), so a knife-edge
+    * 1800.000000s gap splits identically. Ordering contract: in-order
+    * delivery per user (scd2Stream's); micro-batch RETRIES are safe
+    * automatically (the state store versions per batch and rewinds),
+    * but unlike the min-accumulator twins (srcSignatureStream,
+    * funnelStream) counting state is NOT idempotent under duplicate
+    * events ACROSS batches — an at-least-once source needs upstream
+    * dedup, the same contract as any streaming count. */
+  def sessionStream(events: DataFrame): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def r2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessSt, SessRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[SessSt]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val eu = us(e._2)
+            if (st == null)
+              st = SessSt(eu, 1L, e._4, 0L, 1L, 0.0)
+            else if (eu / 1e6 - st.lastUs / 1e6 > 1800d) {
+              // close the open session; its rounded value competes for max
+              val closedVal = r2(st.openSum)
+              st = SessSt(eu, 1L, e._4, st.closedSessions + 1, st.totalN + 1,
+                if (st.closedSessions == 0) closedVal
+                else math.max(st.maxClosed, closedVal))
+            } else
+              st = st.copy(lastUs = eu, openN = st.openN + 1,
+                openSum = st.openSum + e._4, totalN = st.totalN + 1)
+          }
+          state.update(st)
+          val openVal = r2(st.openSum)
+          val m = if (st.closedSessions == 0) openVal
+            else math.max(st.maxClosed, openVal)
+          SessRow(uid, st.closedSessions + 1, st.totalN, r2(m))
+      }
+  }
+
   /** Streaming IVF index maintenance — the vector twin of the LSH /
     * pHash lake-table ingests, and FAISS's `add()` contract made
     * explicit: the coarse quantizer (the stored centroid table,

@@ -375,6 +375,53 @@ class StreamOpsSpec extends SparkSpec {
       "replayed batch changed the funnel state")
   }
 
+  test("sessionStream: per-user summaries equal the batch sessionize at every boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val latest = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val q = StreamOps.sessionStream(
+        in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.SessRow], id: Long) =>
+        latest.synchronized {
+          b.collect().foreach(r =>
+            latest(r.user_id) = (r.n_sessions, r.n_events, r.max_session_value)); ()
+        }
+      }.start()
+
+    // values are exact binary fractions so sequential (stream) and
+    // hash-agg (batch) summation orders are bit-identical
+    val b1 = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, 1.25),
+      (1L, t("2024-01-01 10:20:00"), 2L, 2.50),   // same session
+      (2L, t("2024-01-01 09:00:00"), 3L, 4.75))
+    val b2 = Seq(
+      (1L, t("2024-01-01 10:40:00"), 4L, 8.25),   // CROSS-BATCH link: still session 1
+      (2L, t("2024-01-01 11:00:00"), 5L, 0.50),   // cross-batch GAP: session 2
+      (3L, t("2024-01-01 12:00:00"), 6L, 3.00))   // new user mid-stream
+    val b3 = Seq(
+      (1L, t("2024-01-01 23:00:00"), 7L, 0.25))   // gap: u1's open max re-competes
+
+    def batchTruth(events: Seq[(Long, java.sql.Timestamp, Long, Double)]) = {
+      import spark.implicits._
+      graft.queries.EventQueries.sessionizeOf(
+          events.toDF("user_id", "ts", "event_id", "value"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    }
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1))
+    in.addData(b2: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1 ++ b2))
+    in.addData(b3: _*); q.processAllAvailable(); q.stop()
+    val fin = latest.synchronized(latest.toMap)
+    assert(fin == batchTruth(b1 ++ b2 ++ b3))
+    // the closed cross-batch session (12.0) beats the open tail (0.25)
+    assert(fin(1L) == ((2L, 4L, 12.0)))
+    assert(fin(2L) == ((2L, 2L, 4.75)))
+  }
+
   test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
