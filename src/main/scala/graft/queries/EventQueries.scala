@@ -94,12 +94,16 @@ object EventQueries {
       .orderBy(col("ts"), col("event_id"))
     val local = ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(wb))
-      // bucket-first events get 0 here: their flag is the BUCKET's
-      // boundary flag, decided in phase 2 against the previous
-      // bucket's last event — the same gap rule on the same values
+      // has_prev distinguishes "no within-bucket predecessor" (the
+      // bucket-first event, whose flag is the BUCKET's boundary flag,
+      // decided in phase 2) from "predecessor with NULL ts" — in the
+      // null day-bucket prev_ts is null for interior rows too, and
+      // the one-pass form opens a session per null-ts row (its lag is
+      // null), so those interior rows must flag 1 here
+      .withColumn("has_prev", lag(lit(1), 1).over(wb).isNotNull)
       .withColumn("local_new",
-        when(col("prev_ts").isNotNull &&
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1L)
+        when(col("has_prev") && (col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d), 1L)
           .otherwise(0L))
       .withColumn("local_cum",
         sum(col("local_new")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))

@@ -810,8 +810,6 @@ object StreamOps {
     * same rows and leaves the same state. */
   def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"), col("event_type"))
@@ -824,7 +822,7 @@ object StreamOps {
           val sorted = rows.toSeq
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           for (e <- sorted) {
-            val eu = us(e.ts)
+            val eu = micros(e.ts)
             e.event_type match {
               case "view" =>
                 if (eu < st.vUs || (eu == st.vUs && e.event_id < st.vId))
@@ -849,10 +847,17 @@ object StreamOps {
       }
   }
 
-  /** Per-user sessionize state: the last event's position, the OPEN
-    * session's running aggregates, and the closed-session totals.
+  /** Timestamp → epoch micros, the batch window position's time
+    * component — ONE definition shared by every streaming twin that
+    * mirrors a batch (ts, event_id) order, so a precision change can
+    * never split them. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Per-user sessionize state: the last event's time, the OPEN
+    * session's running value sum, and the closed-session totals.
     * `maxClosed` is only meaningful when `closedSessions > 0`. */
-  case class SessSt(lastUs: Long, openN: Long, openSum: Double,
+  case class SessSt(lastUs: Long, openSum: Double,
     closedSessions: Long, totalN: Long, maxClosed: Double)
 
   case class SessRow(user_id: Long, n_sessions: Long, n_events: Long,
@@ -880,8 +885,6 @@ object StreamOps {
     * dedup, the same contract as any streaming count. */
   def sessionStream(events: DataFrame): Dataset[SessRow] = {
     import events.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     def r2(x: Double): Double =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     events
@@ -896,17 +899,17 @@ object StreamOps {
             .sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
           var st = state.getOption.orNull
           for (e <- sorted) {
-            val eu = us(e._2)
+            val eu = micros(e._2)
             if (st == null)
-              st = SessSt(eu, 1L, e._4, 0L, 1L, 0.0)
+              st = SessSt(eu, e._4, 0L, 1L, 0.0)
             else if (eu / 1e6 - st.lastUs / 1e6 > 1800d) {
               // close the open session; its rounded value competes for max
               val closedVal = r2(st.openSum)
-              st = SessSt(eu, 1L, e._4, st.closedSessions + 1, st.totalN + 1,
+              st = SessSt(eu, e._4, st.closedSessions + 1, st.totalN + 1,
                 if (st.closedSessions == 0) closedVal
                 else math.max(st.maxClosed, closedVal))
             } else
-              st = st.copy(lastUs = eu, openN = st.openN + 1,
+              st = st.copy(lastUs = eu,
                 openSum = st.openSum + e._4, totalN = st.totalN + 1)
           }
           state.update(st)

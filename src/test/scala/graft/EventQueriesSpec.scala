@@ -198,6 +198,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(byUser(4L) == ((1L, 1L)))
   }
 
+  test("two-phase sessionize matches the one-pass form on null timestamps") {
+    // one-pass semantics: a null-ts row's lag is null, so EVERY
+    // null-ts row opens its own session, and the first timed row
+    // after them opens another — the two-phase null day-bucket must
+    // reproduce that (its interior rows see a null prev_ts and must
+    // flag, distinguished from bucket-first rows by has_prev)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val rows = Seq(
+      Row(1L, null, 1L, 1.25), Row(1L, null, 2L, 2.5),
+      Row(1L, ts("2024-01-01 10:00:00"), 3L, 4.0),
+      Row(2L, ts("2024-01-01 09:00:00"), 4L, 8.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    def out(o: org.apache.spark.sql.DataFrame) = o.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val onePass = out(EventQueries.sessionizeOf(df))
+    val twoPhase = out(EventQueries.sessionizeTwoPhaseOf(df))
+    assert(twoPhase == onePass, s"one=$onePass two=$twoPhase")
+    assert(twoPhase.contains((1L, 3L, 3L, 4.0)),
+      "null-ts rows must each open a session")
+  }
+
   test("two-phase sessionize equals the one-pass form on the real corpus (sf0.001)") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
