@@ -1127,6 +1127,59 @@ object StreamOps {
     graft.queries.VectorIndex.searchIvf(
       batch.sparkSession, indexPath, batch, k, nprobe)
 
+  /** Health audit of the accumulated LSH near-dup index — the text
+    * twin of `VectorIndex.ivfStaleness`, surfacing the one thing the
+    * MaxBandBucket guard does SILENTLY: buckets above the cap are
+    * excluded from candidate joins (their members keep their other
+    * bands, so recall degrades gracefully — but degrades), and
+    * nothing in the query path reports how much of the index that
+    * affects. One narrow scan of the bands table into a per-bucket
+    * count, then a single summary row:
+    *   n_docs        — indexed documents (distinct ids in shingles)
+    *   n_band_rows   — band rows (≈ 8 per distinct set: the ingest
+    *                   digest-collapses, so rows ≈ distinct sets)
+    *   n_buckets     — occupied (band, band_key) buckets
+    *   max_bucket_n  — hottest bucket's population
+    *   hot_buckets   — buckets above `cap` (currently being excluded)
+    *   hot_row_share — fraction of band rows sitting in excluded
+    *                   buckets: the recall-exposure signal; a rising
+    *                   share means boilerplate-like band collisions
+    *                   are accumulating and a re-shingle (wider
+    *                   shingles / more bands) or upstream dedup of
+    *                   the degenerate family is due
+    * An absent index reads as the all-zeros row (batch 0). Runnable
+    * on a maintenance schedule at any index size (the per-bucket agg
+    * is map-side combinable on the same key space as everything
+    * else). */
+  def lshIndexHealth(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cap: Int = graft.queries.TextQueries.MaxBandBucket): DataFrame = {
+    val bp = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val sp = new org.apache.hadoop.fs.Path(s"$indexPath/shingles")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, bp); recoverCompaction(fs, sp)
+    if (!fs.exists(bp) || !fs.exists(sp))
+      return spark.range(1).select(
+        lit(0L).as("n_docs"), lit(0L).as("n_band_rows"), lit(0L).as("n_buckets"),
+        lit(0L).as("max_bucket_n"), lit(0L).as("hot_buckets"),
+        lit(0.0).as("hot_row_share"))
+    val perBucket = spark.read.parquet(bp.toString)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+    val docs = spark.read.parquet(sp.toString)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    perBucket.agg(
+        sum(col("n")).as("n_band_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket_n"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("hot_rows"))
+      .crossJoin(broadcast(docs)) // 1×1 summary rows
+      .select(col("n_docs"), col("n_band_rows"), col("n_buckets"),
+        col("max_bucket_n"), col("hot_buckets"),
+        round(col("hot_rows").cast("double") / col("n_band_rows"), 4)
+          .as("hot_row_share"))
+  }
+
   /** Compact the near-dup index tables: every micro-batch append adds
     * a few small parquet files per touched bucket, and after
     * thousands of batches the per-batch index scan pays file-open

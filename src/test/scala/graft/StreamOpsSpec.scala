@@ -422,6 +422,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(fin(2L) == ((2L, 2L, 4.75)))
   }
 
+  test("lshIndexHealth: summary equals a driver recompute; cap exposure surfaces") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("lsh-health").toString
+    // absent index: the all-zeros batch-0 row, not a crash
+    val zero = StreamOps.lshIndexHealth(spark, idx).collect().head
+    assert((0 until 5).forall(i => zero.getLong(i) == 0L) && zero.getDouble(5) == 0.0)
+
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    StreamOps.nearDupIngestBatch(idx)(docs.filter(col("doc_id") < 250), 1L).count()
+    StreamOps.nearDupIngestBatch(idx)(docs.filter(col("doc_id") >= 250), 2L).count()
+    // this corpus produces no band collisions, so simulate the
+    // degenerate accumulation the audit exists to surface: 6 distinct
+    // sets sharing one (band, band_key) bucket, appended in the index
+    // tables' own layout
+    (0 until 6).map(i => (900000L + i, 0, 123456789L))
+      .toDF("doc_id", "band", "band_key")
+      .withColumn("bkt", StreamOps.bandBucket(col("band_key")))
+      .write.mode("append").partitionBy("bkt").parquet(s"$idx/bands")
+
+    val got = StreamOps.lshIndexHealth(spark, idx).collect().head
+    // driver recompute from the raw index tables
+    val bandRows = spark.read.parquet(s"$idx/bands")
+      .select(col("band"), col("band_key")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val byBucket = bandRows.groupBy(identity).map(_._2.size)
+    val nDocs = spark.read.parquet(s"$idx/shingles")
+      .select(col("doc_id")).distinct().count()
+    assert(got.getLong(0) == nDocs)
+    assert(got.getLong(1) == bandRows.length)
+    assert(got.getLong(2) == byBucket.size)
+    assert(got.getLong(3) == byBucket.max)
+    // production cap: nothing hot on this corpus
+    assert(got.getLong(4) == byBucket.count(_ > graft.queries.TextQueries.MaxBandBucket))
+    // forced cap 1: every multi-occupant bucket reads as excluded, and
+    // the share is exactly their row fraction
+    val tight = StreamOps.lshIndexHealth(spark, idx, cap = 1).collect().head
+    val hot = byBucket.filter(_ > 1)
+    assert(tight.getLong(4) == hot.size && hot.nonEmpty)
+    val share = BigDecimal(hot.sum.toDouble / bandRows.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tight.getDouble(5) == share)
+  }
+
   test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
