@@ -92,8 +92,8 @@ object SparkEntry {
     "dedup_editdist" -> ((s: SparkSession, d: String) => TextQueries.dedupEditDist(s, d)),
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhash _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
-    "dedup_clusters" -> (TextQueries.dedupClusters _),
-    "dedup_clusters_lsh" -> (TextQueries.dedupClustersLsh _),
+    "dedup_clusters" -> ((s, d) => TextQueries.dedupClusters(s, d)),
+    "dedup_clusters_lsh" -> ((s, d) => TextQueries.dedupClustersLsh(s, d)),
     "t_shard_shuffle" -> (TextQueries.tShardShuffle _),
     "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),

@@ -378,14 +378,16 @@ object GraphQueries {
     * (component id = min member id) — full oracle row via DuckDB's
     * recursive reachability CTE. */
   def g4Components(spark: SparkSession, dir: String,
-      minSup: Int = 2): DataFrame = {
+      minSup: Int = 2,
+      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
     val sup = orderPairs(li)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSup)
     TextQueries.clustersOf(
-        sup.select(col("src").as("a_id"), col("dst").as("b_id")))
+        sup.select(col("src").as("a_id"), col("dst").as("b_id")),
+        localFinish = localFinish)
       .select(col("doc_id").as("part_key"),
         col("cluster_id").as("component_id"))
   }

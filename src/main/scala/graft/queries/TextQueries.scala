@@ -268,8 +268,10 @@ object TextQueries {
     * non-trivial component; keep-rule = "doc_id == cluster_id".
     * Deterministic (the fixpoint is unique), and SQL-expressible, so
     * the DuckDB oracle checks it with a recursive CTE. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersOf(dedupNgramJaccard(spark, dir).select(col("a_id"), col("b_id")))
+  def dedupClusters(spark: SparkSession, dir: String,
+      localFinish: Int = LocalFinishEdges): DataFrame =
+    clustersOf(dedupNgramJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      localFinish = localFinish)
 
   /** Connected components: one CONTRACTION pass (dense near-dup
     * cliques collapse to single super-nodes), then the contracted
@@ -791,8 +793,15 @@ object TextQueries {
     val sigArr = sig.select(col("source"),
       array((0 until MinhashHashes).map(i => col(s"m$i")): _*).as("sig"))
     // exact-signature digest — the source-granularity shingleDigest
-    // (no array_sort: component order is significant in a signature)
-    val sigDig = sigArr.select(col("source"), xxhash64(col("sig")).as("dig"))
+    // (no array_sort: component order is significant in a signature).
+    // The digest treats xxhash64 equality as signature identity: the
+    // within-digest join below re-verifies COMPONENT equality (both
+    // sides carry the full sig, so the check is free), which keeps a
+    // 64-bit collision from fabricating sig_match=MinhashHashes pairs.
+    // The one residual collision effect — a collided member's band
+    // rows are subsumed by its representative's — matches the
+    // documented shingleDigest practice and is negligible at 2^-64.
+    val sigDig = sigArr.select(col("source"), col("sig"), xxhash64(col("sig")).as("dig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = sigArr
       .select(col("source"), xxhash64(col("sig")).as("dig"),
@@ -845,6 +854,7 @@ object TextQueries {
         greatest(col("a_m"), col("b_m")).as("source_b"), col("sig_match"))
     val within = sigDig.as("l").join(sigDig.as("r"), Seq("dig"))
       .filter(col("l.source") < col("r.source"))
+      .filter(col("l.sig") === col("r.sig")) // digest-collision guard
       .select(col("l.source").as("source_a"), col("r.source").as("source_b"),
         lit(MinhashHashes.toLong).as("sig_match"))
     cross.unionByName(within)
@@ -1770,8 +1780,10 @@ object TextQueries {
     * is the one that survives 100 TB. Spec-verified set-equal to
     * clustering the exact shingle-Jaccard pairs (no SQL oracle: the
     * pair source is hash-defined). */
-  def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
-    clustersOf(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")))
+  def dedupClustersLsh(spark: SparkSession, dir: String,
+      localFinish: Int = LocalFinishEdges): DataFrame =
+    clustersOf(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")),
+      localFinish = localFinish)
 
   /** Corpus heavy hitters, exact: global top-k terms by occurrence
     * count. The scalable global-top-k shape: partial-agg'd counts

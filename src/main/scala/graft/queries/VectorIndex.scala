@@ -65,9 +65,16 @@ object VectorIndex {
     * path: a rebuild performed by ANOTHER process rewrites the
     * files, moves the signature, and invalidates naturally — the
     * cross-process freshness the plain per-call read had, at
-    * metadata-listing cost. Same-JVM rebuilds additionally
-    * invalidate eagerly (the builders below). Bounded: k×dim
-    * doubles per distinct index path. */
+    * metadata-listing cost. mtimes alone are not enough on
+    * filesystems with coarse (1 s) granularity — a rebuild that
+    * rewrites identically-named, identically-sized files inside one
+    * granularity window would leave the signature unchanged — so
+    * every build also stamps a uniquely-NAMED `_build_<uuid>` token
+    * file into the directory (underscore prefix: invisible to the
+    * parquet reader, visible to the listing), making the signature
+    * move on every rebuild unconditionally. Same-JVM rebuilds
+    * additionally invalidate eagerly (the builders below). Bounded:
+    * k×dim doubles per distinct index path. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Seq[Double]])]()
 
@@ -91,6 +98,17 @@ object VectorIndex {
 
   private[graft] def invalidateCentroids(indexPath: String): Unit =
     centroidCache.remove(indexPath)
+
+  /** Monotone rebuild marker for the signature (see centroidCache
+    * Scaladoc): a zero-byte file whose NAME is unique per build, so
+    * centsSignature moves even when a rebuild reproduces byte- and
+    * mtime-identical parquet files. The overwrite-mode cents write
+    * clears the previous token, keeping exactly one per index. */
+  private def stampBuildToken(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexPath/cents/_build_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
 
   /** Heal an interrupted cells-table compaction swap before reading —
     * the serving-side half of the heal-first discipline shared with
@@ -207,6 +225,7 @@ object VectorIndex {
     invalidateCentroids(indexPath) // rebuild replaces the quantizer
     cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    stampBuildToken(spark, indexPath)
     val assign = nearestCellExpr(cents, col("emb"))
     emb.select(col("vec_id"), col("emb"), assign.as("cell"))
       .repartition(col("cell"))
@@ -397,6 +416,7 @@ object VectorIndex {
     invalidateCentroids(indexPath) // rebuild replaces the quantizer
     cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    stampBuildToken(spark, indexPath)
     book.zipWithIndex.flatMap { case (cs, mm) =>
       cs.zipWithIndex.map { case (c, kk) => (mm, kk, c) }
     }.toDF("mm", "kk", "cent")

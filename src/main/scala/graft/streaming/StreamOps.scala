@@ -1167,16 +1167,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
     val docs = spark.read.parquet(sp.toString)
       .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // coalesce the null-on-empty aggregates (sum/max over zero rows):
+    // a bands directory that EXISTS but holds zero rows — e.g. right
+    // after compacting a fully-deduped index — must read as the same
+    // all-zeros row as an absent index, not NPE callers on getLong.
     perBucket.agg(
-        sum(col("n")).as("n_band_rows"),
+        coalesce(sum(col("n")), lit(0L)).as("n_band_rows"),
         count(lit(1)).as("n_buckets"),
-        max(col("n")).as("max_bucket_n"),
-        sum(when(col("n") > cap, 1L).otherwise(0L)).as("hot_buckets"),
-        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("hot_rows"))
+        coalesce(max(col("n")), lit(0L)).as("max_bucket_n"),
+        coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("hot_buckets"),
+        coalesce(sum(when(col("n") > cap, col("n")).otherwise(0L)), lit(0L))
+          .as("hot_rows"))
       .crossJoin(broadcast(docs)) // 1×1 summary rows
       .select(col("n_docs"), col("n_band_rows"), col("n_buckets"),
         col("max_bucket_n"), col("hot_buckets"),
-        round(col("hot_rows").cast("double") / col("n_band_rows"), 4)
+        when(col("n_band_rows") === 0, 0.0)
+          .otherwise(round(col("hot_rows").cast("double") / col("n_band_rows"), 4))
           .as("hot_row_share"))
   }
 

@@ -80,12 +80,26 @@ object ProfileRetry {
   }
 
   /** Wipe the signature-keyed stored-index roots so the next session
-    * rebuilds them (ensure() caches under tmpdir/graft_<kind>idx_*). */
+    * rebuilds them (ensure() caches under tmpdir/graft_<kind>idx_*).
+    * Operates on the RUN-PRIVATE tmpdir installed by main() — wiping
+    * the shared system tmpdir would delete index roots belonging to
+    * concurrent test/bench sessions on the same machine, which could
+    * then serve from a half-rebuilt index. */
   private def wipeIndexRoots(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("graft_") && f.getName.contains("idx_"))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** Redirect java.io.tmpdir to a rehearsal-private directory before
+    * any session exists: every index root (ensure(), DocDirSource,
+    * the text index) resolves the property at call time, so both
+    * passes build and wipe inside this sandbox only. */
+  private def installPrivateTmpdir(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry_run_").toFile
+    System.setProperty("java.io.tmpdir", dir.getAbsolutePath)
+    dir
   }
 
   /** (rows, md5 of sorted row renderings) — order-insensitive row
@@ -100,6 +114,7 @@ object ProfileRetry {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val privateTmp = installPrivateTmpdir()
 
     def runPass(faulty: Boolean): (Map[String, (Long, String)], Long, Long) = {
       wipeIndexRoots()
@@ -156,5 +171,6 @@ object ProfileRetry {
     }
     println(s"[retry] PASS: ${Plan.size}/${Plan.size} queries row-identical under " +
       "task kills + speculation")
+    org.apache.commons.io.FileUtils.deleteQuietly(privateTmp)
   }
 }

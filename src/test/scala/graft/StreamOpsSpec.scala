@@ -429,6 +429,27 @@ class StreamOpsSpec extends SparkSpec {
     val zero = StreamOps.lshIndexHealth(spark, idx).collect().head
     assert((0 until 5).forall(i => zero.getLong(i) == 0L) && zero.getDouble(5) == 0.0)
 
+    // EXISTING but EMPTY tables (e.g. right after compacting a fully-
+    // deduped index): same all-zeros row — the null-on-empty sum/max
+    // aggregates must coalesce, not NPE getLong/getDouble callers
+    import org.apache.spark.sql.types._
+    val bandsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("band_key", LongType),
+      StructField("bkt", IntegerType)))
+    val shinglesSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sh", LongType), StructField("bkt", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bandsSchema).write.mode("overwrite").parquet(s"$idx/bands")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      shinglesSchema).write.mode("overwrite").parquet(s"$idx/shingles")
+    val empty = StreamOps.lshIndexHealth(spark, idx).collect().head
+    assert((0 until 5).forall(i => empty.getLong(i) == 0L) && empty.getDouble(5) == 0.0)
+    // clear the placeholder tables so the real ingest below starts fresh
+    val fsIdx = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsIdx.delete(new org.apache.hadoop.fs.Path(s"$idx/bands"), true)
+    fsIdx.delete(new org.apache.hadoop.fs.Path(s"$idx/shingles"), true)
+
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
     StreamOps.nearDupIngestBatch(idx)(docs.filter(col("doc_id") < 250), 1L).count()
