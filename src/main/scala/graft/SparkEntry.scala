@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_ivf_stored" -> (VectorIndex.annIvfStored _),
     "ann_pq_stored" -> (VectorIndex.annPqStored _),
     "ann_ivfpq_stored" -> (VectorIndex.annIvfPqStored _),
+    "ann_graph_topk" -> (VectorIndex.annGraphStored _),
     "ann_ivf_staleness" -> (VectorIndex.annIvfStaleness _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
@@ -226,7 +227,7 @@ object SparkEntry {
          FROM lineitem""",
     "p7_spec_resolver" ->
       """SELECT doc_id,
-         CASE WHEN len(hits) > 0 THEN hits[1] ELSE 'Unknown' END AS variant
+         CASE WHEN len(hits) > 0 THEN list_extract(hits, 1) ELSE 'Unknown' END AS variant
          FROM (SELECT doc_id, list_filter(str_split(text, ' '),
                  w -> contains(w, 'ag')) AS hits
                FROM documents)""",
@@ -354,7 +355,7 @@ object SparkEntry {
          FROM orders GROUP BY o_orderstatus""",
     "t_redact_pii" ->
       """SELECT c_custkey,
-         regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_masked,
+         array_to_string(string_split_regex(c_name, '[0-9]+'), '<ID>') AS name_masked,
          CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket,
          c_mktsegment
          FROM customer""",
@@ -657,7 +658,7 @@ object SparkEntry {
          round(CAST(len(list_filter(toks,
            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(toks), 4)
            AS stopword_ratio,
-         round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         round(CAST(length(text) - length(array_to_string(string_split_regex(text, '[.,!?;:]'), '')) AS DOUBLE)
            / length(text), 4) AS punct_ratio
          FROM (SELECT doc_id, text,
                  string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -698,7 +699,7 @@ object SparkEntry {
     // lifted to the per-source rollup)
     "t_source_filter" ->
       """WITH d AS (SELECT source,
-                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dg,
+                md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS dg,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
                 CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS ns
@@ -720,12 +721,12 @@ object SparkEntry {
          FROM r""",
     "t_fingerprint" ->
       """SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-         substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
+         md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint,
+         substring(md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')), 1, 4) AS shard_key
          FROM documents""",
     "t_winnow" ->
       """WITH n AS (SELECT doc_id,
-                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                    array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS t
                     FROM documents),
               g AS (SELECT doc_id,
                     list_transform(range(1, length(t) - 6),
@@ -742,7 +743,7 @@ object SparkEntry {
            md5(array_to_string(sel, ',')) AS winnow_digest
          FROM s""",
     "dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+      """SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS content_key,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
     // ASCII-scoped on both sides: Spark levenshtein counts code
@@ -788,7 +789,7 @@ object SparkEntry {
                     FROM documents),
               s AS (SELECT doc_id,
                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2))) AS sh
                     FROM t WHERE len(toks) >= 3),
               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -805,7 +806,7 @@ object SparkEntry {
                     FROM documents),
               s AS (SELECT doc_id,
                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2))) AS sh
                     FROM t WHERE len(toks) >= 3),
               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
                     FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -825,24 +826,27 @@ object SparkEntry {
     // Brute-force over every pair, so it also re-proves the Spark
     // side's pigeonhole candidate generation is exact at <= 6.
     "dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id,
-                    unnest(string_split_regex(trim(lower(trim(text))), '\s+')) AS tok
+      s"""WITH toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(trim(text))), '\\s+')) AS tok
                     FROM documents),
               h AS (SELECT doc_id,
-                    ('0x' || substr(md5(tok), 17, 8))::BIGINT AS hi,
-                    ('0x' || substr(md5(tok), 25, 8))::BIGINT AS lo
+                    ${TextQueries.hexPolySql("md5(tok)", 17)} AS hi,
+                    ${TextQueries.hexPolySql("md5(tok)", 25)} AS lo
                     FROM toks),
               sums AS (SELECT doc_id, b,
                     sum(CASE WHEN ((hi >> b) & 1) = 1 THEN 1 ELSE -1 END) AS shi,
                     sum(CASE WHEN ((lo >> b) & 1) = 1 THEN 1 ELSE -1 END) AS slo
-                    FROM h, range(32) r(b) GROUP BY doc_id, b),
+                    FROM h, (SELECT unnest(generate_series(0, 31)) AS b) r
+                    GROUP BY doc_id, b),
               sig AS (SELECT doc_id,
-                    sum(CASE WHEN shi > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig_hi,
-                    sum(CASE WHEN slo > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig_lo
+                    sum(CASE WHEN shi > 0 THEN CAST(1 AS BIGINT) << b
+                             ELSE CAST(0 AS BIGINT) END) AS sig_hi,
+                    sum(CASE WHEN slo > 0 THEN CAST(1 AS BIGINT) << b
+                             ELSE CAST(0 AS BIGINT) END) AS sig_lo
                     FROM sums GROUP BY doc_id),
               pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                    (bit_count(xor(a.sig_hi, b.sig_hi))
-                     + bit_count(xor(a.sig_lo, b.sig_lo)))::INT AS hamming
+                    CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                     + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6""",
     // connected components of the near-dup pair graph: a recursive
@@ -967,7 +971,7 @@ object SparkEntry {
               dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
               n AS (SELECT count(*) AS n FROM documents),
               scored AS (SELECT doc_id, term, tf, df,
-                    tf * (n + 1.0) / (df + 1) AS score
+                    CAST(tf AS DOUBLE) * (n + 1.0) / (df + 1) AS score
                     FROM tf JOIN dfreq USING (term), n),
               ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, term) AS rk FROM scored)
@@ -990,13 +994,13 @@ object SparkEntry {
                     sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
                     sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM tf),
               sc AS (SELECT doc_id,
-                    (CASE WHEN tf_0 > 0 THEN CAST(round((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+                    (CASE WHEN tf_0 > 0 THEN CAST(round(CAST(n_docs - df_0 + 0.5 AS DOUBLE) / (df_0 + 0.5)
                       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
-                    + (CASE WHEN tf_1 > 0 THEN CAST(round((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+                    + (CASE WHEN tf_1 > 0 THEN CAST(round(CAST(n_docs - df_1 + 0.5 AS DOUBLE) / (df_1 + 0.5)
                       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
-                    + (CASE WHEN tf_2 > 0 THEN CAST(round((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+                    + (CASE WHEN tf_2 > 0 THEN CAST(round(CAST(n_docs - df_2 + 0.5 AS DOUBLE) / (df_2 + 0.5)
                       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
                     AS bm25_micro
@@ -1020,13 +1024,13 @@ object SparkEntry {
                     sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
                     sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM tf),
               sc AS (SELECT doc_id,
-                    (CASE WHEN tf_0 > 0 THEN CAST(round((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+                    (CASE WHEN tf_0 > 0 THEN CAST(round(CAST(n_docs - df_0 + 0.5 AS DOUBLE) / (df_0 + 0.5)
                       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
-                    + (CASE WHEN tf_1 > 0 THEN CAST(round((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+                    + (CASE WHEN tf_1 > 0 THEN CAST(round(CAST(n_docs - df_1 + 0.5 AS DOUBLE) / (df_1 + 0.5)
                       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
-                    + (CASE WHEN tf_2 > 0 THEN CAST(round((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+                    + (CASE WHEN tf_2 > 0 THEN CAST(round(CAST(n_docs - df_2 + 0.5 AS DOUBLE) / (df_2 + 0.5)
                       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl
                       / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000.0) AS BIGINT) ELSE 0 END)
                     AS bm25_micro
@@ -1284,9 +1288,9 @@ object SparkEntry {
     // (count DESC, key) row_number orders the engine uses)
     "t_lang_id" ->
       """WITH d AS (SELECT doc_id, lang,
-           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+           array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS t FROM documents),
          tri AS (SELECT doc_id, lang, unnest(
-             CASE WHEN length(t) < 3 THEN [t]
+             CASE WHEN length(t) < 3 THEN list_value(t)
                   ELSE list_transform(generate_series(1, length(t)-2), i -> substr(t, i, 3)) END) AS g
              FROM d),
          cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
@@ -1309,7 +1313,7 @@ object SparkEntry {
                     FROM documents),
               s AS (SELECT source, unnest(list_distinct(
                     list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS h
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2)))) AS h
                     FROM t WHERE len(toks) >= 3),
               ss AS (SELECT DISTINCT source, h FROM s),
               sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
@@ -1359,7 +1363,7 @@ object SparkEntry {
                 FROM q JOIN r USING (doc_id)),
          dup AS (SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY
-                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) <> doc_id AS is_dup
+                  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))) <> doc_id AS is_dup
                 FROM documents),
          e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),

@@ -120,6 +120,20 @@ object DuckDbCompat {
       f("list_intersect", Set(2))(c => ArrayIntersect(c(0), c(1))),
       f("list_concat", Set(2))(c => Concat(c)),
       f("list_sort", Set(1))(c => SortArray(c(0), Literal(true))),
+      // DuckDB list_extract: 1-based, NULL out of range — exactly
+      // Spark's element_at under non-ANSI (the `arr[i]` bracket
+      // syntax itself is unbridgeable: 0-based in Spark, 1-based in
+      // DuckDB, so portable texts must spell the function name). The
+      // ordinal casts to INT: DuckDB indexes with BIGINT (its
+      // generate_series element type) while Spark's ElementAt
+      // requires IntegerType — same value domain at any real arity.
+      f("list_extract", Set(2))(c =>
+        ElementAt(c(0), Cast(c(1), org.apache.spark.sql.types.IntegerType))),
+      // DuckDB list_value(x, ...) = Spark array(x, ...) — the bracket
+      // list literal `[x]` is DuckDB-only syntax (and DuckDB's
+      // array_value makes a fixed-size ARRAY, which its own UNNEST
+      // then refuses — LIST is the interoperable shape)
+      f("list_value", Set(1, 2, 3, 4))(c => CreateArray(c)),
       f("list", Set(1))(c => CollectList(c(0))),
       f("array_to_string", Set(2))(c => ArrayJoin(c(0), c(1), None)),
       f("regexp_matches", Set(2))(c => RLike(c(0), c(1))),

@@ -691,6 +691,21 @@ object TextQueries {
       .transform(CacheScope.owned(_, sig))
   }
 
+  /** Dialect-neutral hex→BIGINT for a fixed-width md5 slice: DuckDB's
+    * `('0x'||substr(h,i,8))::BIGINT` idiom is unportable (Spark's
+    * non-ANSI string→BIGINT cast nulls hex strings, and `::` is
+    * DuckDB-only syntax), so portable oracle texts spell the value as
+    * a positional base-16 polynomial — `position(c IN '0123…f') - 1`
+    * is the digit value in BOTH dialects (md5 renders lowercase in
+    * both), and the BIGINT-cast multipliers keep every partial term
+    * exact. 8 hex chars < 2^32, so the sum never nears overflow. */
+  private[graft] def hexPolySql(inner: String, start: Int, width: Int = 8): String =
+    (0 until width).map { j =>
+      val mult = math.pow(16, width - 1 - j).toLong
+      val term = s"(position(substr($inner, ${start + j}, 1) IN '0123456789abcdef') - 1)"
+      if (mult == 1L) term else s"$term * CAST($mult AS BIGINT)"
+    }.mkString("(", "\n                      + ", ")")
+
   /** The DuckDB oracle for tSourceOverlapMinhash, generated from the
     * same srcMinhashAbs table the engine uses — 32 independent
     * list-min recurrences over the identical md5-low-32 shingle
@@ -707,10 +722,10 @@ object TextQueries {
                     FROM documents),
               s AS (SELECT source, unnest(
                     list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2))) AS sh
                     FROM t WHERE len(toks) >= 3),
               h AS (SELECT source,
-                    ('0x' || substr(md5(sh), 25, 8))::BIGINT AS h FROM s),
+                    ${hexPolySql("md5(sh)", 25)} AS h FROM s),
               sig AS (SELECT source,
                     $mins
                     FROM h GROUP BY source)
@@ -880,10 +895,10 @@ object TextQueries {
                     FROM documents),
               s AS (SELECT source, unnest(
                     list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2))) AS sh
                     FROM t WHERE len(toks) >= 3),
               h AS (SELECT source,
-                    ('0x' || substr(md5(sh), 25, 8))::BIGINT AS h FROM s),
+                    ${hexPolySql("md5(sh)", 25)} AS h FROM s),
               sig AS (SELECT source,
                     $mins
                     FROM h GROUP BY source)

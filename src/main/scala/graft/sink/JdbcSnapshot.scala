@@ -145,6 +145,71 @@ object JdbcSnapshot {
     }
   }
 
+  private def tokenTable(table: String) = table + "_token"
+
+  /** Last batch token committed with the snapshot swap (None before
+    * the first tokened write) — the JDBC twin of
+    * MergeWriter.readBatchToken. */
+  def lastToken(url: String, table: String,
+      options: Map[String, String] = Map.empty): Option[Long] =
+    withConnection(url, options) { conn =>
+      if (!tableExists(conn, tokenTable(table))) None
+      else {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT tok FROM ${tokenTable(table)}")
+          try { if (rs.next()) Some(rs.getLong(1)) else None }
+          finally rs.close()
+        } finally st.close()
+      }
+    }
+
+  /** Staged write that commits `token` IN THE SAME TRANSACTION as the
+    * swap renames — the TokenParquetStore pattern (token and data
+    * become visible together) carried to the JDBC sink. The staging
+    * write itself runs executor-parallel OUTSIDE the transaction (the
+    * live table stays the readable merge source until every row is
+    * durable); the commit point is then one driver transaction of
+    * metadata renames + the one-row token upsert. Exactly-once holds
+    * on engines with TRANSACTIONAL DDL (Derby — the verification
+    * harness — and Postgres); an engine that autocommits DDL (MySQL)
+    * degrades to at-least-once with the same crash windows as the
+    * untokened path, which recoverStagedSwap already heals. */
+  def writeStagedToken(df: DataFrame, url: String, table: String,
+      token: Long, options: Map[String, String] = Map.empty): Unit = {
+    recoverStagedSwap(url, table, options)
+    val staging = table + "_stg"
+    val old = table + "_old"
+    write(df, url, staging, options)
+    withConnection(url, options) { conn =>
+      tryExec(conn, s"DROP TABLE $old")
+      // the token table exists OUTSIDE the swap transaction (CREATE
+      // once, first tokened write) so the transaction body is pure
+      // rename + one-row DML
+      if (!tableExists(conn, tokenTable(table)))
+        exec(conn, s"CREATE TABLE ${tokenTable(table)} (tok BIGINT)")
+      conn.setAutoCommit(false)
+      try {
+        renameTable(conn, table, old) // fails harmlessly on the first sync
+        require(renameTable(conn, staging, table),
+          s"could not rename staging table $staging to $table")
+        val up = conn.createStatement()
+        try {
+          if (up.executeUpdate(
+              s"UPDATE ${tokenTable(table)} SET tok = $token") == 0)
+            up.executeUpdate(s"INSERT INTO ${tokenTable(table)} VALUES ($token)")
+        } finally up.close()
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      }
+      conn.setAutoCommit(true)
+      tryExec(conn, s"DROP TABLE $old")
+    }
+  }
+
   /** Partial write: replace ONLY `vendors`' rows, leaving every other
     * vendor's stored rows untouched — the JDBC analog of the parquet
     * partition-directory swap. The touched rows stage

@@ -110,6 +110,19 @@ object MergeWriter {
       JdbcSnapshot.writeVendors(df, url, table, vendors, options)
   }
 
+  /** JdbcStore variant whose every write commits `token` inside the
+    * staged swap's transaction (JdbcSnapshot.writeStagedToken) — the
+    * TokenParquetStore twin for live-DB sinks, with the same
+    * no-partial-write trade: one commit point needs ONE transaction,
+    * so streamed exactly-once syncs write the full snapshot. */
+  final case class TokenJdbcStore(url: String, table: String, token: Long,
+      options: Map[String, String] = Map.empty) extends SnapshotStore {
+    private val inner = JdbcStore(url, table, options)
+    def read(spark: SparkSession): DataFrame = inner.read(spark)
+    def write(spark: SparkSession, df: DataFrame): Unit =
+      JdbcSnapshot.writeStagedToken(df, url, table, token, options)
+  }
+
   sealed trait MergeMode
   /** Reference semantics (SURVEY §7.4#2): stock accumulates across
     * re-syncs — NOT idempotent, re-running doubles stock. */

@@ -544,7 +544,8 @@ object StreamOps {
   }
 
   def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7,
-      maxBandBucket: Int = graft.queries.TextQueries.MaxBandBucket)(
+      maxBandBucket: Int = graft.queries.TextQueries.MaxBandBucket,
+      metricsEvery: Int = 1)(
       batch: DataFrame, batchId: Long): DataFrame = {
     import graft.queries.TextQueries
     val spark = batch.sparkSession
@@ -719,6 +720,16 @@ object StreamOps {
       append(bands.join(survivorIds, Seq("doc_id")), "bands", bandsLoaded)
     }
     if (!alreadyApplied) fsRoot.create(marker, true).close()
+    // Post-append health emission (replay-guarded like the appends, so
+    // a re-delivered batch never double-logs): the audit row lands in
+    // the per-index metrics log with this batchId, making cap-exposure
+    // drift visible AS it accumulates. The audit is one narrow scan of
+    // the two index tables — `metricsEvery` thins the cadence when the
+    // accumulated index dwarfs a micro-batch (the 100 TB knob); the
+    // cap passed to the audit is the cap this ingest enforced.
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId,
+        lshIndexHealth(spark, indexPath, maxBandBucket))
     shAll.unpersist(); sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
   }
@@ -727,6 +738,29 @@ object StreamOps {
     * one empty marker file per successfully applied batchId — the
     * replay-idempotency ledger for nearDupIngestBatch's appends. */
   private val BatchMarkersDir = "_graft_batches"
+
+  /** Per-batch index-health log (under the index root): each ingest
+    * appends its audit row here stamped with the batchId, so index
+    * degradation is OBSERVED on the ingest path — a monitor tails one
+    * small parquet log — rather than POLLED by a separate maintenance
+    * query someone has to remember to schedule. Text indexes log
+    * `lshIndexHealth` rows; IVF indexes log `ivfStaleness` rows. */
+  private val MetricsDir = "_graft_metrics"
+
+  private def emitMetrics(indexPath: String, batchId: Long,
+      row: DataFrame): Unit =
+    row.withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/$MetricsDir")
+
+  /** The accumulated health log of an index, newest last by batch_id;
+    * None until the first emitting ingest runs. */
+  def indexMetrics(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$MetricsDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).orderBy(col("batch_id")))
+    else None
+  }
 
   /** Bucket modulus of the phash block index — FIXED from birth
     * (unlike the text index's configurable IndexBuckets), so none of
@@ -808,6 +842,38 @@ object StreamOps {
     * view fails the position check on replay too (with a presence
     * flag it would wrongly qualify), so a replayed batch emits the
     * same rows and leaves the same state. */
+  /** One funnel-automaton step — shared by funnelStream and
+    * funnelStreamLate (the sessStep discipline). */
+  private def funnelStep(st0: FunnelSt, e: FunnelEvent): FunnelSt = {
+    val M = Long.MaxValue
+    var st = st0
+    val eu = micros(e.ts)
+    e.event_type match {
+      case "view" =>
+        if (eu < st.vUs || (eu == st.vUs && e.event_id < st.vId))
+          st = st.copy(vUs = eu, vId = e.event_id)
+      case "click" =>
+        val qualifies = st.vUs != M &&
+          (eu > st.vUs || (eu == st.vUs && e.event_id >= st.vId))
+        if (qualifies && (eu < st.cUs || (eu == st.cUs && e.event_id < st.cId)))
+          st = st.copy(cUs = eu, cId = e.event_id)
+      case "purchase" =>
+        val qualifies = st.cUs != M &&
+          (eu > st.cUs || (eu == st.cUs && e.event_id >= st.cId))
+        if (qualifies && eu < st.pUs) st = st.copy(pUs = eu)
+      case _ => ()
+    }
+    st
+  }
+
+  private def funnelRowOf(uid: Long, st: FunnelSt): FunnelRow = {
+    val M = Long.MaxValue
+    def opt(x: Long) = if (x == M) None else Some(x)
+    FunnelRow(uid, opt(st.vUs), opt(st.cUs), opt(st.pUs),
+      if (st.pUs != M) 3L else if (st.cUs != M) 2L
+      else if (st.vUs != M) 1L else 0L)
+  }
+
   def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     events
@@ -821,29 +887,62 @@ object StreamOps {
           var st = state.getOption.getOrElse(FunnelSt(M, M, M, M, M))
           val sorted = rows.toSeq
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          for (e <- sorted) {
-            val eu = micros(e.ts)
-            e.event_type match {
-              case "view" =>
-                if (eu < st.vUs || (eu == st.vUs && e.event_id < st.vId))
-                  st = st.copy(vUs = eu, vId = e.event_id)
-              case "click" =>
-                val qualifies = st.vUs != M &&
-                  (eu > st.vUs || (eu == st.vUs && e.event_id >= st.vId))
-                if (qualifies && (eu < st.cUs || (eu == st.cUs && e.event_id < st.cId)))
-                  st = st.copy(cUs = eu, cId = e.event_id)
-              case "purchase" =>
-                val qualifies = st.cUs != M &&
-                  (eu > st.cUs || (eu == st.cUs && e.event_id >= st.cId))
-                if (qualifies && eu < st.pUs) st = st.copy(pUs = eu)
-              case _ => ()
-            }
-          }
+          for (e <- sorted) st = funnelStep(st, e)
           state.update(st)
-          def opt(x: Long) = if (x == M) None else Some(x)
-          FunnelRow(uid, opt(st.vUs), opt(st.cUs), opt(st.pUs),
-            if (st.pUs != M) 3L else if (st.cUs != M) 2L
-            else if (st.vUs != M) 1L else 0L)
+          funnelRowOf(uid, st)
+      }
+  }
+
+  /** Late-tolerant funnel state: finalized automaton + frontier +
+    * reorder buffer (the SessLateSt design — see sessionStreamLate).
+    * The funnel automaton is ORDER-SENSITIVE despite its min-shaped
+    * fields (a late early view can qualify a click the in-order fold
+    * already discarded), so only the sealed-prefix fold is safe. */
+  case class FunnelLateSt(frontierUs: Long, folded: FunnelSt,
+    buf: Seq[FunnelEvent])
+
+  case class FunnelLateOut(user_id: Long, kind: String,
+    view_us: Option[Long], click_us: Option[Long], purchase_us: Option[Long],
+    depth: Long, late_event_id: Long)
+
+  /** Watermark-bounded late-data funnel — sessionStreamLate's design
+    * on the funnel automaton: in-watermark disorder lands in the
+    * reorder buffer and the emitted row stays batch-equal over all
+    * accepted events at every boundary; outside-watermark arrivals
+    * dead-letter (`kind = "late"`) toward the batch rebuild. */
+  def funnelStreamLate(events: DataFrame, delay: String = "600 seconds")
+      : Dataset[FunnelLateOut] = {
+    import events.sparkSession.implicits._
+    val M = Long.MaxValue
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelLateSt, FunnelLateOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelLateSt]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(
+            FunnelLateSt(Long.MinValue, FunnelSt(M, M, M, M, M), Vector.empty))
+          val (accepted, dead) = rows.toSeq.partition(e =>
+            micros(e.ts) >= st.frontierUs)
+          val buf = (st.buf ++ accepted)
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val (toFold, keep) = buf.partition(e => micros(e.ts) < wmUs)
+          var folded = st.folded
+          for (e <- toFold) folded = funnelStep(folded, e)
+          st = FunnelLateSt(math.max(st.frontierUs, wmUs), folded, keep)
+          state.update(st)
+          var view = folded
+          for (e <- keep) view = funnelStep(view, e)
+          val r = funnelRowOf(uid, view)
+          Iterator(FunnelLateOut(uid, "summary", r.view_us, r.click_us,
+            r.purchase_us, r.depth, -1L)) ++
+            dead.iterator.map(e =>
+              FunnelLateOut(uid, "late", None, None, None, 0L, e.event_id))
       }
   }
 
@@ -883,10 +982,33 @@ object StreamOps {
     * funnelStream) counting state is NOT idempotent under duplicate
     * events ACROSS batches — an at-least-once source needs upstream
     * dedup, the same contract as any streaming count. */
+  private def r2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One gap-automaton step — the ONE definition sessionStream and
+    * sessionStreamLate share, so the late path can never drift from
+    * the in-order twin's (and therefore the batch form's) arithmetic. */
+  private def sessStep(st: SessSt, eu: Long, value: Double): SessSt =
+    if (st == null)
+      SessSt(eu, value, 0L, 1L, 0.0)
+    else if (eu / 1e6 - st.lastUs / 1e6 > 1800d) {
+      // close the open session; its rounded value competes for max
+      val closedVal = r2(st.openSum)
+      SessSt(eu, value, st.closedSessions + 1, st.totalN + 1,
+        if (st.closedSessions == 0) closedVal
+        else math.max(st.maxClosed, closedVal))
+    } else
+      st.copy(lastUs = eu, openSum = st.openSum + value, totalN = st.totalN + 1)
+
+  private def sessSummary(uid: Long, st: SessSt): SessRow = {
+    val openVal = r2(st.openSum)
+    val m = if (st.closedSessions == 0) openVal
+      else math.max(st.maxClosed, openVal)
+    SessRow(uid, st.closedSessions + 1, st.totalN, r2(m))
+  }
+
   def sessionStream(events: DataFrame): Dataset[SessRow] = {
     import events.sparkSession.implicits._
-    def r2(x: Double): Double =
-      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     events
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"), col("value").cast("double"))
@@ -898,25 +1020,86 @@ object StreamOps {
           val sorted = rows.toSeq
             .sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
           var st = state.getOption.orNull
-          for (e <- sorted) {
-            val eu = micros(e._2)
-            if (st == null)
-              st = SessSt(eu, e._4, 0L, 1L, 0.0)
-            else if (eu / 1e6 - st.lastUs / 1e6 > 1800d) {
-              // close the open session; its rounded value competes for max
-              val closedVal = r2(st.openSum)
-              st = SessSt(eu, e._4, st.closedSessions + 1, st.totalN + 1,
-                if (st.closedSessions == 0) closedVal
-                else math.max(st.maxClosed, closedVal))
-            } else
-              st = st.copy(lastUs = eu,
-                openSum = st.openSum + e._4, totalN = st.totalN + 1)
-          }
+          for (e <- sorted) st = sessStep(st, micros(e._2), e._4)
           state.update(st)
-          val openVal = r2(st.openSum)
-          val m = if (st.closedSessions == 0) openVal
-            else math.max(st.maxClosed, openVal)
-          SessRow(uid, st.closedSessions + 1, st.totalN, r2(m))
+          sessSummary(uid, st)
+      }
+  }
+
+  /** Per-user state of the LATE-TOLERANT sessionize twin: the
+    * automaton folded over everything FINALIZED (event time strictly
+    * below the frontier), the frontier itself, and the reorder buffer
+    * of (us, event_id, value) rows still inside the lateness horizon.
+    * The buffer is bounded by the watermark delay — the standard
+    * state cost of any watermarked stateful operator — while the
+    * folded part stays constant-size forever. */
+  case class SessLateSt(frontierUs: Long, folded: Option[SessSt],
+    buf: Seq[(Long, Long, Double)])
+
+  /** Output of sessionStreamLate: `kind = "summary"` rows carry the
+    * per-user summary over every ACCEPTED event; `kind = "late"` rows
+    * are the dead letter — one per event that arrived at-or-below the
+    * finalized frontier (too late even for the watermark) with the
+    * summary fields of the unchanged state, so a monitor can both
+    * count drops and trigger the batch rebuild that re-admits them. */
+  case class SessLateOut(user_id: Long, kind: String, n_sessions: Long,
+    n_events: Long, max_session_value: Double, late_event_id: Long)
+
+  /** Watermark-bounded late-data sessionization — closes the
+    * sessionStream contract gap (in-order delivery, late events
+    * rebuilt in batch): events may arrive out of order per user up to
+    * the watermark `delay`. Each micro-batch: arrivals newer than the
+    * finalized frontier enter a per-user REORDER BUFFER; the buffer
+    * prefix older than the current event-time watermark is folded
+    * into the automaton IN (ts, event_id) ORDER (safe: the watermark
+    * asserts nothing older can still arrive — the same contract any
+    * windowed agg leans on); the emitted summary replays the still-
+    * buffered tail on a copy, so at EVERY batch boundary the summary
+    * equals the batch form over all accepted events — including
+    * late-but-inside-watermark arrivals, which is exactly what the
+    * in-order twin cannot do. Arrivals at-or-below the frontier
+    * (outside the watermark) cannot be folded correctly by ANY
+    * bounded operator — they emit a `kind = "late"` dead-letter row
+    * naming the event, the documented route to the batch rebuild.
+    * Uses flatMapGroupsWithState so one invocation can emit the
+    * summary and the dead letters together. */
+  def sessionStreamLate(events: DataFrame, delay: String = "600 seconds")
+      : Dataset[SessLateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessLateSt, SessLateOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[SessLateSt]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(
+            SessLateSt(Long.MinValue, None, Vector.empty))
+          val (accepted, dead) = rows.toSeq.partition(e =>
+            micros(e._2) >= st.frontierUs)
+          val buf = (st.buf ++ accepted.map(e => (micros(e._2), e._3, e._4)))
+            .sortBy(t => (t._1, t._2))
+          // finalize the prefix the watermark has sealed
+          val (toFold, keep) = buf.partition(_._1 < wmUs)
+          var folded = st.folded.orNull
+          for ((eu, _, v) <- toFold) folded = sessStep(folded, eu, v)
+          st = SessLateSt(math.max(st.frontierUs, wmUs), Option(folded), keep)
+          state.update(st)
+          // summary = finalized ⊕ buffered tail, replayed on a copy
+          var view = folded
+          for ((eu, _, v) <- keep) view = sessStep(view, eu, v)
+          val summary = if (view == null) Iterator.empty else {
+            val s = sessSummary(uid, view)
+            Iterator(SessLateOut(uid, "summary", s.n_sessions, s.n_events,
+              s.max_session_value, -1L))
+          }
+          summary ++ dead.iterator.map(e =>
+            SessLateOut(uid, "late", 0L, 0L, 0.0, e._3))
       }
   }
 
@@ -942,7 +1125,8 @@ object StreamOps {
     * (mean max-dot, cell-occupancy skew) against the build-time
     * reference buildIvf persists, flagging rebuild-needed.
     * Returns the batch's (vec_id, cell) assignments. */
-  def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): DataFrame = {
+  def ivfIngestBatch(indexPath: String, metricsEvery: Int = 1)(
+      batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // fixed-quantizer contract makes the centroid table immutable for
@@ -975,6 +1159,14 @@ object StreamOps {
         .write.mode("append").partitionBy("cell").parquet(hp.toString)
     }
     if (!alreadyApplied) fs.create(marker, true).close()
+    // Post-append staleness emission (replay-guarded): the rebuild-when
+    // audit rides the ingest path, so quantizer drift surfaces in the
+    // metrics log the batch it crosses a threshold instead of waiting
+    // for someone to run the audit by hand. Same `metricsEvery` knob as
+    // the text ingest (the audit scans the accumulated cells table).
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId,
+        graft.queries.VectorIndex.ivfStaleness(spark, indexPath))
     val out = assigned.select(col("vec_id"), col("cell")).localCheckpoint(true)
     assigned.unpersist(false)
     out
@@ -1324,18 +1516,20 @@ object StreamOps {
     * batch route returns from its HTTP response.
     *
     * Replay (foreachBatch's documented failure mode): with
-    * `exactlyOnce` (default) on a ParquetStore, each batch's id is
-    * committed as a token INSIDE the snapshot swap — token and data
-    * become visible in the same rename (mvMaintainBatch's
-    * token-with-state pattern applied to the sink), so a replayed
-    * batch is detected and becomes a no-op (no re-merge, no
-    * summary). The exactly-once path trades away partial-vendor
-    * writes: one commit point needs ONE atomic swap (k independent
-    * partition renames can't carry it — a transactional table format
-    * is the at-scale answer). `exactlyOnce = false` (or a non-parquet
-    * store) keeps the k-of-N partial-write path with at-least-once
-    * replay semantics: Replace mode is naturally idempotent,
-    * Accumulate can double-fold a replayed batch. */
+    * `exactlyOnce` (default) on a ParquetStore OR a JdbcStore, each
+    * batch's id is committed as a token INSIDE the snapshot swap —
+    * token and data become visible in the same rename / the same DB
+    * transaction (mvMaintainBatch's token-with-state pattern applied
+    * to the sink), so a replayed batch is detected and becomes a
+    * no-op (no re-merge, no summary). The exactly-once path trades
+    * away partial-vendor writes: one commit point needs ONE atomic
+    * swap (k independent partition renames can't carry it — a
+    * transactional table format is the at-scale answer). JDBC
+    * exactly-once additionally assumes transactional DDL (Derby,
+    * Postgres; see JdbcSnapshot.writeStagedToken). `exactlyOnce =
+    * false` (or another store) keeps the k-of-N partial-write path
+    * with at-least-once replay semantics: Replace mode is naturally
+    * idempotent, Accumulate can double-fold a replayed batch. */
   def syncBatch(store: graft.sink.MergeWriter.SnapshotStore,
       mode: graft.sink.MergeWriter.MergeMode = graft.sink.MergeWriter.Accumulate,
       clock: Long => java.sql.Timestamp =
@@ -1350,6 +1544,12 @@ object StreamOps {
         if (MergeWriter.readBatchToken(spark, path).exists(_ >= batchId))
           return  // replayed batch: already committed, whole-batch no-op
         MergeWriter.TokenParquetStore(path, batchId)
+      case MergeWriter.JdbcStore(url, table, opts) if exactlyOnce =>
+        // same token-in-swap pattern through the DB: the token commits
+        // in the swap's transaction (JdbcSnapshot.writeStagedToken)
+        if (graft.sink.JdbcSnapshot.lastToken(url, table, opts).exists(_ >= batchId))
+          return  // replayed batch: already committed, whole-batch no-op
+        MergeWriter.TokenJdbcStore(url, table, batchId, opts)
       case s => s
     }
     // vendor set of THIS batch: bounded by vendor count, the same

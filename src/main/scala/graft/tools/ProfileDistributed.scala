@@ -37,7 +37,16 @@ object ProfileDistributed {
   import graft.sources.Tables
   import org.apache.spark.sql.functions.col
 
-  /** (name, forced-distributed form, per-10× ratio bound). */
+  /** (name, forced-distributed form, per-10× ratio bound).
+    * NaN bound = equality-gate only, no volume leg: dedup_clusters'
+    * PAIR SOURCE is the exact n-gram-Jaccard quadratic (the fenced
+    * verification-scale ground truth — absent from ProfileSuite10x's
+    * plan for the same reason), so replicating it 40× is running the
+    * documented-quadratic oracle at volume, not measuring the
+    * propagation leg. The propagation leg itself IS volume-measured
+    * here through g4_components (same clustersOf engine, tractable
+    * support-thresholded pair source) and dedup_clusters_lsh (banded
+    * pair source, report-only output-quadratic by contract). */
   val Plan: Seq[(String, (SparkSession, String) => DataFrame, Double)] = Seq(
     ("g1_pagerank[dist]",
       (s: SparkSession, d: String) => GraphQueries.g1PageRank(s, d, localModelMax = 0),
@@ -52,7 +61,7 @@ object ProfileDistributed {
       ProfileSuite10x.LinearBound),
     ("dedup_clusters[prop]",
       (s: SparkSession, d: String) => TextQueries.dedupClusters(s, d, localFinish = 0),
-      ProfileSuite10x.LinearBound),
+      Double.NaN),
     ("dedup_clusters_lsh[prop]",
       (s: SparkSession, d: String) => TextQueries.dedupClustersLsh(s, d, localFinish = 0),
       // output-quadratic under replication by the same contract as the
@@ -115,15 +124,21 @@ object ProfileDistributed {
       }.min
 
     Plan.foreach { case (name, forced, bound10) =>
-      val bound = if (bound10 <= 0) 0.0 else bound10 * reps / 10.0
-      val one = bestOf(forced, dir)
-      val ten = bestOf(forced, bigDir)
-      val ratio = ten / one
-      val verdict =
-        if (bound <= 0) "report-only (output-quadratic by contract)"
-        else if (ratio <= bound) f"PASS (<= $bound%.0fx)"
-        else { failures ::= name; f"FAIL (> $bound%.0fx)" }
-      println(f"[dist] $name%-26s 1x $one%7.2fs  ${reps}x $ten%8.2fs  ratio $ratio%6.2f  $verdict")
+      if (bound10.isNaN)
+        println(f"[dist] $name%-26s equality-gated at 1x only " +
+          "(quadratic pair-source contract — see Plan doc)")
+      else {
+        val bound = if (bound10 <= 0) 0.0 else bound10 * reps / 10.0
+        val one = bestOf(forced, dir)
+        val ten = bestOf(forced, bigDir)
+        val ratio = ten / one
+        val verdict =
+          if (bound <= 0) "report-only (output-quadratic by contract)"
+          else if (ratio <= bound) f"PASS (<= $bound%.0fx)"
+          else { failures ::= name; f"FAIL (> $bound%.0fx)" }
+        println(f"[dist] $name%-26s 1x $one%7.2fs  ${reps}x $ten%8.2fs  ratio $ratio%6.2f  $verdict")
+        System.out.flush()
+      }
     }
 
     if (failures.nonEmpty) {

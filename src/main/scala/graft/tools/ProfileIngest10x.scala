@@ -37,7 +37,11 @@ object ProfileIngest10x {
     * the column-pruned two-column scan of touched partitions — tiny
     * against the fixed per-batch cost at these volumes; 2× leaves
     * room for it plus co-tenant noise while still catching any
-    * full-scan / lost-pruning regression (which measures ~10×). */
+    * full-scan / lost-pruning regression (which measures ~10×).
+    * Ingest calls here pass metricsEvery = 0: the per-batch health
+    * emission is an O(index) audit scan BY DESIGN (that's what it
+    * observes), so it would read as probe-cost growth — production
+    * tunes its cadence with the same knob. */
   val GrowthBound = 2.0
 
   private def tagWords(df: DataFrame, tag: String): DataFrame =
@@ -75,7 +79,7 @@ object ProfileIngest10x {
         s"r$k")
       batchId += 1
       val kept = graft.streaming.StreamOps
-        .nearDupIngestBatch(idx)(replica, batchId).count()
+        .nearDupIngestBatch(idx, metricsEvery = 0)(replica, batchId).count()
       require(kept > nBase * 0.9,
         s"replica $k was near-dup-suppressed ($kept/$nBase kept) — fixture broken")
     }
@@ -83,7 +87,7 @@ object ProfileIngest10x {
       val probe = tagWords(probeSrc, s"p$chk")
       batchId += 1
       val t0 = System.nanoTime()
-      graft.streaming.StreamOps.nearDupIngestBatch(idx)(probe, batchId).count()
+      graft.streaming.StreamOps.nearDupIngestBatch(idx, metricsEvery = 0)(probe, batchId).count()
       (System.nanoTime() - t0) / 1e9
     }
     def indexDocs(): Long =
@@ -170,7 +174,7 @@ object ProfileIngest10x {
     var vecBatch = 0L
     def seedVec(k: Int): Unit = {
       vecBatch += 1
-      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx)(
+      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx, metricsEvery = 0)(
         embBase.select((col("vec_id") + lit(k * offset)).as("vec_id"), col("emb")),
         vecBatch).count()
     }
@@ -179,7 +183,7 @@ object ProfileIngest10x {
       val probe = embBase.limit(200)
         .select((col("vec_id") + lit(95000000L + chk * 1000L)).as("vec_id"), col("emb"))
       val t0 = System.nanoTime()
-      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx)(probe, vecBatch).count()
+      graft.streaming.StreamOps.ivfIngestBatch(ivfIdx, metricsEvery = 0)(probe, vecBatch).count()
       val ing = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       graft.queries.VectorIndex.searchIvf(spark, ivfIdx, queries10).count()

@@ -120,7 +120,11 @@ object ProfileScale {
     val times = (0 until nBatches).map { b =>
       val batch = bigDocs.filter(col("doc_id") % nBatches === b)
       val t0 = System.nanoTime()
-      val kept = graft.streaming.StreamOps.nearDupIngestBatch(idx)(batch, b.toLong).count()
+      // metricsEvery = 0: the health emission's audit scan is O(index)
+      // by design and would read as ingest growth (same reasoning as
+      // ProfileIngest10x) — this pin is about the dedup path itself
+      val kept = graft.streaming.StreamOps.nearDupIngestBatch(idx,
+        metricsEvery = 0)(batch, b.toLong).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] ingest batch $b%2d  $sec%6.2fs  kept $kept%6d")
       sec

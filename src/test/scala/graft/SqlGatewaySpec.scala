@@ -33,7 +33,19 @@ class SqlGatewaySpec extends SparkSpec {
   // parses, runs, AND produces identical rows through spark.sql —
   // one query text drives both engines (DuckDbCompat supplies the
   // exact-semantics aliases; the row-identity check below is what
-  // keeps that shim honest). The rest use dialect-structural
+  // keeps that shim honest). The round-12 portability rewrites
+  // retired the former KnownDivergent set by restating each trap in
+  // dialect-neutral form, DuckDB-verified identical to the old text:
+  //  - regexp_replace 'g' (global replace, literal replacement) →
+  //    array_to_string(string_split_regex(x, pat), repl);
+  //  - `arr[i]` (0- vs 1-based) → list_extract(arr, i) (1-based in
+  //    DuckDB natively, aliased to element_at in Spark);
+  //  - '0x…'::BIGINT hex casts → the positional base-16 polynomial
+  //    (TextQueries.hexPolySql);
+  //  - decimal-typed ratio chains → one explicit CAST AS DOUBLE at
+  //    the head so both engines compute the whole chain in IEEE
+  //    doubles.
+  // The remaining non-runnable texts use dialect-structural
   // constructs no alias can bridge — 1-based list slicing `[i:j]`,
   // `::` casts, `//` division, UNNEST in FROM position, UNION
   // (distinct) recursive CTEs — and remain DataFrame-first with the
@@ -54,27 +66,20 @@ class SqlGatewaySpec extends SparkSpec {
     "q_validate", "s1_full_scan", "s2_filtered_scan", "s4_set_ops",
     "s8_docstore_scan", "t_corpus_mix", "t_heavy_hitters",
     "t_inverted_index", "t_stratified_sample",
-    "w1_topk_per_group", "w2_running_total", "w4_running_total_twophase")
-
-  // Runs in BOTH dialects but means something different — each entry
-  // pinned with its cause so the overlap can't drift silently:
-  //  - regexp_replace: DuckDB's 4th arg is the 'g' flag, Spark's is a
-  //    POSITION index ('g' → null). Deliberately NOT aliased — the
-  //    name exists in Spark with colliding semantics.
-  //    (dedup_exact, t_fingerprint, t_redact_pii, t_quality_score)
-  //  - integer/decimal arithmetic typing differs, so 4th-decimal
-  //    roundings flip. (t_tfidf, t_bm25_topk, t_source_filter,
-  //    t_source_overlap)
-  //  - 1-based vs 0-based `arr[i]` element access — syntax-level,
-  //    unreachable from a function registry.
-  //    (p7_spec_resolver, dedup_simhash, t_source_overlap_minhash and
-  //    t_source_overlap_lsh — the overlap pair also casts '0x…' hex
-  //    strings, which Spark's non-ANSI string→BIGINT cast nulls)
-  private val KnownDivergent = Set(
+    "w1_topk_per_group", "w2_running_total", "w4_running_total_twophase",
+    // round-12 portability rewrites (see header comment); t_lang_id
+    // came along for free (its only traps were the 'g' flag and the
+    // bracket list literal)
     "dedup_exact", "t_fingerprint", "t_redact_pii", "t_quality_score",
     "t_tfidf", "t_bm25_topk", "t_source_filter", "t_source_overlap",
     "p7_spec_resolver", "dedup_simhash", "t_source_overlap_minhash",
-    "t_source_overlap_lsh")
+    "t_source_overlap_lsh", "t_lang_id")
+
+  // Runs in BOTH dialects but means something different — empty since
+  // the round-12 rewrites; the assertion keeps it so (a new oracle
+  // text that runs on both engines with different rows fails loudly
+  // here instead of silently counting as covered).
+  private val KnownDivergent = Set.empty[String]
 
   test("inventory: the verbatim-portable subset of the oracle SQL is pinned") {
     SqlGateway.open(spark, sf)

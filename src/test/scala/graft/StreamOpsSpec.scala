@@ -422,6 +422,107 @@ class StreamOpsSpec extends SparkSpec {
     assert(fin(2L) == ((2L, 2L, 4.75)))
   }
 
+  test("sessionStreamLate: in-watermark late event lands batch-equal; " +
+      "outside-watermark event dead-letters") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val latest = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val dead = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.sessionStreamLate(
+        in.toDF().toDF("user_id", "ts", "event_id", "value"),
+        delay = "600 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.SessLateOut], id: Long) =>
+          latest.synchronized {
+            b.collect().foreach { r =>
+              if (r.kind == "summary")
+                latest(r.user_id) = (r.n_sessions, r.n_events, r.max_session_value)
+              else dead += r.late_event_id
+            }; ()
+          }
+      }.start()
+
+    def batchTruth(events: Seq[(Long, java.sql.Timestamp, Long, Double)]) = {
+      import spark.implicits._
+      graft.queries.EventQueries.sessionizeOf(
+          events.toDF("user_id", "ts", "event_id", "value"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    }
+    val b1 = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, 1.25),
+      (1L, t("2024-01-01 10:20:00"), 2L, 2.50))
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1))
+    // watermark after b1 = 10:20 − 10 min = 10:10. A LATE arrival at
+    // 10:12 is inside the watermark: the in-order twin would
+    // mis-sessionize it (its automaton already advanced past 10:12);
+    // the reorder buffer slots it between the two b1 events.
+    val late = (1L, t("2024-01-01 10:12:00"), 3L, 8.25)
+    val b2 = Seq(late, (2L, t("2024-01-01 10:30:00"), 4L, 0.50))
+    in.addData(b2: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1 ++ b2),
+      "in-watermark late event did not land batch-equal")
+    assert(dead.synchronized(dead.isEmpty))
+    // an arrival BELOW the finalized frontier (10:10 at b3's start)
+    // is outside the watermark: dead-letter, summaries unchanged
+    val tooLate = (1L, t("2024-01-01 09:00:00"), 5L, 99.0)
+    in.addData(tooLate); q.processAllAvailable(); q.stop()
+    assert(latest.synchronized(latest.toMap) == batchTruth(b1 ++ b2),
+      "outside-watermark event leaked into the summaries")
+    assert(dead.synchronized(dead.toSeq) == Seq(5L),
+      s"expected event 5 in the dead letter, got $dead")
+  }
+
+  test("funnelStreamLate: late early view re-qualifies the funnel batch-equally; " +
+      "outside-watermark dead-letters") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val latest = scala.collection.mutable.Map[Long, (Option[Long], Option[Long], Long)]()
+    val dead = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.funnelStreamLate(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        delay = "600 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.FunnelLateOut], id: Long) =>
+          latest.synchronized {
+            b.collect().foreach { r =>
+              if (r.kind == "summary")
+                latest(r.user_id) = (r.view_us, r.click_us, r.depth)
+              else dead += r.late_event_id
+            }; ()
+          }
+      }.start()
+
+    // batch 1: a click with NO prior view — depth stays 0
+    val b1 = Seq((1L, t("2024-01-01 10:20:00"), 1L, "click"))
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(latest.synchronized(latest(1L)) == ((None, None, 0L)))
+    // batch 2: the VIEW arrives late (10:15 < the click's 10:20) but
+    // inside the watermark — the buffered replay re-qualifies the
+    // click, which the in-order twin can never do (its click is gone)
+    val b2 = Seq((1L, t("2024-01-01 10:15:00"), 2L, "view"))
+    in.addData(b2: _*); q.processAllAvailable()
+    val (v, c, d) = latest.synchronized(latest(1L))
+    def us(s: String) = { val x = t(s); x.getTime * 1000L + (x.getNanos / 1000L) % 1000L }
+    assert(v.contains(us("2024-01-01 10:15:00")) &&
+      c.contains(us("2024-01-01 10:20:00")) && d == 2L,
+      s"late view did not re-qualify the click: ($v, $c, $d)")
+    assert(dead.synchronized(dead.isEmpty))
+    // advance the watermark far past the funnel, then send an ancient
+    // event: dead letter, summary unchanged
+    in.addData((2L, t("2024-01-01 23:00:00"), 3L, "view")); q.processAllAvailable()
+    in.addData((1L, t("2024-01-01 08:00:00"), 4L, "view")); q.processAllAvailable()
+    q.stop()
+    assert(latest.synchronized(latest(1L)) == ((v, c, d)),
+      "outside-watermark event changed the funnel")
+    assert(dead.synchronized(dead.toSeq) == Seq(4L))
+  }
+
   test("lshIndexHealth: summary equals a driver recompute; cap exposure surfaces") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("lsh-health").toString
@@ -485,6 +586,58 @@ class StreamOpsSpec extends SparkSpec {
     val share = BigDecimal(hot.sum.toDouble / bandRows.length)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(tight.getDouble(5) == share)
+  }
+
+  test("ingest emits per-batch health metrics; degradation surfaces in the log") {
+    import graft.queries.VectorIndex
+    // ── text index: the cap-exposure signal rides the ingest ──
+    val idx = java.nio.file.Files.createTempDirectory("lsh-metrics").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+      docs.filter(col("doc_id") < 100), 1L).count()
+    // degenerate family accumulates between batches: one band bucket
+    // shared by 6 distinct sets (the lshIndexHealth fixture)
+    import spark.implicits._
+    (0 until 6).map(i => (900000L + i, 0, 123456789L))
+      .toDF("doc_id", "band", "band_key")
+      .withColumn("bkt", StreamOps.bandBucket(col("band_key")))
+      .write.mode("append").partitionBy("bkt").parquet(s"$idx/bands")
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 2L).count()
+    val log = StreamOps.indexMetrics(spark, idx).get.collect()
+    assert(log.map(_.getAs[Long]("batch_id")).toSeq == Seq(1L, 2L))
+    val b2 = log.last
+    assert(b2.getAs[Long]("hot_buckets") >= 1 &&
+      b2.getAs[Double]("hot_row_share") > 0.0,
+      s"degenerate bucket did not surface in batch 2's emitted metrics: $b2")
+    // replay of an applied batch never double-logs
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 2L).count()
+    assert(StreamOps.indexMetrics(spark, idx).get.count() == 2)
+
+    // ── IVF index: the staleness signal rides the ingest ──
+    val ivf = java.nio.file.Files.createTempDirectory("ivf-metrics").toString
+    VectorIndex.buildIvf(spark, "/root/testdata/sf0.001", ivf)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    StreamOps.ivfIngestBatch(ivf)(emb.limit(30)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding").as("emb")), 1L)
+      .count()
+    // drifted adds: component-reversed vectors (same norms, none of
+    // the trained cluster structure) — the annIvfStaleness fixture
+    StreamOps.ivfIngestBatch(ivf)(emb
+      .select((col("vec_id") + 30000L).as("vec_id"),
+        reverse(col("embedding")).as("emb")), 2L).count()
+    val ivfLog = StreamOps.indexMetrics(spark, ivf).get.collect()
+    assert(ivfLog.map(_.getAs[Long]("batch_id")).toSeq == Seq(1L, 2L))
+    val last = ivfLog.last
+    assert(last.getAs[Double]("mean_dot_cur") <
+      last.getAs[Double]("mean_dot_build"),
+      s"drifted batch did not move the emitted staleness signal: $last")
+    // the emitted row IS the on-demand audit of the post-batch index
+    val onDemand = VectorIndex.ivfStaleness(spark, ivf).collect().head
+    assert(onDemand.toSeq == last.toSeq.dropRight(1),
+      s"emitted row diverges from the audit: $onDemand vs $last")
   }
 
   test("srcSignatureStream: keyed mins equal the batch sketch at every batch boundary") {

@@ -130,6 +130,38 @@ class StreamSyncSpec extends SparkSpec {
     assert(MergeWriter.readBatchToken(spark, sink).contains(1L))
   }
 
+  test("JDBC sink: replayed micro-batch is a whole-batch no-op through the DB") {
+    import spark.implicits._
+    spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))
+    val url =
+      s"jdbc:derby:${Files.createTempDirectory("graft-derby-replay")}/db;create=true"
+    val store = MergeWriter.JdbcStore(url, "vp")
+    var summaries = 0
+    def run(bid: Long): Unit = StreamOps.syncBatch(
+      store, MergeWriter.Accumulate, now, _ => summaries += 1)(
+      payloads(0).toDF("vendorId", "payload"), bid)
+    run(0L)
+    val once = canon(store.read(spark))
+    def stock() = store.read(spark)
+      .select(explode(col("selectedOptions")).as("o"))
+      .agg(sum(col("o.stock"))).collect()(0).getLong(0)
+    val stockOnce = stock()
+    run(0L)  // foreachBatch replay: same batchId
+    assert(summaries == 1, "replayed batch re-emitted its summary")
+    assert(canon(store.read(spark)) == once, "replayed batch changed the DB sink")
+    assert(stock() == stockOnce, "Accumulate double-folded on replay through the DB")
+    // a NEW batch id still merges, and its token commits with the swap
+    run(1L)
+    assert(summaries == 2)
+    assert(graft.sink.JdbcSnapshot.lastToken(url, "vp").contains(1L))
+    // pre-commit crash shape: a staged table with NO completed swap
+    // leaves live snapshot and token untouched (the transaction is
+    // the commit point — nothing became visible)
+    graft.sink.JdbcSnapshot.write(store.read(spark).limit(0), url, "vp_stg")
+    assert(canon(store.read(spark)) == canon(store.read(spark)))
+    assert(graft.sink.JdbcSnapshot.lastToken(url, "vp").contains(1L))
+  }
+
   test("full-swap crash window recovers: snapshot only in __old") {
     import spark.implicits._
     spark.conf.set("graft.sync.admin.path", resourcePath("admin_products.json"))

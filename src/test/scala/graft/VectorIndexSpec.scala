@@ -200,4 +200,61 @@ class VectorIndexSpec extends SparkSpec {
       s"driver recompute mismatch: got=$got want=$want")
     assert(got._7 == (got._4 < 0.9 * got._3 || got._6 > 2.0 * got._5))
   }
+
+  test("graph index: self at rank 1, recall@5 >= 0.9 vs brute, degree bound, " +
+      "pruned serve") {
+    val idx = Files.createTempDirectory("graft-graphidx").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val rows = VectorIndex.searchGraph(spark, idx, corpusQueries(10), k = 6).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val first = rs.minBy(_.getLong(1))
+      assert(first.getLong(2) == qid && first.getDouble(3) == 1.0,
+        s"query $qid did not retrieve itself first: $first")
+    }
+    val brute = VectorQueries.annBruteTopk(spark, dir)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.filter(r => r.getLong(0) != r.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"graph-index recall@5 $recall < 0.9")
+    // every adjacency list respects the degree bound, and the index
+    // covers the whole corpus (isolated nodes keep an empty list)
+    val g = spark.read.parquet(s"$idx/graph")
+    assert(g.count() == graft.sources.Tables.embeddings(spark, dir).count())
+    assert(g.select(max(size(col("nbrs")))).collect()(0).getInt(0)
+      <= VectorIndex.GraphDegree)
+    // the serve is partition-pruned: a walk-shaped read (one cell)
+    // scans strictly fewer files than the full index
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val flat = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      flat.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val someCell = g.select(col("cell")).distinct().collect().map(_.getInt(0)).min
+    val probed = scannedFiles(g.filter(col("cell").isin(someCell)))
+    val full = scannedFiles(g)
+    assert(probed > 0 && probed < full,
+      s"walk read scanned $probed of $full index files — pruning lost")
+  }
+
+  test("graph index: build deterministic; search twice identical") {
+    val idx1 = Files.createTempDirectory("graft-graphidx1").toString
+    val idx2 = Files.createTempDirectory("graft-graphidx2").toString
+    VectorIndex.buildGraph(spark, dir, idx1)
+    VectorIndex.buildGraph(spark, dir, idx2)
+    def canon(p: String) = spark.read.parquet(p).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon(s"$idx1/graph") == canon(s"$idx2/graph"), "graphs diverge")
+    assert(canon(s"$idx1/entries") == canon(s"$idx2/entries"), "entries diverge")
+    def run() = VectorIndex.searchGraph(spark, idx1, corpusQueries(5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
 }
