@@ -46,6 +46,7 @@ object ProfileRetry {
     "emb_kmeans", "emb_semdedup", // driver Lloyd models
     "ann_ivf_topk", "ann_pq_topk", // in-query trainers
     "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored", // build+serve
+    "ann_graph_topk", // graph build (trainer + edge windows) + driver walk
     "ann_ivf_staleness", // build + marker-guarded ingest + audit
     "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_lsh", // union-find / star handoff
     "g1_pagerank", "g4_components", // iterative supersteps (localCheckpoint)

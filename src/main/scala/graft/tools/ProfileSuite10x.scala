@@ -105,7 +105,11 @@ object ProfileSuite10x {
     "ann_ivf_staleness" -> LinearBound,
     "dedup_minhash_lsh" -> LinearBound,
     "ann_ivf_stored" -> LinearBound,
-    "ann_pq_stored" -> LinearBound)
+    "ann_pq_stored" -> LinearBound,
+    // round-12: the graph-ANN serve (build amortizes via the ensure()
+    // cache like the other stored variants; timed cold here, so the
+    // within-cell pair build is the bounded linear term)
+    "ann_graph_topk" -> LinearBound)
 
   private val KeyOffset = 100000000L
 
