@@ -640,7 +640,8 @@ object VectorIndex {
   // The serving structure the quantization family (LSH/IVF/PQ) does not
   // cover: a NAVIGABLE graph — each corpus vector keeps its GraphDegree
   // nearest neighbors as edges, and a query walks the graph greedily
-  // from fixed entry points, refining toward its true neighborhood.
+  // from its nearest cells' entry points (GraphSeedCells — the walk's
+  // nprobe), refining toward its true neighborhood.
   // HNSW's essential ingredients without the hierarchy (at GraphHops
   // fixed hops from per-cell entry points the hierarchy's log-layers
   // buy nothing at these diameters; the design doc below states where
@@ -676,6 +677,19 @@ object VectorIndex {
   private[graft] val GraphDegree = 8
   private[graft] val GraphBeam = 8
   private[graft] val GraphHops = 4
+  /** Entry cells probed per query — the walk's nprobe: hop 0 reads
+    * only these cells' partitions, so the first fetch is pruned like
+    * every later one (seeding from ALL entry points would scan every
+    * partition — index-proportional I/O on the serving path). */
+  private[graft] val GraphSeedCells = 4
+
+  /** Test hooks: per-fetch distinct cell sets and node counts of the
+    * most recent searchGraph call, in hop order — let the spec pin
+    * that the WALK'S OWN reads prune (hop-0 bounded by the seed
+    * cells) and that total rows fetched are walk-sized, not
+    * corpus-sized, rather than only checking a synthetic filter. */
+  @volatile private[graft] var lastFetchCells: List[Set[Int]] = Nil
+  @volatile private[graft] var lastFetchNodes: List[Int] = Nil
 
   /** Build the NSW-lite graph index: `graph/` (vec_id, emb, nbrs —
     * struct(nid, cell) edges, partitioned by the node's primary cell)
@@ -698,6 +712,13 @@ object VectorIndex {
     val cents = VectorQueries.pqTrain(sample, 1, cells, VectorQueries.Dim, lloydRounds).head
 
     import spark.implicits._
+    // persist the quantizer: serving seeds the walk from the QUERY'S
+    // nearest cells (not every entry point — that first fetch would
+    // scan every partition, index-proportional I/O on the serve path)
+    invalidateCentroids(indexPath)
+    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    stampBuildToken(spark, indexPath)
     // top-2 cell assignments per vector: the posexplode of the dot row
     // is k rows per vector, one shuffle for the per-vector window
     val dots = emb.select(col("vec_id"), col("emb"),
@@ -792,10 +813,28 @@ object VectorIndex {
 
     // one fetch cache across queries and hops — every id is read once
     val fetched = scala.collection.mutable.Map.empty[Long, (Array[Double], Array[(Long, Int)])]
+    lastFetchCells = Nil
+    lastFetchNodes = Nil
     def fetch(want: Map[Long, Int]): Unit = {
       val missing = want.filterNot { case (id, _) => fetched.contains(id) }
+      if (missing.nonEmpty) {
+        lastFetchCells = lastFetchCells :+ missing.values.toSet
+        lastFetchNodes = lastFetchNodes :+ missing.size
+      }
       fetched ++= readGraphRows(spark, indexPath, missing)
     }
+
+    def dot0(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // seed each query from its GraphSeedCells nearest cells' entry
+    // points (the stored quantizer — cachedCentroids shares the IVF
+    // family's signature-keyed cache), so hop 0 prunes like every
+    // later hop instead of touching every partition
+    val cents = cachedCentroids(spark, indexPath)
+    val cellEntry: Map[Int, Long] = entries.map { case (vid, c) => c -> vid }.toMap
 
     // per-query walk state: scored pool (nid -> sim), expanded set,
     // and the next frontier to score — all serving-batch-bounded
@@ -803,8 +842,12 @@ object VectorIndex {
       qid -> scala.collection.mutable.Map.empty[Long, Double] }.toMap
     val expanded = qs.map { case (qid, _) =>
       qid -> scala.collection.mutable.Set.empty[Long] }.toMap
-    var toScore: Map[Long, Map[Long, Int]] =
-      qs.map { case (qid, _) => qid -> entries.toMap }.toMap
+    var toScore: Map[Long, Map[Long, Int]] = qs.map { case (qid, qv) =>
+      val seeds = cents.zipWithIndex
+        .map { case (c, i) => (dot0(qv, c), i) }
+        .sortBy { case (d, i) => (-d, i) }.take(GraphSeedCells).map(_._2)
+      qid -> seeds.flatMap(c => cellEntry.get(c).map(_ -> c)).toMap
+    }.toMap
 
     var hop = 0
     while (hop <= hops && toScore.valuesIterator.exists(_.nonEmpty)) {
@@ -834,6 +877,13 @@ object VectorIndex {
     * check; ground truth in VectorIndexSpec). */
   def annGraphStored(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
+    // layout migration: a root built before the quantizer was
+    // persisted (the pre-seeded-walk layout) carries a _complete
+    // marker but no cents table — rebuild it in place rather than
+    // failing the serve on the stale cache
+    val cp = new org.apache.hadoop.fs.Path(s"$idx/cents")
+    if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp))
+      buildGraph(spark, dir, idx)
     searchGraph(spark, idx, corpusQueries(spark, dir))
   }
 }

@@ -83,11 +83,31 @@ object JdbcSnapshot {
 
   /** `RENAME TABLE a TO b` (Derby/MySQL) with an `ALTER TABLE a
     * RENAME TO b` fallback (Postgres et al) — the ONE definition both
-    * staged-write paths share, so a dialect fix lands everywhere. */
+    * staged-write paths share, so a dialect fix lands everywhere.
+    * NOT safe inside an explicit transaction on engines with
+    * transaction-level statement aborts (Postgres): the failed probe
+    * statement poisons the transaction — writeStagedToken probes the
+    * dialect with [[renameSyntax]] BEFORE opening its transaction. */
   private def renameTable(conn: java.sql.Connection,
       from: String, to: String): Boolean =
     tryExec(conn, s"RENAME TABLE $from TO $to") ||
       tryExec(conn, s"ALTER TABLE $from RENAME TO $to")
+
+  /** Determine the dialect's working rename statement OUTSIDE any
+    * transaction (a throwaway probe table), so the tokened swap's
+    * transaction body issues only statements that succeed — on
+    * Postgres a failed `RENAME TABLE` aborts the whole transaction,
+    * which would make the try-then-fallback pattern unusable there. */
+  private def renameSyntax(conn: java.sql.Connection,
+      table: String): (String, String) => String = {
+    val probe = table + "_rnp"
+    tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
+    exec(conn, s"CREATE TABLE $probe (x INT)")
+    val mysqlStyle = tryExec(conn, s"RENAME TABLE $probe TO ${probe}2")
+    tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
+    if (mysqlStyle) (from, to) => s"RENAME TABLE $from TO $to"
+    else (from, to) => s"ALTER TABLE $from RENAME TO $to"
+  }
 
   private def tableExists(conn: java.sql.Connection, table: String): Boolean =
     try {
@@ -185,14 +205,17 @@ object JdbcSnapshot {
       tryExec(conn, s"DROP TABLE $old")
       // the token table exists OUTSIDE the swap transaction (CREATE
       // once, first tokened write) so the transaction body is pure
-      // rename + one-row DML
+      // rename + one-row DML; the rename dialect is probed outside
+      // too — a failed probe statement inside would abort the whole
+      // transaction on Postgres
       if (!tableExists(conn, tokenTable(table)))
         exec(conn, s"CREATE TABLE ${tokenTable(table)} (tok BIGINT)")
+      val rename = renameSyntax(conn, table)
+      val haveLive = tableExists(conn, table)
       conn.setAutoCommit(false)
       try {
-        renameTable(conn, table, old) // fails harmlessly on the first sync
-        require(renameTable(conn, staging, table),
-          s"could not rename staging table $staging to $table")
+        if (haveLive) exec(conn, rename(table, old)) // absent on the first sync
+        exec(conn, rename(staging, table))
         val up = conn.createStatement()
         try {
           if (up.executeUpdate(

@@ -719,17 +719,21 @@ object StreamOps {
       append(sh.join(survivorIds, Seq("doc_id")), "shingles", shLoaded)
       append(bands.join(survivorIds, Seq("doc_id")), "bands", bandsLoaded)
     }
-    if (!alreadyApplied) fsRoot.create(marker, true).close()
-    // Post-append health emission (replay-guarded like the appends, so
-    // a re-delivered batch never double-logs): the audit row lands in
-    // the per-index metrics log with this batchId, making cap-exposure
-    // drift visible AS it accumulates. The audit is one narrow scan of
-    // the two index tables — `metricsEvery` thins the cadence when the
-    // accumulated index dwarfs a micro-batch (the 100 TB knob); the
-    // cap passed to the audit is the cap this ingest enforced.
+    // Post-append health emission, BEFORE the marker: a crash between
+    // emission and marker replays BOTH (worst case one duplicate row
+    // with the same batch_id — readers dedup by it), whereas emitting
+    // after the marker would permanently lose exactly the crashed
+    // batch's row (alreadyApplied short-circuits the replay). The
+    // audit row lands in the per-index metrics log with this batchId,
+    // making cap-exposure drift visible AS it accumulates. The audit
+    // is one narrow scan of the two index tables — `metricsEvery`
+    // thins the cadence when the accumulated index dwarfs a
+    // micro-batch (the 100 TB knob); the cap passed to the audit is
+    // the cap this ingest enforced.
     if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
       emitMetrics(indexPath, batchId,
         lshIndexHealth(spark, indexPath, maxBandBucket))
+    if (!alreadyApplied) fsRoot.create(marker, true).close()
     shAll.unpersist(); sh.unpersist(); bands.unpersist(); candIdx.unpersist()
     survivors
   }
@@ -1158,15 +1162,18 @@ object StreamOps {
       assigned.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(hp.toString)
     }
-    if (!alreadyApplied) fs.create(marker, true).close()
-    // Post-append staleness emission (replay-guarded): the rebuild-when
-    // audit rides the ingest path, so quantizer drift surfaces in the
-    // metrics log the batch it crosses a threshold instead of waiting
-    // for someone to run the audit by hand. Same `metricsEvery` knob as
-    // the text ingest (the audit scans the accumulated cells table).
+    // Post-append staleness emission, BEFORE the marker (see
+    // nearDupIngestBatch — a crash window after the marker would lose
+    // the crashed batch's row for good; before it, a replay re-emits
+    // at worst a duplicate batch_id): the rebuild-when audit rides
+    // the ingest path, so quantizer drift surfaces in the metrics log
+    // the batch it crosses a threshold instead of waiting for someone
+    // to run the audit by hand. Same `metricsEvery` knob as the text
+    // ingest (the audit scans the accumulated cells table).
     if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
       emitMetrics(indexPath, batchId,
         graft.queries.VectorIndex.ivfStaleness(spark, indexPath))
+    if (!alreadyApplied) fs.create(marker, true).close()
     val out = assigned.select(col("vec_id"), col("cell")).localCheckpoint(true)
     assigned.unpersist(false)
     out

@@ -77,12 +77,7 @@ object ProfileDistributed {
     "dedup_clusters[prop]" -> ((s, d) => graft.SparkEntry.queries("dedup_clusters")(s, d)),
     "dedup_clusters_lsh[prop]" -> ((s, d) => graft.SparkEntry.queries("dedup_clusters_lsh")(s, d)))
 
-  private def canon(df: DataFrame): (Long, String) = {
-    val rows = df.collect().map(_.toString).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
-    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
-  }
+  private def canon(df: DataFrame): (Long, String) = Canon.of(df)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

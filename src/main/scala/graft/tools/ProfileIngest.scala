@@ -46,7 +46,7 @@ object ProfileIngest {
     for (b <- 0 until nBatches) {
       val batch = docs.filter(col("doc_id") % nBatches === b)
       val t0 = System.nanoTime()
-      val kept = graft.streaming.StreamOps.nearDupIngestBatch(idx)(batch, b.toLong)
+      val kept = graft.streaming.StreamOps.nearDupIngestBatch(idx, metricsEvery = 0)(batch, b.toLong)
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
       accepted += kept

@@ -103,19 +103,18 @@ object ProfileRetry {
     dir
   }
 
-  /** (rows, md5 of sorted row renderings) — order-insensitive row
-    * identity, same-JVM so Row.toString formatting is stable. */
-  private def canon(df: org.apache.spark.sql.DataFrame): (Long, String) = {
-    val rows = df.collect().map(_.toString).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
-    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
-  }
+  private def canon(df: org.apache.spark.sql.DataFrame): (Long, String) =
+    Canon.of(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val privateTmp = installPrivateTmpdir()
+    // the sandbox must not outlive the run, PASS or FAIL (sys.exit
+    // paths included — two full index-root sets per leaked dir)
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(privateTmp); ()
+    }
 
     def runPass(faulty: Boolean): (Map[String, (Long, String)], Long, Long) = {
       wipeIndexRoots()
@@ -172,6 +171,5 @@ object ProfileRetry {
     }
     println(s"[retry] PASS: ${Plan.size}/${Plan.size} queries row-identical under " +
       "task kills + speculation")
-    org.apache.commons.io.FileUtils.deleteQuietly(privateTmp)
   }
 }

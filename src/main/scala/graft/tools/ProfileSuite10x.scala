@@ -106,9 +106,10 @@ object ProfileSuite10x {
     "dedup_minhash_lsh" -> LinearBound,
     "ann_ivf_stored" -> LinearBound,
     "ann_pq_stored" -> LinearBound,
-    // round-12: the graph-ANN serve (build amortizes via the ensure()
-    // cache like the other stored variants; timed cold here, so the
-    // within-cell pair build is the bounded linear term)
+    // round-12: the graph-ANN serve (build amortizes into the first
+    // best-of run via the ensure() cache like the other stored
+    // variants, so the measured best is the partition-pruned walk —
+    // near-flat by design; measured 0.99x at x40)
     "ann_graph_topk" -> LinearBound)
 
   private val KeyOffset = 100000000L

@@ -157,8 +157,10 @@ class StreamSyncSpec extends SparkSpec {
     // pre-commit crash shape: a staged table with NO completed swap
     // leaves live snapshot and token untouched (the transaction is
     // the commit point — nothing became visible)
+    val committed = canon(store.read(spark))
     graft.sink.JdbcSnapshot.write(store.read(spark).limit(0), url, "vp_stg")
-    assert(canon(store.read(spark)) == canon(store.read(spark)))
+    assert(canon(store.read(spark)) == committed,
+      "an uncommitted staging table leaked into the live snapshot")
     assert(graft.sink.JdbcSnapshot.lastToken(url, "vp").contains(1L))
   }
 

@@ -242,6 +242,24 @@ class VectorIndexSpec extends SparkSpec {
     val full = scannedFiles(g)
     assert(probed > 0 && probed < full,
       s"walk read scanned $probed of $full index files — pruning lost")
+    // and the WALK'S OWN reads prune, not just a synthetic filter: a
+    // single-query search's hop-0 fetch asks for at most its
+    // GraphSeedCells seed cells, and the TOTAL rows fetched are
+    // walk-sized (seeds + hops×beam×degree), never corpus-sized. (At
+    // this corpus's 16 cells the later hops legitimately reach most
+    // cells — the per-hop CELL bound is the 100 TB claim only at
+    // realistic cell counts; the row bound holds at any size.)
+    VectorIndex.searchGraph(spark, idx, corpusQueries(1)).collect()
+    val fetches = VectorIndex.lastFetchCells
+    assert(fetches.nonEmpty &&
+      fetches.head.size <= VectorIndex.GraphSeedCells,
+      s"hop-0 fetch touched ${fetches.map(_.size)} cells")
+    val rowsFetched = VectorIndex.lastFetchNodes.sum
+    val walkBound = VectorIndex.GraphSeedCells +
+      (VectorIndex.GraphHops + 1) * VectorIndex.GraphBeam * VectorIndex.GraphDegree
+    val corpus = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rowsFetched <= walkBound && rowsFetched < corpus / 2,
+      s"walk fetched $rowsFetched rows (bound $walkBound, corpus $corpus)")
   }
 
   test("graph index: build deterministic; search twice identical") {
