@@ -328,7 +328,9 @@ object VectorIndex {
     val drifted = Tables.embeddings(spark, dir)
       .select((col("vec_id") + lit(DriftOffset)).as("vec_id"),
         reverse(col("embedding")).as("emb"))
-    graft.streaming.StreamOps.ivfIngestBatch(idx)(drifted, 1L).count()
+    // metricsEvery = 0: this query IS the staleness audit — emitting
+    // from its own ingest would compute the identical audit twice
+    graft.streaming.StreamOps.ivfIngestBatch(idx, metricsEvery = 0)(drifted, 1L).count()
     lastStaleness = Some(cachedCentroids(spark, idx))
     ivfStaleness(spark, idx)
   }
@@ -803,7 +805,9 @@ object VectorIndex {
       .select(col("cell"), col("vec_id")).collect()
       .map(r => (r.getLong(1), r.getInt(0)))
 
-    def dot(a: Array[Double], b: Array[Double]): Double = {
+    // ONE similarity definition for seed scoring AND pool scoring
+    // (Seq covers both the cached centroids and fetched Arrays)
+    def dot(a: Array[Double], b: scala.collection.Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
@@ -824,11 +828,6 @@ object VectorIndex {
       fetched ++= readGraphRows(spark, indexPath, missing)
     }
 
-    def dot0(a: Array[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
     // seed each query from its GraphSeedCells nearest cells' entry
     // points (the stored quantizer — cachedCentroids shares the IVF
     // family's signature-keyed cache), so hop 0 prunes like every
@@ -844,7 +843,7 @@ object VectorIndex {
       qid -> scala.collection.mutable.Set.empty[Long] }.toMap
     var toScore: Map[Long, Map[Long, Int]] = qs.map { case (qid, qv) =>
       val seeds = cents.zipWithIndex
-        .map { case (c, i) => (dot0(qv, c), i) }
+        .map { case (c, i) => (dot(qv, c), i) }
         .sortBy { case (d, i) => (-d, i) }.take(GraphSeedCells).map(_._2)
       qid -> seeds.flatMap(c => cellEntry.get(c).map(_ -> c)).toMap
     }.toMap

@@ -94,20 +94,27 @@ object JdbcSnapshot {
       tryExec(conn, s"ALTER TABLE $from RENAME TO $to")
 
   /** Determine the dialect's working rename statement OUTSIDE any
-    * transaction (a throwaway probe table), so the tokened swap's
-    * transaction body issues only statements that succeed — on
-    * Postgres a failed `RENAME TABLE` aborts the whole transaction,
-    * which would make the try-then-fallback pattern unusable there. */
+    * transaction (a throwaway probe table under a clearly RESERVED
+    * name), so the tokened swap's transaction body issues only
+    * statements that succeed — on Postgres a failed `RENAME TABLE`
+    * aborts the whole transaction, which would make the
+    * try-then-fallback pattern unusable there. Probed ONCE per URL
+    * (the answer never changes for a given engine): a per-call probe
+    * would bill every micro-batch ~6 DDL statements forever. */
+  private val renameSyntaxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String) => String]()
+
   private def renameSyntax(conn: java.sql.Connection,
-      table: String): (String, String) => String = {
-    val probe = table + "_rnp"
-    tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
-    exec(conn, s"CREATE TABLE $probe (x INT)")
-    val mysqlStyle = tryExec(conn, s"RENAME TABLE $probe TO ${probe}2")
-    tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
-    if (mysqlStyle) (from, to) => s"RENAME TABLE $from TO $to"
-    else (from, to) => s"ALTER TABLE $from RENAME TO $to"
-  }
+      url: String): (String, String) => String =
+    renameSyntaxCache.computeIfAbsent(url, _ => {
+      val probe = "graft_rnprobe"
+      tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
+      exec(conn, s"CREATE TABLE $probe (x INT)")
+      val mysqlStyle = tryExec(conn, s"RENAME TABLE $probe TO ${probe}2")
+      tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
+      if (mysqlStyle) (from, to) => s"RENAME TABLE $from TO $to"
+      else (from, to) => s"ALTER TABLE $from RENAME TO $to"
+    })
 
   private def tableExists(conn: java.sql.Connection, table: String): Boolean =
     try {
@@ -210,7 +217,7 @@ object JdbcSnapshot {
       // transaction on Postgres
       if (!tableExists(conn, tokenTable(table)))
         exec(conn, s"CREATE TABLE ${tokenTable(table)} (tok BIGINT)")
-      val rename = renameSyntax(conn, table)
+      val rename = renameSyntax(conn, url)
       val haveLive = tableExists(conn, table)
       conn.setAutoCommit(false)
       try {

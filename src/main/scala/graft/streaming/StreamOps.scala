@@ -545,7 +545,7 @@ object StreamOps {
 
   def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7,
       maxBandBucket: Int = graft.queries.TextQueries.MaxBandBucket,
-      metricsEvery: Int = 1)(
+      metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
     import graft.queries.TextQueries
     val spark = batch.sparkSession
@@ -720,10 +720,14 @@ object StreamOps {
       append(bands.join(survivorIds, Seq("doc_id")), "bands", bandsLoaded)
     }
     // Post-append health emission, BEFORE the marker: a crash between
-    // emission and marker replays BOTH (worst case one duplicate row
-    // with the same batch_id — readers dedup by it), whereas emitting
-    // after the marker would permanently lose exactly the crashed
-    // batch's row (alreadyApplied short-circuits the replay). The
+    // emission and marker replays BOTH — the replay may also re-append
+    // (the documented duplicate-rows window), so the second row with
+    // the same batch_id can carry DIFFERENT values; it audits whatever
+    // the index actually holds post-replay, so the LATEST row per
+    // batch_id is the authoritative one (compaction later removes the
+    // duplicate index rows it reflects). Emitting after the marker
+    // would instead permanently lose exactly the crashed batch's row
+    // (alreadyApplied short-circuits the replay). The
     // audit row lands in the per-index metrics log with this batchId,
     // making cap-exposure drift visible AS it accumulates. The audit
     // is one narrow scan of the two index tables — `metricsEvery`
@@ -750,6 +754,16 @@ object StreamOps {
     * query someone has to remember to schedule. Text indexes log
     * `lshIndexHealth` rows; IVF indexes log `ivfStaleness` rows. */
   private val MetricsDir = "_graft_metrics"
+
+  /** Default health-emission cadence (every Nth batchId): the audit is
+    * an O(accumulated-index) scan BY DESIGN, so emitting on every
+    * micro-batch would grow per-batch ingest cost linearly with index
+    * size — the exact cost curve the partition-pruned ingest exists to
+    * avoid (every in-repo curve profiler opts out with 0 for the same
+    * reason). 16 amortizes the audit to 1/16th of a batch while still
+    * surfacing degradation within minutes at typical trigger rates;
+    * 1 = every batch (rehearsal scale), 0 = off. */
+  val DefaultMetricsEvery = 16
 
   private def emitMetrics(indexPath: String, batchId: Long,
       row: DataFrame): Unit =
@@ -943,10 +957,11 @@ object StreamOps {
           var view = folded
           for (e <- keep) view = funnelStep(view, e)
           val r = funnelRowOf(uid, view)
+          // dead letters carry the unchanged funnel fields (contract)
           Iterator(FunnelLateOut(uid, "summary", r.view_us, r.click_us,
             r.purchase_us, r.depth, -1L)) ++
-            dead.iterator.map(e =>
-              FunnelLateOut(uid, "late", None, None, None, 0L, e.event_id))
+            dead.iterator.map(e => FunnelLateOut(uid, "late",
+              r.view_us, r.click_us, r.purchase_us, r.depth, e.event_id))
       }
   }
 
@@ -1094,16 +1109,19 @@ object StreamOps {
           for ((eu, _, v) <- toFold) folded = sessStep(folded, eu, v)
           st = SessLateSt(math.max(st.frontierUs, wmUs), Option(folded), keep)
           state.update(st)
-          // summary = finalized ⊕ buffered tail, replayed on a copy
+          // summary = finalized ⊕ buffered tail, replayed on a copy;
+          // dead letters carry the SAME (unchanged) summary fields per
+          // the SessLateOut contract (zeros only before any accepted
+          // event has reached this user)
           var view = folded
           for ((eu, _, v) <- keep) view = sessStep(view, eu, v)
-          val summary = if (view == null) Iterator.empty else {
-            val s = sessSummary(uid, view)
-            Iterator(SessLateOut(uid, "summary", s.n_sessions, s.n_events,
-              s.max_session_value, -1L))
-          }
-          summary ++ dead.iterator.map(e =>
-            SessLateOut(uid, "late", 0L, 0L, 0.0, e._3))
+          val sOpt = if (view == null) None else Some(sessSummary(uid, view))
+          sOpt.iterator.map(s => SessLateOut(uid, "summary",
+            s.n_sessions, s.n_events, s.max_session_value, -1L)) ++
+            dead.iterator.map(e => SessLateOut(uid, "late",
+              sOpt.map(_.n_sessions).getOrElse(0L),
+              sOpt.map(_.n_events).getOrElse(0L),
+              sOpt.map(_.max_session_value).getOrElse(0.0), e._3))
       }
   }
 
@@ -1129,7 +1147,7 @@ object StreamOps {
     * (mean max-dot, cell-occupancy skew) against the build-time
     * reference buildIvf persists, flagging rebuild-needed.
     * Returns the batch's (vec_id, cell) assignments. */
-  def ivfIngestBatch(indexPath: String, metricsEvery: Int = 1)(
+  def ivfIngestBatch(indexPath: String, metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)

@@ -9,7 +9,9 @@ private[tools] object Canon {
   def of(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     val rows = df.collect().map(_.toString).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    // the 0x0A separator keeps distinct row SETS from hashing equal
+    // when their concatenations coincide (["a", "b c"] vs ["a b", "c"])
+    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(10.toByte) }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 }

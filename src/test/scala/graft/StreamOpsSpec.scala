@@ -594,7 +594,7 @@ class StreamOpsSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("lsh-metrics").toString
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
-    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1, metricsEvery = 1)(
       docs.filter(col("doc_id") < 100), 1L).count()
     // degenerate family accumulates between batches: one band bucket
     // shared by 6 distinct sets (the lshIndexHealth fixture)
@@ -603,7 +603,7 @@ class StreamOpsSpec extends SparkSpec {
       .toDF("doc_id", "band", "band_key")
       .withColumn("bkt", StreamOps.bandBucket(col("band_key")))
       .write.mode("append").partitionBy("bkt").parquet(s"$idx/bands")
-    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1, metricsEvery = 1)(
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 2L).count()
     val log = StreamOps.indexMetrics(spark, idx).get.collect()
     assert(log.map(_.getAs[Long]("batch_id")).toSeq == Seq(1L, 2L))
@@ -612,7 +612,7 @@ class StreamOpsSpec extends SparkSpec {
       b2.getAs[Double]("hot_row_share") > 0.0,
       s"degenerate bucket did not surface in batch 2's emitted metrics: $b2")
     // replay of an applied batch never double-logs
-    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1)(
+    StreamOps.nearDupIngestBatch(idx, maxBandBucket = 1, metricsEvery = 1)(
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 2L).count()
     assert(StreamOps.indexMetrics(spark, idx).get.count() == 2)
 
@@ -620,12 +620,12 @@ class StreamOpsSpec extends SparkSpec {
     val ivf = java.nio.file.Files.createTempDirectory("ivf-metrics").toString
     VectorIndex.buildIvf(spark, "/root/testdata/sf0.001", ivf)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    StreamOps.ivfIngestBatch(ivf)(emb.limit(30)
+    StreamOps.ivfIngestBatch(ivf, metricsEvery = 1)(emb.limit(30)
       .select((col("vec_id") + 20000L).as("vec_id"), col("embedding").as("emb")), 1L)
       .count()
     // drifted adds: component-reversed vectors (same norms, none of
     // the trained cluster structure) — the annIvfStaleness fixture
-    StreamOps.ivfIngestBatch(ivf)(emb
+    StreamOps.ivfIngestBatch(ivf, metricsEvery = 1)(emb
       .select((col("vec_id") + 30000L).as("vec_id"),
         reverse(col("embedding")).as("emb")), 2L).count()
     val ivfLog = StreamOps.indexMetrics(spark, ivf).get.collect()

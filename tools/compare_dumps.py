@@ -20,6 +20,7 @@ def canon(d):
     h = hashlib.md5()
     for r in rows:
         h.update(r.encode())
+        h.update(b"\n")  # row separator: distinct sets must hash distinct
     return (len(rows), h.hexdigest())
 
 def main():
