@@ -1497,6 +1497,296 @@ object StreamOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Incremental connected components (cluster maintenance)
+  // ------------------------------------------------------------------
+
+  /** Marker ledger for clustersIngestBatch — one empty file per
+    * applied batchId, same replay-idempotency contract as the
+    * text/phash/IVF index families. */
+  private val CcMarkersDir = "_graft_cc_batches"
+
+  /** Load the merge log as a frame; None when absent (no merges yet,
+    * or compaction folded them all into the labels table). */
+  private def loadMergeLog(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/merges")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(p.toString))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Resolution map of the merge log: (lbl, root) for every label the
+    * log moves, where root = the minimum label of its merge-component
+    * — computed by the SAME pair-clustering engine the batch paths
+    * use, so the bounded-finish/distributed-handoff policy applies to
+    * the log exactly as it does to any pair set. None when the log is
+    * absent (every stored label is already final). */
+  private def mergeResolution(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] =
+    loadMergeLog(spark, indexPath).map { m =>
+      graft.queries.TextQueries.clustersOf(m)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("lbl"), col("cluster_id").as("root"))
+    }
+
+  /** Append doc_id-bucketed rows (doc_id, lbl, bkt) under the table's
+    * RECORDED bucket modulus — the same meta discipline as the
+    * near-dup index appends: stamp before the first append, re-bucket
+    * under the table's historical modulus when it differs from the
+    * live constant, and leave corrupt-meta tables unstamped (reads
+    * already full-scan losslessly until compaction re-buckets). */
+  private def appendDocBucketed(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, target: String, loaded: Option[IndexTable]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded = loaded.map(_.meta).map(recordedBuckets)
+      .getOrElse(Some(IndexBuckets))
+    val tableBuckets = recorded.getOrElse(IndexBuckets)
+    if (recorded.isDefined && !loaded.exists(_.meta == MetaValue(tableBuckets)))
+      writeBucketMeta(fs, p, tableBuckets)
+    val aligned =
+      if (tableBuckets == IndexBuckets) rows
+      else rows.withColumn("bkt", docBucket(col("doc_id"), tableBuckets))
+    aligned.repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(target)
+  }
+
+  /** Incrementally maintain connected components over a stream of
+    * edge batches — the streaming twin of the batch cluster family
+    * (dedup_clusters / emb_dedup_clusters / g4_components all run
+    * TextQueries.clustersOf over a pair source; this maintains the
+    * same labeling as pairs ARRIVE, the production shape of near-dup
+    * clustering: pair detection streams via nearDupIngestBatch, and
+    * cluster ids must follow without re-clustering the corpus).
+    *
+    * State is LSM-shaped, append-only between compactions:
+    *  - `labels`  (doc_id, lbl, bkt): one row per node, written by the
+    *    FIRST batch that sees it, never rewritten by ingest. Bucketed
+    *    by docBucket(doc_id) so per-batch lookups partition-prune.
+    *  - `merges`  (a_id, b_id): the merge log — one pair per cluster
+    *    merge event, appended when a batch edge connects two existing
+    *    clusters. Current label of a node = its stored lbl resolved
+    *    through the log's components (mergeResolution).
+    *
+    * INVARIANT (the correctness argument): every stored lbl is a node
+    * id of its own component, and the global component minimum m is
+    * always stored as lbl = m (when m first arrived, every id in its
+    * then-visible sub-component was ≥ m). The merge log connects two
+    * labels iff their clusters were joined by an observed edge, so a
+    * label's merge-component contains exactly its true component's
+    * labels, whose minimum is m — resolution therefore yields the
+    * SAME component-min labeling the batch clustersOf computes over
+    * the full accumulated edge set (pinned batch-equal per boundary
+    * in the spec).
+    *
+    * Per-batch cost at 100 TB: one partition-pruned labels lookup for
+    * the batch's touched buckets, one clustersOf over the BATCH-sized
+    * label-space delta, one clustersOf over the (compaction-bounded)
+    * merge log, and appends proportional to new nodes + merge events.
+    * The corpus-sized labels table is scanned only by readClusters
+    * (whose output is corpus-sized anyway) and by compaction — never
+    * by ingest.
+    *
+    * Append order is merges BEFORE labels: a crash between the two
+    * leaves merge facts applied with this batch's new nodes missing —
+    * readers see a smaller but CONSISTENT labeling (the merge rows
+    * are true facts about existing clusters). The reverse order would
+    * expose new nodes labeled with roots the log does not yet
+    * connect, splitting clusters until replay. On replay, already-
+    * applied merges resolve to equal endpoints and vanish from the
+    * delta, so only genuinely missing facts re-append; the batch
+    * marker then makes the fully-applied case a pure no-op.
+    *
+    * Returns the batch's touched nodes with their POST-batch cluster
+    * ids — deterministic under replay (a replayed batch recomputes
+    * the same frame from the already-applied state). */
+  def clustersIngestBatch(indexPath: String,
+      metricsEvery: Int = DefaultMetricsEvery)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val edges = batch
+      .select(col("a_id").cast("long").as("a_id"),
+        col("b_id").cast("long").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = edges.select(col("a_id").as("doc_id"))
+      .unionByName(edges.select(col("b_id").as("doc_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tb = touched.select(docBucket(col("doc_id")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    // ONE listing per batch, reused for the pruned read AND the
+    // append-layout decision (the nearDupIngestBatch discipline)
+    val labelsLoaded = loadIndex(spark, s"$indexPath/labels")
+    val labelsSchema = touched
+      .select(col("doc_id"), col("doc_id").as("lbl"),
+        docBucket(col("doc_id")).as("bkt")).limit(0)
+    val known = prunedIndex(spark, labelsLoaded, "labels", labelsSchema, tb)
+      .join(broadcast(touched), Seq("doc_id"))
+      .select(col("doc_id"), col("lbl"))
+
+    // current label = stored label resolved through the merge log
+    // (the log is compaction-bounded — typically broadcast-sized; no
+    // explicit hint so a neglected log degrades to a shuffle join
+    // instead of an OOM)
+    val resolve = mergeResolution(spark, indexPath)
+    val curKnown = resolve match {
+      case None => known.select(col("doc_id"), col("lbl").as("cur"))
+      case Some(r) => known.join(r, Seq("lbl"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("lbl")).as("cur"))
+    }
+    val newNodes = touched.join(known.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val cur = curKnown
+      .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("cur")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // label-space delta: batch edges projected onto current labels —
+    // already-connected endpoints collapse (la == lb) and drop, so
+    // the delta holds only NEW connectivity facts, batch-proportional
+    // by construction
+    val delta = edges
+      .join(cur.select(col("doc_id").as("a_id"), col("cur").as("la")), Seq("a_id"))
+      .join(cur.select(col("doc_id").as("b_id"), col("cur").as("lb")), Seq("b_id"))
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("a_id"),
+        greatest(col("la"), col("lb")).as("b_id"))
+      .distinct()
+    val deltaLabels = graft.queries.TextQueries.clustersOf(delta)
+      .select(col("doc_id").as("cur"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // post-batch label of every touched node; eagerly checkpointed so
+    // its lineage leaves the index parquet reads BEFORE the appends
+    // below invalidate them (the survivors lesson)
+    val fin = cur.join(deltaLabels, Seq("cur"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("cur")).as("cluster_id"))
+      .localCheckpoint(true)
+
+    // merge rows: one (existing-label -> new-root) fact per existing
+    // cluster the delta moved; new nodes need none — their stored
+    // label IS the root at write time
+    val mergeRows = deltaLabels
+      .join(curKnown.select(col("cur")).distinct(), Seq("cur"))
+      .filter(col("cur") =!= col("cluster_id"))
+      .select(col("cur").as("a_id"), col("cluster_id").as("b_id"))
+      .distinct().localCheckpoint(true)
+    val newRows = fin
+      .join(newNodes.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id").as("lbl"),
+        docBucket(col("doc_id")).as("bkt"))
+      .localCheckpoint(true)
+
+    val fsRoot = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$CcMarkersDir/b$batchId")
+    val alreadyApplied = fsRoot.exists(marker)
+    if (!alreadyApplied) {
+      // merges BEFORE labels — see the crash-window argument above;
+      // empty frames append nothing (a schema-less dir would poison
+      // every later read)
+      if (!mergeRows.isEmpty)
+        mergeRows.coalesce(1).write.mode("append")
+          .parquet(s"$indexPath/merges")
+      if (!newRows.isEmpty)
+        appendDocBucketed(spark, newRows, s"$indexPath/labels", labelsLoaded)
+    }
+    // health emission before the marker (family rule: a crash between
+    // emission and marker replays both; after it would lose the row)
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId, clustersIndexHealth(spark, indexPath))
+    if (!alreadyApplied) fsRoot.create(marker, true).close()
+    edges.unpersist(); touched.unpersist(); cur.unpersist()
+    deltaLabels.unpersist()
+    fin
+  }
+
+  /** The maintained labeling: (doc_id, cluster_id) for every node any
+    * applied batch has seen — identical to running the batch
+    * clustersOf over the full accumulated edge set (the spec pins
+    * equality at every batch boundary). One full scan of `labels`
+    * resolved through the merge log; the output is corpus-sized, so
+    * the scan is the floor, not overhead. */
+  def readClusters(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val labels = loadIndex(spark, s"$indexPath/labels") match {
+      case Some(t) => t.df.select(col("doc_id"), col("lbl"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("doc_id", "lbl")
+    }
+    mergeResolution(spark, indexPath) match {
+      case None => labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      case Some(r) => labels.join(r, Seq("lbl"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("lbl")).as("cluster_id"))
+    }
+  }
+
+  /** Health row for the clusters index — the compact-WHEN signal:
+    * `n_merge_rows` is the resolution backlog every ingest and read
+    * pays one clustersOf over (the LSM read-amplification analogue),
+    * and `merge_share` normalizes it by the corpus so a monitor can
+    * alert on drift. O(index) scan by design — `metricsEvery` thins
+    * the cadence exactly as for the LSH/IVF audits. */
+  def clustersIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val nLabels = loadIndex(spark, s"$indexPath/labels")
+      .map(_.df.count()).getOrElse(0L)
+    val nMerges = loadMergeLog(spark, indexPath).map(_.count()).getOrElse(0L)
+    import spark.implicits._
+    Seq((nLabels, nMerges,
+        if (nLabels == 0L) 0.0 else nMerges.toDouble / nLabels))
+      .toDF("n_label_rows", "n_merge_rows", "merge_share")
+  }
+
+  /** Fold the merge log into the labels table — the LSM compaction:
+    * rewrites `labels` with every lbl resolved to its final root via
+    * the checked tmp+swap (recoverCompaction heals a crash inside the
+    * rename pair), then deletes the log. Crash after the swap but
+    * before the delete leaves a stale log whose pairs resolve to
+    * already-final labels — re-resolution is a no-op, so every crash
+    * window is consistent. distinct() drops the duplicate label rows
+    * a crash between append and marker can leave on replay. Same
+    * single-writer-plus-quiesced-readers discipline as the other
+    * swap-based compactions. */
+  def compactClustersIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPartitions: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/labels")
+    val fs = p.getFileSystem(hconf)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/labels__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val resolved = readClusters(spark, indexPath)
+        .select(col("doc_id"), col("cluster_id").as("lbl")).distinct()
+        .withColumn("bkt", docBucket(col("doc_id")))
+      resolved.repartition(targetPartitions, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
+      writeBucketMeta(fs, tmp, IndexBuckets)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/labels__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
+      val merges = new org.apache.hadoop.fs.Path(s"$indexPath/merges")
+      if (fs.exists(merges)) fs.delete(merges, true)
+    }
+  }
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

@@ -208,10 +208,63 @@ object ProfileIngest10x {
     println(f"[ingest10x] ivf add growth 10x/1x = $vecIngRatio%.2f, " +
       f"serve growth = $vecSrvRatio%.2f (bound $GrowthBound%.1f)")
 
+    // ---------- incremental components ingest ----------
+    // Seeds grow the labels table 10× in disjoint id ranges; the
+    // probe is 250 fresh pair-edges plus 250 edges hanging new nodes
+    // off 8 FIXED existing hubs. The membership lookup must cover
+    // EVERY batch node (fresh ones too — that's how they're found to
+    // be fresh), so the bucket footprint is the batch's full hash
+    // spread and the linear term is the column-pruned (doc_id, lbl)
+    // scan of those partitions — the same fixed + c·touched_bytes
+    // claim as the text path, with IndexBuckets the production knob
+    // that keeps the touched fraction small. Hub roots stay minimal
+    // (probe ids are far larger), so the merge log stays empty and
+    // the curve isolates lookup + delta + append.
+    val ccIdx = java.nio.file.Files.createTempDirectory("graft-ingest10x-cc").toString
+    val ccPairs = 20000L
+    val ccBase = spark.range(ccPairs)
+      .select((col("id") * 2).as("a_id"), (col("id") * 2 + 1).as("b_id"))
+    var ccBatch = 0L
+    def seedCc(k: Int): Unit = {
+      ccBatch += 1
+      graft.streaming.StreamOps.clustersIngestBatch(ccIdx, metricsEvery = 0)(
+        ccBase.select((col("a_id") + lit(k * offset)).as("a_id"),
+          (col("b_id") + lit(k * offset)).as("b_id")), ccBatch).count()
+    }
+    def probeCc(chk: Int): Double = {
+      ccBatch += 1
+      val freshBase = 97000000L + chk * 10000L
+      val fresh = spark.range(250)
+        .select((col("id") * 2 + lit(freshBase)).as("a_id"),
+          (col("id") * 2 + 1 + lit(freshBase)).as("b_id"))
+      val merging = spark.range(250)
+        .select(((col("id") % 8) * 512).as("a_id"),
+          (col("id") + lit(freshBase + 5000L)).as("b_id"))
+      val t0 = System.nanoTime()
+      graft.streaming.StreamOps.clustersIngestBatch(ccIdx, metricsEvery = 0)(
+        fresh.unionByName(merging), ccBatch).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def indexNodes(): Long = spark.read.parquet(s"$ccIdx/labels").count()
+
+    seedCc(0)
+    val c1 = probeCc(1)
+    println(f"[ingest10x] cc probe at  1x index (${indexNodes()}%7d nodes)  $c1%6.2fs")
+    (1 until 3).foreach(seedCc)
+    val c3 = probeCc(2)
+    println(f"[ingest10x] cc probe at  3x index (${indexNodes()}%7d nodes)  $c3%6.2fs")
+    (3 until 10).foreach(seedCc)
+    val c10 = probeCc(3)
+    println(f"[ingest10x] cc probe at 10x index (${indexNodes()}%7d nodes)  $c10%6.2fs")
+    val ccRatio = c10 / c1
+    println(f"[ingest10x] cc probe growth 10x/1x = $ccRatio%.2f (bound $GrowthBound%.1f)")
+
     if (textRatio > GrowthBound || imgRatio > GrowthBound ||
-        vecIngRatio > GrowthBound || vecSrvRatio > GrowthBound) {
+        vecIngRatio > GrowthBound || vecSrvRatio > GrowthBound ||
+        ccRatio > GrowthBound) {
       System.err.println(f"[ingest10x] FAIL: text $textRatio%.2f image $imgRatio%.2f " +
-        f"ivf-add $vecIngRatio%.2f ivf-serve $vecSrvRatio%.2f vs bound $GrowthBound%.1f")
+        f"ivf-add $vecIngRatio%.2f ivf-serve $vecSrvRatio%.2f cc $ccRatio%.2f " +
+        f"vs bound $GrowthBound%.1f")
       sys.exit(1)
     }
     spark.stop()

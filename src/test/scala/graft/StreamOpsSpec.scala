@@ -1258,6 +1258,107 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("z", 9L)).toDF("k", "v"), spec, 2L))
     assert(!state().contains("z") && state()("d") == ((1L, 1L, 1L)))
   }
+
+  // ---- incremental connected components ----
+
+  private def ccState(idx: String): Set[(Long, Long)] =
+    StreamOps.readClusters(spark, idx)
+      .as[(Long, Long)].collect().toSet
+
+  private def ccTruth(pairs: Seq[(Long, Long)]): Set[(Long, Long)] =
+    graft.queries.TextQueries.clustersOf(pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toSet
+
+  test("clustersIngestBatch: batch-equal to clustersOf at every boundary, " +
+      "replay no-op, compaction folds the merge log") {
+    val idx = java.nio.file.Files.createTempDirectory("cc-idx").toString
+    // batch 3 exercises every merge shape: a NEW smaller id (5) taking
+    // over an existing merged cluster, and an existing cluster (30)
+    // absorbing a new larger node (40)
+    val batches = Seq(
+      Seq((10L, 11L), (20L, 21L)),
+      Seq((30L, 31L), (11L, 20L)),
+      Seq((5L, 21L), (31L, 40L)))
+    var all = Seq.empty[(Long, Long)]
+    for ((b, i) <- batches.zipWithIndex) {
+      val ret = StreamOps.clustersIngestBatch(idx, metricsEvery = 1)(
+        b.toDF("a_id", "b_id"), i + 1L)
+      all ++= b
+      val truth = ccTruth(all)
+      assert(ccState(idx) == truth,
+        s"read path diverged from batch clustersOf after batch ${i + 1}")
+      // the returned frame is the truth restricted to the batch's nodes
+      val touched = b.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(ret.as[(Long, Long)].collect().toSet ==
+        truth.filter(r => touched(r._1)))
+    }
+    assert(ccState(idx) == Set(
+      (5L, 5L), (10L, 5L), (11L, 5L), (20L, 5L), (21L, 5L),
+      (30L, 30L), (31L, 30L), (40L, 30L)))
+
+    // the merging batches emitted health rows with a live backlog
+    val log = StreamOps.indexMetrics(spark, idx).get.collect()
+    assert(log.map(_.getAs[Long]("batch_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(log.last.getAs[Long]("n_merge_rows") > 0L)
+
+    // replay of an applied batch changes nothing — state, log sizes
+    val mergesBefore = spark.read.parquet(s"$idx/merges").count()
+    val labelsBefore = spark.read.parquet(s"$idx/labels").count()
+    val replayed = StreamOps.clustersIngestBatch(idx, metricsEvery = 1)(
+      batches(2).toDF("a_id", "b_id"), 3L)
+    assert(replayed.as[(Long, Long)].collect().toSet ==
+      ccTruth(all).filter(r => Set(5L, 21L, 31L, 40L)(r._1)),
+      "replayed batch did not return the applied labeling")
+    assert(ccState(idx) == ccTruth(all))
+    assert(spark.read.parquet(s"$idx/merges").count() == mergesBefore)
+    assert(spark.read.parquet(s"$idx/labels").count() == labelsBefore)
+    assert(StreamOps.indexMetrics(spark, idx).get.count() == 3)
+
+    // compaction folds the log, preserves the labeling, and ingest
+    // continues correctly across the fold (batch 4 merges the two
+    // compacted clusters via a brand-new node)
+    StreamOps.compactClustersIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/merges")),
+      "compaction left the merge log behind")
+    assert(ccState(idx) == ccTruth(all))
+    val b4 = Seq((1L, 40L), (1L, 21L))
+    StreamOps.clustersIngestBatch(idx, metricsEvery = 1)(
+      b4.toDF("a_id", "b_id"), 4L)
+    all ++= b4
+    assert(ccState(idx) == ccTruth(all),
+      "post-compaction merge diverged from batch clustersOf")
+    assert(ccState(idx).forall(_._2 == 1L))
+
+    // heal-first: a crash inside the compaction rename pair (labels
+    // moved aside, replacement not yet in place) must recover on the
+    // next read
+    StreamOps.compactClustersIndex(spark, idx)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/labels"),
+      new org.apache.hadoop.fs.Path(s"$idx/labels__old"))
+    assert(ccState(idx) == ccTruth(all), "interrupted swap did not heal")
+  }
+
+  test("clustersIngestBatch composes with nearDupIngestBatch pairs on " +
+      "real documents, batch-equal to the one-shot clustering") {
+    val idx = java.nio.file.Files.createTempDirectory("cc-docs").toString
+    val pairs = graft.queries.TextQueries
+      .dedupMinhash(spark, "/root/testdata/sf0.001")
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    // stream the pair set in three deterministic chunks
+    val chunks = pairs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    var seen = Seq.empty[(Long, Long)]
+    for ((c, i) <- chunks.zipWithIndex) {
+      StreamOps.clustersIngestBatch(idx)(c.toDF("a_id", "b_id"), i + 1L)
+      seen ++= c
+      assert(ccState(idx) == ccTruth(seen),
+        s"real-pair stream diverged at batch ${i + 1}")
+    }
+  }
 }
 
 object StreamOpsSpec {
