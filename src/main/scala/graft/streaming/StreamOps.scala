@@ -647,55 +647,15 @@ object StreamOps {
     // after the first append) is harmless: it generates no candidates
     // without band rows, and a replay re-indexes the doc.
     //
-    // Appends match the INDEX'S OWN layout: a legacy (pre-bucketing)
-    // table keeps receiving flat files — mixing bkt= partition dirs
-    // into a flat table would corrupt partition discovery for every
-    // later read — and a table recorded under a DIFFERENT bucket
-    // count keeps receiving rows bucketed with ITS modulus, so the
-    // recorded meta stays true for every row and the full-scan
-    // fallback stays lossless. compactNearDupIndex migrates either
-    // shape to the current layout.
+    // Layout/meta discipline (legacy flat tables, recorded-modulus
+    // re-bucketing, stamp-before-append) lives in appendBucketed;
+    // compactNearDupIndex migrates either legacy shape to the current
+    // layout.
     val survivorIds = survivors.select(col("doc_id"))
-    def append(rows: DataFrame, sub: String, loaded: Option[IndexTable]): Unit = {
-      val target = s"$indexPath/$sub"
-      if (loaded.exists(_.legacy))
-        rows.drop("bkt").write.mode("append").parquet(target)
-      else {
-        val p = new org.apache.hadoop.fs.Path(target)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // The modulus this append must use: the table's RECORDED one
-        // (absent meta = pre-meta table = PreMetaBuckets; no table at
-        // all = brand-new under the live constant). Corrupt meta means
-        // the historical modulus is unknowable: append under the live
-        // constant WITHOUT stamping — reads already full-scan, so the
-        // mixed moduli stay lossless until compaction re-buckets
-        // everything and repairs the meta.
-        val recorded = loaded.map(_.meta).map(recordedBuckets)
-          .getOrElse(Some(IndexBuckets))
-        val tableBuckets = recorded.getOrElse(IndexBuckets)
-        // Stamp BEFORE the append (tmp+rename inside): stamping after
-        // left a crash window where rows written under a non-default
-        // modulus would later read as PreMetaBuckets and prune lossily.
-        // A meta-only directory from a crash right here is harmless —
-        // loadIndex's AnalysisException path reads it as "no table".
-        // Skip only when a valid equal stamp is already on disk.
-        if (recorded.isDefined && !loaded.exists(_.meta == MetaValue(tableBuckets)))
-          writeBucketMeta(fs, p, tableBuckets)
-        val aligned =
-          if (tableBuckets == IndexBuckets) rows
-          else rows.withColumn("bkt",
-            if (sub == "bands") bandBucket(col("band_key"), tableBuckets)
-            else docBucket(col("doc_id"), tableBuckets))
-        aligned
-          // align tasks with the partition column before the partitioned
-          // write: without this every shuffle task writes a file into
-          // every bucket dir it touches (tasks × buckets small files per
-          // batch — measured 2 000+ at 500-doc batches); with it, one
-          // file per touched bucket per batch
-          .repartition(col("bkt"))
-          .write.mode("append").partitionBy("bkt").parquet(target)
-      }
-    }
+    def append(rows: DataFrame, sub: String, loaded: Option[IndexTable]): Unit =
+      appendBucketed(spark, rows, s"$indexPath/$sub", loaded,
+        m => if (sub == "bands") bandBucket(col("band_key"), m)
+             else docBucket(col("doc_id"), m))
     // REPLAY GUARD: under at-least-once foreachBatch semantics a
     // crashed-and-replayed batch re-runs this function with the same
     // batchId. Survivors recompute identically (self-pairs are
@@ -1531,14 +1491,33 @@ object StreamOps {
         .select(col("doc_id").as("lbl"), col("cluster_id").as("root"))
     }
 
-  /** Append doc_id-bucketed rows (doc_id, lbl, bkt) under the table's
-    * RECORDED bucket modulus — the same meta discipline as the
-    * near-dup index appends: stamp before the first append, re-bucket
-    * under the table's historical modulus when it differs from the
-    * live constant, and leave corrupt-meta tables unstamped (reads
-    * already full-scan losslessly until compaction re-buckets). */
-  private def appendDocBucketed(spark: org.apache.spark.sql.SparkSession,
-      rows: DataFrame, target: String, loaded: Option[IndexTable]): Unit = {
+  /** Bucket-meta-disciplined append shared by every bkt-partitioned
+    * index table (near-dup bands/shingles, clusters labels). Appends
+    * match the INDEX'S OWN layout: a legacy (pre-bucketing) table
+    * keeps receiving flat files — mixing bkt= partition dirs into a
+    * flat table would corrupt partition discovery for every later
+    * read — and a bucketed table receives rows bucketed under its
+    * RECORDED modulus (absent meta = pre-meta table = PreMetaBuckets;
+    * no table at all = brand-new under the live constant), re-derived
+    * via `rebucket` when that modulus differs from the live constant,
+    * so the recorded meta stays true for every row and the full-scan
+    * fallback stays lossless. Corrupt meta means the historical
+    * modulus is unknowable: append under the live constant WITHOUT
+    * stamping — reads already full-scan, so the mixed moduli stay
+    * lossless until compaction re-buckets everything and repairs the
+    * meta. The stamp itself goes BEFORE the append (tmp+rename
+    * inside): stamping after left a crash window where rows written
+    * under a non-default modulus would later read as PreMetaBuckets
+    * and prune lossily; a meta-only directory from a crash right here
+    * is harmless — loadIndex's AnalysisException path reads it as "no
+    * table". */
+  private def appendBucketed(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, target: String, loaded: Option[IndexTable],
+      rebucket: Int => Column): Unit = {
+    if (loaded.exists(_.legacy)) {
+      rows.drop("bkt").write.mode("append").parquet(target)
+      return
+    }
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recorded = loaded.map(_.meta).map(recordedBuckets)
@@ -1548,8 +1527,14 @@ object StreamOps {
       writeBucketMeta(fs, p, tableBuckets)
     val aligned =
       if (tableBuckets == IndexBuckets) rows
-      else rows.withColumn("bkt", docBucket(col("doc_id"), tableBuckets))
-    aligned.repartition(col("bkt"))
+      else rows.withColumn("bkt", rebucket(tableBuckets))
+    aligned
+      // align tasks with the partition column before the partitioned
+      // write: without this every shuffle task writes a file into
+      // every bucket dir it touches (tasks × buckets small files per
+      // batch — measured 2 000+ at 500-doc batches); with it, one
+      // file per touched bucket per batch
+      .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(target)
   }
 
@@ -1589,15 +1574,16 @@ object StreamOps {
     * (whose output is corpus-sized anyway) and by compaction — never
     * by ingest.
     *
-    * Append order is merges BEFORE labels: a crash between the two
-    * leaves merge facts applied with this batch's new nodes missing —
-    * readers see a smaller but CONSISTENT labeling (the merge rows
-    * are true facts about existing clusters). The reverse order would
-    * expose new nodes labeled with roots the log does not yet
-    * connect, splitting clusters until replay. On replay, already-
-    * applied merges resolve to equal endpoints and vanish from the
-    * delta, so only genuinely missing facts re-append; the batch
-    * marker then makes the fully-applied case a pure no-op.
+    * Append order is new-ROOT label rows, then merges, then the
+    * remaining label rows — chosen so every crash window leaves a
+    * labeling whose clusters reflect a subset of the accumulated
+    * edges AND whose every cluster root has its keeper row
+    * (doc_id == cluster_id) in `labels`; the window-by-window
+    * argument sits at the append site. On replay, already-applied
+    * merges resolve to equal endpoints and vanish from the delta and
+    * already-written label rows leave newNodes, so only genuinely
+    * missing facts re-append; the batch marker then makes the
+    * fully-applied case a pure no-op.
     *
     * Returns the batch's touched nodes with their POST-batch cluster
     * ids — deterministic under replay (a replayed batch recomputes
@@ -1630,6 +1616,7 @@ object StreamOps {
     val known = prunedIndex(spark, labelsLoaded, "labels", labelsSchema, tb)
       .join(broadcast(touched), Seq("doc_id"))
       .select(col("doc_id"), col("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // current label = stored label resolved through the merge log
     // (the log is compaction-bounded — typically broadcast-sized; no
@@ -1643,6 +1630,7 @@ object StreamOps {
     }
     val newNodes = touched.join(known.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cur = curKnown
       .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("cur")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1672,9 +1660,13 @@ object StreamOps {
 
     // merge rows: one (existing-label -> new-root) fact per existing
     // cluster the delta moved; new nodes need none — their stored
-    // label IS the root at write time
+    // label IS the root at write time. Existing labels come from the
+    // PERSISTED cur minus newNodes rather than curKnown so the pruned
+    // labels read and the merge-log resolution plan execute once per
+    // batch (inside cur's materialization), not once per consumer.
     val mergeRows = deltaLabels
-      .join(curKnown.select(col("cur")).distinct(), Seq("cur"))
+      .join(cur.join(newNodes, Seq("doc_id"), "left_anti")
+        .select(col("cur")).distinct(), Seq("cur"))
       .filter(col("cur") =!= col("cluster_id"))
       .select(col("cur").as("a_id"), col("cluster_id").as("b_id"))
       .distinct().localCheckpoint(true)
@@ -1690,22 +1682,44 @@ object StreamOps {
       s"$indexPath/$CcMarkersDir/b$batchId")
     val alreadyApplied = fsRoot.exists(marker)
     if (!alreadyApplied) {
-      // merges BEFORE labels — see the crash-window argument above;
-      // empty frames append nothing (a schema-less dir would poison
-      // every later read)
+      // Three appends, ordered so EVERY crash window leaves a
+      // labeling whose clusters reflect a subset of the accumulated
+      // edges with every cluster root present in `labels`:
+      //  1. label rows of new nodes that are their cluster's ROOT —
+      //     before the merge facts that point existing labels at
+      //     them, so a root is never referenced before its keeper row
+      //     (doc_id == cluster_id) exists. Crash after this step:
+      //     the roots read as singletons, no new edges applied.
+      //  2. the merge log. Crash after this step: existing clusters
+      //     resolve to roots step 1 already wrote.
+      //  3. the remaining new-node rows — missing ones are simply
+      //     unseen nodes until replay.
+      // Merges before ALL labels would leave existing clusters
+      // resolving to a root with no labels row (no keeper); all
+      // labels before merges would expose a new node labeled with a
+      // root the log does not yet connect, splitting its cluster
+      // until replay. Empty frames append nothing (a schema-less dir
+      // would poison every later read).
+      val docBkt = (m: Int) => docBucket(col("doc_id"), m)
+      val newRootRows = newRows.filter(col("doc_id") === col("lbl"))
+      val newRestRows = newRows.filter(col("doc_id") =!= col("lbl"))
+      if (!newRootRows.isEmpty)
+        appendBucketed(spark, newRootRows, s"$indexPath/labels",
+          labelsLoaded, docBkt)
       if (!mergeRows.isEmpty)
         mergeRows.coalesce(1).write.mode("append")
           .parquet(s"$indexPath/merges")
-      if (!newRows.isEmpty)
-        appendDocBucketed(spark, newRows, s"$indexPath/labels", labelsLoaded)
+      if (!newRestRows.isEmpty)
+        appendBucketed(spark, newRestRows, s"$indexPath/labels",
+          labelsLoaded, docBkt)
     }
     // health emission before the marker (family rule: a crash between
     // emission and marker replays both; after it would lose the row)
     if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
       emitMetrics(indexPath, batchId, clustersIndexHealth(spark, indexPath))
     if (!alreadyApplied) fsRoot.create(marker, true).close()
-    edges.unpersist(); touched.unpersist(); cur.unpersist()
-    deltaLabels.unpersist()
+    edges.unpersist(); touched.unpersist(); known.unpersist()
+    newNodes.unpersist(); cur.unpersist(); deltaLabels.unpersist()
     fin
   }
 

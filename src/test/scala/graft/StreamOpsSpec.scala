@@ -1340,6 +1340,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(ccState(idx) == ccTruth(all), "interrupted swap did not heal")
   }
 
+  test("clustersIngestBatch crash windows: every partial-append state " +
+      "keeps the keeper rule and replay heals to the batch truth") {
+    // simulate the exact on-disk states a crash inside the three-step
+    // append leaves behind (root labels -> merges -> rest labels) by
+    // writing them directly, then assert consistency + heal-on-replay
+    def keeperRule(s: Set[(Long, Long)]): Unit = {
+      val ids = s.map(_._1)
+      assert(s.map(_._2).forall(ids), s"cluster root without keeper row in $s")
+    }
+    val b1 = Seq((10L, 11L), (20L, 21L))
+    val b2 = Seq((5L, 21L), (5L, 6L)) // new ROOT 5 + new non-root 6
+    def freshIdx(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("cc-crash").toString
+      StreamOps.clustersIngestBatch(idx, metricsEvery = 0)(
+        b1.toDF("a_id", "b_id"), 1L)
+      idx
+    }
+    def appendRootLabel(idx: String): Unit =
+      Seq((5L, 5L)).toDF("doc_id", "lbl")
+        .withColumn("bkt", StreamOps.docBucket(col("doc_id")))
+        .write.mode("append").partitionBy("bkt").parquet(s"$idx/labels")
+    def appendMerge(idx: String): Unit =
+      Seq((20L, 5L)).toDF("a_id", "b_id")
+        .write.mode("append").parquet(s"$idx/merges")
+
+    // window A: crash after step 1 (root label written, no merges) —
+    // the root reads as a singleton, old clusters untouched
+    val idxA = freshIdx()
+    appendRootLabel(idxA)
+    val stateA = ccState(idxA)
+    keeperRule(stateA)
+    assert(stateA == ccTruth(b1) + ((5L, 5L)))
+
+    // window B: crash after step 2 (root label + merge fact, rest
+    // label rows missing) — existing cluster resolves to the new
+    // root, whose keeper row step 1 already wrote; 6 simply unseen
+    val idxB = freshIdx()
+    appendRootLabel(idxB); appendMerge(idxB)
+    val stateB = ccState(idxB)
+    keeperRule(stateB)
+    assert(stateB == ccTruth(b1 :+ ((5L, 21L))))
+
+    // replay of the crashed batch heals both windows to the truth
+    for (idx <- Seq(idxA, idxB)) {
+      StreamOps.clustersIngestBatch(idx, metricsEvery = 0)(
+        b2.toDF("a_id", "b_id"), 2L)
+      val s = ccState(idx)
+      keeperRule(s)
+      assert(s == ccTruth(b1 ++ b2), s"replay did not heal $idx")
+    }
+  }
+
   test("clustersIngestBatch composes with nearDupIngestBatch pairs on " +
       "real documents, batch-equal to the one-shot clustering") {
     val idx = java.nio.file.Files.createTempDirectory("cc-docs").toString
