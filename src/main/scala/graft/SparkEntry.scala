@@ -134,6 +134,7 @@ object SparkEntry {
     "g2_copurchase_lift" -> ((s: SparkSession, d: String) => GraphQueries.g2CopurchaseLift(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => GraphQueries.g3Triangles(s, d)),
     "g4_components" -> ((s: SparkSession, d: String) => GraphQueries.g4Components(s, d)),
+    "g5_components_inc" -> ((s: SparkSession, d: String) => GraphQueries.g5ComponentsInc(s, d)),
   )
 
   /** Queries whose oracle SQL is rendered from a trained-model
@@ -1256,6 +1257,25 @@ object SparkEntry {
     // propagation, oracle via recursive reachability — component id
     // (min member) is algorithm-independent
     "g4_components" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         walk(id, lbl) AS (
+               SELECT src, src FROM e
+               UNION
+               SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS part_key, min(lbl) AS component_id FROM walk GROUP BY id""",
+    // the incremental maintainer's labeling vs the SAME recursive
+    // reachability the batch form answers to: agreement through the
+    // independent engine proves N-batch ingest + mid-stream
+    // compaction + merge-log resolution ≡ one-shot clustering of the
+    // accumulated edge set
+    "g5_components_inc" ->
       """WITH RECURSIVE
          li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          p AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id

@@ -164,16 +164,20 @@ object VectorIndex {
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
 
-  private def ensure(spark: SparkSession, dir: String, kind: String)(
+  /** Build-once root for a derived index under tmpdir, shared by the
+    * stored-ANN queries here and the incremental-cluster query
+    * (GraphQueries.g5ComponentsInc keys on lineitem.parquet). */
+  private[graft] def ensure(spark: SparkSession, dir: String, kind: String,
+      srcTable: String = "embeddings.parquet")(
       build: String => Unit): String = {
     // The cache key folds in the SOURCE table's file signature
     // (paths + sizes + mtimes), not just the dir name: a regenerated
-    // embeddings.parquet under the same path lands in a fresh root
+    // source parquet under the same path lands in a fresh root
     // and rebuilds, instead of silently serving a stale index (the
     // round-7 testdata regeneration was exactly this hazard — an
     // index is derived data, and derived data must key on its
     // inputs' identity).
-    val src = new java.io.File(dir, "embeddings.parquet")
+    val src = new java.io.File(dir, srcTable)
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
     val sig = files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")

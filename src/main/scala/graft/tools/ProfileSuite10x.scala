@@ -110,7 +110,15 @@ object ProfileSuite10x {
     // best-of run via the ensure() cache like the other stored
     // variants, so the measured best is the partition-pruned walk —
     // near-flat by design; measured 0.99x at x40)
-    "ann_graph_topk" -> LinearBound)
+    "ann_graph_topk" -> LinearBound,
+    // round-12: the incremental-cluster rebuild+serve — 6 ingests
+    // each over 1/6 of the edges (per-batch label lookups prune to
+    // touched buckets; uniform hash slices touch every bucket, so
+    // the worst case is batch-count × labels-table scans — linear in
+    // corpus at fixed batch count), one mid-stream compaction, one
+    // corpus-sized read. Build amortizes into the first best-of run
+    // via the ensure() cache like the stored ANN variants.
+    "g5_components_inc" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

@@ -163,4 +163,23 @@ class GraphQueriesSpec extends SparkSpec {
     }
     for ((n, v) <- r) assert(out(n) == v, s"node $n: ${out(n)} != $v")
   }
+
+  test("g5ComponentsInc equals the one-shot g4 labeling, invariant to the " +
+      "batch split, idempotent on re-read") {
+    def labeling(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = labeling(GraphQueries.g4Components(spark, sf001))
+    // default split (6 slices, compaction after slice 2)
+    val inc6 = labeling(GraphQueries.g5ComponentsInc(spark, sf001))
+    assert(inc6 == batch,
+      "incremental labeling diverges from one-shot clustersOf")
+    // a DIFFERENT deterministic split must land on the same labeling
+    // — the maintained state is a function of the accumulated edge
+    // SET, not the arrival order (the spec-level twin of the oracle's
+    // engine-independence argument)
+    val inc3 = labeling(GraphQueries.g5ComponentsInc(spark, sf001, nBatches = 3))
+    assert(inc3 == batch, "labeling depends on the batch split")
+    // re-serve from the cached index: pure read, same rows
+    assert(labeling(GraphQueries.g5ComponentsInc(spark, sf001)) == batch)
+  }
 }
