@@ -45,6 +45,7 @@ object SparkEntry {
     "w2_running_total" -> (CoreQueries.w2RunningTotal _),
     "w3_order_gaps" -> (CoreQueries.w3OrderGaps _),
     "w4_running_total_twophase" -> (CoreQueries.w4RunningTotalTwoPhase _),
+    "w5_topk_twophase" -> (CoreQueries.w5TopkTwoPhase _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
@@ -277,6 +278,17 @@ object SparkEntry {
          round(max(o_totalprice), 2) AS max_value
          FROM orders GROUP BY o_orderstatus""",
     "w1_topk_per_group" ->
+      """SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS c_acctbal
+         FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS rank
+               FROM customer)
+         WHERE rank <= 3""",
+    // deliberately the ONE-PASS top-k window: agreement proves the
+    // salt-shard decomposition (any non-survivor is dominated by k
+    // shard-mates), the w4/e11/e12/e13 proof pattern on the fifth
+    // combine algebra (bounded-k selection)
+    "w5_topk_twophase" ->
       """SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS c_acctbal
          FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
                  row_number() OVER (PARTITION BY c_mktsegment

@@ -533,6 +533,49 @@ object CoreQueries {
         round(col("c_acctbal"), 2).as("c_acctbal"))
   }
 
+  /** w1 rebuilt SKEW-SAFE — the fifth two-phase combine algebra
+    * (bounded-k selection) after sum (w4), fixed-mins (e11),
+    * last-non-null (e12), and count-base renumbering (e13): phase 1
+    * takes the top-k of each (group, salt) shard — any row outside
+    * its shard's top-k is dominated by k shard-mates and can never
+    * be in the group's top-k, so the survivors are a superset of
+    * the answer and the merge is EXACT — and phase 2 ranks the
+    * ≤ salts×k survivors per group. The tie-free total order
+    * (balance DESC, unique key ASC) makes the decomposition
+    * row-identical to the one-pass window, which is the oracle.
+    *
+    * Why it matters at 100 TB: c_mktsegment has FIVE values, so the
+    * one-pass window sorts corpus/5 rows per task no matter how many
+    * executors exist (WindowGroupLimit pre-prunes each MAP task to k,
+    * which w1 relies on — but the pruned survivors still funnel into
+    * 5 sort partitions). Salting bounds the biggest sort at
+    * corpus/(5×salts) AND WindowGroupLimit fires per (group, salt)
+    * shard ahead of the exchange (pinned in PlanSpec), so both
+    * phases stay bounded as groups grow hot. */
+  def w5TopkTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    topkTwoPhaseOf(Tables.customer(spark, dir))
+
+  /** The two-phase core over any (c_mktsegment, c_custkey, c_acctbal)
+    * frame — exposed so specs can drive it with a hot-segment
+    * fixture (the runningTotalTwoPhaseOf pattern). */
+  private[graft] def topkTwoPhaseOf(customer: DataFrame,
+      k: Int = 3, salts: Int = 16): DataFrame = {
+    val salted = customer.withColumn("salt",
+      pmod(xxhash64(col("c_custkey")), lit(salts)))
+    val shard = Window.partitionBy(col("c_mktsegment"), col("salt"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val survivors = salted
+      .withColumn("lr", row_number().over(shard))
+      .filter(col("lr") <= k)
+    val group = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    survivors
+      .withColumn("rank", row_number().over(group).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+  }
+
   /** Data-quality validation audit — the Deequ-style constraint
     * suite a lake pipeline gates loads on. One row per constraint
     * with its violation count against the table total. Cost

@@ -62,6 +62,7 @@ object ProfileSkew {
   /** Queries through the skew pair: (name, family note). */
   val Plan: Seq[(String, String)] = Seq(
     "w1_topk_per_group" -> "window top-k; WindowGroupLimit pre-prune (hot segment 60%)",
+    "w5_topk_twophase" -> "two-phase salt-split top-k (hot segment 60%)",
     "w2_running_total" -> "per-key ordered window (hot customer 20%)",
     "w4_running_total_twophase" -> "two-phase month-split running total (hot customer 20%)",
     "w3_order_gaps" -> "per-key lag window (hot customer 20%)",

@@ -107,6 +107,44 @@ class CoreQueriesSpec extends SparkSpec {
       "null o_orderdate/o_custkey rows were dropped by the offset join")
   }
 
+  test("w5 two-phase top-k: exact on a hot-segment fixture, shard window in the plan") {
+    import spark.implicits._
+    // one segment owns 90% of the customers — the 5-value partition
+    // key whose one-pass window funnels the corpus into 5 sort tasks;
+    // the salted two-phase form must produce the EXACT same top-3
+    val rows = (1L to 2000L).map { ck =>
+      val seg = if (ck % 10 < 9) "HOT" else s"SEG${ck % 10}"
+      (seg, ck, (ck * 7919 % 100000).toDouble / 100.0)
+    }
+    val customer = rows.toDF("c_mktsegment", "c_custkey", "c_acctbal")
+    val got = CoreQueries.topkTwoPhaseOf(customer).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // driver ground truth: the one-pass definition per segment
+    val want = rows.groupBy(_._1).flatMap { case (seg, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).take(3).zipWithIndex.map {
+        case ((_, ck, bal), i) =>
+          (seg, (i + 1).toLong) ->
+            (ck, BigDecimal(bal).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.size == want.size)
+    val bad = want.collect { case (k, w) if got(k) != w => (k, w, got(k)) }
+    assert(bad.isEmpty, s"two-phase top-k diverged on ${bad.take(5)}")
+    // phase 1 really partitions by (segment, salt) — its window spec
+    // lists salt as a bare PARTITION column; phase 2 (segment only,
+    // rank over survivors) must not satisfy this
+    val plan = CoreQueries.topkTwoPhaseOf(customer)
+      .queryExecution.executedPlan.toString
+    val shardSpec =
+      """windowspecdefinition\(c_mktsegment#\d+, salt#\d+L?, c_acctbal#""".r
+    assert(shardSpec.findFirstIn(plan).isDefined,
+      "phase-1 window lost its salt partition key:\n" + plan.take(1500))
+    // and WindowGroupLimit pre-prunes BOTH phases ahead of their
+    // exchanges (the w1 scale property, preserved shard-wise)
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
   test("k5SnapshotDiff classifies exactly the keys the modular rules predict") {
     val dir = "/root/testdata/sf0.001"
     val keys = graft.sources.Tables.orders(spark, dir)

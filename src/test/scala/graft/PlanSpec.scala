@@ -142,6 +142,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("w5 two-phase top-k: WindowGroupLimit fires for both phases, " +
+      "shard exchange carries the salt") {
+    val plan = planString(CoreQueries.w5TopkTwoPhase(spark, dir))
+    // two rank<=k windows → two WindowGroupLimit prunes (each map
+    // task holds k rows per (segment, salt) / per segment before its
+    // exchange)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(2000))
+    // the phase-1 exchange hashes (segment, salt) — the property that
+    // spreads a hot segment over `salts` sort tasks
+    assert("hashpartitioning\\(c_mktsegment#\\d+, salt#\\d+L?".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     import graft.sources.{Bucketing, Tables}
     val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
