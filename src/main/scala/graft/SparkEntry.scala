@@ -107,6 +107,7 @@ object SparkEntry {
     "t_heavy_hitters" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHitters(s, d)),
     "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
     "t_lm_score" -> (TextQueries.tLmScore _),
+    "t_collocations" -> ((s: SparkSession, d: String) => TextQueries.tCollocations(s, d)),
     "t_dsir_weights" -> (TextQueries.tDsirWeights _),
     "t_bpe_tokens" -> ((s: SparkSession, d: String) => TextQueries.tBpe(s, d)),
     "t_bm25_topk" -> ((s: SparkSession, d: String) => RetrievalQueries.tBm25Topk(s, d)),
@@ -1080,6 +1081,34 @@ object SparkEntry {
                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
                     FROM counts)
          SELECT term, cnt, rk FROM ranked WHERE rk <= 20""",
+    // exact integer counts into ONE left-associative double chain
+    // (((cb*nu)/cu1)/cu2*nu)/nb inside one ln, mirrored verbatim in
+    // the engine expression — the tLmScore reproducibility argument
+    "t_collocations" ->
+      """WITH d AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '') AS toks
+                FROM documents),
+         uni AS (SELECT w, count(*) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1),
+         tot AS (SELECT sum(cu) AS nu FROM uni),
+         d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         big0 AS (SELECT z[1] AS w1, z[2] AS w2
+                  FROM (SELECT unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
+                        FROM d2)),
+         nbt AS (SELECT count(*) AS nb FROM big0),
+         big AS (SELECT w1, w2, count(*) AS cb FROM big0
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         scored AS (SELECT big.w1, big.w2, cb,
+                    round(ln(CAST(cb AS DOUBLE) * nu / u1.cu / u2.cu * nu / nb),
+                      4) AS pmi
+                    FROM big JOIN uni u1 ON big.w1 = u1.w
+                      JOIN uni u2 ON big.w2 = u2.w
+                      CROSS JOIN tot CROSS JOIN nbt),
+         ranked AS (SELECT w1, w2, cb, pmi,
+                    row_number() OVER (ORDER BY pmi DESC, cb DESC, w1, w2) AS rk
+                    FROM scored)
+         SELECT w1, w2, cb, pmi, rk FROM ranked WHERE rk <= 50""",
     "t_lm_score" ->
       """WITH d AS (SELECT doc_id,
                 list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -1963,6 +1963,68 @@ object TextQueries {
         round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
   }
 
+  /** PMI collocations — the classic association-mining pass a corpus
+    * pipeline runs to find multi-word expressions ("new york",
+    * "machine learning") worth protecting from tokenizer splits or
+    * worth indexing as units:
+    *
+    *   pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )
+    *              = ln( cb·NU·NU / (NB·cu1·cu2) )
+    *
+    * with a min-support cut (cb ≥ minCount) so rare-pair noise (PMI
+    * is maximal for two hapaxes seen once together) never ranks.
+    *
+    * Cross-engine discipline: every count is an exact integer; the
+    * single IEEE evaluation is one left-associative multiply/divide
+    * chain into one ln, written with the SAME operation order in the
+    * oracle text, then rounded to 4dp (the tLmScore argument: equal
+    * integer inputs through an identical double expression tree).
+    *
+    * Scale: unigram and bigram counts are map-side-combinable
+    * groupBys (the shuffle carries vocabulary, not corpus); the
+    * totals are two broadcast scalars; ranking is orderBy+limit (a
+    * distributed TakeOrdered, never a global sort) with the k-row
+    * window assigned after the limit (tHeavyHitters pattern). */
+  def tCollocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(tokens(lower(col("text"))), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nu = broadcast(uni.agg(sum(col("cu")).as("nu")))
+    val bigrams = toks.filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = broadcast(bigrams.agg(count(lit(1)).as("nb")))
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    // ONE double chain, left-associative, mirrored in the oracle:
+    // ((((cb*nu)/cu1)/cu2)*nu)/nb
+    val pmi = round(log(col("cb").cast("double") * col("nu") /
+      col("cu1") / col("cu2") * col("nu") / col("nb")), 4)
+    val scored = big
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(nu).crossJoin(nb)
+      .select(col("w1"), col("w2"), col("cb"), pmi.as("pmi"))
+    val top = scored.orderBy(col("pmi").desc, col("cb").desc,
+        col("w1").asc, col("w2").asc).limit(k)
+    // rank assigned after the limit (tHeavyHitters pattern: the
+    // single-partition window sees k rows, never the pair table)
+    CacheScope.owned(
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("cb").desc,
+          col("w1").asc, col("w2").asc)).cast("long")),
+      uni, bigrams)
+  }
+
   /** Composite quality gate — the Gopher/RedPajama-style rule bundle
     * that turns the per-signal feature queries into ONE keep/drop
     * verdict with per-rule attribution (the form a curation pipeline

@@ -113,6 +113,35 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.values.exists(_._6) && out.values.exists(!_._6))
   }
 
+  test("tCollocations equals a driver-side PMI recompute on sf0.01") {
+    val out = TextQueries.tCollocations(spark, sf01).collect()
+      .map(r => r.getLong(4) -> (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = docs.map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val nu = uni.values.sum
+    val bigrams = toks.filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+    val nb = bigrams.length.toLong
+    val want = bigrams.groupBy(identity).collect {
+      case ((w1, w2), bs) if bs.size >= 5 =>
+        // the SAME left-associative double chain as the query/oracle
+        val pmi = math.log(
+          bs.size.toLong.toDouble * nu / uni(w1) / uni(w2) * nu / nb)
+        (w1, w2, bs.size.toLong,
+          BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (w1, w2, cb, pmi) => (-pmi, -cb, w1, w2) }
+      .take(50).zipWithIndex
+      .map { case (r, i) => (i + 1).toLong -> r }.toMap
+    assert(out.size == want.size)
+    val bad = want.collect { case (rk, w) if out(rk) != w => (rk, w, out(rk)) }
+    assert(bad.isEmpty, s"PMI recompute diverged on ${bad.take(5)}")
+    // min-support really bites: every ranked pair carries cb >= 5
+    assert(out.values.forall(_._3 >= 5L))
+  }
+
   test("shard shuffle and chunk packing invariants") {
     // pos is a dense 1..n_s rank within each shard; shards cover 0-15
     val shuffled = TextQueries.tShardShuffle(spark, sf01).collect()
