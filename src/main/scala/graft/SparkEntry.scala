@@ -108,6 +108,7 @@ object SparkEntry {
     "t_heavy_hitters_cms" -> ((s: SparkSession, d: String) => TextQueries.tHeavyHittersCms(s, d)),
     "t_lm_score" -> (TextQueries.tLmScore _),
     "t_collocations" -> ((s: SparkSession, d: String) => TextQueries.tCollocations(s, d)),
+    "t_weighted_sample" -> ((s: SparkSession, d: String) => TextQueries.tWeightedSample(s, d)),
     "t_dsir_weights" -> (TextQueries.tDsirWeights _),
     "t_bpe_tokens" -> ((s: SparkSession, d: String) => TextQueries.tBpe(s, d)),
     "t_bm25_topk" -> ((s: SparkSession, d: String) => RetrievalQueries.tBm25Topk(s, d)),
@@ -373,6 +374,19 @@ object SparkEntry {
          CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket,
          c_mktsegment
          FROM customer""",
+    // priority sampling stays in exact integers: u div w is floor
+    // division in both dialects, so selection order is bit-identical
+    "t_weighted_sample" ->
+      """SELECT source, rk, doc_id, w, prio
+         FROM (SELECT source, doc_id, w, prio,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY prio, doc_id) AS rk
+               FROM (SELECT source, doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+                       ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+                         // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS prio
+                     FROM documents))
+         WHERE rk <= 10""",
     "t_stratified_sample" ->
       """SELECT lang, doc_id, rk
          FROM (SELECT lang, doc_id,

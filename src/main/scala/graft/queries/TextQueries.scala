@@ -80,6 +80,38 @@ object TextQueries {
       .filter(col("rk") <= k)
       .select(col("lang"), col("doc_id"), col("rk"))
 
+  /** Weighted priority sampling per source (Duffield–Lund–Thorup
+    * priority sampling, the order-sample form of weighted
+    * reservoirs): priority = u div w with u = md5-low-32 of the doc
+    * identity and w = the doc's whitespace token count — integer
+    * FLOOR division, so a doc of weight w draws its priority
+    * uniformly from [0, 2^32/w) and the k SMALLEST priorities per
+    * source are a weight-proportional sample. This is the
+    * token-budget sampling step of a training-mix recipe (long
+    * documents proportionally likelier), and the reason it is
+    * priority sampling rather than A-ES exponential keys is
+    * cross-engine exactness: u div w is exact integer arithmetic —
+    * no ln(), no float ordering, no RNG state — so the selection is
+    * bit-identical in any engine and invariant to partitioning,
+    * row order, and retries.
+    *
+    * Scale: a narrow projection plus one per-source top-k window —
+    * WindowGroupLimit prunes every map task to k rows before the
+    * exchange, so the shuffle carries tasks×k rows, never the
+    * corpus. */
+  def tWeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", size(tokens(col("text"))).cast("long"))
+      .withColumn("u", conv(substring(
+        md5(concat_ws(":", col("source"), col("doc_id"))), 25, 8), 16, 10)
+        .cast("long"))
+      .withColumn("prio", expr("u div w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("prio").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("w"), col("prio"))
+
   /** Weighted corpus mixture: per-language inclusion rates applied by
     * DETERMINISTIC hash thresholding — a doc is in the mix iff the
     * first byte of md5(text) falls under its language's threshold

@@ -142,6 +142,38 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.values.forall(_._3 >= 5L))
   }
 
+  test("tWeightedSample equals an exact-integer driver recompute; selection is weight-biased") {
+    val out = TextQueries.tWeightedSample(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def low32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(24, 32), 16)
+    }
+    val prios = docs.map { case (src, id, text) =>
+      val w = text.trim.split("\\s+").length.toLong
+      (src, id, w, low32(s"$src:$id") / w)
+    }
+    val want = prios.groupBy(_._1).flatMap { case (src, ds) =>
+      ds.sortBy(d => (d._4, d._2)).take(10).zipWithIndex.toSeq.map {
+        case ((_, id, w, p), i) => (src, (i + 1).toLong) -> (id, w, p)
+      }
+    }
+    assert(out.size == want.size)
+    val bad = want.collect { case (k, v) if out(k) != v => (k, v, out(k)) }
+    assert(bad.isEmpty, s"priority sample diverged on ${bad.take(5)}")
+    // the sample is weight-biased: mean sampled weight exceeds the
+    // corpus mean (priority u div w shrinks with w)
+    val meanAll = prios.map(_._3).sum.toDouble / prios.length
+    val meanSampled = out.values.map(_._2).sum.toDouble / out.size
+    assert(meanSampled > meanAll,
+      s"sampled mean weight $meanSampled not above corpus mean $meanAll")
+  }
+
   test("shard shuffle and chunk packing invariants") {
     // pos is a dense 1..n_s rank within each shard; shards cover 0-15
     val shuffled = TextQueries.tShardShuffle(spark, sf01).collect()
