@@ -49,6 +49,7 @@ object SparkEntry {
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
+    "q_quantiles_twophase" -> (CoreQueries.qQuantilesTwoPhase _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
     "a6_rollup" -> (CoreQueries.a6Rollup _),
     "a7_pivot" -> (CoreQueries.a7Pivot _),
@@ -362,6 +363,16 @@ object SparkEntry {
          round(var_samp(l_quantity), 4) AS var_qty
          FROM lineitem GROUP BY l_returnflag""",
     "q_quantiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+         round(max(o_totalprice), 2) AS pmax
+         FROM orders GROUP BY o_orderstatus""",
+    // deliberately the ONE-PASS exact quantile: agreement proves the
+    // histogram localization (sixth two-phase algebra —
+    // order-statistic location), not just the interpolation
+    "q_quantiles_twophase" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
          round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

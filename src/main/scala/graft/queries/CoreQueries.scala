@@ -418,6 +418,108 @@ object CoreQueries {
         round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
         round(max(col("o_totalprice")), 2).as("pmax"))
 
+  /** qQuantiles rebuilt SKEW-SAFE — the sixth two-phase combine
+    * algebra: ORDER-STATISTIC LOCALIZATION. The one-pass exact
+    * `percentile` collects every group's values into one aggregation
+    * buffer (per-group sort on a single reducer — the straggler the
+    * approx sketch usually buys its accuracy loss to avoid). The
+    * two-phase form never sorts a group:
+    *
+    *   1. histogram: count per (group, value-bucket) — map-side
+    *      combinable, the shuffle carries groups×buckets rows;
+    *   2. locate: prefix-count over the tiny histogram frame finds,
+    *      for each target rank k = q·(n−1) (both flanking order
+    *      statistics ⌊k⌋ and ⌈k⌉), the ONE bucket with
+    *      below ≤ k < below + c;
+    *   3. extract: semi-join the facts to the ≤ groups×quantiles×2
+    *      located buckets (a broadcast), rank WITHIN each hit bucket
+    *      only (bounded by bucket occupancy, never group size), pick
+    *      global index below + local − 1 = k, and interpolate
+    *      lower + (upper − lower)·frac — quantile_cont's formula.
+    *
+    * Oracle = the one-pass q_quantiles text, so hash agreement
+    * proves the localization. Residual skew note: a single VALUE hot
+    * enough to dominate one bucket makes that bucket's extract
+    * window hot — but extraction is selection, not aggregation, so
+    * the mitigation (split the bucket by a secondary hash and keep
+    * only per-shard rank bounds) composes; at this corpus's value
+    * spread the 100-unit buckets stay balanced. */
+  def qQuantilesTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    quantilesTwoPhaseOf(Tables.orders(spark, dir))
+
+  /** The two-phase core over any (o_orderstatus, o_totalprice)
+    * frame — exposed so specs can drive it with a hot-group
+    * fixture. */
+  private[graft] def quantilesTwoPhaseOf(orders: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      bucketWidth: Double = 100.0): DataFrame = {
+    val o = orders
+      .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("b", floor(col("v") / lit(bucketWidth)).cast("long"))
+    // phase 1: per-(group, bucket) histogram
+    val hist = o.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wpre = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wpre), lit(0L)))
+    // phase 2: locate the flanking order statistics per (group, q)
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val nOf = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val targets = nOf
+      .crossJoin(qs.toDF("q"))
+      .withColumn("rk", col("q") * (col("n") - 1).cast("double"))
+      .withColumn("k1", floor(col("rk")).cast("long"))
+      .withColumn("k2", least(ceil(col("rk")).cast("long"), col("n") - 1))
+    val ks = targets
+      .select(col("g").as("kg"), col("q"), col("rk"), col("k1"),
+        explode(array(col("k1"), col("k2"))).as("k"))
+      .distinct()
+    // null-SAFE group matches throughout (the w4 lesson): a null
+    // group is its own window partition in the one-pass form and
+    // must not vanish on a null=null inner-join miss
+    val located = pre.join(broadcast(ks),
+        col("g") <=> col("kg") && col("below") <= col("k") &&
+          col("k") < col("below") + col("c"))
+      .select(col("g"), col("b"), col("below"),
+        col("q"), col("rk"), col("k1"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 3: extract only from the located buckets
+    val buckets = located
+      .select(col("g").as("bg"), col("b").as("bb"), col("below"))
+      .distinct()
+    val hits = o.join(broadcast(buckets),
+      col("g") <=> col("bg") && col("b") === col("bb"))
+    val wloc = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
+    val indexed = hits
+      .withColumn("gi", row_number().over(wloc).cast("long") - 1 + col("below"))
+    val picked = indexed
+      .join(broadcast(located.select(col("g").as("pg"), col("q"),
+        col("rk"), col("k1"), col("k"))),
+        col("g") <=> col("pg") && col("gi") === col("k"))
+      .select(col("g"), col("q"), col("rk"), col("k1"), col("k"), col("v"))
+    // interpolate lower + (upper - lower) * frac; k1 == k2 collapses
+    // to the lower value (frac times zero)
+    val byQ = picked
+      .groupBy(col("g"), col("q"), col("rk"), col("k1"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("qv", round(col("lo") +
+        (col("hi") - col("lo")) * (col("rk") - col("k1").cast("double")), 2))
+    val pmax = o.groupBy(col("g").as("mg")).agg(round(max(col("v")), 2).as("pmax"))
+    graft.ops.CacheScope.owned(
+      byQ.groupBy(col("g"))
+        .agg(
+          max(when(col("q") === 0.25, col("qv"))).as("p25"),
+          max(when(col("q") === 0.5, col("qv"))).as("p50"),
+          max(when(col("q") === 0.75, col("qv"))).as("p75"))
+        .join(pmax, col("g") <=> col("mg"))
+        .select(col("g").as("o_orderstatus"), col("p25"), col("p50"),
+          col("p75"), col("pmax")),
+      hist, located)
+  }
+
   /** The 100 TB form of qQuantiles: `approx_percentile` (a
     * quantile-summary sketch — bounded size, map-side combinable, so
     * shuffle volume is constant in row count where the exact form

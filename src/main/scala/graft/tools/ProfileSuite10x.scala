@@ -118,7 +118,17 @@ object ProfileSuite10x {
     // corpus at fixed batch count), one mid-stream compaction, one
     // corpus-sized read. Build amortizes into the first best-of run
     // via the ensure() cache like the stored ANN variants.
-    "g5_components_inc" -> LinearBound)
+    "g5_components_inc" -> LinearBound,
+    // round-12: two window shuffles with WindowGroupLimit pre-prune
+    // (w5), vocabulary-carrying count shuffles + broadcast scalars
+    // (t_collocations), and a narrow projection + pruned top-k
+    // window (t_weighted_sample) — all linear by construction
+    "w5_topk_twophase" -> LinearBound,
+    "t_collocations" -> LinearBound,
+    "t_weighted_sample" -> LinearBound,
+    // histogram + broadcast locate + bounded-bucket extract: every
+    // corpus-sized term is map-side combinable or a narrow semi-join
+    "q_quantiles_twophase" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

@@ -107,6 +107,39 @@ class CoreQueriesSpec extends SparkSpec {
       "null o_orderdate/o_custkey rows were dropped by the offset join")
   }
 
+  test("q_quantiles two-phase: exact on a hot-group fixture incl. edge shapes") {
+    import spark.implicits._
+    // one group owns 90% of the rows (the one-pass percentile's
+    // single-buffer straggler); add a 1-row group (k1 == k2 == 0 for
+    // every q), a 2-row group (every q interpolates between the same
+    // two values), and duplicate-heavy values (ties inside a bucket)
+    val rows = (1L to 3000L).map { i =>
+      val g = if (i % 10 < 9) "HOT" else if (i % 2 == 0) "S1" else "S2"
+      (g, ((i * 104729L) % 90017L).toDouble / 7.0)
+    } ++ Seq.fill(200)(("HOT", 1234.56)) ++
+      Seq(("ONE", 42.5)) ++ Seq(("TWO", 10.0), ("TWO", 20.0))
+    val orders = rows.toDF("o_orderstatus", "o_totalprice")
+    val got = CoreQueries.quantilesTwoPhaseOf(orders).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def r2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver ground truth: percentile_cont from a full sort per group
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2).sorted.toIndexedSeq
+      def q(p: Double): Double = {
+        val rk = p * (vs.length - 1)
+        val k1 = rk.toLong.toInt
+        val k2 = math.min(math.ceil(rk).toLong.toInt, vs.length - 1)
+        r2(vs(k1) + (vs(k2) - vs(k1)) * (rk - k1))
+      }
+      g -> (q(0.25), q(0.5), q(0.75), r2(vs.max))
+    }
+    assert(got.keySet == want.keySet)
+    val bad = want.collect { case (g, w) if got(g) != w => (g, w, got(g)) }
+    assert(bad.isEmpty, s"two-phase quantiles diverged on ${bad.take(5)}")
+  }
+
   test("w5 two-phase top-k: exact on a hot-segment fixture, shard window in the plan") {
     import spark.implicits._
     // one segment owns 90% of the customers — the 5-value partition

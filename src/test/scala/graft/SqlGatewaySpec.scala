@@ -53,7 +53,7 @@ class SqlGatewaySpec extends SparkSpec {
   private val VerbatimPortable = Set(
     "a1_group_collect", "a2_option_agg", "a3_sum_reduce",
     "a5_summary_rollup", "a6_rollup", "a7_pivot", "a8_corr_stats",
-    "a9_cube", "k7_scd2",
+    "a9_cube", "k7_scd2", "q_quantiles_twophase",
     "dedup_editdist", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "e1_tumbling_window", "e2_sessionize", "e13_sessionize_twophase",
     "e4_salted_rollup",
