@@ -394,9 +394,9 @@ object SparkEntry {
                    ORDER BY prio, doc_id) AS rk
                FROM (SELECT source, doc_id,
                        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
-                       ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+                       ('0x' || substr(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 25, 8))::BIGINT
                          // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS prio
-                     FROM documents))
+                     FROM documents WHERE text IS NOT NULL))
          WHERE rk <= 10""",
     "t_stratified_sample" ->
       """SELECT lang, doc_id, rk

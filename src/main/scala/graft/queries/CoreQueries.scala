@@ -443,7 +443,10 @@ object CoreQueries {
     * window hot — but extraction is selection, not aggregation, so
     * the mitigation (split the bucket by a secondary hash and keep
     * only per-shard rank bounds) composes; at this corpus's value
-    * spread the 100-unit buckets stay balanced. */
+    * spread the 100-unit buckets stay balanced. No ProfileSkew row
+    * by design: that fixture's skew axes never touch o_orderstatus
+    * (3 values in both corpora) — the hot-GROUP protection is what
+    * the fixture spec and the PlanSpec pins cover. */
   def qQuantilesTwoPhase(spark: SparkSession, dir: String): DataFrame =
     quantilesTwoPhaseOf(Tables.orders(spark, dir))
 
@@ -453,22 +456,34 @@ object CoreQueries {
   private[graft] def quantilesTwoPhaseOf(orders: DataFrame,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       bucketWidth: Double = 100.0): DataFrame = {
+    // NULL values ride the histogram in their own null bucket rather
+    // than being filtered: a group whose values are ALL null must
+    // still emit its row (with null quantiles and null max), exactly
+    // as the one-pass percentile does — filtering would drop the
+    // group and diverge from the oracle (the e13 null-ts lesson:
+    // null handling is part of the decomposition proof, not a detail)
     val o = orders
       .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
-      .filter(col("v").isNotNull)
       .withColumn("b", floor(col("v") / lit(bucketWidth)).cast("long"))
-    // phase 1: per-(group, bucket) histogram
-    val hist = o.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    // phase 1: per-(group, bucket) histogram; bmax folds the group
+    // max into the same pass so pmax never re-scans the corpus
+    val hist = o.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("v")).as("bmax"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histV = hist.filter(col("b").isNotNull)
     val wpre = Window.partitionBy(col("g")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pre = hist
+    val pre = histV
       .withColumn("below", coalesce(sum(col("c")).over(wpre), lit(0L)))
-    // phase 2: locate the flanking order statistics per (group, q)
+    // phase 2: locate the flanking order statistics per (group, q).
+    // base carries EVERY group (null-bucket rows included), n counts
+    // only non-null values — the one-pass percentile's denominator
     val spark = orders.sparkSession
     import spark.implicits._
-    val nOf = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    val targets = nOf
+    val base = hist.groupBy(col("g")).agg(
+      sum(when(col("b").isNotNull, col("c")).otherwise(0L)).as("n"),
+      round(max(col("bmax")), 2).as("pmax"))
+    val targets = base.filter(col("n") > 0).select(col("g"), col("n"))
       .crossJoin(qs.toDF("q"))
       .withColumn("rk", col("q") * (col("n") - 1).cast("double"))
       .withColumn("k1", floor(col("rk")).cast("long"))
@@ -507,16 +522,17 @@ object CoreQueries {
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       .withColumn("qv", round(col("lo") +
         (col("hi") - col("lo")) * (col("rk") - col("k1").cast("double")), 2))
-    val pmax = o.groupBy(col("g").as("mg")).agg(round(max(col("v")), 2).as("pmax"))
+    // pivot columns derive from qs (p25/p50/p75 for the default) so
+    // a caller-supplied quantile list cannot silently yield nulls;
+    // base LEFT-joins the pivot so all-null groups keep their row
+    val qCols = qs.map(q =>
+      max(when(col("q") === q, col("qv"))).as(s"p${math.round(q * 100)}"))
+    val pivot = byQ.groupBy(col("g").as("qg"))
+      .agg(qCols.head, qCols.tail: _*)
     graft.ops.CacheScope.owned(
-      byQ.groupBy(col("g"))
-        .agg(
-          max(when(col("q") === 0.25, col("qv"))).as("p25"),
-          max(when(col("q") === 0.5, col("qv"))).as("p50"),
-          max(when(col("q") === 0.75, col("qv"))).as("p75"))
-        .join(pmax, col("g") <=> col("mg"))
-        .select(col("g").as("o_orderstatus"), col("p25"), col("p50"),
-          col("p75"), col("pmax")),
+      base.join(pivot, col("g") <=> col("qg"), "left")
+        .select(col("g").as("o_orderstatus") +:
+          qs.map(q => col(s"p${math.round(q * 100)}")) :+ col("pmax"): _*),
       hist, located)
   }
 

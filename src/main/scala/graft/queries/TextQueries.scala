@@ -20,6 +20,15 @@ object TextQueries {
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Low 32 md5 bits as a long — THE cross-engine hash: DuckDB
+    * computes the identical value as
+    * `('0x' || substr(md5(x), 25, 8))::BIGINT` (or the hexPolySql
+    * polynomial where `::` must be avoided), which is what makes
+    * every sketch built on it SQL-reproducible. All md5-low-32 sites
+    * route through here so the offset/width contract lives once. */
+  private[queries] def md5Low32(c: Column): Column =
+    conv(substring(md5(c), 25, 8), 16, 10).cast("long")
+
   /** Whitespace normalization used as the dedup canonical form. */
   private[queries] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -101,10 +110,16 @@ object TextQueries {
     * corpus. */
   def tWeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     Tables.documents(spark, dir)
+      // a null text has no defined weight: excluded on BOTH sides
+      // (unfiltered, Spark's nulls-first ascending sort would rank a
+      // null priority into the top-k while DuckDB's nulls-last
+      // pushes it out — a latent engine/oracle divergence); the
+      // identity hash uses concat_ws in both dialects so a null
+      // source collapses identically too
+      .filter(col("text").isNotNull)
       .withColumn("w", size(tokens(col("text"))).cast("long"))
-      .withColumn("u", conv(substring(
-        md5(concat_ws(":", col("source"), col("doc_id"))), 25, 8), 16, 10)
-        .cast("long"))
+      .withColumn("u",
+        md5Low32(concat_ws(":", col("source"), col("doc_id"))))
       .withColumn("prio", expr("u div w"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source"))
@@ -675,7 +690,7 @@ object TextQueries {
         "transform(sequence(1, size(toks) - 2), i -> " +
           "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("s"))
       .select(col("source"),
-        conv(substring(md5(col("s")), 25, 8), 16, 10).cast("long").as("h"))
+        md5Low32(col("s")).as("h"))
     val minCols = srcMinhashAbs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(M))).as(s"m$i")
     }
@@ -700,7 +715,7 @@ object TextQueries {
         "transform(sequence(1, size(toks) - 2), i -> " +
           "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))").as("shs"))
       .select(col("source"), transform(col("shs"),
-        s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")).as("hs"))
+        s => md5Low32(s)).as("hs"))
       .select(col("source"), array(minCols: _*).as("sig"))
   }
 
@@ -1858,8 +1873,7 @@ object TextQueries {
     * the whole sketch SQL-reproducible (CmsWidth divides 2^32, so
     * the low half alone determines the bucket). */
   private def cmsBucket(row: Column, term: Column): Column =
-    pmod(conv(substring(md5(concat_ws(":", row, term)), 25, 8), 16, 10)
-      .cast("long"), lit(CmsWidth))
+    pmod(md5Low32(concat_ws(":", row, term)), lit(CmsWidth))
 
   /** Count-min-sketch bucket counts: CmsDepth independent hash rows
     * of CmsWidth buckets. Partial aggregation bounds every
@@ -1967,16 +1981,28 @@ object TextQueries {
     * re-levels. V (distinct reference vocab) rides a broadcast
     * single-row cross join. No collect, no windows, no UDFs — every
     * expression whole-stage codegens. */
-  def tLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+  /** (doc_id, toks, n): lowercased non-empty whitespace tokens per
+    * doc — the shared prelude of the bigram family (tLmScore,
+    * tCollocations). */
+  private def docToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         filter(tokens(lower(col("text"))), t => t =!= "").as("toks"))
       .withColumn("n", size(col("toks")))
-      .filter(col("n") >= 2)
-    val bigrams = toks.select(col("doc_id"), explode(expr(
+
+  /** Adjacent-token pairs of every doc with >= 2 tokens. The
+    * construction must keep matching the oracles' DuckDB
+    * list_zip(toks[1:n-1], toks[2:n]) exactly — it lives once so an
+    * edge-case fix cannot drift per query. */
+  private def bigramsOf(toks: DataFrame): DataFrame =
+    toks.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def tLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(Tables.documents(spark, dir)).filter(col("n") >= 2)
+    val bigrams = bigramsOf(toks)
     val refBig = bigrams.filter(col("doc_id") % 2 === 0)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val refUni = toks.filter(col("doc_id") % 2 === 0)
@@ -2019,19 +2045,12 @@ object TextQueries {
     * window assigned after the limit (tHeavyHitters pattern). */
   def tCollocations(spark: SparkSession, dir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        filter(tokens(lower(col("text"))), t => t =!= "").as("toks"))
-      .withColumn("n", size(col("toks")))
+    val toks = docToks(Tables.documents(spark, dir))
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nu = broadcast(uni.agg(sum(col("cu")).as("nu")))
-    val bigrams = toks.filter(col("n") >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigrams = bigramsOf(toks).select(col("w1"), col("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = broadcast(bigrams.agg(count(lit(1)).as("nb")))
     val big = bigrams.groupBy(col("w1"), col("w2"))
@@ -2297,8 +2316,7 @@ object TextQueries {
     // and the scoring join — cached here, it runs once (at corpus
     // scale, skip the cache and pay the second scan instead)
     val bucketed = grams.select(col("doc_id"), col("lang"),
-      pmod(conv(substring(md5(col("g")), 25, 8), 16, 10).cast("long"),
-        lit(DsirBuckets)).as("b"))
+      pmod(md5Low32(col("g")), lit(DsirBuckets)).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // BOTH models in one map-side-combinable agg: raw count and
     // target (conditional) count per bucket — ≤ DsirBuckets rows out

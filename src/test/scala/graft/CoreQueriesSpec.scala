@@ -113,29 +113,38 @@ class CoreQueriesSpec extends SparkSpec {
     // single-buffer straggler); add a 1-row group (k1 == k2 == 0 for
     // every q), a 2-row group (every q interpolates between the same
     // two values), and duplicate-heavy values (ties inside a bucket)
-    val rows = (1L to 3000L).map { i =>
+    val rows: Seq[(String, Option[Double])] = (1L to 3000L).map { i =>
       val g = if (i % 10 < 9) "HOT" else if (i % 2 == 0) "S1" else "S2"
-      (g, ((i * 104729L) % 90017L).toDouble / 7.0)
-    } ++ Seq.fill(200)(("HOT", 1234.56)) ++
-      Seq(("ONE", 42.5)) ++ Seq(("TWO", 10.0), ("TWO", 20.0))
+      (g, Some(((i * 104729L) % 90017L).toDouble / 7.0))
+    } ++ Seq.fill(200)(("HOT", Some(1234.56))) ++
+      Seq(("ONE", Some(42.5))) ++ Seq(("TWO", Some(10.0)), ("TWO", Some(20.0))) ++
+      // null-value shapes the one-pass percentile defines: ignored
+      // within a group, but an ALL-null group still emits its row
+      Seq(("MIX", None), ("MIX", Some(7.0)), ("MIX", None), ("MIX", Some(9.0))) ++
+      Seq(("NUL", None), ("NUL", None))
     val orders = rows.toDF("o_orderstatus", "o_totalprice")
     val got = CoreQueries.quantilesTwoPhaseOf(orders).collect()
       .map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
     def r2(x: Double) =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     // driver ground truth: percentile_cont from a full sort per group
     val want = rows.groupBy(_._1).map { case (g, rs) =>
-      val vs = rs.map(_._2).sorted.toIndexedSeq
-      def q(p: Double): Double = {
-        val rk = p * (vs.length - 1)
-        val k1 = rk.toLong.toInt
-        val k2 = math.min(math.ceil(rk).toLong.toInt, vs.length - 1)
-        r2(vs(k1) + (vs(k2) - vs(k1)) * (rk - k1))
-      }
-      g -> (q(0.25), q(0.5), q(0.75), r2(vs.max))
+      val vs = rs.flatMap(_._2).sorted.toIndexedSeq
+      def q(p: Double): Option[Any] =
+        if (vs.isEmpty) None
+        else {
+          val rk = p * (vs.length - 1)
+          val k1 = rk.toLong.toInt
+          val k2 = math.min(math.ceil(rk).toLong.toInt, vs.length - 1)
+          Some(r2(vs(k1) + (vs(k2) - vs(k1)) * (rk - k1)))
+        }
+      g -> (q(0.25), q(0.5), q(0.75),
+        if (vs.isEmpty) None else Some(r2(vs.max)))
     }
-    assert(got.keySet == want.keySet)
+    assert(got.keySet == want.keySet,
+      s"group sets diverge: ${got.keySet} vs ${want.keySet}")
     val bad = want.collect { case (g, w) if got(g) != w => (g, w, got(g)) }
     assert(bad.isEmpty, s"two-phase quantiles diverged on ${bad.take(5)}")
   }

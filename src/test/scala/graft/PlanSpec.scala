@@ -142,6 +142,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("q_quantiles two-phase: no one-pass percentile buffer, extract " +
+      "window stays bucket-partitioned") {
+    val plan = planString(CoreQueries.qQuantilesTwoPhase(spark, dir))
+    // the whole point is that the per-group sort buffer never
+    // materializes — an optimizer rewrite (or regression) that
+    // collapses the histogram back into a percentile agg voids the
+    // query's reason to exist
+    assert(!plan.contains("percentile("), plan.take(2000))
+    // the phase-3 extract ranks WITHIN (group, bucket) — its window
+    // spec must carry b as a bare PARTITION column; losing it would
+    // re-create the per-group sort under a different name
+    assert("windowspecdefinition\\(g#\\d+, b#\\d+L?, v#".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    // phase 1 shuffles on (g, b) — the histogram's skew-spreading key
+    assert("hashpartitioning\\(g#\\d+, b#\\d+L?".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
   test("w5 two-phase top-k: WindowGroupLimit fires for both phases, " +
       "shard exchange carries the salt") {
     val plan = planString(CoreQueries.w5TopkTwoPhase(spark, dir))
