@@ -53,7 +53,14 @@ object ProfileRetry {
     "t_stratified_sample", "t_shard_shuffle", // deterministic-hash sampling/permutation
     "emb_hard_negatives",
     "w4_running_total_twophase", "e11_funnel_twophase", "e12_asof_twophase",
-    "k7_scd2")
+    "k7_scd2",
+    // round-12: the incremental-cc build (marker-guarded appends +
+    // mid-stream compaction under kills), the two new two-phase
+    // algebras (salted row_number ties / bucket row_number over
+    // duplicate values — tie ORDER varies per attempt, the picked
+    // rows must not), and the deterministic-hash sampler/counters
+    "g5_components_inc", "w5_topk_twophase", "q_quantiles_twophase",
+    "t_collocations", "t_weighted_sample")
 
   /** First-attempt tasks with index ≡ KillResidue (mod KillMod) are
     * killed — deterministic selection, ~20% of every stage. */
