@@ -413,12 +413,31 @@ object GraphQueries {
     * the output floor. The build amortizes across serves via the
     * same signature-keyed tmp root as the stored ANN indexes
     * (derived data keyed on its input's identity). */
+  /** MD5 over the classfile bytes of every class the g5 build path
+    * executes — the code half of the derived-index identity (see the
+    * ensure() call below). Lazy: computed once per JVM. */
+  private lazy val ccCodeSig: String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Seq(GraphQueries.getClass, graft.streaming.StreamOps.getClass,
+        TextQueries.getClass).foreach { c =>
+      val path = "/" + c.getName.replace('.', '/') + ".class"
+      val in = c.getResourceAsStream(path)
+      try digest.update(in.readAllBytes()) finally in.close()
+    }
+    "|code:" + digest.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   def g5ComponentsInc(spark: SparkSession, dir: String,
       minSup: Int = 2, nBatches: Int = 6): DataFrame = {
     // the kind folds in the parameters: a different slicing (or
-    // support cut) is a different derived index, not a cache hit
+    // support cut) is a different derived index, not a cache hit.
+    // codeSig folds in the BUILD IMPLEMENTATION (this class + the
+    // ingest/compaction/clustering engines): unlike the ANN serves,
+    // where the read is the query, g5's build IS the behavior the
+    // oracle gate proves — a cached index must not outlive the code
+    // that wrote it
     val idx = VectorIndex.ensure(spark, dir, s"cc${minSup}b$nBatches",
-        srcTable = "lineitem.parquet") { root =>
+        srcTable = "lineitem.parquet", codeSig = ccCodeSig) { root =>
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"))
       val edges = orderPairs(li)

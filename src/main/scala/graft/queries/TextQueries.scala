@@ -2001,8 +2001,12 @@ object TextQueries {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   def tLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docToks(Tables.documents(spark, dir)).filter(col("n") >= 2)
-    val bigrams = bigramsOf(toks)
+    // the >= 2 filter appears once per purpose: bigramsOf applies it
+    // for the pair explode; this one scopes the REFERENCE unigrams to
+    // the oracle's d2 domain (docs that contribute bigrams)
+    val all = docToks(Tables.documents(spark, dir))
+    val toks = all.filter(col("n") >= 2)
+    val bigrams = bigramsOf(all)
     val refBig = bigrams.filter(col("doc_id") % 2 === 0)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val refUni = toks.filter(col("doc_id") % 2 === 0)

@@ -168,7 +168,8 @@ object VectorIndex {
     * stored-ANN queries here and the incremental-cluster query
     * (GraphQueries.g5ComponentsInc keys on lineitem.parquet). */
   private[graft] def ensure(spark: SparkSession, dir: String, kind: String,
-      srcTable: String = "embeddings.parquet")(
+      srcTable: String = "embeddings.parquet",
+      codeSig: String = "")(
       build: String => Unit): String = {
     // The cache key folds in the SOURCE table's file signature
     // (paths + sizes + mtimes), not just the dir name: a regenerated
@@ -176,11 +177,18 @@ object VectorIndex {
     // and rebuilds, instead of silently serving a stale index (the
     // round-7 testdata regeneration was exactly this hazard — an
     // index is derived data, and derived data must key on its
-    // inputs' identity).
+    // inputs' identity). `codeSig` extends that identity to the
+    // BUILDER'S CODE for callers whose build path is itself the
+    // behavior under test (g5ComponentsInc hashes its implementation
+    // classes): without it, a same-machine spec or driver-gate run
+    // after a code change would keep serving an index built by the
+    // previous version. It rides the signature, not the kind, so the
+    // orphan sweep below reclaims previous-version roots naturally.
     val src = new java.io.File(dir, srcTable)
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
     val sig = files.sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + codeSig
     val dirHex = Integer.toHexString(dir.hashCode)
     val key = dirHex + "_" + Integer.toHexString(sig.hashCode)
     val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))

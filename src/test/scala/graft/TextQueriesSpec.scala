@@ -117,9 +117,14 @@ class TextQueriesSpec extends SparkSpec {
     val out = TextQueries.tCollocations(spark, sf01).collect()
       .map(r => r.getLong(4) -> (r.getString(0), r.getString(1),
         r.getLong(2), r.getDouble(3))).toMap
+    // SQL trim strips U+0020 only (Java String.trim strips all
+    // chars <= U+0020 — a tab-edged text would diverge); null
+    // text mirrors docToks' null propagation (no tokens)
+    def sqlTrim(s: String) = s.replaceAll("^ +| +$", "")
     val docs = graft.sources.Tables.documents(spark, sf01)
       .select(col("text")).collect().map(_.getString(0))
-    val toks = docs.map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    val toks = docs.map(t => if (t == null) Seq.empty[String]
+      else sqlTrim(t).toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
     val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
     val nu = uni.values.sum
     val bigrams = toks.filter(_.length >= 2)
@@ -149,13 +154,16 @@ class TextQueriesSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf01)
       .select(col("source"), col("doc_id"), col("text")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      // mirror the engine/oracle's `text IS NOT NULL` exclusion
+      .filter(_._3 != null)
     def low32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(d.substring(24, 32), 16)
     }
+    // SQL trim (U+0020 only), not Java String.trim
     val prios = docs.map { case (src, id, text) =>
-      val w = text.trim.split("\\s+").length.toLong
+      val w = text.replaceAll("^ +| +$", "").split("\\s+").length.toLong
       (src, id, w, low32(s"$src:$id") / w)
     }
     val want = prios.groupBy(_._1).flatMap { case (src, ds) =>
