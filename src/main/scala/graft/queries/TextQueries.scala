@@ -109,7 +109,16 @@ object TextQueries {
     * exchange, so the shuffle carries tasks×k rows, never the
     * corpus. */
   def tWeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    Tables.documents(spark, dir)
+    rankSample(weightedPriorities(Tables.documents(spark, dir)), k)
+
+  /** (source, doc_id, w, prio) for every non-null-text doc — shared
+    * by the batch query above and the streaming sample maintainer
+    * (StreamOps.sampleIngestBatch): a doc's priority is a pure
+    * function of its identity and weight, which is what makes the
+    * sample maintainable (top-k state merges by keeping the k
+    * smallest, the w5 bounded-k algebra). */
+  private[graft] def weightedPriorities(docs: DataFrame): DataFrame =
+    docs
       // a null text has no defined weight: excluded on BOTH sides
       // (unfiltered, Spark's nulls-first ascending sort would rank a
       // null priority into the top-k while DuckDB's nulls-last
@@ -121,6 +130,12 @@ object TextQueries {
       .withColumn("u",
         md5Low32(concat_ws(":", col("source"), col("doc_id"))))
       .withColumn("prio", expr("u div w"))
+      .select(col("source"), col("doc_id"), col("w"), col("prio"))
+
+  /** Per-source k smallest priorities, ranked — the read shape of
+    * the weighted sample. */
+  private[graft] def rankSample(prios: DataFrame, k: Int): DataFrame =
+    prios
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("prio").asc, col("doc_id").asc)).cast("long"))

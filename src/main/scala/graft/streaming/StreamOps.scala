@@ -1801,6 +1801,131 @@ object StreamOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Incremental weighted sample (training-mix maintenance)
+  // ------------------------------------------------------------------
+
+  /** Marker ledger for sampleIngestBatch — the family's
+    * replay-idempotency contract. */
+  private val SampleMarkersDir = "_graft_sample_batches"
+
+  /** Incrementally maintain the per-source weighted priority sample
+    * (the batch form is TextQueries.tWeightedSample) as documents
+    * ARRIVE — the training-mix twin of the index maintainers: a
+    * corpus pipeline admits documents continuously, and the
+    * token-budget sample must follow without rescanning the corpus.
+    *
+    * Priorities are a PURE FUNCTION of doc identity and weight
+    * (md5-low-32 div token count), so the maintained sample over
+    * batches 0..n equals the batch query over their union by the
+    * bounded-k selection algebra (w5's argument, restated on
+    * arrival order instead of salt shards): any doc outside its
+    * batch's per-source top-k is dominated by k batch-mates that DO
+    * reach the candidates table, so appending only each batch's
+    * per-source top-k loses nothing. State is LSM-shaped:
+    *  - `cands` (source, doc_id, w, prio): ≤ k rows per source per
+    *    applied batch, append-only between compactions;
+    *  - read = per-source k smallest over cands (bounded by
+    *    applied-batches × k per source — the read amplification
+    *    compaction resets);
+    *  - compactSampleIndex collapses cands to the CURRENT top-k via
+    *    the checked tmp+swap (recoverCompaction heals a crash inside
+    *    the rename pair — heal-first on every reader and ingester,
+    *    the family rule).
+    *
+    * Returns the batch's admitted candidate rows (deterministic
+    * under replay; a replayed batch appends nothing). */
+  def sampleIngestBatch(indexPath: String, k: Int = 10,
+      metricsEvery: Int = DefaultMetricsEvery)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/cands"))
+    val cand = graft.queries.TextQueries
+      .rankSample(graft.queries.TextQueries.weightedPriorities(batch), k)
+      .drop("rk")
+      .localCheckpoint(true)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SampleMarkersDir/b$batchId")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied && !cand.isEmpty)
+      cand.coalesce(1).write.mode("append").parquet(s"$indexPath/cands")
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId, sampleIndexHealth(spark, indexPath, k))
+    if (!alreadyApplied) fs.create(marker, true).close()
+    cand
+  }
+
+  /** The maintained sample: identical shape (and rows — spec-pinned
+    * per boundary) to TextQueries.tWeightedSample over every
+    * document any applied batch has seen. */
+  def readSample(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int = 10): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val cands =
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("source", "doc_id", "w", "prio")
+      }
+    // distinct: a crash between append and marker leaves duplicate
+    // candidate rows on replay; without the dedup a doc could occupy
+    // two ranks. Cheap — cands is applied-batches × k per source.
+    graft.queries.TextQueries.rankSample(cands.distinct(), k)
+  }
+
+  /** Health row — the compact-WHEN signal: candidate rows per source
+    * versus the k the read needs (the LSM read-amplification
+    * analogue, same cadence contract as the other audits). */
+  def sampleIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int = 10): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val (nCands, nSources) =
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val c = spark.read.parquet(p.toString)
+        (c.count(), c.select(col("source")).distinct().count())
+      }
+    import spark.implicits._
+    Seq((nCands, nSources,
+        if (nSources == 0L) 0.0 else nCands.toDouble / (nSources * k)))
+      .toDF("n_cand_rows", "n_sources", "read_amplification")
+  }
+
+  /** Collapse cands to the current top-k per source — the LSM
+    * compaction, via the checked tmp+swap. */
+  def compactSampleIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int = 10): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cands__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // distinct() drops the duplicate candidate rows a crash between
+      // append and marker can leave on replay
+      graft.queries.TextQueries
+        .rankSample(spark.read.parquet(p.toString).distinct(), k)
+        .drop("rk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/cands__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
+    }
+  }
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

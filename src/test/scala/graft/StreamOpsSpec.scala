@@ -1411,6 +1411,67 @@ class StreamOpsSpec extends SparkSpec {
         s"real-pair stream diverged at batch ${i + 1}")
     }
   }
+
+  // ---- incremental weighted sample ----
+
+  private def sampleRows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long)] =
+    df.select("source", "rk", "doc_id", "w", "prio")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("sampleIngestBatch: batch-equal to tWeightedSample at every boundary, " +
+      "replay no-op, compaction collapses cands, crash-window heal") {
+    val idx = java.nio.file.Files.createTempDirectory("sample-idx").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("source"), col("doc_id"), col("text"))
+      .persist()
+    def truth(upTo: Long): Set[(String, Long, Long, Long, Long)] =
+      sampleRows(graft.queries.TextQueries.rankSample(
+        graft.queries.TextQueries.weightedPriorities(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) < upTo)), 10))
+    for (i <- 0L until 4L) {
+      StreamOps.sampleIngestBatch(idx, metricsEvery = 1)(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) === i), i + 1L)
+      assert(sampleRows(StreamOps.readSample(spark, idx)) == truth(i + 1),
+        s"maintained sample diverged from the batch query after batch ${i + 1}")
+    }
+    // replay: no new rows, no new metrics, state unchanged
+    val candsBefore = spark.read.parquet(s"$idx/cands").count()
+    val metricsBefore = StreamOps.indexMetrics(spark, idx).get.count()
+    StreamOps.sampleIngestBatch(idx, metricsEvery = 1)(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) === 2), 3L)
+    assert(spark.read.parquet(s"$idx/cands").count() == candsBefore)
+    assert(StreamOps.indexMetrics(spark, idx).get.count() == metricsBefore)
+    assert(sampleRows(StreamOps.readSample(spark, idx)) == truth(4))
+    // health: hash slicing spreads every source over the 4 batches,
+    // so cands holds several batch top-ks per source → amplification > 1
+    val health = StreamOps.sampleIndexHealth(spark, idx).collect()(0)
+    assert(health.getAs[Double]("read_amplification") > 1.0)
+    // compaction collapses cands to <= sources × k and preserves rows
+    StreamOps.compactSampleIndex(spark, idx)
+    val nSources = health.getAs[Long]("n_sources")
+    assert(spark.read.parquet(s"$idx/cands").count() <= nSources * 10)
+    assert(sampleRows(StreamOps.readSample(spark, idx)) == truth(4))
+    // ingest continues across the fold (re-keyed copies of slice 0 as
+    // brand-new heavier docs — some must displace current members)
+    val extra = docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
+      .select(col("source"), (col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", col("text"), col("text"), col("text")).as("text"))
+    StreamOps.sampleIngestBatch(idx, metricsEvery = 1)(extra, 5L)
+    val wantAll = sampleRows(graft.queries.TextQueries.rankSample(
+      graft.queries.TextQueries.weightedPriorities(
+        docs.unionByName(extra)), 10))
+    assert(sampleRows(StreamOps.readSample(spark, idx)) == wantAll,
+      "post-compaction ingest diverged")
+    // crash inside a compaction swap: cands moved aside, not yet
+    // replaced — every reader/ingester heals it first
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/cands"),
+      new org.apache.hadoop.fs.Path(s"$idx/cands__old")))
+    assert(sampleRows(StreamOps.readSample(spark, idx)) == wantAll,
+      "reader did not heal the interrupted swap")
+    docs.unpersist()
+  }
 }
 
 object StreamOpsSpec {
