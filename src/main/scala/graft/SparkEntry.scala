@@ -139,6 +139,7 @@ object SparkEntry {
     "g3_triangles" -> ((s: SparkSession, d: String) => GraphQueries.g3Triangles(s, d)),
     "g4_components" -> ((s: SparkSession, d: String) => GraphQueries.g4Components(s, d)),
     "g5_components_inc" -> ((s: SparkSession, d: String) => GraphQueries.g5ComponentsInc(s, d)),
+    "g6_bfs_dists" -> ((s: SparkSession, d: String) => GraphQueries.g6BfsDists(s, d)),
   )
 
   /** Queries whose oracle SQL is rendered from a trained-model
@@ -1355,6 +1356,27 @@ object SparkEntry {
                UNION
                SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
          SELECT id AS part_key, min(lbl) AS component_id FROM walk GROUP BY id""",
+    // BFS distances: engine runs the early-exit frontier loop, oracle
+    // re-derives min hop count via a depth-capped recursive walk —
+    // exact integers, so the traversal is hash-provable. The cap (20)
+    // mirrors the engine's maxHops runaway bound; the walk's longer
+    // rediscoveries of a node collapse under min(d).
+    "g6_bfs_dists" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         s AS (SELECT min(a_id) AS root FROM p),
+         walk(id, d) AS (
+               SELECT root, 0 FROM s
+               UNION
+               SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+               WHERE w.d < 20)
+         SELECT id AS part_key, min(d) AS dist FROM walk GROUP BY id""",
     "emb_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),

@@ -413,6 +413,59 @@ object GraphQueries {
     * the output floor. The build amortizes across serves via the
     * same signature-keyed tmp root as the stored ANN indexes
     * (derived data keyed on its input's identity). */
+  /** BFS hop distances from a deterministic root (the minimum node id)
+    * over the SAME support-thresholded co-purchase graph as g4/g5 —
+    * the traversal member of the graph family (reachability radius /
+    * "how related is this part to the anchor product", the
+    * neighborhood-expansion query a recommender runs from a seed):
+    *
+    *   dist(root) = 0;  dist(n) = 1 + min over neighbors — exact
+    *   integers, so the DuckDB recursive-CTE oracle hash-matches.
+    *
+    * Execution is the textbook frontier loop: per superstep, one
+    * edge join from the CURRENT frontier only (never the visited
+    * set), an anti-join against visited, and a localCheckpoint to
+    * truncate lineage (the g1 superstep discipline). Work per step
+    * is frontier-adjacent edges; total work is O(E) across all
+    * steps — each undirected edge is expanded at most twice. The
+    * loop stops at the first empty frontier (diameter-many steps,
+    * not maxHops), with `maxHops` as the runaway bound mirrored by
+    * the oracle's depth cap. Unreachable nodes are absent from the
+    * output, exactly like the oracle's walk. */
+  def g6BfsDists(spark: SparkSession, dir: String,
+      minSup: Int = 2, maxHops: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val sup = orderPairs(li)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSup)
+      .select(col("src"), col("dst"))
+    // symmetrize once; both directions persisted for the hop joins
+    val edges = sup
+      .unionByName(sup.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val root = edges.agg(min(col("src")).as("id"))
+    var dist = root.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select(col("id"))
+    var hop = 1L
+    var done = frontier.isEmpty
+    while (!done && hop <= maxHops) {
+      val next = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(true)
+        frontier = next.select(col("id"))
+        hop += 1
+      }
+    }
+    edges.unpersist()
+    dist.select(col("id").as("part_key"), col("dist"))
+  }
+
   /** MD5 over the classfile bytes of every class the g5 build path
     * executes — the code half of the derived-index identity (see the
     * ensure() call below). Lazy: computed once per JVM. */

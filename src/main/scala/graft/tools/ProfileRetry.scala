@@ -60,7 +60,10 @@ object ProfileRetry {
     // duplicate values — tie ORDER varies per attempt, the picked
     // rows must not), and the deterministic-hash sampler/counters
     "g5_components_inc", "w5_topk_twophase", "q_quantiles_twophase",
-    "t_collocations", "t_weighted_sample")
+    "t_collocations", "t_weighted_sample",
+    // eager localCheckpoint per frontier superstep — the lineage-
+    // truncation-under-kills shape g1 pins, on a data-dependent loop
+    "g6_bfs_dists")
 
   /** First-attempt tasks with index ≡ KillResidue (mod KillMod) are
     * killed — deterministic selection, ~20% of every stage. */

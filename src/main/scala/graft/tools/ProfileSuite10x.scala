@@ -128,7 +128,11 @@ object ProfileSuite10x {
     "t_weighted_sample" -> LinearBound,
     // histogram + broadcast locate + bounded-bucket extract: every
     // corpus-sized term is map-side combinable or a narrow semi-join
-    "q_quantiles_twophase" -> LinearBound)
+    "q_quantiles_twophase" -> LinearBound,
+    // frontier BFS: replicas are disjoint components, so the root's
+    // traversal touches ONE replica — the edge BUILD (shared with
+    // g4) is the only term that grows; expect well under linear
+    "g6_bfs_dists" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

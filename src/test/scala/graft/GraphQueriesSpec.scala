@@ -164,6 +164,55 @@ class GraphQueriesSpec extends SparkSpec {
     for ((n, v) <- r) assert(out(n) == v, s"node $n: ${out(n)} != $v")
   }
 
+  test("g6BfsDists equals a driver-side BFS on sf0.001; hand-built graph " +
+      "pins root choice, hop counts, and unreachable exclusion") {
+    // independent ground truth: queue BFS over the same thresholded
+    // edge set, re-derived from raw lineitem rows with plain Scala
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      .withDefaultValue(0)
+    for (parts <- byOrder.values; a <- parts; b <- parts if a < b)
+      pairCounts((a, b)) += 1
+    // iterator first: collect on a Map producing pairs would build a
+    // MAP and silently collapse the edge list to one edge per source
+    val und = pairCounts.iterator
+      .collect { case ((a, b), c) if c >= 2 => (a, b) }.toSeq
+    val adj = (und ++ und.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val root = und.map(_._1).min
+    val want = scala.collection.mutable.Map(root -> 0L)
+    var frontier = Set(root)
+    var d = 1L
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(want.contains)
+      frontier.foreach(want(_) = d)
+      d += 1
+    }
+    val got = GraphQueries.g6BfsDists(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap, "frontier loop diverged from driver BFS")
+
+    // hand-built: chain 1-2-3-4 (orders repeated twice to pass the
+    // support cut), a branch 2-9, and a pair below support (5-6, one
+    // co-order only) that must stay unreachable AND not create edges
+    import spark.implicits._
+    val orders =
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 9L).zipWithIndex.flatMap {
+        case ((a, b), i) => Seq((100L + i, a), (100L + i, b),
+          (200L + i, a), (200L + i, b))
+      } ++ Seq((300L, 5L), (300L, 6L))
+    val dir = java.nio.file.Files.createTempDirectory("g6spec").toString
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val hand = GraphQueries.g6BfsDists(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hand == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> 2L))
+  }
+
   test("g5ComponentsInc equals the one-shot g4 labeling, invariant to the " +
       "batch split, idempotent on re-read") {
     def labeling(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
