@@ -457,7 +457,12 @@ object GraphQueries {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionByName(next).localCheckpoint(true)
+        // plain union: every hop frame is already checkpointed, so
+        // the accumulated dist is a shallow union of materialized
+        // legs — re-checkpointing it would rewrite all O(V) visited
+        // rows every superstep (O(V×diameter) total) for no lineage
+        // benefit
+        dist = dist.unionByName(next)
         frontier = next.select(col("id"))
         hop += 1
       }

@@ -1889,8 +1889,11 @@ object StreamOps {
     val (nCands, nSources) =
       if (!fs.exists(p)) (0L, 0L)
       else {
-        val c = spark.read.parquet(p.toString)
-        (c.count(), c.select(col("source")).distinct().count())
+        // one aggregation job, not two scans — this rides the hot
+        // ingest path at every metrics emission
+        val r = spark.read.parquet(p.toString)
+          .agg(count(lit(1)), countDistinct(col("source"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
       }
     import spark.implicits._
     Seq((nCands, nSources,
