@@ -392,27 +392,6 @@ object GraphQueries {
         col("cluster_id").as("component_id"))
   }
 
-  /** g4's labeling rebuilt INCREMENTALLY: the same support-thresholded
-    * co-purchase edges, split into `nBatches` deterministic slices
-    * (edge-hash mod n — arbitrary arrival order, exactly what a
-    * streaming pair detector produces) and fed one slice at a time
-    * through the LSM cluster maintainer
-    * (StreamOps.clustersIngestBatch), with one mid-stream compaction
-    * folding the merge log into the labels table halfway. The read
-    * is the maintained labeling (StreamOps.readClusters).
-    *
-    * The oracle is the SAME recursive-reachability CTE that backs
-    * g4_components, so the driver's hash gate proves the strongest
-    * statement the incremental family can make: ingest-N-batches +
-    * compact + resolve ≡ one batch clustering of the full edge set —
-    * through an independent engine, not just the in-repo spec.
-    *
-    * Scale shape: each ingest touches batch-proportional state
-    * (partition-pruned label lookup + delta-sized clustersOf); the
-    * only corpus-scale work is the final corpus-sized read, which is
-    * the output floor. The build amortizes across serves via the
-    * same signature-keyed tmp root as the stored ANN indexes
-    * (derived data keyed on its input's identity). */
   /** BFS hop distances from a deterministic root (the minimum node id)
     * over the SAME support-thresholded co-purchase graph as g4/g5 —
     * the traversal member of the graph family (reachability radius /
@@ -485,6 +464,27 @@ object GraphQueries {
     "|code:" + digest.digest().take(8).map("%02x".format(_)).mkString
   }
 
+  /** g4's labeling rebuilt INCREMENTALLY: the same support-thresholded
+    * co-purchase edges, split into `nBatches` deterministic slices
+    * (edge-hash mod n — arbitrary arrival order, exactly what a
+    * streaming pair detector produces) and fed one slice at a time
+    * through the LSM cluster maintainer
+    * (StreamOps.clustersIngestBatch), with one mid-stream compaction
+    * folding the merge log into the labels table halfway. The read
+    * is the maintained labeling (StreamOps.readClusters).
+    *
+    * The oracle is the SAME recursive-reachability CTE that backs
+    * g4_components, so the driver's hash gate proves the strongest
+    * statement the incremental family can make: ingest-N-batches +
+    * compact + resolve ≡ one batch clustering of the full edge set —
+    * through an independent engine, not just the in-repo spec.
+    *
+    * Scale shape: each ingest touches batch-proportional state
+    * (partition-pruned label lookup + delta-sized clustersOf); the
+    * only corpus-scale work is the final corpus-sized read, which is
+    * the output floor. The build amortizes across serves via the
+    * same signature-keyed tmp root as the stored ANN indexes
+    * (derived data keyed on its input's identity). */
   def g5ComponentsInc(spark: SparkSession, dir: String,
       minSup: Int = 2, nBatches: Int = 6): DataFrame = {
     // the kind folds in the parameters: a different slicing (or

@@ -107,11 +107,25 @@ object JdbcSnapshot {
   private def renameSyntax(conn: java.sql.Connection,
       url: String): (String, String) => String =
     renameSyntaxCache.computeIfAbsent(url, _ => {
-      val probe = "graft_rnprobe"
-      tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
-      exec(conn, s"CREATE TABLE $probe (x INT)")
-      val mysqlStyle = tryExec(conn, s"RENAME TABLE $probe TO ${probe}2")
-      tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}2")
+      // per-probe random suffix: two writers sharing one database can
+      // never race on the probe table (a fixed name would let writer
+      // B's DROP delete writer A's in-flight probe and fail A's first
+      // tokened write), and a pre-existing user table can never be
+      // silently dropped. CREATE is retried on a fresh name rather
+      // than hard-failed, for the same shared-database reason.
+      var attempts = 0
+      var probe: String = null
+      while (probe == null) {
+        val cand = "graft_rnprobe_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        attempts += 1
+        if (tryExec(conn, s"CREATE TABLE $cand (x INT)")) probe = cand
+        else if (attempts >= 3)
+          throw new IllegalStateException(
+            s"rename-syntax probe: CREATE TABLE failed $attempts times on $url")
+      }
+      val mysqlStyle = tryExec(conn, s"RENAME TABLE $probe TO ${probe}_r")
+      tryExec(conn, s"DROP TABLE $probe"); tryExec(conn, s"DROP TABLE ${probe}_r")
       if (mysqlStyle) (from, to) => s"RENAME TABLE $from TO $to"
       else (from, to) => s"ALTER TABLE $from RENAME TO $to"
     })

@@ -9,9 +9,14 @@ private[tools] object Canon {
   def of(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     val rows = df.collect().map(_.toString).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    // the 0x0A separator keeps distinct row SETS from hashing equal
-    // when their concatenations coincide (["a", "b c"] vs ["a b", "c"])
-    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(10.toByte) }
+    // hash each row's own fixed-width DIGEST, not its raw bytes: no
+    // separator choice can be confused by row content (a 0x0A
+    // separator would hash ["a\nb","c"] and ["a","b\nc"] equal), and
+    // fixed-width blocks make the multiset encoding unambiguous
+    rows.foreach { r =>
+      md.update(java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getBytes("UTF-8")))
+    }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 }
