@@ -123,6 +123,7 @@ object SparkEntry {
     "ann_pq_stored" -> (VectorIndex.annPqStored _),
     "ann_ivfpq_stored" -> (VectorIndex.annIvfPqStored _),
     "ann_graph_topk" -> (VectorIndex.annGraphStored _),
+    "ann_graph_batch" -> (VectorIndex.annGraphBatch _),
     "ann_ivf_staleness" -> (VectorIndex.annIvfStaleness _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
@@ -151,7 +152,7 @@ object SparkEntry {
   val registerGatedQueries: Seq[String] = Seq(
     "t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored",
-    "ann_ivf_staleness")
+    "ann_ivf_staleness", "ann_graph_topk", "ann_graph_batch")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1519,5 +1520,7 @@ object SparkEntry {
     graft.queries.VectorIndex.storedIvfOracleSql.map("ann_ivf_stored" -> _) ++
     graft.queries.VectorIndex.storedPqOracleSql.map("ann_pq_stored" -> _) ++
     graft.queries.VectorIndex.storedIvfPqOracleSql.map("ann_ivfpq_stored" -> _) ++
-    graft.queries.VectorIndex.stalenessOracleSql.map("ann_ivf_staleness" -> _)
+    graft.queries.VectorIndex.stalenessOracleSql.map("ann_ivf_staleness" -> _) ++
+    graft.queries.VectorIndex.graphOracleSql.map("ann_graph_topk" -> _) ++
+    graft.queries.VectorIndex.graphBatchOracleSql.map("ann_graph_batch" -> _)
 }

@@ -96,8 +96,32 @@ object VectorIndex {
         .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq))._2
   }
 
-  private[graft] def invalidateCentroids(indexPath: String): Unit =
+  private[graft] def invalidateCentroids(indexPath: String): Unit = {
     centroidCache.remove(indexPath)
+    entriesCache.remove(indexPath)
+  }
+
+  /** Per-path cache of the graph index's per-cell entry points —
+    * centroidCache's discipline applied to the second model-sized
+    * table the walk needs on the driver. Keyed by the CENTS
+    * signature: the `_build_<uuid>` token stamped into cents/ moves
+    * it unconditionally on every rebuild, and entries/ is written by
+    * the same build that stamped the token, so cents-signature
+    * freshness covers both. Kills the per-search entries read +
+    * collect the round-12 serve paid (cells-proportional driver rows
+    * per call). */
+  private val entriesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[Int, Long])]()
+
+  private[graft] def cachedEntries(spark: SparkSession,
+      indexPath: String): Map[Int, Long] = {
+    val sig = centsSignature(spark, indexPath)
+    entriesCache.compute(indexPath, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, spark.read.parquet(s"$indexPath/entries")
+        .select(col("cell"), col("vec_id")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap))._2
+  }
 
   /** Monotone rebuild marker for the signature (see centroidCache
     * Scaladoc): a zero-byte file whose NAME is unique per build, so
@@ -673,18 +697,25 @@ object VectorIndex {
   //   actually visits — the same physical-pruning argument as IVF's
   //   partitionBy("cell"), with the walk replacing nprobe.
   //
-  // SEARCH (bounded-driver greedy, the localSupersteps pattern):
+  // SEARCH — two forms sharing one fixed-round greedy semantics:
+  //   searchGraph (bounded-driver, the localSupersteps pattern):
   //   per-hop state is queries × beam candidates — serving-batch-sized
-  //   by contract, never corpus-sized — so the walk runs as a driver
+  //   by contract (maxQueryBatch guard) — so the walk runs as a driver
   //   loop of PARTITION-PRUNED index reads (cell ∈ visited, vec_id ∈
   //   frontier), each bounded by beam × degree rows. At 100 TB the
-  //   index read stays pruned (that is the point); a corpus-sized
-  //   query batch would instead join the query frame against the graph
-  //   table per hop — the documented distributed handoff.
+  //   index read stays pruned (that is the point).
+  //   searchGraphBatch (distributed): the corpus-sized-query-batch
+  //   handoff — per-query state held as qid-keyed DataFrames, per hop
+  //   one frontier window + joins against the edge list and embedding
+  //   column, pool/expanded accumulated as shallow unions of
+  //   checkpointed legs. Pinned row-identical to the driver walk.
   //
-  // Correctness: no SQL oracle (the walk is iterative and the graph is
-  // corpus-sized — neither renders into a DuckDB text); pinned instead
-  // by VectorIndexSpec: recall@5 ≥ 0.9 vs the exact brute answer, self
+  // Correctness: hash-gated end to end — the build is deterministic
+  // given the trained quantizer (two builds byte-equal,
+  // VectorIndexSpec), so the DuckDB oracle recomputes the whole graph
+  // from the embeddings table plus the rendered centroids and unrolls
+  // the fixed-round walk (graphOracleSqlOf). VectorIndexSpec remains
+  // the semantic floor: recall@5 ≥ 0.9 vs the exact brute answer, self
   // at rank 1, determinism across runs, degree bound, and the pruned
   // serve (scan numFiles < index files).
 
@@ -805,17 +836,20 @@ object VectorIndex {
     * Output matches the family schema: (qid, rank, nid, sim), self
     * included, sim = 4dp-rounded cosine, ties by nid. */
   def searchGraph(spark: SparkSession, indexPath: String, queries: DataFrame,
-      beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5): DataFrame = {
+      beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5,
+      maxQueryBatch: Int = 8192): DataFrame = {
     val qs: Array[(Long, Array[Double])] = queries
-      .select(col("qid"), col("qemb").cast("array<double>")).collect()
+      .select(col("qid"), col("qemb").cast("array<double>"))
+      .limit(maxQueryBatch + 1).collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
         val nrm = math.sqrt(v.map(x => x * x).sum)
         (r.getLong(0), if (nrm > 0) v.map(_ / nrm) else v)
       }
-    val entries = spark.read.parquet(s"$indexPath/entries")
-      .select(col("cell"), col("vec_id")).collect()
-      .map(r => (r.getLong(1), r.getInt(0)))
+    require(qs.length <= maxQueryBatch,
+      s"searchGraph is a serving path: > $maxQueryBatch query vectors in " +
+        "one batch — searchGraphBatch is the corpus-sized-batch form")
+    val cellEntry: Map[Int, Long] = cachedEntries(spark, indexPath)
 
     // ONE similarity definition for seed scoring AND pool scoring
     // (Seq covers both the cached centroids and fetched Arrays)
@@ -841,11 +875,11 @@ object VectorIndex {
     }
 
     // seed each query from its GraphSeedCells nearest cells' entry
-    // points (the stored quantizer — cachedCentroids shares the IVF
-    // family's signature-keyed cache), so hop 0 prunes like every
-    // later hop instead of touching every partition
+    // points (the stored quantizer + entry map — both ride the
+    // signature-keyed caches, so a warm serve reads NO model tables),
+    // so hop 0 prunes like every later hop instead of touching every
+    // partition
     val cents = cachedCentroids(spark, indexPath)
-    val cellEntry: Map[Int, Long] = entries.map { case (vid, c) => c -> vid }.toMap
 
     // per-query walk state: scored pool (nid -> sim), expanded set,
     // and the next frontier to score — all serving-batch-bounded
@@ -860,8 +894,14 @@ object VectorIndex {
       qid -> seeds.flatMap(c => cellEntry.get(c).map(_ -> c)).toMap
     }.toMap
 
+    // FIXED-ROUND contract: always hops+1 scoring rounds (seeds +
+    // hops neighbor expansions), even through an all-empty toScore —
+    // the frontier can still advance to not-yet-expanded pool nodes
+    // whose neighbors are unscored. This is exactly what the DuckDB
+    // oracle unrolls (graphOracleSql), so the two can never diverge
+    // on the rare all-queries-stalled round an early exit would skip.
     var hop = 0
-    while (hop <= hops && toScore.valuesIterator.exists(_.nonEmpty)) {
+    while (hop <= hops) {
       fetch(toScore.valuesIterator.flatten.toMap)
       for ((qid, qv) <- qs; (nid, _) <- toScore(qid); row <- fetched.get(nid))
         pool(qid).getOrElseUpdate(nid, r4(dot(qv, row._1)))
@@ -884,8 +924,9 @@ object VectorIndex {
   }
 
   /** Driver query: idempotent build + the fixed query set, the same
-    * serving contract as the other stored variants (rows-only driver
-    * check; ground truth in VectorIndexSpec). */
+    * serving contract as the other stored variants (hash-gated via
+    * the rendered-model oracle below; semantic ground truth — recall,
+    * pruning, determinism — in VectorIndexSpec). */
   def annGraphStored(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
     // layout migration: a root built before the quantizer was
@@ -895,6 +936,246 @@ object VectorIndex {
     val cp = new org.apache.hadoop.fs.Path(s"$idx/cents")
     if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp))
       buildGraph(spark, dir, idx)
+    lastStoredGraph = Some(cachedCentroids(spark, idx))
     searchGraph(spark, idx, corpusQueries(spark, dir))
   }
+
+  /** The corpus-sized-query-batch form of the graph walk — the
+    * handoff the round-12 serve documented, now implemented: the
+    * SAME fixed-round greedy beam semantics as `searchGraph`, with
+    * every piece of per-query state held as a DataFrame keyed by qid
+    * instead of driver maps, so a batch of millions of queries walks
+    * the index as `hops` rounds of distributed joins:
+    *
+    *   pool      (qid, nid, sim) — scored candidates, a shallow union
+    *             of per-hop localCheckpoint'd legs (the g6 frontier
+    *             discipline: only the per-hop delta is ever
+    *             re-materialized, never the accumulated state)
+    *   expanded  (qid, nid)      — union of checkpointed frontiers
+    *   frontier  top-`beam` unexpanded pool rows per qid (one window)
+    *
+    * Per hop: frontier ⋈ edge list (n×degree rows, read once and
+    * persisted) → candidate (qid, nid) pairs, anti-join pool, score
+    * by one join against the graph's embedding column + one against
+    * the normalized query frame. Driver state: the centroid/entry
+    * caches only (model-sized). The seeds stage broadcasts the ≤256
+    * centroid rows; everything else is shuffle joins on qid/nid —
+    * at a 1000-executor scale both sides partition on the join keys
+    * and no stage holds more than queries × beam × degree rows.
+    *
+    * Equality: pinned row-identical to the driver walk on the same
+    * batch (VectorIndexSpec) and hash-gated against the rendered
+    * full-corpus oracle (`ann_graph_batch`). Arithmetic parity with
+    * the driver walk is by construction: graft_dot ≡ the driver dot
+    * loop, graft_vec_div ≡ the driver normalize, round(.,4) ≡
+    * BigDecimal HALF_UP. */
+  def searchGraphBatch(spark: SparkSession, indexPath: String, queries: DataFrame,
+      beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    healCells(spark, indexPath)
+    val cents = cachedCentroids(spark, indexPath)
+    val entries = cachedEntries(spark, indexPath)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // normalized query frame — the serving contract (raw vectors in;
+    // zero-norm vectors pass through unscaled, like the driver walk)
+    val qn = queries
+      .select(col("qid").cast("long").as("qid"),
+        col("qemb").cast("array<double>").as("q0"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("q0"), col("q0"))))
+      .select(col("qid"),
+        when(col("nrm") > 0,
+          call_function("graft_vec_div", col("q0"), col("nrm")))
+          .otherwise(col("q0")).as("qemb"))
+      .persist(lvl)
+
+    val g = spark.read.parquet(s"$indexPath/graph")
+      .select(col("vec_id").as("nid"), col("emb"), col("nbrs"))
+      .persist(lvl)
+    val edges = g.select(col("nid").as("src"),
+        explode(expr("transform(nbrs, e -> e.nid)")).as("enid"))
+      .persist(lvl)
+
+    def score(cand: DataFrame): DataFrame = // (qid, nid) -> + sim
+      cand.join(g.select(col("nid"), col("emb")), Seq("nid"))
+        .join(qn, Seq("qid"))
+        .select(col("qid"), col("nid"),
+          round(call_function("graft_dot", col("qemb"), col("emb")), 4).as("sim"))
+
+    // eager checkpoint + clean re-wrap: a bare localCheckpoint keeps
+    // the ORIGIN plan's constraints on its LogicalRDD, and unioning
+    // several such legs (whose constraints reference attribute ids
+    // the rewritten union no longer carries) trips Union's
+    // constraint-rewrite with a missing-key error. Re-wrapping the
+    // materialized RDD through createDataFrame yields a constraint-
+    // free leaf with fresh attributes — legs here are bounded
+    // (queries × beam × degree rows of three primitives), so the one
+    // extra row encode is noise next to the scoring join it fences.
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+
+    // seeds: per-query top seed cells against the broadcast centroid
+    // table, mapped to their entry points
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cent")
+    val entryDf = entries.toSeq.map { case (c, vid) => (c, vid) }
+      .toDF("cell", "nid")
+    val seeds = qn.crossJoin(broadcast(centsDf))
+      .select(col("qid"), col("cell"),
+        call_function("graft_dot", col("qemb"), col("cent")).as("dp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("cell"))))
+      .filter(col("rk") <= GraphSeedCells)
+      .join(broadcast(entryDf), Seq("cell"))
+      .select(col("qid"), col("nid"))
+
+    var pool = ckpt(score(seeds))
+    // expanded starts null (round 1 has nothing to exclude) rather
+    // than as a limit(0) frame: unioning an empty projection of pool
+    // with checkpointed legs trips Union's constraint rewrite on the
+    // recycled attribute ids
+    var expanded: DataFrame = null
+    var r = 1
+    while (r <= hops) {
+      val unexp = if (expanded == null) pool
+        else pool.join(expanded, Seq("qid", "nid"), "left_anti")
+      val frontier = ckpt(unexp
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+        .filter(col("rk") <= beam).select(col("qid"), col("nid")))
+      expanded = if (expanded == null) frontier
+        else expanded.unionByName(frontier)
+      val cand = frontier
+        .join(edges, frontier("nid") === edges("src"))
+        .select(col("qid"), col("enid").as("nid")).distinct()
+        .join(pool.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      pool = pool.unionByName(ckpt(score(cand)))
+      r += 1
+    }
+    qn.unpersist(false); g.unpersist(false); edges.unpersist(false)
+    pool.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Driver query for the distributed walk: the WHOLE corpus as the
+    * query batch (the shape the driver walk's maxQueryBatch guard
+    * fences off), against the shared stored graph index. */
+  def annGraphBatch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
+    val cp = new org.apache.hadoop.fs.Path(s"$idx/cents")
+    if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp))
+      buildGraph(spark, dir, idx)
+    lastStoredGraphBatch = Some(cachedCentroids(spark, idx))
+    searchGraphBatch(spark, idx, Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+  }
+
+  @volatile private[graft] var lastStoredGraph: Option[Seq[Seq[Double]]] = None
+
+  /** DuckDB oracle for `ann_graph_topk` — the rendered-model pattern
+    * taken one level up: the stored quantizer renders as VALUES (the
+    * IVF discipline), and because the whole BUILD is deterministic
+    * given that quantizer (VectorIndexSpec pins two builds
+    * byte-equal), the oracle recomputes the ENTIRE index — top-2 cell
+    * assignments, within-cell exact-dot pairs, top-degree edge lists,
+    * per-cell entry points — from the embeddings table, then unrolls
+    * the fixed-round greedy beam walk (GraphHops rounds of: top-beam
+    * unexpanded frontier, neighbor expansion, anti-join against the
+    * pool, rounded-cosine scoring) as chained CTEs. A stale stored
+    * graph (testdata regenerated under a cached _complete marker)
+    * surfaces as a loud hash mismatch, exactly like the other stored
+    * indexes. Every arithmetic step is the proven-parity form:
+    * list_transform-normalization ≡ embNormed, list_dot_product ≡
+    * graft_dot/the driver dot loop, round(.,4) ≡ the engine's
+    * BigDecimal HALF_UP on bit-identical doubles. */
+  private[graft] def graphOracleSql: Option[String] =
+    lastStoredGraph.map(
+      graphOracleSqlOf(_, s"WHERE vec_id < ${VectorQueries.QueryK}"))
+
+  @volatile private[graft] var lastStoredGraphBatch: Option[Seq[Seq[Double]]] = None
+
+  /** Oracle for `ann_graph_batch` — the SAME rendered-graph walk,
+    * with the query set widened to the whole corpus (the distributed
+    * serve's contract). */
+  private[graft] def graphBatchOracleSql: Option[String] =
+    lastStoredGraphBatch.map(graphOracleSqlOf(_, ""))
+
+  private[graft] def graphOracleSqlOf(cents: Seq[Seq[Double]],
+      queryFilter: String): String = {
+      // rounds r = 1..GraphHops; p0 = scored seed entry points.
+      //   f_r: top-beam pool rows not yet expanded (x_{r-1})
+      //   x_r: expanded-set accumulation
+      //   c_r: frontier neighbors not already in the pool
+      //   p_r: pool + newly scored candidates
+      val rounds = (1 to GraphHops).map { r =>
+        val notExpanded =
+          if (r == 1) ""
+          else s"""
+            WHERE NOT EXISTS (SELECT 1 FROM x${r - 1} x
+                  WHERE x.qid = p.qid AND x.nid = p.nid)"""
+        val xCte =
+          if (r == 1) "x1 AS (SELECT qid, nid FROM f1)"
+          else s"""x$r AS (SELECT qid, nid FROM x${r - 1}
+                  UNION SELECT qid, nid FROM f$r)"""
+        s"""f$r AS (SELECT qid, nid FROM (
+                SELECT p.qid, p.nid, row_number() OVER (PARTITION BY p.qid
+                  ORDER BY p.sim DESC, p.nid) AS rk
+                FROM p${r - 1} p$notExpanded) WHERE rk <= $GraphBeam),
+          $xCte,
+          c$r AS (SELECT DISTINCT f.qid, ed.nid
+                FROM f$r f JOIN edges ed ON ed.src = f.nid
+                WHERE NOT EXISTS (SELECT 1 FROM p${r - 1} p
+                  WHERE p.qid = f.qid AND p.nid = ed.nid)),
+          p$r AS (SELECT qid, nid, sim FROM p${r - 1} UNION ALL
+                SELECT c.qid, c.nid,
+                  round(list_dot_product(q.qemb, ge.emb), 4) AS sim
+                FROM c$r c JOIN q ON q.qid = c.qid
+                JOIN e ge ON ge.vec_id = c.nid)"""
+      }.mkString(",\n          ")
+      s"""WITH ${VectorQueries.NormedCte},
+            cents(cid, w, c2) AS (VALUES
+           ${VectorQueries.centroidValues(cents)}),
+            d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
+                  FROM e CROSS JOIN cents),
+            asg AS (SELECT vec_id, cid, dp,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
+                  FROM d),
+            mem AS (SELECT a.vec_id, a.cid, e.emb
+                  FROM asg a JOIN e USING (vec_id) WHERE a.rk <= 2),
+            prim AS (SELECT vec_id, cid, dp FROM asg WHERE rk = 1),
+            pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                  max(list_dot_product(x.emb, y.emb)) AS sim
+                  FROM mem x JOIN mem y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                  GROUP BY 1, 2),
+            dir AS (SELECT a AS src, b AS nid, sim FROM pr
+                  UNION ALL SELECT b AS src, a AS nid, sim FROM pr),
+            edges AS (SELECT src, nid FROM (
+                  SELECT src, nid, row_number() OVER (PARTITION BY src
+                    ORDER BY sim DESC, nid) AS rk FROM dir)
+                  WHERE rk <= $GraphDegree),
+            entries AS (SELECT cid, vec_id FROM (
+                  SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
+                    ORDER BY dp DESC, vec_id) AS rk FROM prim)
+                  WHERE rk = 1),
+            q AS (SELECT vec_id AS qid, emb AS qemb FROM e $queryFilter),
+            sd AS (SELECT qid, cid FROM (
+                  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_dot_product(q.qemb, c.w) DESC, c.cid) AS rk
+                  FROM q CROSS JOIN cents c) WHERE rk <= $GraphSeedCells),
+            p0 AS (SELECT s.qid, en.vec_id AS nid,
+                  round(list_dot_product(q.qemb, ge.emb), 4) AS sim
+                  FROM sd s JOIN entries en USING (cid)
+                  JOIN q ON q.qid = s.qid
+                  JOIN e ge ON ge.vec_id = en.vec_id),
+          $rounds
+         SELECT qid, rank, nid, sim FROM (
+           SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid) AS rank
+           FROM p$GraphHops) WHERE rank <= 5"""
+    }
 }

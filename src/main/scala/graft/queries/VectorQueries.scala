@@ -56,7 +56,7 @@ object VectorQueries {
   /** The fixed query set every ANN variant answers for: the first 10
     * vectors. One definition so the brute/LSH/IVF paths can never
     * silently diverge on what they are recalled against. */
-  private val QueryK = 10
+  private[queries] val QueryK = 10
   private val QueryPred = col("vec_id") < QueryK
 
   /** Shared ANN tail: exact re-rank of candidate (qid, nid) pairs —

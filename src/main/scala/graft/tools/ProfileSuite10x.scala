@@ -111,6 +111,11 @@ object ProfileSuite10x {
     // variants, so the measured best is the partition-pruned walk —
     // near-flat by design; measured 0.99x at x40)
     "ann_graph_topk" -> LinearBound,
+    // round-13: the distributed batch walk over the same stored graph
+    // (corpus-sized query batch — BOTH sides of every per-hop join
+    // grow linearly; the build amortizes into the first best-of run
+    // via the shared ensure() root exactly like ann_graph_topk)
+    "ann_graph_batch" -> LinearBound,
     // round-12: the incremental-cluster rebuild+serve — 6 ingests
     // each over 1/6 of the edges (per-batch label lookups prune to
     // touched buckets; uniform hash slices touch every bucket, so

@@ -59,8 +59,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "t_compress_ratio" -> "TextQueriesSpec equals direct java.util.zip output per doc",
     "q_profile_hll" -> "CoreQueriesSpec within 10% of exact at two SFs",
     "q_quantiles_approx" -> "CoreQueriesSpec within 1% of exact quartiles at two SFs",
-    "t_bpe_tokens" -> "BpeSpec hand-computed Sennrich merges/encodes + per-doc fixture recompute",
-    "ann_graph_topk" -> "VectorIndexSpec recall>=0.9 vs brute, self at rank 1, degree bound, pruned serve, deterministic build")
+    "t_bpe_tokens" -> "BpeSpec hand-computed Sennrich merges/encodes + per-doc fixture recompute")
+  // (ann_graph_topk moved OUT when it gained the rendered-graph
+  // DuckDB oracle — VectorIndexSpec remains its semantic floor.)
 
   // Oracles rendered from trained-model registers — they appear in
   // SparkEntry.oracleSql only AFTER their query has run in this JVM

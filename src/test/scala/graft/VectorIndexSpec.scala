@@ -262,6 +262,24 @@ class VectorIndexSpec extends SparkSpec {
       s"walk fetched $rowsFetched rows (bound $walkBound, corpus $corpus)")
   }
 
+  test("graph index: distributed batch walk row-identical to the driver walk") {
+    val idx = Files.createTempDirectory("graft-graphidx-batch").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // the corpus-sized batch (the shape the driver walk exists to
+    // avoid) and the small serving batch must both agree exactly —
+    // same seeds, same fixed-round frontier arithmetic, same rounding
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    assert(canon(VectorIndex.searchGraphBatch(spark, idx, all)) ==
+      canon(VectorIndex.searchGraph(spark, idx, all)),
+      "corpus-sized batch diverges from the driver walk")
+    assert(canon(VectorIndex.searchGraphBatch(spark, idx, corpusQueries(10))) ==
+      canon(VectorIndex.searchGraph(spark, idx, corpusQueries(10))),
+      "serving-sized batch diverges from the driver walk")
+  }
+
   test("graph index: build deterministic; search twice identical") {
     val idx1 = Files.createTempDirectory("graft-graphidx1").toString
     val idx2 = Files.createTempDirectory("graft-graphidx2").toString
