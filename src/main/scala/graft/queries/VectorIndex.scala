@@ -113,14 +113,89 @@ object VectorIndex {
   private val entriesCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Map[Int, Long])]()
 
+  /** Marker ledger of the graph index's streaming maintainer — also
+    * the freshness component of the entries-cache signature: every
+    * applied ingest batch adds a marker, so the cache invalidates
+    * exactly when the logical index state moves (compaction folds the
+    * delta without changing the resolved state, and correctly does
+    * NOT invalidate). */
+  private[graft] val GraphMarkersDir = "_graft_graph_batches"
+
+  private def graphStateSignature(spark: SparkSession, indexPath: String): String = {
+    val mp = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphMarkersDir")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = if (!fs.exists(mp)) "" else
+      fs.listStatus(mp).map(_.getPath.getName).sorted.mkString(",")
+    centsSignature(spark, indexPath) + "|" + markers
+  }
+
+  /** Heal interrupted compaction swaps on every graph-index table the
+    * serve reads — the graph twin of healCells. */
+  private def healGraph(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graph", "entries", "members").foreach { sub =>
+      graft.streaming.StreamOps.recoverCompaction(fs,
+        new org.apache.hadoop.fs.Path(s"$indexPath/$sub")) }
+  }
+
+  private def loadDelta(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** The graph table RESOLVED through the maintainer's delta log:
+    * per vec_id, the highest-version row wins (base rows carry
+    * version −1, ingest appends carry their batchId; crash-window
+    * replays only ever duplicate byte-identical rows, so the
+    * tie-break among equal versions is immaterial). Both tables are
+    * partitioned by primary cell, so `cellsOf`/`idsOf` prune BOTH
+    * reads — the driver walk's per-hop fetches stay walk-sized with a
+    * delta present. */
+  private[graft] def resolvedGraph(spark: SparkSession, indexPath: String,
+      cellsOf: Option[Seq[Int]] = None,
+      idsOf: Option[Seq[Long]] = None): DataFrame = {
+    healGraph(spark, indexPath)
+    def prune(df: DataFrame): DataFrame = {
+      val a = cellsOf.map(cs => df.filter(col("cell").isin(cs: _*))).getOrElse(df)
+      idsOf.map(ids => a.filter(col("vec_id").isin(ids: _*))).getOrElse(a)
+    }
+    val cols = Seq(col("vec_id"), col("cell"), col("emb"), col("nbrs"))
+    val base = prune(spark.read.parquet(s"$indexPath/graph"))
+      .select(cols :+ lit(-1L).as("ver"): _*)
+    loadDelta(spark, s"$indexPath/graph_delta") match {
+      case None => base.select(cols: _*)
+      case Some(d) =>
+        base.unionByName(prune(d).select(cols :+ col("ver"): _*))
+          .withColumn("vrk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("ver").desc)))
+          .filter(col("vrk") === 1).select(cols: _*)
+    }
+  }
+
   private[graft] def cachedEntries(spark: SparkSession,
       indexPath: String): Map[Int, Long] = {
-    val sig = centsSignature(spark, indexPath)
+    val sig = graphStateSignature(spark, indexPath)
     entriesCache.compute(indexPath, (_, cur) =>
       if (cur != null && cur._1 == sig) cur
-      else (sig, spark.read.parquet(s"$indexPath/entries")
-        .select(col("cell"), col("vec_id")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap))._2
+      else (sig, {
+        healGraph(spark, indexPath)
+        val base = spark.read.parquet(s"$indexPath/entries")
+          .select(col("cell"), col("vec_id"), lit(-1L).as("ver"))
+        val all = loadDelta(spark, s"$indexPath/entries_delta") match {
+          case None => base
+          case Some(d) =>
+            base.unionByName(d.select(col("cell"), col("vec_id"), col("ver")))
+        }
+        all.withColumn("vrk", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("ver").desc)))
+          .filter(col("vrk") === 1)
+          .select(col("cell"), col("vec_id")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }))._2
   }
 
   /** Monotone rebuild marker for the signature (see centroidCache
@@ -737,9 +812,11 @@ object VectorIndex {
   @volatile private[graft] var lastFetchNodes: List[Int] = Nil
 
   /** Build the NSW-lite graph index: `graph/` (vec_id, emb, nbrs —
-    * struct(nid, cell) edges, partitioned by the node's primary cell)
-    * and `entries/` (per-cell entry point: the vector nearest its
-    * centroid — deterministic, and well-centered for greedy descent). */
+    * struct(nid, cell) edges, partitioned by the node's primary cell),
+    * `entries/` (per-cell entry point: the vector nearest its
+    * centroid — deterministic, and well-centered for greedy descent),
+    * and `members/` (the top-2 cell-membership roster the streaming
+    * maintainer recomputes affected neighborhoods from). */
   def buildGraph(spark: SparkSession, dir: String, indexPath: String,
       degree: Int = GraphDegree, lloydRounds: Int = 4,
       maxTrain: Int = 4096): Unit = {
@@ -764,15 +841,52 @@ object VectorIndex {
     cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
     stampBuildToken(spark, indexPath)
-    // top-2 cell assignments per vector: the posexplode of the dot row
-    // is k rows per vector, one shuffle for the per-vector window
-    val dots = emb.select(col("vec_id"), col("emb"),
+    writeGraphTables(spark, emb.select(col("vec_id"), col("emb")),
+      cents, indexPath, degree)
+    emb.unpersist(false)
+  }
+
+  /** Top-2 cell assignments of a normalized (vec_id, emb) frame: the
+    * posexplode of the dot row is k rows per vector, one shuffle for
+    * the per-vector window. Shared verbatim by the one-shot build and
+    * the streaming maintainer — batch and incremental assignment can
+    * never disagree. */
+  private[graft] def top2CellsExpr(cents: Seq[Seq[Double]], src: DataFrame): DataFrame = {
+    val dots = src.select(col("vec_id"), col("emb"),
         posexplode(array(cents.map(c =>
           call_function("graft_dot", col("emb"), typedlit(c))): _*)))
       .select(col("vec_id"), col("emb"), col("pos").as("cell"), col("col").as("dp"))
-    val assign = dots.withColumn("rk", row_number().over(
+    dots.withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dp").desc, col("cell"))))
       .filter(col("rk") <= 2)
+  }
+
+  /** Aggregate a directed top-`degree` edge frame (src, nid, sim) into
+    * rank-ordered neighbor lists with each neighbor's primary cell
+    * attached — the one definition of the stored adjacency shape,
+    * shared by build and maintainer. `primaryOf` maps nid → its
+    * primary cell. */
+  private[graft] def nbrListsOf(topEdges: DataFrame, primaryOf: DataFrame): DataFrame =
+    topEdges
+      .join(primaryOf.select(col("vec_id").as("nid"), col("cell").as("nbr_cell")), Seq("nid"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("nid"), col("nbr_cell")))).as("sn"))
+      .select(col("src").as("vec_id"),
+        expr("transform(sn, e -> struct(e.nid AS nid, e.nbr_cell AS cell))").as("nbrs"))
+
+  private[graft] val EmptyNbrs =
+    typedlit(Seq.empty[(Long, Int)]).cast("array<struct<nid:bigint,cell:int>>")
+
+  /** Compute and persist the graph/entries/members tables of `emb`
+    * (normalized (vec_id, emb)) under a FIXED quantizer. Split out of
+    * buildGraph so the streaming maintainer's spec can rebuild the
+    * reference state under the live index's own centroids — the
+    * train-once contract makes the quantizer a parameter, not a
+    * product, of everything downstream. */
+  private[graft] def writeGraphTables(spark: SparkSession, emb: DataFrame,
+      cents: Seq[Seq[Double]], indexPath: String,
+      degree: Int = GraphDegree): Unit = {
+    val assign = top2CellsExpr(cents, emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val primary = assign.filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("emb"), col("dp"))
@@ -792,18 +906,9 @@ object VectorIndex {
     val topEdges = directed.withColumn("rk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nid"))))
       .filter(col("rk") <= degree)
-    // attach each neighbor's PRIMARY cell so the serving walk can prune
-    // its next read without a lookup join
-    val edges = topEdges
-      .join(primary.select(col("vec_id").as("nid"), col("cell").as("nbr_cell")), Seq("nid"))
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(struct(col("rk"), col("nid"), col("nbr_cell")))).as("sn"))
-      .select(col("src").as("vec_id"),
-        expr("transform(sn, e -> struct(e.nid AS nid, e.nbr_cell AS cell))").as("nbrs"))
-    primary.join(edges, Seq("vec_id"), "left")
+    primary.join(nbrListsOf(topEdges, primary), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("emb"),
-        coalesce(col("nbrs"), typedlit(Seq.empty[(Long, Int)])
-          .cast("array<struct<nid:bigint,cell:int>>")).as("nbrs"))
+        coalesce(col("nbrs"), EmptyNbrs).as("nbrs"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/graph")
     // entry points: per cell, the member closest to the centroid
@@ -811,17 +916,24 @@ object VectorIndex {
         Window.partitionBy(col("cell")).orderBy(col("dp").desc, col("vec_id"))))
       .filter(col("rk") === 1).select(col("cell"), col("vec_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/entries")
-    assign.unpersist(false); primary.unpersist(false); emb.unpersist(false)
+    // membership roster: what the maintainer's exact neighborhood
+    // recompute joins against (rk distinguishes primary from stitch)
+    assign.select(col("cell"), col("vec_id"), col("emb"), col("rk"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/members")
+    assign.unpersist(false); primary.unpersist(false)
   }
 
-  /** Partition-pruned fetch of graph rows for a bounded id set. */
+  /** Partition-pruned fetch of graph rows for a bounded id set —
+    * resolved through the maintainer's delta (an ingested node, or an
+    * old node whose neighborhood an ingest rewrote, serves its latest
+    * adjacency). */
   private def readGraphRows(spark: SparkSession, indexPath: String,
       wanted: Map[Long, Int]): Map[Long, (Array[Double], Array[(Long, Int)])] = {
     if (wanted.isEmpty) return Map.empty
     val cellSet = wanted.values.toSeq.distinct
-    spark.read.parquet(s"$indexPath/graph")
-      .filter(col("cell").isin(cellSet: _*) &&
-        col("vec_id").isin(wanted.keys.toSeq: _*))
+    resolvedGraph(spark, indexPath,
+        cellsOf = Some(cellSet), idsOf = Some(wanted.keys.toSeq))
       .select(col("vec_id"), col("emb"), col("nbrs"))
       .collect()
       .map { r =>
@@ -929,15 +1041,22 @@ object VectorIndex {
     * pruning, determinism — in VectorIndexSpec). */
   def annGraphStored(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
-    // layout migration: a root built before the quantizer was
-    // persisted (the pre-seeded-walk layout) carries a _complete
-    // marker but no cents table — rebuild it in place rather than
-    // failing the serve on the stale cache
-    val cp = new org.apache.hadoop.fs.Path(s"$idx/cents")
-    if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp))
-      buildGraph(spark, dir, idx)
+    migrateGraphLayout(spark, dir, idx)
     lastStoredGraph = Some(cachedCentroids(spark, idx))
     searchGraph(spark, idx, corpusQueries(spark, dir))
+  }
+
+  /** Layout migration: a root built before the quantizer (round-12
+    * pre-seeded-walk layout) or before the membership roster (round-13
+    * maintainer layout) carries a _complete marker but lacks the
+    * table — rebuild in place rather than failing the serve. */
+  private def migrateGraphLayout(spark: SparkSession, dir: String,
+      idx: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = Seq("cents", "members").exists(sub =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$sub")))
+    if (stale) buildGraph(spark, dir, idx)
   }
 
   /** The corpus-sized-query-batch form of the graph walk — the
@@ -973,7 +1092,6 @@ object VectorIndex {
       beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    healCells(spark, indexPath)
     val cents = cachedCentroids(spark, indexPath)
     val entries = cachedEntries(spark, indexPath)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -990,7 +1108,7 @@ object VectorIndex {
           .otherwise(col("q0")).as("qemb"))
       .persist(lvl)
 
-    val g = spark.read.parquet(s"$indexPath/graph")
+    val g = resolvedGraph(spark, indexPath)
       .select(col("vec_id").as("nid"), col("emb"), col("nbrs"))
       .persist(lvl)
     val edges = g.select(col("nid").as("src"),
@@ -1067,9 +1185,7 @@ object VectorIndex {
     * fences off), against the shared stored graph index. */
   def annGraphBatch(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
-    val cp = new org.apache.hadoop.fs.Path(s"$idx/cents")
-    if (!cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp))
-      buildGraph(spark, dir, idx)
+    migrateGraphLayout(spark, dir, idx)
     lastStoredGraphBatch = Some(cachedCentroids(spark, idx))
     searchGraphBatch(spark, idx, Tables.embeddings(spark, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb")))

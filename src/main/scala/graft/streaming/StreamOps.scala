@@ -1458,6 +1458,202 @@ object StreamOps {
   }
 
   // ------------------------------------------------------------------
+  // Incremental graph-ANN index (NSW-lite adjacency maintenance)
+  // ------------------------------------------------------------------
+
+  /** Streaming maintenance of the NSW-lite graph index — the ingest
+    * twin the round-12 verdict flagged as the one index family
+    * without one. EXACT, not approximate: after any batch slicing,
+    * the resolved index state equals `writeGraphTables` over the full
+    * accumulated corpus under the build-time quantizer (spec-pinned),
+    * because the maintainer recomputes every POSSIBLY-CHANGED
+    * adjacency from scratch rather than patching lists in place:
+    *
+    *  - a new vector joins its top-2 cells (the build's shared
+    *    `top2CellsExpr` — batch and incremental assignment can never
+    *    disagree); only nodes sharing ≥ 1 cell with a batch vector
+    *    can gain or lose an edge (candidate pairs are within-cell by
+    *    construction), so the recompute roster is exactly those
+    *    nodes + the batch;
+    *  - each roster node's full candidate set is re-derived from the
+    *    `members/` roster of ITS OWN cells (stored rows + this
+    *    batch), re-ranked to top-degree with the build's expressions;
+    *  - per-cell entry points are recomputed only for cells gaining
+    *    new PRIMARY members (old members' centroid dots are fixed, so
+    *    no other cell's argmax can move).
+    *
+    * State is LSM-shaped and append-only: `members/` grows by batch
+    * rows; updated adjacencies append to `graph_delta/` carrying
+    * ver = batchId (base rows are ver −1; serving resolves
+    * latest-version per node — VectorIndex.resolvedGraph); entry
+    * changes append to `entries_delta/` the same way. Batch cost is
+    * touched-cells-proportional (membership of ≤ 2×|batch| cells,
+    * pairs within those cells only), never corpus-proportional —
+    * the corpus-sized tables are only scanned by compaction.
+    *
+    * At-least-once + replay-idempotent: appends are skipped when the
+    * batch marker exists; a crash between append and marker re-appends
+    * byte-identical rows on replay, which every reader heals (members
+    * reads dedup on (cell, vec_id), version resolution is indifferent
+    * to duplicates of the same version) and compaction removes.
+    * Vec_ids are unique across batches by contract (the IVF ingest's
+    * contract). Returns the batch's (vec_id, cell) primary
+    * assignments. */
+  def graphIngestBatch(indexPath: String)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val VI = graft.queries.VectorIndex
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cents = VI.cachedCentroids(spark, indexPath)
+    val normed = batch
+      .select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+    val batchAsg = VI.top2CellsExpr(cents, normed).persist(lvl)
+
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graph", "entries", "members").foreach(sub =>
+      recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/$sub")))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/${VI.GraphMarkersDir}/b$batchId")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied && !batchAsg.isEmpty) {
+      val cTouched = batchAsg.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // stored nodes sharing a cell with the batch — their lists are
+      // the only ones whose candidate sets changed
+      val membersT = spark.read.parquet(s"$indexPath/members")
+        .filter(col("cell").isin(cTouched: _*))
+        .dropDuplicates("cell", "vec_id")
+      val affectedOld = membersT.select(col("vec_id"), col("emb"))
+        .dropDuplicates("vec_id")
+      val oldAsg = VI.top2CellsExpr(cents, affectedOld).persist(lvl)
+      val c2 = oldAsg.select(col("cell"))
+        .unionByName(batchAsg.select(col("cell"))).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val batchMembers = batchAsg
+        .select(col("cell"), col("vec_id"), col("emb"), col("rk"))
+      // full current membership of every cell a roster node touches
+      val membersAll = spark.read.parquet(s"$indexPath/members")
+        .filter(col("cell").isin(c2: _*))
+        .select(col("cell"), col("vec_id"), col("emb"), col("rk"))
+        .unionByName(batchMembers)
+        .dropDuplicates("cell", "vec_id") // heals crash-window re-appends
+        .persist(lvl)
+      val rosterMem = oldAsg
+        .select(col("vec_id"), col("emb"), col("cell"), col("rk"))
+        .unionByName(batchAsg
+          .select(col("vec_id"), col("emb"), col("cell"), col("rk")))
+        .dropDuplicates("vec_id", "cell") // batch rows already stored on replay
+      val candidates = rosterMem.as("n")
+        .join(membersAll.as("m"), Seq("cell"))
+        .filter(col("n.vec_id") =!= col("m.vec_id"))
+        .select(col("n.vec_id").as("src"), col("m.vec_id").as("nid"),
+          call_function("graft_dot", col("n.emb"), col("m.emb")).as("sim"))
+        .groupBy(col("src"), col("nid")).agg(max(col("sim")).as("sim"))
+      val topEdges = candidates.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("sim").desc, col("nid"))))
+        .filter(col("rk") <= VI.GraphDegree)
+      // every candidate id's primary cell, recomputed from its emb —
+      // deterministic, so identical to its stored assignment
+      val primaryOf = VI.top2CellsExpr(cents,
+          membersAll.select(col("vec_id"), col("emb")).dropDuplicates("vec_id"))
+        .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+      val roster = rosterMem.filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("emb"))
+      val rows = roster
+        .join(VI.nbrListsOf(topEdges, primaryOf), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("emb"),
+          coalesce(col("nbrs"), VI.EmptyNbrs).as("nbrs"),
+          lit(batchId).as("ver"))
+      // write order: roster first (the table the NEXT batch recomputes
+      // from), then adjacency delta, then entry delta, then the marker
+      batchMembers.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/members")
+      rows.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/graph_delta")
+      val ePrim = batchAsg.filter(col("rk") === 1)
+        .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+      if (ePrim.nonEmpty) {
+        val centsDf = ePrim.map(c => (c, cents(c))).toDF("cell", "cent")
+        membersAll.filter(col("rk") === 1 && col("cell").isin(ePrim: _*))
+          .join(broadcast(centsDf), Seq("cell"))
+          .withColumn("dp", call_function("graft_dot", col("emb"), col("cent")))
+          .withColumn("erk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cell")).orderBy(col("dp").desc, col("vec_id"))))
+          .filter(col("erk") === 1)
+          .select(col("cell"), col("vec_id"), lit(batchId).as("ver"))
+          .coalesce(1).write.mode("append").parquet(s"$indexPath/entries_delta")
+      }
+      oldAsg.unpersist(false); membersAll.unpersist(false)
+    }
+    if (!alreadyApplied) fs.create(marker, true).close()
+    val out = batchAsg.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell")).localCheckpoint(true)
+    batchAsg.unpersist(false)
+    out
+  }
+
+  /** Fold the graph maintainer's delta logs into their base tables
+    * and dedup crash-replay rows — the graph twin of compactIvfIndex,
+    * one staged swap per table (readers heal interrupted swaps via
+    * recoverCompaction). Resolution-before-fold means a crash between
+    * the graph swap and the delta delete is benign: the folded base
+    * and the surviving delta carry the same rows, and the version
+    * resolution picks either identically. */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPartitions: Int = 32): Unit = {
+    val VI = graft.queries.VectorIndex
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    def swapIn(sub: String, write: String => Unit): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      recoverCompaction(fs, p)
+      if (!fs.exists(p)) return
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      write(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
+    }
+    val gd = new org.apache.hadoop.fs.Path(s"$indexPath/graph_delta")
+    if (fs.exists(gd)) {
+      val resolved = VI.resolvedGraph(spark, indexPath)
+      swapIn("graph", tmp => resolved
+        .repartition(targetPartitions, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+      fs.delete(gd, true)
+    }
+    val ed = new org.apache.hadoop.fs.Path(s"$indexPath/entries_delta")
+    if (fs.exists(ed)) {
+      val resolvedEntries = VI.cachedEntries(spark, indexPath).toSeq
+      import spark.implicits._
+      swapIn("entries", tmp => resolvedEntries.toDF("cell", "vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp))
+      fs.delete(ed, true)
+    }
+    swapIn("members", tmp => spark.read.parquet(s"$indexPath/members")
+      .dropDuplicates("cell", "vec_id")
+      .repartition(targetPartitions, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+  }
+
+  // ------------------------------------------------------------------
   // Incremental connected components (cluster maintenance)
   // ------------------------------------------------------------------
 

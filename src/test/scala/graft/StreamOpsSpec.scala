@@ -281,6 +281,90 @@ class StreamOpsSpec extends SparkSpec {
     extras.unpersist()
   }
 
+  test("graphIngestBatch: N-batch ingest equals a one-shot rebuild under the " +
+      "build quantizer; replay no-op; crash-window heals through compaction") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graph-ingest").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val cents = VectorIndex.cachedCentroids(spark, idx)
+    def normed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(90).cache()
+    val parts = (0 until 3).map(i => extras.filter(pmod(col("vec_id"), lit(3)) === i))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamOps.graphIngestBatch(idx)(p, (i + 1).toLong).count() }
+
+    // reference: ONE-SHOT writeGraphTables over corpus ∪ extras under
+    // the live index's own trained quantizer — the strongest statement
+    // the maintainer can make (exact equality, not just add-vs-add)
+    val ref = java.nio.file.Files.createTempDirectory("graph-ref").toString
+    val corpus = normed(spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("emb")))
+    VectorIndex.writeGraphTables(spark,
+      corpus.unionByName(normed(extras)), cents, ref)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ref/cents")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def state(p: String) = canon(VectorIndex.resolvedGraph(spark, p))
+    assert(state(idx) == state(ref),
+      "ingested adjacency state diverges from the one-shot rebuild")
+    assert(VectorIndex.cachedEntries(spark, idx) ==
+      VectorIndex.cachedEntries(spark, ref), "entry points diverge")
+    // serving equality on both walk forms, and the added vectors serve
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def served(p: String) = canon(VectorIndex.searchGraph(spark, p, queries))
+    assert(served(idx) == served(ref), "driver-walk serving diverges")
+    assert(canon(VectorIndex.searchGraphBatch(spark, idx, queries)) ==
+      served(idx), "batch walk diverges on the maintained index")
+    val selfQ = extras.filter(col("vec_id") === 10003L)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val top = VectorIndex.searchGraph(spark, idx, selfQ).collect()
+      .minBy(_.getLong(1))
+    assert(top.getDouble(3) == 1.0,
+      s"ingested vector does not serve at sim 1.0: $top")
+
+    // replay of an applied batch appends nothing and changes nothing
+    val deltaRows = spark.read.parquet(s"$idx/graph_delta").count()
+    StreamOps.graphIngestBatch(idx)(parts(1), 2L).count()
+    assert(spark.read.parquet(s"$idx/graph_delta").count() == deltaRows,
+      "replayed batch re-appended delta rows")
+    assert(state(idx) == state(ref) && served(idx) == served(ref))
+
+    // crash window: lost marker → replay re-appends byte-identical
+    // rows; the RESOLVED state is unchanged, and compaction folds the
+    // delta away with the state intact
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/${VectorIndex.GraphMarkersDir}/b2"), false)
+    StreamOps.graphIngestBatch(idx)(parts(1), 2L).count()
+    assert(spark.read.parquet(s"$idx/graph_delta").count() > deltaRows,
+      "lost-marker replay should have re-appended")
+    assert(state(idx) == state(ref),
+      "crash-window duplicates leaked into the resolved state")
+    StreamOps.compactGraphIndex(spark, idx, targetPartitions = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/graph_delta")),
+      "compaction left the delta log")
+    assert(state(idx) == state(ref) && served(idx) == served(ref),
+      "state or serving changed after compaction")
+    assert(VectorIndex.cachedEntries(spark, idx) ==
+      VectorIndex.cachedEntries(spark, ref))
+    extras.unpersist()
+  }
+
   test("IVF compaction crash window: ingest and serving heal cells before touching it") {
     import graft.queries.VectorIndex
     val dir = "/root/testdata/sf0.001"
