@@ -316,6 +316,125 @@ object StreamOps {
       }
   }
 
+  /** Per-user late-SCD2 state: finalized frontier, the open interval
+    * of the SEALED prefix, and the reorder buffer of (us, event_id,
+    * tier) purchases still inside the lateness horizon — the
+    * SessLateSt discipline applied to the tier automaton. */
+  case class Scd2LateSt(frontierUs: Long, open: Option[TierOpenUs],
+    buf: Seq[(Long, Long, Int)])
+
+  /** The late twin's open interval, in microseconds (the in-order
+    * twin's TierOpen carries millis — the reorder buffer compares at
+    * full micro precision, so the open interval must too). */
+  case class TierOpenUs(tier: Int, validFromUs: Long)
+
+  /** Output of scd2StreamLate: `kind = "interval"` rows are CLOSED
+    * validity intervals sealed by the watermark (append-final — no
+    * later in-watermark arrival can reorder below the seal);
+    * `kind = "late"` rows dead-letter an outside-watermark purchase
+    * (tier −1, empty interval strings), the route to the batch
+    * rebuild. */
+  case class Scd2LateOut(user_id: Long, kind: String, tier: Int,
+    valid_from: String, valid_to: String, late_event_id: Long)
+
+  /** How far below the watermark a purchase can arrive and still be
+    * OBSERVED as a dead letter rather than silently dropped by the
+    * engine (see the shifted-watermark note in scd2StreamLate). */
+  val Scd2DeadLetterHorizonDays = 365L
+
+  /** Watermark-bounded late-data SCD2 — closes scd2Stream's in-order
+    * delivery contract the same way sessionStreamLate closed
+    * sessionStream's: purchases may arrive out of order per user up
+    * to the watermark delay. Each micro-batch: arrivals above the
+    * finalized frontier enter the per-user reorder buffer; the buffer
+    * prefix older than the current event-time watermark folds into
+    * the tier automaton in the batch query's exact (ts, event_id)
+    * order, emitting each interval it closes — and ONLY those: a
+    * close implied by the still-buffered tail could be reordered by a
+    * later in-watermark arrival (exactly the retraction append mode
+    * cannot express), so unsealed closes stay in the buffer and the
+    * batch `k7_scd2` over the lake recovers the open tail. Emitted
+    * closed intervals are spec-pinned equal to the batch
+    * reconstruction's sealed closed rows over all accepted events —
+    * including a late tier change the in-order twin would misplace.
+    * Arrivals at-or-below the frontier emit a dead-letter row and
+    * change nothing.
+    *
+    * Two mechanics differ from the session/funnel twins, both forced
+    * by emitting AT fold time (their summaries replay the buffered
+    * tail, so they need neither):
+    *  - EventTimeTimeout wake-ups — a sealed close must be emitted
+    *    even if its user never sends another event;
+    *  - a SHIFTED watermark column: with event-time timeout the
+    *    engine silently drops input older than the watermark before
+    *    the group ever sees it, which would erase the dead-letter
+    *    signal. The watermark rides `ts + horizon` with the delay
+    *    widened by the same horizon — the watermark VALUE (and so
+    *    sealing and timeouts) is bit-identical to the natural
+    *    `withWatermark(ts, delay)`, while the engine's drop predicate
+    *    only fires `horizon` past it. A purchase more than
+    *    `Scd2DeadLetterHorizonDays` late is dropped without a dead
+    *    letter — the documented observability bound. */
+  def scd2StreamLate(events: DataFrame, delaySeconds: Long = 600L)
+      : Dataset[Scd2LateOut] = {
+    import events.sparkSession.implicits._
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    def render(us: Long): String = {
+      val f = new java.text.SimpleDateFormat(fmt)
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(new java.util.Date(us / 1000L))
+    }
+    val horizonSec = Scd2DeadLetterHorizonDays * 86400L
+    events.filter(col("event_type") === "purchase")
+      .withColumn("wmts",
+        col("ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .withWatermark("wmts", s"${horizonSec + delaySeconds} seconds")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"),
+        floor(col("value") / 100).cast("int").as("tier"), col("wmts"))
+      .as[(Long, java.sql.Timestamp, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2LateSt, Scd2LateOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, Int, java.sql.Timestamp)],
+            state: GroupState[Scd2LateSt]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(
+            Scd2LateSt(Long.MinValue, None, Vector.empty))
+          val (accepted, dead) = rows.toSeq.partition(e =>
+            micros(e._2) >= st.frontierUs)
+          val buf = (st.buf ++ accepted.map(e => (micros(e._2), e._3, e._4)))
+            .sortBy(t => (t._1, t._2)) // the batch window's (ts, event_id) order
+          val (toFold, keep) = buf.partition(_._1 < wmUs)
+          var open = st.open
+          val out = Seq.newBuilder[Scd2LateOut]
+          for ((us, _, tier) <- toFold) {
+            open match {
+              case None => open = Some(TierOpenUs(tier, us))
+              case Some(s) if s.tier != tier =>
+                out += Scd2LateOut(uid, "interval", s.tier,
+                  render(s.validFromUs), render(us), -1L)
+                open = Some(TierOpenUs(tier, us))
+              case _ => () // same tier: interval stays open
+            }
+          }
+          state.update(
+            Scd2LateSt(math.max(st.frontierUs, wmUs), open, keep))
+          // unlike the session/funnel twins (whose summaries REPLAY
+          // the buffered tail, so they never need waking), interval
+          // emission happens only at fold time — arm an event-time
+          // timeout at the earliest buffered row so the group is
+          // invoked when the watermark seals it, even if the user
+          // never sends another event
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              keep.head._1 / 1000L, state.getCurrentWatermarkMs() + 1))
+          out.result().iterator ++ dead.iterator.map(e =>
+            Scd2LateOut(uid, "late", -1, "", "", e._3))
+      }
+  }
+
   /** Bucket-partition count of the lake-table LSH index. Both index
     * tables are written `partitionBy("bkt")` so per-batch joins read
     * only the partitions the batch can possibly touch (below). 64 is

@@ -560,6 +560,84 @@ class StreamOpsSpec extends SparkSpec {
       s"expected event 5 in the dead letter, got $dead")
   }
 
+  test("scd2StreamLate: late in-watermark tier change closes batch-equal; " +
+      "outside-watermark purchase dead-letters") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val closed = scala.collection.mutable.Set[(Long, Int, String, String)]()
+    val dead = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.scd2StreamLate(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        delaySeconds = 600L)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.Scd2LateOut], id: Long) =>
+          closed.synchronized {
+            b.collect().foreach { r =>
+              if (r.kind == "interval")
+                closed += ((r.user_id, r.tier, r.valid_from, r.valid_to))
+              else dead += r.late_event_id
+            }; ()
+          }
+      }.start()
+
+    def batchClosed(events: Seq[(Long, java.sql.Timestamp, Long, String, Double)],
+        sealedBelow: java.sql.Timestamp) = {
+      val dir = "/tmp/graft_scd2late_fixture"
+      events.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      graft.queries.EventQueries.k7Scd2(spark, dir)
+        .filter(!col("is_current"))
+        // only closes the watermark has sealed are streamable —
+        // the stream must emit exactly the batch rows whose CLOSING
+        // event is below the seal
+        .filter(col("valid_to") < lit(
+          new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+            .format(sealedBelow)))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+        .toSet
+    }
+    // batch 1: user 1 at tier 1 (10:00) then tier 3 (10:40) — an
+    // in-order automaton would close tier1@[10:00,10:40) here
+    val b1 = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "purchase", 150.0),
+      (1L, t("2024-01-01 10:40:00"), 2L, "purchase", 350.0))
+    in.addData(b1: _*); q.processAllAvailable()
+    // batch 2: a LATE tier-2 purchase at 10:32 — inside the watermark
+    // (after b1 it stands at 10:40 − 10 min = 10:30). It splits the
+    // would-be interval: the true history becomes
+    // 1@[10:00,10:32) → 2@[10:32,10:40) → 3 open — which the in-order
+    // twin can never produce (its automaton already passed 10:32)
+    val late = (1L, t("2024-01-01 10:32:00"), 3L, "purchase", 250.0)
+    val adv = (2L, t("2024-01-01 11:30:00"), 4L, "purchase", 50.0)
+    in.addData(late, adv); q.processAllAvailable()
+    // batch 3: advance the watermark to 11:20 (11:30 − 10 min), far
+    // enough to seal and emit both of user 1's closes
+    val adv2 = (2L, t("2024-01-01 13:00:00"), 5L, "purchase", 250.0)
+    in.addData(adv2); q.processAllAvailable()
+    val sealedAt = t("2024-01-01 11:20:00") // the watermark at the last fold
+    assert(closed.synchronized(closed.toSet) ==
+      batchClosed(b1 ++ Seq(late, adv, adv2), sealedAt),
+      s"sealed closes diverge from the batch reconstruction: $closed")
+    // the late tier-2 interval really exists — the in-order twin
+    // would instead have closed 1@[10:00,10:40)
+    assert(closed.synchronized(closed.exists { case (u, tier, from, to) =>
+      u == 1L && tier == 2 && from == "2024-01-01 10:32:00" }),
+      "late tier change did not split the interval")
+    assert(dead.synchronized(dead.isEmpty))
+    // outside the watermark: user 1's frontier sealed at 11:20 — a
+    // 10:05 purchase dead-letters and changes nothing
+    val before = closed.synchronized(closed.toSet)
+    in.addData((1L, t("2024-01-01 10:05:00"), 6L, "purchase", 450.0))
+    q.processAllAvailable(); q.stop()
+    assert(closed.synchronized(closed.toSet) == before,
+      "outside-watermark purchase leaked into the intervals")
+    assert(dead.synchronized(dead.toSeq) == Seq(6L),
+      s"expected event 6 dead-lettered, got $dead")
+  }
+
   test("funnelStreamLate: late early view re-qualifies the funnel batch-equally; " +
       "outside-watermark dead-letters") {
     implicit val sqlCtx = spark.sqlContext
