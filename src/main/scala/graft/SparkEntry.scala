@@ -46,6 +46,8 @@ object SparkEntry {
     "w3_order_gaps" -> (CoreQueries.w3OrderGaps _),
     "w4_running_total_twophase" -> (CoreQueries.w4RunningTotalTwoPhase _),
     "w5_topk_twophase" -> (CoreQueries.w5TopkTwoPhase _),
+    "w6_running_total_auto" -> (CoreQueries.w6RunningTotalAuto _),
+    "w7_topk_auto" -> (CoreQueries.w7TopkAuto _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
@@ -317,6 +319,26 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
            AS running_total
          FROM orders""",
+    // the auto-routed twins: whichever route the skew probe picks,
+    // the answer equals the one-pass form (decimal associativity for
+    // the running total, bounded-k dominance for the top-k) — the
+    // oracle texts are deliberately those one-pass forms, so a
+    // routing decision that COULD change the result fails loudly
+    "w6_running_total_auto" ->
+      """SELECT o_custkey, o_orderkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS running_total
+         FROM orders""",
+    "w7_topk_auto" ->
+      """SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS c_acctbal
+         FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS rank
+               FROM customer)
+         WHERE rank <= 3""",
     "w3_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
          date_diff('day',

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -324,6 +324,65 @@ object CoreQueries {
         col("o_custkey") <=> col("off_ck") && col("b") <=> col("off_b"))
       .select(col("o_custkey"), col("o_orderkey"),
         round((col("local") + col("off")).cast("double"), 2).as("running_total"))
+  }
+
+  /** Hot-key ratio above which the auto-routed window queries pick
+    * their two-phase decomposition: the hottest key owning ≥ 8× the
+    * mean key's rows means the one-pass window's biggest sort task is
+    * ≥ 8× the average — the point where per-key ordered windows stop
+    * scaling with executors and the bucketed/salted form wins. Below
+    * it, one ordered scan per key is optimal and the two-phase form's
+    * extra exchange is pure overhead. */
+  private[graft] val AutoSkewThreshold = 8.0
+
+  /** Exact key-skew probe behind the auto routing: hottest-key count
+    * over the mean key count. Cost discipline at 100 TB: one narrow
+    * scan into a map-side-combinable per-key count (the shuffle is
+    * |keys| rows, not corpus rows) and a single-row reduce — the
+    * probe is a rounding error next to the window it sizes, and
+    * EXACT, so routing is deterministic (no sampling RNG, no
+    * plan-cache state) and the spec can pin it. */
+  private[graft] def keySkewRatio(df: DataFrame, key: Column): Double = {
+    val r = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
+      .collect()(0)
+    if (r.isNullAt(0) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Route taken by the most recent auto-dispatched queries, for the
+    * spec and for operators reading the decision (query name →
+    * "one-pass" | "two-phase"). */
+  @volatile private[graft] var lastAutoRoutes: Map[String, String] = Map.empty
+  private def recordRoute(q: String, twoPhase: Boolean): Unit =
+    lastAutoRoutes += q -> (if (twoPhase) "two-phase" else "one-pass")
+
+  /** W6: the running total with AUTOMATIC one-pass vs two-phase
+    * selection — the stats-driven dispatch the two-phase family was
+    * missing (the caller no longer chooses): a cheap exact key-count
+    * probe routes hot-key inputs to w4's month-bucketed decomposition
+    * and uniform inputs to the one-pass window. BOTH routes run the
+    * same DECIMAL(18,2) sums, so the answer is bit-identical
+    * whichever fires (decimal addition is associative — the w4
+    * exactness argument), and the oracle is the one-pass decimal
+    * text: agreement proves the routing can never leak into the
+    * result. */
+  def w6RunningTotalAuto(spark: SparkSession, dir: String): DataFrame =
+    runningTotalAutoOf(Tables.orders(spark, dir))
+
+  private[graft] def runningTotalAutoOf(orders: DataFrame): DataFrame = {
+    val twoPhase =
+      keySkewRatio(orders, col("o_custkey")) >= AutoSkewThreshold
+    recordRoute("running_total", twoPhase)
+    if (twoPhase) runningTotalTwoPhaseOf(orders)
+    else {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double"), 2).as("running_total"))
+    }
   }
 
   /** Inter-order gap per customer via `lag` — the offset-window
@@ -692,6 +751,32 @@ object CoreQueries {
       .filter(col("rank") <= k)
       .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"))
+  }
+
+  /** W7: top-k per group with the same automatic routing as w6 —
+    * uniform groups take the one-pass window (WindowGroupLimit
+    * pre-prunes each map task), a hot group takes w5's salt-shard
+    * bounded-k decomposition. Both routes are row-identical by the
+    * bounded-k dominance argument (w5's oracle IS w1's one-pass
+    * text), so here too the dispatch cannot leak into the answer. */
+  def w7TopkAuto(spark: SparkSession, dir: String): DataFrame =
+    topkAutoOf(Tables.customer(spark, dir))
+
+  private[graft] def topkAutoOf(customer: DataFrame,
+      k: Int = 3, salts: Int = 16): DataFrame = {
+    val twoPhase =
+      keySkewRatio(customer, col("c_mktsegment")) >= AutoSkewThreshold
+    recordRoute("topk", twoPhase)
+    if (twoPhase) topkTwoPhaseOf(customer, k, salts)
+    else {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+    }
   }
 
   /** Data-quality validation audit — the Deequ-style constraint

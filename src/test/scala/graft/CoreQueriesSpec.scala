@@ -210,4 +210,64 @@ class CoreQueriesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - r.getDouble(0) - 1.5) < 1e-9)
     }
   }
+
+  test("auto window routing: uniform keys plan one-pass, a hot key plans " +
+      "two-phase, and the answer is identical either way") {
+    import spark.implicits._
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // ---- running total ----
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val uni = CoreQueries.runningTotalAutoOf(orders)
+    assert(CoreQueries.lastAutoRoutes("running_total") == "one-pass",
+      "uniform orders should route one-pass")
+    assert(windows(uni) == 1, "one-pass route should plan exactly one Window")
+    assert(canon(uni) == canon(CoreQueries.runningTotalTwoPhaseOf(orders)),
+      "routes disagree on uniform orders")
+    // hot fixture: customer 1 owns 900 of ~1000 rows (skew ~90x)
+    def d(m: Int) = java.sql.Date.valueOf(f"2024-$m%02d-05")
+    val hot = ((1 to 900).map(i => (1L, i.toLong, d(i % 12 + 1), 100.0 + i)) ++
+        (2 to 100).map(c => (c.toLong, 1000L + c, d(1), 50.0)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val auto = CoreQueries.runningTotalAutoOf(hot)
+    assert(CoreQueries.lastAutoRoutes("running_total") == "two-phase",
+      "hot-key orders should route two-phase")
+    assert(windows(auto) == 2,
+      "two-phase route should plan the offset + within-bucket windows")
+    assert(canon(auto) == canon(CoreQueries.runningTotalTwoPhaseOf(hot)))
+    // the dispatch cannot leak: the one-pass decimal form on the SAME
+    // hot fixture is row-identical (decimal sums are associative)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val onePassHot = hot.select(col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double"), 2).as("running_total"))
+    assert(canon(auto) == canon(onePassHot),
+      "two-phase route diverged from the one-pass window on the hot fixture")
+
+    // ---- top-k per group ----
+    val customer = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+    val uniK = CoreQueries.topkAutoOf(customer)
+    assert(CoreQueries.lastAutoRoutes("topk") == "one-pass",
+      "uniform segments should route one-pass")
+    assert(windows(uniK) == 1)
+    assert(canon(uniK) == canon(CoreQueries.topkTwoPhaseOf(customer)))
+    // hot fixture: one segment owns 950 of 1000 customers, the tail
+    // spreads over 25 segments (hot/mean ≈ 25× — well past the 8× cut)
+    val hotSeg = ((1 to 950).map(i => ("HOT", i.toLong, 1000.0 + i)) ++
+        (951 to 1000).map(i => (s"S${i % 25}", i.toLong, 500.0 + i)))
+      .toDF("c_mktsegment", "c_custkey", "c_acctbal")
+    val autoK = CoreQueries.topkAutoOf(hotSeg)
+    assert(CoreQueries.lastAutoRoutes("topk") == "two-phase",
+      "hot segment should route two-phase")
+    assert(windows(autoK) == 2)
+    assert(canon(autoK) == canon(CoreQueries.topkTwoPhaseOf(hotSeg)))
+  }
 }

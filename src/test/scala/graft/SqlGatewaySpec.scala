@@ -67,7 +67,7 @@ class SqlGatewaySpec extends SparkSpec {
     "s8_docstore_scan", "t_corpus_mix", "t_heavy_hitters",
     "t_inverted_index", "t_stratified_sample",
     "w1_topk_per_group", "w2_running_total", "w4_running_total_twophase",
-    "w5_topk_twophase",
+    "w5_topk_twophase", "w6_running_total_auto", "w7_topk_auto",
     // round-12 portability rewrites (see header comment); t_lang_id
     // came along for free (its only traps were the 'g' flag and the
     // bracket list literal)
