@@ -1101,7 +1101,7 @@ object SparkEntry {
               s0 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
                     AS s_rank FROM sc),
               s50 AS (SELECT doc_id, s_rank FROM s0 WHERE s_rank <= 50),
-              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
               c AS (SELECT e.vec_id AS doc_id,
                     round(list_dot_product(q.qemb, e.emb) /
@@ -1198,7 +1198,7 @@ object SparkEntry {
     // candidate-generation + re-rank pipeline is SQL-recomputable
     "ann_lsh_topk" -> graft.queries.VectorQueries.annLshOracleSql,
     "ann_brute_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
               p AS (SELECT q.qid, e.vec_id AS nid,
                     round(list_dot_product(q.qemb, e.emb) /
@@ -1210,7 +1210,7 @@ object SparkEntry {
                     FROM p)
          SELECT qid, rank, nid, sim FROM r WHERE rank <= 5""",
     "emb_decontaminate" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               b AS (SELECT vec_id AS b_id, emb AS b_emb FROM e WHERE vec_id < 25),
               c AS (SELECT e.vec_id,
                     round(max(list_dot_product(e.emb, b.b_emb) /
@@ -1219,7 +1219,7 @@ object SparkEntry {
                     FROM e CROSS JOIN b WHERE e.vec_id >= 25 GROUP BY 1)
          SELECT vec_id, max_bench_cos, max_bench_cos >= 0.4 AS contaminated FROM c""",
     "emb_near_dup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
                     round(list_dot_product(a.emb, b.emb) /
                       (sqrt(list_dot_product(a.emb, a.emb)) *
@@ -1230,7 +1230,7 @@ object SparkEntry {
     // graph: same recursive-CTE reachability as dedup_clusters
     "emb_dedup_clusters" ->
       """WITH RECURSIVE
-              e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              e0 AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
                     FROM embeddings),
               p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                     FROM e0 a JOIN e0 b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1251,7 +1251,7 @@ object SparkEntry {
     // exact by construction (every candidate is re-checked with the
     // exact dot product).
     "emb_near_dup_lsh" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
                     round(list_dot_product(a.emb, b.emb) /
                       (sqrt(list_dot_product(a.emb, a.emb)) *
@@ -1259,7 +1259,7 @@ object SparkEntry {
                     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
     "emb_centroids" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
               c AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM u GROUP BY label, dim),
               cent AS (SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
@@ -1401,7 +1401,7 @@ object SparkEntry {
                WHERE w.d < 20)
          SELECT id AS part_key, min(d) AS dist FROM walk GROUP BY id""",
     "emb_outliers" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
               u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
               c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
               cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
@@ -1496,7 +1496,7 @@ object SparkEntry {
                 min(doc_id) OVER (PARTITION BY
                   md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))) <> doc_id AS is_dup
                 FROM documents),
-         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
          u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
          c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
          cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
@@ -1511,7 +1511,7 @@ object SparkEntry {
             AND NOT coalesce(o.is_outlier, false)) AS kept
          FROM g JOIN dup USING (doc_id) LEFT JOIN o USING (doc_id)""",
     "emb_hard_negatives" ->
-      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      """WITH e0 AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
                     FROM embeddings),
               nn AS (SELECT vec_id, label, emb,
                     sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),

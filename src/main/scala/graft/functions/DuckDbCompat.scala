@@ -132,8 +132,19 @@ object DuckDbCompat {
       // DuckDB list_value(x, ...) = Spark array(x, ...) — the bracket
       // list literal `[x]` is DuckDB-only syntax (and DuckDB's
       // array_value makes a fixed-size ARRAY, which its own UNNEST
-      // then refuses — LIST is the interoperable shape)
-      f("list_value", Set(1, 2, 3, 4))(c => CreateArray(c)),
+      // then refuses — LIST is the interoperable shape). Any arity:
+      // the rendered-model texts spell whole embedding-dimension
+      // centroids through it.
+      f("list_value", (1 to 4096).toSet)(c => CreateArray(c)),
+      // list_dot_product ≡ the native graft_dot expression — the
+      // forward-accumulation parity every vector oracle already
+      // rests on (the other direction: DuckDB runs graft_dot's
+      // semantics under ITS name)
+      f("list_dot_product", Set(2))(c => graft.functions.DotProduct(c(0), c(1))),
+      // DuckDB list_reverse = Spark reverse on arrays (same name
+      // exists in Spark only for strings+arrays via reverse();
+      // list_reverse itself is unclaimed)
+      f("list_reverse", Set(1))(c => Reverse(c(0))),
       f("list", Set(1))(c => CollectList(c(0))),
       f("array_to_string", Set(2))(c => ArrayJoin(c(0), c(1), None)),
       f("regexp_matches", Set(2))(c => RLike(c(0), c(1))),

@@ -711,7 +711,7 @@ object VectorIndex {
       val k = cents.length
       s"""WITH ${VectorQueries.NormedCte},
             d0 AS (SELECT vec_id + $DriftOffset AS vec_id,
-                  list_reverse(CAST(embedding AS DOUBLE[])) AS emb FROM embeddings),
+                  list_reverse(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS emb FROM embeddings),
             dn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM d0),
             de AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
                   FROM dn WHERE nrm > 0),

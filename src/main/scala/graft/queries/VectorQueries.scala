@@ -131,9 +131,9 @@ object VectorQueries {
     val planes = (0 until AnnTables * AnnBits).map { p =>
       planeWeights(p).mkString(s"($p, [", ", ", "])")
     }.mkString(",\n           ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[])) > 0),
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings
+                  WHERE list_dot_product(list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                                         list_transform(embedding, v -> CAST(v AS DOUBLE))) > 0),
             planes(p, w) AS (VALUES
            $planes),
             proj AS (SELECT e.vec_id, p.p // $AnnBits AS tbl,
@@ -422,7 +422,7 @@ object VectorQueries {
     * into its literal, so the two engines share it to the bit. */
   private[queries] def centroidValues(cents: Seq[Seq[Double]]): String =
     cents.zipWithIndex.map { case (c, i) =>
-      s"(${i + 1}, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+      s"(${i + 1}, list_value(${c.mkString(", ")}), ${c.map(x => x * x).sum})"
     }.mkString(",\n           ")
 
   /** Normalized-corpus CTE shared by the IVF/SemDeDup oracles —
@@ -431,7 +431,7 @@ object VectorQueries {
     * list_dot_product matches graft_dot, the parity ann_lsh_topk's
     * green oracle already rests on). */
   private[queries] val NormedCte =
-    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    """e0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
        nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),
        e AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
              FROM nn WHERE nrm > 0)"""
@@ -451,7 +451,7 @@ object VectorQueries {
     * run in this JVM. */
   private[graft] def kmeansOracleSql: Option[String] =
     lastKmeansModel.map { cents =>
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
             cents(cid, w, c2) AS (VALUES
            ${centroidValues(cents)}),
             ${assignCte("e")},
@@ -521,7 +521,7 @@ object VectorQueries {
     * |c|²)`. */
   private[queries] def bookValues(book: Seq[Seq[Seq[Double]]]): String =
     (for ((cs, mm) <- book.zipWithIndex; (c, kk) <- cs.zipWithIndex)
-      yield s"($mm, $kk, [${c.mkString(", ")}], ${c.map(x => x * x).sum})")
+      yield s"($mm, $kk, list_value(${c.mkString(", ")}), ${c.map(x => x * x).sum})")
       .mkString(",\n           ")
 
   /** DuckDB oracle body shared by `ann_pq_topk` and the stored PQ

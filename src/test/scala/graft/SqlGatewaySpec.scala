@@ -74,7 +74,19 @@ class SqlGatewaySpec extends SparkSpec {
     "dedup_exact", "t_fingerprint", "t_redact_pii", "t_quality_score",
     "t_tfidf", "t_bm25_topk", "t_source_filter", "t_source_overlap",
     "p7_spec_resolver", "dedup_simhash", "t_source_overlap_minhash",
-    "t_source_overlap_lsh", "t_lang_id")
+    "t_source_overlap_lsh", "t_lang_id",
+    // round-13 tranche: the vector-family texts. Two mechanical
+    // rewrites unlocked them — `CAST(x AS DOUBLE[])` (DuckDB-only
+    // type syntax) → the element-wise `list_transform(x, v ->
+    // CAST(v AS DOUBLE))`, and rendered model VALUES spelled
+    // `list_value(…)` instead of the `[…]` literal — plus two new
+    // exact compat aliases (list_dot_product ≡ graft_dot,
+    // list_reverse ≡ reverse). Each proven row-identical by this
+    // very test before landing.
+    "ann_brute_topk", "ann_graph_batch", "ann_graph_topk",
+    "ann_ivf_staleness", "ann_ivf_stored", "ann_ivf_topk",
+    "emb_decontaminate", "emb_hard_negatives", "emb_kmeans",
+    "emb_near_dup", "emb_near_dup_lsh", "emb_semdedup", "t_hybrid_rrf")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle
