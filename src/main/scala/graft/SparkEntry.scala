@@ -711,7 +711,7 @@ object SparkEntry {
     "t_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+         CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', 1)) AS BIGINT) AS n_subtokens,
          CAST(length(text) AS BIGINT) AS n_chars
          FROM documents""",
     "t_quality_score" ->
@@ -740,8 +740,10 @@ object SparkEntry {
                   FROM documents),
          base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
                   CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM toks),
-         bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
-                FROM toks, UNNEST(range(1, len(w))) AS t(g)),
+         bi AS (SELECT doc_id, concat(list_extract(w, g), ' ',
+                  list_extract(w, g + 1)) AS gram
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS g
+                      FROM toks)),
          cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
          top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
          r AS (SELECT b.doc_id,
@@ -967,8 +969,10 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\s+') AS w
                     FROM documents),
-              grams AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS gram
-                    FROM toks, UNNEST(range(1, len(w) - 3)) AS t(g)),
+              grams AS (SELECT DISTINCT doc_id,
+                      array_to_string(array_slice(w, g, g + 4), ' ') AS gram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS g
+                          FROM toks)),
               bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
               hits AS (SELECT g.doc_id, count(*) AS n_hit_grams
                     FROM grams g JOIN bench USING (gram)
@@ -986,8 +990,10 @@ object SparkEntry {
                     FROM documents),
               base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                     CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM toks),
-              bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
-                    FROM toks, UNNEST(range(1, len(w))) AS t(g)),
+              bi AS (SELECT doc_id, concat(list_extract(w, g), ' ',
+                      list_extract(w, g + 1)) AS gram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS g
+                          FROM toks)),
               cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
               top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1)
          SELECT b.doc_id, b.n_tokens,
@@ -1005,8 +1011,9 @@ object SparkEntry {
                     string_split_regex(lower(trim(text)), '\s+') AS w
                     FROM documents),
               grams AS (SELECT doc_id, g - 1 AS pos,
-                    array_to_string(w[g:g+7], ' ') AS gram
-                    FROM toks, UNNEST(range(1, len(w) - 6)) AS t(g)),
+                    array_to_string(array_slice(w, g, g + 7), ' ') AS gram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS g
+                          FROM toks)),
               occ AS (SELECT doc_id, pos,
                     count(*) OVER (PARTITION BY gram) AS occ FROM grams),
               dup AS (SELECT doc_id, pos FROM occ WHERE occ > 1),

@@ -145,6 +145,14 @@ object DuckDbCompat {
       // exists in Spark only for strings+arrays via reverse();
       // list_reverse itself is unclaimed)
       f("list_reverse", Set(1))(c => Reverse(c(0))),
+      // DuckDB array_slice(list, begin, end): 1-based INCLUSIVE end.
+      // Spark Slice takes (start, length) — length = end − begin + 1.
+      // Exact on the domain the oracle texts use (positive in-bounds
+      // begin ≤ end — the slice windows are generated to fit);
+      // negative/overflow edge semantics differ and are out of scope,
+      // enforced as ever by the row-identity inventory test.
+      f("array_slice", Set(3))(c =>
+        Slice(c(0), c(1), Add(Subtract(c(2), c(1)), Literal(1)))),
       f("list", Set(1))(c => CollectList(c(0))),
       f("array_to_string", Set(2))(c => ArrayJoin(c(0), c(1), None)),
       f("regexp_matches", Set(2))(c => RLike(c(0), c(1))),

@@ -1651,15 +1651,19 @@ object TextQueries {
     s"""WITH toks AS (SELECT doc_id,
                     string_split_regex(lower(trim(text)), '\\s+') AS w
                     FROM documents),
-              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
-                    FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)),
+              g AS (SELECT DISTINCT doc_id,
+                      array_to_string(array_slice(w, i, i + 4), ' ') AS g
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                          FROM toks)),
               h AS (SELECT doc_id, g,
-                    ('0x' || substr(md5(g), 25, 8))::BIGINT AS h1,
-                    (('0x' || substr(md5(g), 17, 8))::BIGINT | 1) AS h2 FROM g),
+                    ${hexPolySql("md5(g)", 25)} AS h1,
+                    (${hexPolySql("md5(g)", 17)} | 1) AS h2 FROM g),
               bp AS (SELECT DISTINCT (h1 + j * h2) % $BloomMBits AS p
-                    FROM h, UNNEST(range(0, $BloomK)) AS r(j) WHERE doc_id % 97 = 0),
+                    FROM (SELECT doc_id, g, h1, h2, unnest(range(0, $BloomK)) AS j
+                          FROM h WHERE doc_id % 97 = 0)),
               pr AS (SELECT doc_id, g, (h1 + j * h2) % $BloomMBits AS p
-                    FROM h, UNNEST(range(0, $BloomK)) AS r(j) WHERE doc_id % 97 <> 0),
+                    FROM (SELECT doc_id, g, h1, h2, unnest(range(0, $BloomK)) AS j
+                          FROM h WHERE doc_id % 97 <> 0)),
               hit AS (SELECT doc_id, g FROM pr LEFT JOIN bp ON pr.p = bp.p
                     GROUP BY doc_id, g HAVING count(*) = count(bp.p)),
               c AS (SELECT doc_id, count(*) AS n_hit_grams FROM hit GROUP BY doc_id)
@@ -2273,8 +2277,10 @@ object TextQueries {
                   FROM documents),
               base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
                   CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM tk),
-              bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
-                  FROM tk, UNNEST(range(1, len(w))) AS t(g)),
+              bi AS (SELECT doc_id, concat(list_extract(w, g), ' ',
+                    list_extract(w, g + 1)) AS gram
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS g
+                        FROM tk)),
               cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
               top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
               r AS (SELECT b.doc_id,

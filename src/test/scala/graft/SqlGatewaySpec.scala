@@ -86,7 +86,18 @@ class SqlGatewaySpec extends SparkSpec {
     "ann_brute_topk", "ann_graph_batch", "ann_graph_topk",
     "ann_ivf_staleness", "ann_ivf_stored", "ann_ivf_topk",
     "emb_decontaminate", "emb_hard_negatives", "emb_kmeans",
-    "emb_near_dup", "emb_near_dup_lsh", "emb_semdedup", "t_hybrid_rrf")
+    "emb_near_dup", "emb_near_dup_lsh", "emb_semdedup", "t_hybrid_rrf",
+    // round-13 tranche 2 — the token-window texts: FROM-position
+    // `UNNEST(range(…)) AS t(g)` (a TVF Spark lacks) → a select-list
+    // `unnest(range(…))` generator subquery (legal in both);
+    // `w[g]` → list_extract; `w[g:g+k]` slices → the new array_slice
+    // alias (1-based inclusive end, exact on the in-bounds domain the
+    // texts generate); the bloom text's '0x…'::BIGINT hex casts →
+    // hexPolySql; regexp_extract_all gains an explicit capture group
+    // + ordinal (Spark requires one; DuckDB honors the same). Every
+    // rewrite proven row-identical in DuckDB before landing.
+    "t_decontaminate", "t_decontaminate_bloom", "t_quality_classifier",
+    "t_quality_gate", "t_repetition", "t_substring_spans", "t_token_count")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle
