@@ -154,6 +154,7 @@ object DuckDbCompat {
       f("array_slice", Set(3))(c =>
         Slice(c(0), c(1), Add(Subtract(c(2), c(1)), Literal(1)))),
       f("list", Set(1))(c => CollectList(c(0))),
+      f("list_min", Set(1))(c => ArrayMin(c(0))),
       f("array_to_string", Set(2))(c => ArrayJoin(c(0), c(1), None)),
       f("regexp_matches", Set(2))(c => RLike(c(0), c(1))),
       f("unnest", Set(1))(c => Explode(c(0))),
@@ -192,7 +193,18 @@ object DuckDbCompat {
     * DuckDB: strings AND lists, BIGINT out — LenOf dispatches and
     * matches DuckDB's type). Session-scoped shadowing, SQL door only. */
   val overrides: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(f("len", Set(1))(c => LenOf(c(0))))
+    Seq(f("len", Set(1))(c => LenOf(c(0))),
+      // DuckDB make_timestamp(micros): a 1-arg form Spark's builtin
+      // (6/7-arg calendar fields) never claims — different-arity
+      // superset, like `len`. Non-1-arg calls delegate verbatim to
+      // the builtin builder so the calendar form keeps Spark
+      // semantics through the SQL door.
+      f("make_timestamp", (1 to 8).toSet)(c =>
+        if (c.size == 1) MicrosToTimestamp(c(0))
+        else org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+          .lookupFunctionBuilder(FunctionIdentifier("make_timestamp"))
+          .map(_(c)).getOrElse(throw new IllegalStateException(
+            "builtin make_timestamp missing"))))
 
   /** Idempotent runtime registration (the GraftFunctions contract).
     * Except for the documented [[overrides]], never shadows an

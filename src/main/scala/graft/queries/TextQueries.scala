@@ -1944,16 +1944,16 @@ object TextQueries {
             terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
             hrows AS (SELECT unnest(range(0, $CmsDepth)) AS r),
             sk AS (SELECT r,
-                  ('0x' || substr(md5(r::VARCHAR || ':' || term), 25, 8))::BIGINT
+                  ${hexPolySql("md5(concat(r, ':', term))", 25)}
                     % $CmsWidth AS bucket,
                   count(*) AS cnt
                   FROM terms CROSS JOIN hrows GROUP BY 1, 2),
             cand AS (SELECT term FROM (
                   SELECT term, count(*) AS sample_cnt FROM terms
-                  WHERE substr(md5(doc_id::VARCHAR || '::hh'), 1, 1) = '0'
+                  WHERE substr(md5(concat(doc_id, '::hh')), 1, 1) = '0'
                   GROUP BY 1 ORDER BY sample_cnt DESC, term LIMIT ${k * 8})),
             cb AS (SELECT c.term, h.r,
-                  ('0x' || substr(md5(h.r::VARCHAR || ':' || c.term), 25, 8))::BIGINT
+                  ${hexPolySql("md5(concat(h.r, ':', c.term))", 25)}
                     % $CmsWidth AS bucket
                   FROM cand c CROSS JOIN hrows h),
             est AS (SELECT cb.term, min(sk.cnt) AS est

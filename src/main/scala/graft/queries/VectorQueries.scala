@@ -128,17 +128,22 @@ object VectorQueries {
     * scale-invariant, so the oracle projects the raw embeddings
     * where the engine projects the normalized ones. */
   private[graft] def annLshOracleSql: String = {
+    // table index and sign-bit weight are pure functions of the
+    // plane id, so they render as VALUES literals — this keeps the
+    // text free of the dialect-divergent `//` and `<<` operators
+    // (verbatim-portable, round 13)
     val planes = (0 until AnnTables * AnnBits).map { p =>
-      planeWeights(p).mkString(s"($p, [", ", ", "])")
+      planeWeights(p).map(dlit).mkString(
+        s"($p, ${p / AnnBits}, ${1 << (p % AnnBits)}, list_value(", ", ", "))")
     }.mkString(",\n           ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings
                   WHERE list_dot_product(list_transform(embedding, v -> CAST(v AS DOUBLE)),
                                          list_transform(embedding, v -> CAST(v AS DOUBLE))) > 0),
-            planes(p, w) AS (VALUES
+            planes(p, tb, bv, w) AS (VALUES
            $planes),
-            proj AS (SELECT e.vec_id, p.p // $AnnBits AS tbl,
+            proj AS (SELECT e.vec_id, p.tb AS tbl,
                   CASE WHEN list_dot_product(e.emb, w) > 0
-                       THEN (1 << (p.p % $AnnBits)) ELSE 0 END AS bit
+                       THEN p.bv ELSE 0 END AS bit
                   FROM e CROSS JOIN planes p),
             bk AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
                   FROM proj GROUP BY 1, 2),
@@ -417,12 +422,24 @@ object VectorQueries {
   @volatile private[graft] var lastSemDedupModel: Option[(Seq[Seq[Double]], Double)] = None
   @volatile private[graft] var lastPqModel: Option[(Seq[Seq[Seq[Double]]], Int)] = None
 
+  /** Render a Double so BOTH SQL parsers type it DOUBLE: a plain
+    * decimal literal ("2.0") is DECIMAL in Spark (and DuckDB), and a
+    * list_value of all-plain literals becomes a decimal array that
+    * graft_dot/list_dot_product reject or silently widen; appending
+    * E0 forces the double type with the identical value (parsing
+    * "0.1E0" as double ≡ casting decimal 0.1 to double — both are
+    * nearest-double of the same literal). */
+  private[queries] def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
   /** Centroid VALUES rows `(cid 1-based, weights, |c|²)` — |c|² is
     * rendered from the SAME driver arithmetic nearestCentroid bakes
     * into its literal, so the two engines share it to the bit. */
   private[queries] def centroidValues(cents: Seq[Seq[Double]]): String =
     cents.zipWithIndex.map { case (c, i) =>
-      s"(${i + 1}, list_value(${c.mkString(", ")}), ${c.map(x => x * x).sum})"
+      s"(${i + 1}, list_value(${c.map(dlit).mkString(", ")}), ${dlit(c.map(x => x * x).sum)})"
     }.mkString(",\n           ")
 
   /** Normalized-corpus CTE shared by the IVF/SemDeDup oracles —
@@ -521,7 +538,7 @@ object VectorQueries {
     * |c|²)`. */
   private[queries] def bookValues(book: Seq[Seq[Seq[Double]]]): String =
     (for ((cs, mm) <- book.zipWithIndex; (c, kk) <- cs.zipWithIndex)
-      yield s"($mm, $kk, list_value(${c.mkString(", ")}), ${c.map(x => x * x).sum})")
+      yield s"($mm, $kk, list_value(${c.map(dlit).mkString(", ")}), ${dlit(c.map(x => x * x).sum)})")
       .mkString(",\n           ")
 
   /** DuckDB oracle body shared by `ann_pq_topk` and the stored PQ
@@ -536,7 +553,7 @@ object VectorQueries {
       shortlist: Int, excludeSelf: Boolean): String = {
     val m = book.length; val k = book.head.length
     val sub = book.head.head.length
-    val adcTerms = (0 until m).map(mm => s"lut[c$mm + ${mm * k} + 1]")
+    val adcTerms = (0 until m).map(mm => s"list_extract(lut, c$mm + ${mm * k} + 1)")
       .mkString(" + ")
     val codeCols = (0 until m)
       .map(mm => s"max(CASE WHEN mm = $mm THEN code END) AS c$mm")
@@ -546,7 +563,7 @@ object VectorQueries {
           book(mm, kk, w, c2) AS (VALUES
          ${bookValues(book)}),
           sc AS (SELECT e.vec_id, b.mm, b.kk,
-                2 * list_dot_product(e.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w)
+                2 * list_dot_product(array_slice(e.emb, b.mm * $sub + 1, b.mm * $sub + $sub), b.w)
                   - b.c2 AS score
                 FROM e CROSS JOIN book b),
           cr AS (SELECT vec_id, mm, kk AS code,
@@ -557,9 +574,12 @@ object VectorQueries {
                 FROM cr WHERE rk = 1 GROUP BY vec_id),
           q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < $QueryK),
           lt AS (SELECT q.qid, b.mm, b.kk,
-                list_dot_product(q.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w) AS v
+                list_dot_product(array_slice(q.emb, b.mm * $sub + 1, b.mm * $sub + $sub), b.w) AS v
                 FROM q CROSS JOIN book b),
-          lu AS (SELECT qid, list(v ORDER BY mm, kk) AS lut FROM lt GROUP BY qid),
+          lu AS (SELECT qid,
+                list_transform(list_sort(list(list_value(CAST(mm * $k + kk AS DOUBLE), v))),
+                  p -> list_extract(p, 2)) AS lut
+                FROM lt GROUP BY qid),
           adc AS (SELECT lu.qid, cd.vec_id AS nid, $adcTerms AS adc_score
                 FROM cd CROSS JOIN lu $selfF),
           sl AS (SELECT qid, nid FROM (SELECT qid, nid,
@@ -591,7 +611,8 @@ object VectorQueries {
       book: Seq[Seq[Seq[Double]]], nprobe: Int, shortlist: Int): String = {
     val m = book.length; val k = book.head.length
     val sub = book.head.head.length
-    val adcTerms = (0 until m).map(mm => s"lut[c$mm + ${mm * k} + 1]")
+    val adcTerms = (0 until m)
+      .map(mm => s"list_extract(lut, c$mm + ${mm * k} + 1)")
       .mkString(" + ")
     val codeCols = (0 until m)
       .map(mm => s"max(CASE WHEN mm = $mm THEN code END) AS c$mm")
@@ -610,7 +631,7 @@ object VectorQueries {
           qc AS (SELECT vec_id AS qid, cell FROM rkc
                 WHERE vec_id < $QueryK AND rk <= $nprobe),
           sc AS (SELECT e.vec_id, b.mm, b.kk,
-                2 * list_dot_product(e.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w)
+                2 * list_dot_product(array_slice(e.emb, b.mm * $sub + 1, b.mm * $sub + $sub), b.w)
                   - b.c2 AS score
                 FROM e CROSS JOIN book b),
           cr AS (SELECT vec_id, mm, kk AS code,
@@ -621,9 +642,12 @@ object VectorQueries {
                 FROM cr WHERE rk = 1 GROUP BY vec_id),
           q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < $QueryK),
           lt AS (SELECT q.qid, b.mm, b.kk,
-                list_dot_product(q.emb[b.mm * $sub + 1 : b.mm * $sub + $sub], b.w) AS v
+                list_dot_product(array_slice(q.emb, b.mm * $sub + 1, b.mm * $sub + $sub), b.w) AS v
                 FROM q CROSS JOIN book b),
-          lu AS (SELECT qid, list(v ORDER BY mm, kk) AS lut FROM lt GROUP BY qid),
+          lu AS (SELECT qid,
+                list_transform(list_sort(list(list_value(CAST(mm * $k + kk AS DOUBLE), v))),
+                  p -> list_extract(p, 2)) AS lut
+                FROM lt GROUP BY qid),
           cand AS (SELECT DISTINCT qc.qid, c.vec_id AS nid
                 FROM corpus c JOIN qc USING (cell)),
           adc AS (SELECT cand.qid, cand.nid, $adcTerms AS adc_score
