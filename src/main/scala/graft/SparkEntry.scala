@@ -50,6 +50,8 @@ object SparkEntry {
     "w7_topk_auto" -> (CoreQueries.w7TopkAuto _),
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
+    "q_hll_distinct" -> (CoreQueries.qHllDistinct _),
+    "q_zorder_key" -> (graft.queries.LayoutQueries.qZorderKey _),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
     "q_quantiles_twophase" -> (CoreQueries.qQuantilesTwoPhase _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
@@ -228,7 +230,7 @@ object SparkEntry {
       """SELECT event_id, coalesce(
            CASE WHEN event_id % 4 = 0 THEN props END,
            CASE WHEN event_id % 4 = 1 THEN event_type END,
-           'item_' || CAST(event_id AS VARCHAR)) AS serial
+           concat('item_', event_id)) AS serial
          FROM events""",
     "p5_cents_to_dollars" ->
       """SELECT l_orderkey, l_linenumber,
@@ -341,10 +343,10 @@ object SparkEntry {
          WHERE rank <= 3""",
     "w3_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
-         date_diff('day',
-           CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey) AS DATE),
-           CAST(o_orderdate AS DATE)) AS gap_days
+         CAST(floor(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) / 86400)
+            - floor(epoch(CAST(CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS DATE) AS TIMESTAMP)) / 86400)
+           AS BIGINT) AS gap_days
          FROM orders""",
     "a6_rollup" ->
       """SELECT l_returnflag, l_linestatus,
@@ -416,11 +418,19 @@ object SparkEntry {
          FROM (SELECT source, doc_id, w, prio,
                  row_number() OVER (PARTITION BY source
                    ORDER BY prio, doc_id) AS rk
-               FROM (SELECT source, doc_id,
-                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
-                       ('0x' || substr(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 25, 8))::BIGINT
-                         // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS prio
-                     FROM documents WHERE text IS NOT NULL))
+               FROM (SELECT source, doc_id, w,
+                       CAST((hx32 - (hx32 % w)) / w AS BIGINT) AS prio
+                     FROM (SELECT source, doc_id,
+                             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+                             ((position(substr(md5(concat_ws(':', source, doc_id)), 25, 1) IN '0123456789abcdef') - 1) * CAST(268435456 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 26, 1) IN '0123456789abcdef') - 1) * CAST(16777216 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 27, 1) IN '0123456789abcdef') - 1) * CAST(1048576 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 28, 1) IN '0123456789abcdef') - 1) * CAST(65536 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 29, 1) IN '0123456789abcdef') - 1) * CAST(4096 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 30, 1) IN '0123456789abcdef') - 1) * CAST(256 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 31, 1) IN '0123456789abcdef') - 1) * CAST(16 AS BIGINT)
+                      + (position(substr(md5(concat_ws(':', source, doc_id)), 32, 1) IN '0123456789abcdef') - 1)) AS hx32
+                           FROM documents WHERE text IS NOT NULL)))
          WHERE rk <= 10""",
     "t_stratified_sample" ->
       """SELECT lang, doc_id, rk
@@ -464,9 +474,11 @@ object SparkEntry {
            (SELECT count(*) FROM lineitem l LEFT JOIN orders o
               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
            (SELECT count(*) FROM lineitem)""",
+    "q_hll_distinct" -> graft.queries.CoreQueries.hllOracleSql,
+    "q_zorder_key" -> graft.queries.LayoutQueries.zorderOracleSql,
     "q_profile" ->
       """WITH t AS (SELECT * FROM orders)
-         SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+         SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
            count(*) - count(o_custkey) AS n_null,
            count(DISTINCT o_custkey) AS n_distinct FROM t
          UNION ALL
@@ -628,8 +640,9 @@ object SparkEntry {
               cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
               active AS (SELECT DISTINCT user_id, wk FROM ev)
          SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
-           CAST((epoch_us(wk) - epoch_us(cohort_wk)) // 604800000000 AS BIGINT)
-             AS week_offset,
+           CAST((epoch_us(wk) - epoch_us(cohort_wk)
+               - ((epoch_us(wk) - epoch_us(cohort_wk)) % 604800000000))
+             / 604800000000 AS BIGINT) AS week_offset,
            count(DISTINCT user_id) AS n_active
          FROM active JOIN cohort USING (user_id)
          GROUP BY 1, 2""",
@@ -658,18 +671,22 @@ object SparkEntry {
               grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bkt
                     FROM bounds),
               j AS (SELECT g.event_type, g.bkt, o.n, o.v
-                    FROM grid g LEFT JOIN obs o USING (event_type, bkt))
-         SELECT strftime(to_timestamp(bkt * 900), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                    FROM grid g LEFT JOIN obs o USING (event_type, bkt)),
+              f AS (SELECT event_type, bkt, n, v,
+                    count(v) OVER (PARTITION BY event_type ORDER BY bkt
+                      ROWS UNBOUNDED PRECEDING) AS fill_grp
+                    FROM j)
+         SELECT strftime(make_timestamp(bkt * 900000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
            event_type, coalesce(n, 0) AS n_events,
            CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
-           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bkt
-             ROWS UNBOUNDED PRECEDING) AS fill_value
-         FROM j""",
+           max(v) OVER (PARTITION BY event_type, fill_grp) AS fill_value
+         FROM f""",
     // drift matrix: integer counts + single IEEE divisions only, so
     // both engines agree bit-for-bit (no log(), no summed doubles)
     "e10_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
-              m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+              m AS (SELECT min(us) + CAST((max(us) - min(us)
+                      - ((max(us) - min(us)) % 2)) / 2 AS BIGINT) AS mid FROM e),
               x AS (SELECT event_type, us >= mid AS late,
                     least(CAST(floor(value / 25.0) AS INT), 19) AS bin FROM e, m),
               g AS (SELECT event_type, bin,
@@ -693,14 +710,21 @@ object SparkEntry {
                   t -> t <> '') AS toks
                 FROM documents),
          d2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
-         big AS (SELECT doc_id, lang, z[1] || ' ' || z[2] AS g
-                 FROM (SELECT doc_id, lang, unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
-                       FROM d2)),
+         big AS (SELECT doc_id, lang,
+                   concat(list_extract(toks, g), ' ', list_extract(toks, g + 1)) AS g
+                 FROM (SELECT doc_id, lang, toks, unnest(range(1, n)) AS g FROM d2)),
          hb AS (SELECT doc_id, lang,
-                ('0x' || substr(md5(g), 25, 8))::BIGINT % 1024 AS b FROM big),
+                ((position(substr(md5(g), 25, 1) IN '0123456789abcdef') - 1) * CAST(268435456 AS BIGINT)
+                      + (position(substr(md5(g), 26, 1) IN '0123456789abcdef') - 1) * CAST(16777216 AS BIGINT)
+                      + (position(substr(md5(g), 27, 1) IN '0123456789abcdef') - 1) * CAST(1048576 AS BIGINT)
+                      + (position(substr(md5(g), 28, 1) IN '0123456789abcdef') - 1) * CAST(65536 AS BIGINT)
+                      + (position(substr(md5(g), 29, 1) IN '0123456789abcdef') - 1) * CAST(4096 AS BIGINT)
+                      + (position(substr(md5(g), 30, 1) IN '0123456789abcdef') - 1) * CAST(256 AS BIGINT)
+                      + (position(substr(md5(g), 31, 1) IN '0123456789abcdef') - 1) * CAST(16 AS BIGINT)
+                      + (position(substr(md5(g), 32, 1) IN '0123456789abcdef') - 1)) % 1024 AS b FROM big),
          t AS (SELECT b, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY 1),
          r AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
-         tot AS (SELECT count(*) AS nr, count(*) FILTER (lang = 'en') AS nt FROM hb),
+         tot AS (SELECT count(*) AS nr, count(*) FILTER (WHERE lang = 'en') AS nt FROM hb),
          s AS (SELECT doc_id, count(*) AS n_grams,
                round(sum(ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0))
                        - ln((cr + 1.0) / (nr + 1024.0))) / count(*), 4) AS dsir_logratio
@@ -801,8 +825,9 @@ object SparkEntry {
                     CASE WHEN len(hashes) >= 4 THEN
                       list_sort(list_distinct(
                         list_transform(range(1, len(hashes) - 2),
-                          i -> list_min(hashes[CAST(i AS INT):CAST(i + 3 AS INT)]))))
-                    ELSE [list_min(hashes)] END AS sel
+                          i -> list_min(array_slice(hashes,
+                                 CAST(i AS INT), CAST(i + 3 AS INT))))))
+                    ELSE list_value(list_min(hashes)) END AS sel
                     FROM g)
          SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_selected,
            md5(array_to_string(sel, ',')) AS winnow_digest
@@ -938,20 +963,20 @@ object SparkEntry {
     // DuckDB via strpos — same value)
     "t_shard_shuffle" ->
       """WITH h AS (SELECT doc_id,
-                    md5(concat(CAST(doc_id AS VARCHAR), ':s42')) AS hx
+                    md5(concat(doc_id, ':s42')) AS hx
                     FROM documents)
          SELECT doc_id,
-           CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) AS shard,
+           CAST(position(substr(hx, 1, 1) IN '0123456789abcdef') - 1 AS BIGINT) AS shard,
            row_number() OVER (PARTITION BY substr(hx, 1, 1)
                               ORDER BY hx, doc_id) AS pos
          FROM h""",
     "t_pack_chunks" ->
       """WITH h AS (SELECT doc_id,
-                    md5(concat(CAST(doc_id AS VARCHAR), ':s42')) AS hx,
+                    md5(concat(doc_id, ':s42')) AS hx,
                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
                     FROM documents),
               s AS (SELECT doc_id, hx, n_tokens,
-                    CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) AS shard
+                    CAST(position(substr(hx, 1, 1) IN '0123456789abcdef') - 1 AS BIGINT) AS shard
                     FROM h),
               c AS (SELECT doc_id, shard, n_tokens,
                     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
@@ -1149,9 +1174,9 @@ object SparkEntry {
                  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1),
          tot AS (SELECT sum(cu) AS nu FROM uni),
          d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
-         big0 AS (SELECT z[1] AS w1, z[2] AS w2
-                  FROM (SELECT unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
-                        FROM d2)),
+         big0 AS (SELECT list_extract(toks, g) AS w1,
+                         list_extract(toks, g + 1) AS w2
+                  FROM (SELECT toks, unnest(range(1, n)) AS g FROM d2)),
          nbt AS (SELECT count(*) AS nb FROM big0),
          big AS (SELECT w1, w2, count(*) AS cb FROM big0
                  GROUP BY 1, 2 HAVING count(*) >= 5),
@@ -1171,9 +1196,9 @@ object SparkEntry {
                   t -> t <> '') AS toks
                 FROM documents),
          d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
-         big AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
-                 FROM (SELECT doc_id, unnest(list_zip(toks[1:n-1], toks[2:n])) AS z
-                       FROM d2)),
+         big AS (SELECT doc_id, list_extract(toks, g) AS w1,
+                        list_extract(toks, g + 1) AS w2
+                 FROM (SELECT doc_id, toks, unnest(range(1, n)) AS g FROM d2)),
          rb AS (SELECT w1, w2, count(*) AS cb FROM big WHERE doc_id % 2 = 0
                 GROUP BY 1, 2),
          ru AS (SELECT w, count(*) AS cu
@@ -1267,10 +1292,12 @@ object SparkEntry {
          SELECT label, a_id, b_id, cos FROM p WHERE cos >= 0.4""",
     "emb_centroids" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-              u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+              u AS (SELECT label, list_extract(emb, gd) AS x, gd AS dim
+                    FROM (SELECT label, emb, unnest(range(1, len(emb) + 1)) AS gd FROM e)),
               c AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM u GROUP BY label, dim),
               cent AS (SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
-                       list(sx/n ORDER BY dim) AS cvec,
+                       list_transform(list_sort(list(list_value(CAST(dim AS DOUBLE), sx/n))),
+                         p -> list_extract(p, 2)) AS cvec,
                        round(sqrt(sum((sx/n)*(sx/n))), 4) AS centroid_norm
                        FROM c GROUP BY label),
               d AS (SELECT e.label,
@@ -1294,25 +1321,25 @@ object SparkEntry {
          d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
          n AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0) - ((85 * COALESCE(c.s, 0)) % 100)) / 100 AS BIGINT) AS r
            FROM n LEFT JOIN (
-             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             SELECT e.dst AS node, SUM(CAST((r.r - (r.r % d.deg)) / d.deg AS BIGINT)) AS s
              FROM e JOIN d USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
-         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0) - ((85 * COALESCE(c.s, 0)) % 100)) / 100 AS BIGINT) AS r
            FROM n LEFT JOIN (
-             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             SELECT e.dst AS node, SUM(CAST((r.r - (r.r % d.deg)) / d.deg AS BIGINT)) AS s
              FROM e JOIN d USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
-         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0) - ((85 * COALESCE(c.s, 0)) % 100)) / 100 AS BIGINT) AS r
            FROM n LEFT JOIN (
-             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             SELECT e.dst AS node, SUM(CAST((r.r - (r.r % d.deg)) / d.deg AS BIGINT)) AS s
              FROM e JOIN d USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
-         r4 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         r4 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0) - ((85 * COALESCE(c.s, 0)) % 100)) / 100 AS BIGINT) AS r
            FROM n LEFT JOIN (
-             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             SELECT e.dst AS node, SUM(CAST((r.r - (r.r % d.deg)) / d.deg AS BIGINT)) AS s
              FROM e JOIN d USING (src) JOIN r3 r ON r.node = e.src GROUP BY e.dst) c USING (node)),
-         r5 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         r5 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0) - ((85 * COALESCE(c.s, 0)) % 100)) / 100 AS BIGINT) AS r
            FROM n LEFT JOIN (
-             SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+             SELECT e.dst AS node, SUM(CAST((r.r - (r.r % d.deg)) / d.deg AS BIGINT)) AS s
              FROM e JOIN d USING (src) JOIN r4 r ON r.node = e.src GROUP BY e.dst) c USING (node))
          SELECT node AS part_key, r AS rank_micros FROM r5""",
     // counts stay exact integers until the final confidence/lift
@@ -1409,9 +1436,13 @@ object SparkEntry {
          SELECT id AS part_key, min(d) AS dist FROM walk GROUP BY id""",
     "emb_outliers" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-              u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+              u AS (SELECT label, list_extract(emb, gd) AS x, gd AS dim
+                    FROM (SELECT label, emb, unnest(range(1, len(emb) + 1)) AS gd FROM e)),
               c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
-              cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
+              cent AS (SELECT label,
+                       list_transform(list_sort(list(list_value(CAST(dim AS DOUBLE), cx))),
+                         p -> list_extract(p, 2)) AS cvec
+                       FROM c GROUP BY label),
               d AS (SELECT e.vec_id, e.label,
                     round(list_dot_product(e.emb, cent.cvec) /
                       (sqrt(list_dot_product(e.emb, e.emb)) *
@@ -1486,8 +1517,8 @@ object SparkEntry {
                 FROM documents),
          base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
                 CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq FROM tk),
-         bi AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS gram
-                FROM tk, UNNEST(range(1, len(w))) AS t(g)),
+         bi AS (SELECT doc_id, concat(list_extract(w, g), ' ', list_extract(w, g + 1)) AS gram
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS g FROM tk)),
          cnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
          top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1),
          r AS (SELECT b.doc_id,
@@ -1504,9 +1535,13 @@ object SparkEntry {
                   md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))) <> doc_id AS is_dup
                 FROM documents),
          e AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-         u AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+         u AS (SELECT label, list_extract(emb, gd) AS x, gd AS dim
+               FROM (SELECT label, emb, unnest(range(1, len(emb) + 1)) AS gd FROM e)),
          c AS (SELECT label, dim, sum(x) / count(*) AS cx FROM u GROUP BY label, dim),
-         cent AS (SELECT label, list(cx ORDER BY dim) AS cvec FROM c GROUP BY label),
+         cent AS (SELECT label,
+                list_transform(list_sort(list(list_value(CAST(dim AS DOUBLE), cx))),
+                  p -> list_extract(p, 2)) AS cvec
+                FROM c GROUP BY label),
          o AS (SELECT e.vec_id AS doc_id,
                 round(list_dot_product(e.emb, cent.cvec) /
                   (sqrt(list_dot_product(e.emb, e.emb)) *

@@ -223,7 +223,7 @@ object CoreQueries {
     val row = Tables.orders(spark, dir)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stacked = cols.map(c => struct(
-      lit(c).as("column"),
+      lit(c).as("col_name"),
       col("n_rows"),
       (col("n_rows") - col(s"${c}__nn")).as("n_null"),
       col(s"${c}__nd").as("n_distinct")))
@@ -249,7 +249,7 @@ object CoreQueries {
     val row = Tables.orders(spark, dir)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stacked = cols.map(c => struct(
-      lit(c).as("column"),
+      lit(c).as("col_name"),
       col("n_rows"),
       (col("n_rows") - col(s"${c}__nn")).as("n_null"),
       col(s"${c}__nd").as("n_distinct")))
@@ -861,6 +861,108 @@ object CoreQueries {
           .otherwise("changed").as("change_type"),
         round(col("old_price"), 2).as("old_price"),
         round(col("new_price"), 2).as("new_price"))
+  }
+
+  /** Deterministic HyperLogLog distinct-count sketch — the
+    * oracle-gated twin of qProfileApprox's builtin
+    * approx_count_distinct. The point this row proves: a SKETCH can
+    * ride the driver's hash gate when its randomness is replaced by
+    * a fixed hash — every piece is exact-integer (md5-low-32 hash,
+    * low-10-bits bucket, bit-length rank via bin()) up to ONE IEEE
+    * division, so Spark and DuckDB compute identical registers and
+    * identical estimates.
+    *
+    * Standard HLL (Flajolet et al. 2007, with the HLL++-style
+    * linear-counting small-range correction): p = 10 → m = 1024
+    * registers; h = 32-bit hash; bucket = h mod m; rank = leading
+    * zeros of the 22-bit suffix + 1 (= 23 − bitlength, 23 when the
+    * suffix is 0). The register table is groupBy(bucket).max(rank) —
+    * map-side-combinable partials, so the shuffle is ≤ m rows per
+    * column REGARDLESS of input rows: the same constant-traffic
+    * profile shape qProfileApprox documents, now cross-engine
+    * reproducible. The harmonic sum is kept EXACT as an integer
+    * (Σ 2^(23−r) ≤ m·2^23 — every partial sum is representable, so
+    * aggregation order cannot matter); the one double division
+    * happens at the very end, rounded to 2dp.
+    *
+    * Columns chosen for identical cross-engine string rendering
+    * (BIGINT and VARCHAR only — doubles and timestamps render
+    * differently and belong to the engine-only qProfileApprox). */
+  private val HllP = 10
+  private val HllM = 1 << HllP // 1024
+  private val HllCols = Seq("o_custkey", "o_orderkey", "o_orderstatus",
+    "o_orderpriority")
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    val orders = Tables.orders(spark, dir)
+    val perCol = HllCols.map { c =>
+      val h32 = conv(substring(md5(col(c).cast("string")), 25, 8), 16, 10)
+        .cast("long")
+      val suffix = ((h32 - (h32 % HllM)) / HllM).cast("long")
+      val rank = when(suffix === 0, lit(23))
+        .otherwise(lit(23) - length(bin(suffix)))
+      orders.filter(col(c).isNotNull)
+        .select((h32 % HllM).as("bucket"), rank.as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+        .agg(
+          sum(call_function("shiftleft", lit(1L),
+              (lit(23) - col("r")).cast("int")))
+            .as("sum_present"),
+          count(lit(1)).as("n_occupied"))
+        .select(
+          lit(c).as("col_name"),
+          (col("sum_present") +
+            (lit(HllM.toLong) - col("n_occupied")) * lit(1L << 23))
+            .as("sum_scaled"),
+          (lit(HllM.toLong) - col("n_occupied")).as("n_zero"))
+    }
+    val regs = perCol.reduce(_ unionByName _)
+    // raw estimate: alpha·m²·2²³ / sum_scaled; linear counting when
+    // the raw estimate is small and empty registers remain
+    val raw = lit(alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble) /
+      col("sum_scaled")
+    val est = when(col("n_zero") > 0 && raw <= lit(2.5 * HllM),
+        log(lit(HllM.toDouble) / col("n_zero")) * lit(HllM.toDouble))
+      .otherwise(raw)
+    regs.select(col("col_name"), col("sum_scaled"), col("n_zero"),
+      round(est, 2).as("est_distinct"))
+  }
+
+  /** The DuckDB oracle for `q_hll_distinct`, rendered from the same
+    * constants. Absent buckets contribute 2^23 to the harmonic sum —
+    * folded in arithmetically from (m − occupied), so no grid join
+    * is needed. bin()'s no-leading-zeros bit string gives the exact
+    * bitlength in both engines; the hash is the shared md5-low-32
+    * polynomial (hexPolySql). */
+  private[graft] def hllOracleSql: String = {
+    val hex = TextQueries.hexPolySql("hx", 25)
+    val arms = HllCols.map { c =>
+      s"""SELECT '$c' AS col_name, h % $HllM AS bucket,
+           CASE WHEN CAST((h - (h % $HllM)) / $HllM AS BIGINT) = 0 THEN 23
+                ELSE 23 - length(bin(CAST((h - (h % $HllM)) / $HllM AS BIGINT)))
+           END AS rho
+         FROM (SELECT $hex AS h
+               FROM (SELECT md5(concat(v, '')) AS hx
+                     FROM (SELECT $c AS v FROM orders WHERE $c IS NOT NULL)))"""
+    }.mkString("\n         UNION ALL\n         ")
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    s"""WITH b AS (
+         $arms),
+       regs AS (SELECT col_name, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+       agg AS (SELECT col_name,
+             CAST(sum(power(2, 23 - r)) AS BIGINT)
+               + (CAST($HllM AS BIGINT) - count(*)) * ${1L << 23} AS sum_scaled,
+             CAST($HllM AS BIGINT) - count(*) AS n_zero
+             FROM regs GROUP BY 1)
+       SELECT col_name, sum_scaled, n_zero,
+         round(CASE WHEN n_zero > 0
+             AND ${alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble}
+               / sum_scaled <= ${2.5 * HllM}
+           THEN ln(CAST($HllM AS DOUBLE) / n_zero) * $HllM
+           ELSE ${alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble}
+               / sum_scaled END, 2) AS est_distinct
+       FROM agg"""
   }
 
   /** K6: incremental aggregate maintenance (IncrementalAgg.scala).

@@ -26,6 +26,34 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("qHllDistinct: estimates track exact counts, small cardinalities are LC-exact, and the sketch is order-invariant") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val est = CoreQueries.qHllDistinct(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val orders = graft.sources.Tables.orders(spark, dir)
+      val exact = est.keySet.map(c =>
+        c -> orders.select(countDistinct(col(c))).collect()(0).getLong(0)).toMap
+      // m = 1024 → rsd ≈ 1.04/√1024 ≈ 3.25%; 5× is a deterministic
+      // bound (the hash is fixed, so this is a measurement)
+      for ((c, n) <- exact if n > 100)
+        assert(math.abs(est(c) - n) <= n * 0.163,
+          s"$dir/$c: hll ${est(c)} vs exact $n")
+      // tiny cardinalities ride the linear-counting branch and are
+      // near-exact: 1024·ln(1024/(1024−n)) ≈ n to well under 1
+      for ((c, n) <- exact if n <= 100)
+        assert(math.abs(est(c) - n) <= 0.5,
+          s"$dir/$c: linear-counting ${est(c)} vs exact $n")
+    }
+    // order/partitioning invariance: registers are a max per bucket
+    // and the harmonic sum is exact in integers, so a different
+    // physical layout of the same rows CANNOT move any output bit
+    val a = CoreQueries.qHllDistinct(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toString).sorted
+    val b = CoreQueries.qHllDistinct(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("qProfileApprox estimates every distinct count within the documented error") {
     // HLL++ at rsd=0.02 has std error 2%; 5× that is a generous
     // deterministic bound (the sketch is seed-free, so this is a
@@ -34,11 +62,11 @@ class CoreQueriesSpec extends SparkSpec {
     // range.
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val exact = CoreQueries.qProfile(spark, dir)
-        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
         .toMap
       val approx = CoreQueries.qProfileApprox(spark, dir)
-        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
         .toMap
       assert(approx.keySet == exact.keySet)

@@ -97,7 +97,38 @@ class SqlGatewaySpec extends SparkSpec {
     // + ordinal (Spark requires one; DuckDB honors the same). Every
     // rewrite proven row-identical in DuckDB before landing.
     "t_decontaminate", "t_decontaminate_bloom", "t_quality_classifier",
-    "t_quality_gate", "t_repetition", "t_substring_spans", "t_token_count")
+    "t_quality_gate", "t_repetition", "t_substring_spans", "t_token_count",
+    // round-13 tranche 3 — the long tail, five mechanical rewrites
+    // (each proven row-identical in DuckDB at sf0.01 before landing):
+    //  - `a // b` floor division → the exact-multiple form
+    //    `(a - (a % b)) / b` (integer-exact: the numerator is a
+    //    multiple of b below 2^53, so the double division is exact —
+    //    no floor() rounding analysis needed), or min+half-diff for
+    //    the e10 midpoint whose sum overflows 2^53;
+    //  - `x::VARCHAR || ...` renderings → concat(...) (both engines
+    //    cast non-string concat args);
+    //  - FROM-position UNNEST / generate_subscripts zips → the
+    //    select-list unnest(range(...)) generator subquery +
+    //    list_extract (DuckDB's list_zip makes UNNAMED structs, so
+    //    the arrays_zip field-name route is DuckDB-unbridgeable);
+    //  - `list(v ORDER BY k)` ordered aggregation (no Spark
+    //    equivalent) → list_transform(list_sort(list(list_value(
+    //    CAST(k AS DOUBLE), v))), p -> list_extract(p, 2)) — sort
+    //    key rides as element 1 of a 2-element DOUBLE pair, exact
+    //    for the small integer keys these texts order by;
+    //  - date_diff('day', …) (incompatible signatures) → epoch-day
+    //    arithmetic via the epoch alias; to_timestamp(secs) →
+    //    make_timestamp(micros) (1-arg compat override);
+    //  - LSH planes: table index + sign-bit weight rendered as
+    //    VALUES literals, retiring `//` and `<<` from the text.
+    "e10_drift", "e7_retention", "e9_resample", "w3_order_gaps",
+    "q_profile", "p4_coalesce_chain", "t_shard_shuffle", "t_pack_chunks",
+    "t_weighted_sample", "t_winnow", "t_collocations", "t_lm_score",
+    "t_dsir_weights", "t_curation_e2e", "t_heavy_hitters_cms",
+    "g1_pagerank", "emb_centroids", "emb_outliers",
+    "ann_lsh_topk", "ann_pq_topk", "ann_pq_stored", "ann_ivfpq_stored",
+    // round-13 new oracle-gated operators, portable from birth
+    "q_hll_distinct", "q_zorder_key")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.LayoutQueries
+
+/** Z-order layout: interleave exactness (vs a driver-side reference
+  * and via the lossless roundtrip) and the thing the layout exists
+  * for — measured file-level min/max pruning on a 2-D box filter,
+  * z-layout vs single-column sort order. */
+class ZOrderSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zKey matches the driver-side Morton reference on every lineitem row") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        LayoutQueries.zKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val expect = mortonRef(r.getLong(0) & 0xffffL, r.getLong(1) & 0xffffL)
+      assert(r.getLong(2) == expect,
+        s"(${r.getLong(0)}, ${r.getLong(1)}): got ${r.getLong(2)}, want $expect")
+    }
+  }
+
+  test("unZKey inverts zKey: the interleave is lossless") {
+    val bad = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").bitwiseAND(lit(0xffffL)).as("x"),
+        col("l_suppkey").bitwiseAND(lit(0xffffL)).as("y"),
+        LayoutQueries.zKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .filter(LayoutQueries.unZKey(col("zkey"), 0) =!= col("x") ||
+        LayoutQueries.unZKey(col("zkey"), 1) =!= col("y"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("z-ordered files prune a 2-D box filter that a single-column sort cannot") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val nFiles = 16
+    LayoutQueries.zorderWrite(li, "l_partkey", "l_suppkey",
+      s"$root/zorder", nFiles)
+    // the contender: the natural single-column layout (sorted by the
+    // write-order key, here orderkey — what a plain ETL emits)
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/linear")
+
+    // a box in the middle of both ACTUAL key domains (~20% of the
+    // partkey range, ~33% of the small suppkey range) — derived from
+    // the data so the test measures pruning at any SF
+    val b = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect()(0)
+    val (pMin, pMax, sMin, sMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (p1, p2) = (pMin + (pMax - pMin) * 2 / 5, pMin + (pMax - pMin) * 3 / 5)
+    val (s1, s2) = (sMin + (sMax - sMin) / 3, sMin + (sMax - sMin) * 2 / 3)
+
+    // file-level min/max stats — the skipping decision a lakehouse
+    // data-skipping index (or the parquet footer check) makes
+    def filesTouched(path: String): (Int, Int) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val touched = files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_partkey"), max("l_partkey"),
+            min("l_suppkey"), max("l_suppkey")).collect()(0)
+        val (pLo, pHi, sLo, sHi) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        pHi >= p1 && pLo <= p2 && sHi >= s1 && sLo <= s2
+      }
+      (touched, files.length)
+    }
+    val (zTouched, zTotal) = filesTouched(s"$root/zorder")
+    val (lTouched, lTotal) = filesTouched(s"$root/linear")
+    info(s"box filter touches $zTouched/$zTotal z-ordered files " +
+      s"vs $lTouched/$lTotal order-sorted files")
+    // correctness floor: both layouts hold the same rows — and the
+    // box must actually select some (an empty box proves nothing)
+    val want = li.filter(col("l_partkey").between(p1, p2) &&
+      col("l_suppkey").between(s1, s2)).count()
+    assert(want > 0, s"degenerate test box [$p1,$p2]×[$s1,$s2]")
+    for (p <- Seq("zorder", "linear")) {
+      val got = spark.read.parquet(s"$root/$p")
+        .filter(col("l_partkey").between(p1, p2) &&
+          col("l_suppkey").between(s1, s2)).count()
+      assert(got == want, s"$p layout lost rows: $got vs $want")
+    }
+    // the point: partkey is uncorrelated with write order, so the
+    // linear layout intersects (nearly) every file while the Z
+    // layout confines the box to a few curve segments
+    assert(lTouched > 0 && zTouched * 2 <= lTouched,
+      s"z-order pruning too weak: $zTouched vs $lTouched files")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
