@@ -1223,35 +1223,49 @@ object VectorIndex {
 
   private[graft] def graphOracleSqlOf(cents: Seq[Seq[Double]],
       queryFilter: String): String = {
-      // rounds r = 1..GraphHops; p0 = scored seed entry points.
-      //   f_r: top-beam pool rows not yet expanded (x_{r-1})
-      //   x_r: expanded-set accumulation
-      //   c_r: frontier neighbors not already in the pool
-      //   p_r: pool + newly scored candidates
+      // rounds r = 1..GraphHops over ONE state relation s_r per hop:
+      // (qid, nid, sim, ex) where ex marks ever-expanded pool rows —
+      // pool and expanded-set fused so each hop references the
+      // previous hop EXACTLY ONCE. The original three references per
+      // hop (frontier rank, NOT-EXISTS pool guard, pool union) made
+      // Spark's physical plan clone the whole prefix 3^hops times
+      // (measured: 474 s through spark.sql at sf0.001 for the
+      // topk text); the fused form is linear in hops (same rows:
+      // every sim for a (qid, nid) is the SAME round(dot), so
+      // collapsing duplicates by max replaces the anti-join, and
+      // max(ex) preserves the expansion bookkeeping).
+      //   t_r: rank unexpanded rows per query → frontier flag fr
+      //   j_r: one LEFT JOIN emits each row's self-state on every
+      //        output row plus its neighbor expansion when fr = 1
+      //   s_r: explode {self, candidate} packed as DOUBLE triples
+      //        (nid ≤ 2^32 and the 0/1 flag are double-exact),
+      //        re-collapse by (qid, nid)
       val rounds = (1 to GraphHops).map { r =>
-        val notExpanded =
-          if (r == 1) ""
-          else s"""
-            WHERE NOT EXISTS (SELECT 1 FROM x${r - 1} x
-                  WHERE x.qid = p.qid AND x.nid = p.nid)"""
-        val xCte =
-          if (r == 1) "x1 AS (SELECT qid, nid FROM f1)"
-          else s"""x$r AS (SELECT qid, nid FROM x${r - 1}
-                  UNION SELECT qid, nid FROM f$r)"""
-        s"""f$r AS (SELECT qid, nid FROM (
-                SELECT p.qid, p.nid, row_number() OVER (PARTITION BY p.qid
-                  ORDER BY p.sim DESC, p.nid) AS rk
-                FROM p${r - 1} p$notExpanded) WHERE rk <= $GraphBeam),
-          $xCte,
-          c$r AS (SELECT DISTINCT f.qid, ed.nid
-                FROM f$r f JOIN edges ed ON ed.src = f.nid
-                WHERE NOT EXISTS (SELECT 1 FROM p${r - 1} p
-                  WHERE p.qid = f.qid AND p.nid = ed.nid)),
-          p$r AS (SELECT qid, nid, sim FROM p${r - 1} UNION ALL
-                SELECT c.qid, c.nid,
-                  round(list_dot_product(q.qemb, ge.emb), 4) AS sim
-                FROM c$r c JOIN q ON q.qid = c.qid
-                JOIN e ge ON ge.vec_id = c.nid)"""
+        s"""t$r AS (SELECT qid, nid, sim, ex,
+                CASE WHEN ex = 0 AND rk <= $GraphBeam THEN 1 ELSE 0 END AS fr
+                FROM (SELECT qid, nid, sim, ex,
+                  row_number() OVER (PARTITION BY qid, ex
+                    ORDER BY sim DESC, nid) AS rk
+                FROM s${r - 1})),
+          j$r AS (SELECT t.qid,
+                list_value(CAST(t.nid AS DOUBLE), t.sim,
+                  CASE WHEN t.fr = 1 THEN 1.0E0 ELSE CAST(t.ex AS DOUBLE) END)
+                  AS self_p,
+                CASE WHEN ed.nid IS NULL THEN NULL
+                     ELSE list_value(CAST(ed.nid AS DOUBLE),
+                       round(list_dot_product(q.qemb, ge.emb), 4), 0.0E0)
+                END AS cand_p
+                FROM t$r t
+                JOIN q ON q.qid = t.qid
+                LEFT JOIN edges ed ON t.fr = 1 AND ed.src = t.nid
+                LEFT JOIN e ge ON ge.vec_id = ed.nid),
+          s$r AS (SELECT qid, CAST(list_extract(pk, 1) AS BIGINT) AS nid,
+                max(list_extract(pk, 2)) AS sim,
+                CAST(max(list_extract(pk, 3)) AS INT) AS ex
+                FROM (SELECT qid, unnest(list_value(self_p, cand_p)) AS pk
+                      FROM j$r)
+                WHERE pk IS NOT NULL
+                GROUP BY 1, 2)"""
       }.mkString(",\n          ")
       s"""WITH ${VectorQueries.NormedCte},
             cents(cid, w, c2) AS (VALUES
@@ -1283,8 +1297,8 @@ object VectorIndex {
                   SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
                     ORDER BY list_dot_product(q.qemb, c.w) DESC, c.cid) AS rk
                   FROM q CROSS JOIN cents c) WHERE rk <= $GraphSeedCells),
-            p0 AS (SELECT s.qid, en.vec_id AS nid,
-                  round(list_dot_product(q.qemb, ge.emb), 4) AS sim
+            s0 AS (SELECT s.qid, en.vec_id AS nid,
+                  round(list_dot_product(q.qemb, ge.emb), 4) AS sim, 0 AS ex
                   FROM sd s JOIN entries en USING (cid)
                   JOIN q ON q.qid = s.qid
                   JOIN e ge ON ge.vec_id = en.vec_id),
@@ -1292,6 +1306,6 @@ object VectorIndex {
          SELECT qid, rank, nid, sim FROM (
            SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
              ORDER BY sim DESC, nid) AS rank
-           FROM p$GraphHops) WHERE rank <= 5"""
+           FROM s$GraphHops) WHERE rank <= 5"""
     }
 }

@@ -20,16 +20,22 @@ object PortableScan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SqlGateway.open(spark, dir)
-    graft.SparkEntry.registerGatedQueries
-      .foreach(n => graft.SparkEntry.queries(n)(spark, dir).count())
+    graft.SparkEntry.registerGatedQueries.foreach { n =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      println(f"[portable] GATED $n%-24s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
     graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).foreach { case (name, q) =>
+      val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%.1fs "
       val verdict = try {
         val viaSql = rows(spark.sql(q))
+        val sqlSecs = secs
         val viaDf = rows(graft.SparkEntry.queries(name)(spark, dir))
-        if (viaSql == viaDf) "PORTABLE"
+        if (viaSql == viaDf) s"PORTABLE sql=$sqlSecs total=$secs"
         else s"DIVERGENT: sql=${viaSql.size} df=${viaDf.size} " +
           s"onlySql=${(viaSql -- viaDf).take(1).mkString.take(120)} " +
           s"onlyDf=${(viaDf -- viaSql).take(1).mkString.take(120)}"
