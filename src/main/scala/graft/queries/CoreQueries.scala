@@ -890,34 +890,46 @@ object CoreQueries {
     * differently and belong to the engine-only qProfileApprox). */
   private val HllP = 10
   private val HllM = 1 << HllP // 1024
-  private val HllCols = Seq("o_custkey", "o_orderkey", "o_orderstatus",
+  private[graft] val HllCols = Seq("o_custkey", "o_orderkey", "o_orderstatus",
     "o_orderpriority")
 
-  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
-    val orders = Tables.orders(spark, dir)
-    val perCol = HllCols.map { c =>
+  /** Per-column HLL register table (col_name, bucket, r) for the
+    * given frame — the mergeable HALF of the sketch: registers of a
+    * union are the element-wise max of the parts' registers (a join
+    * semilattice), which is what makes the streaming maintainer
+    * (StreamOps.hllIngestBatch) exact rather than approximate, and
+    * replay/crash-duplicate appends harmless by ALGEBRA (max is
+    * idempotent), not just by marker. ≤ m rows per column. */
+  private[graft] def hllRegisters(df: DataFrame,
+      cols: Seq[String] = HllCols): DataFrame =
+    cols.map { c =>
       val h32 = conv(substring(md5(col(c).cast("string")), 25, 8), 16, 10)
         .cast("long")
       val suffix = ((h32 - (h32 % HllM)) / HllM).cast("long")
       val rank = when(suffix === 0, lit(23))
         .otherwise(lit(23) - length(bin(suffix)))
-      orders.filter(col(c).isNotNull)
+      df.filter(col(c).isNotNull)
         .select((h32 % HllM).as("bucket"), rank.as("rho"))
         .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
-        .agg(
-          sum(call_function("shiftleft", lit(1L),
-              (lit(23) - col("r")).cast("int")))
-            .as("sum_present"),
-          count(lit(1)).as("n_occupied"))
-        .select(
-          lit(c).as("col_name"),
-          (col("sum_present") +
-            (lit(HllM.toLong) - col("n_occupied")) * lit(1L << 23))
-            .as("sum_scaled"),
-          (lit(HllM.toLong) - col("n_occupied")).as("n_zero"))
-    }
-    val regs = perCol.reduce(_ unionByName _)
+        .select(lit(c).as("col_name"), col("bucket"), col("r"))
+    }.reduce(_ unionByName _)
+
+  /** Fold a register table to the estimate row per column: exact
+    * integer harmonic sum, one IEEE division, the HLL++-style
+    * linear-counting branch for small cardinalities. */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    val agg = regs.groupBy(col("col_name")).agg(
+        sum(call_function("shiftleft", lit(1L),
+            (lit(23) - col("r")).cast("int")))
+          .as("sum_present"),
+        count(lit(1)).as("n_occupied"))
+      .select(
+        col("col_name"),
+        (col("sum_present") +
+          (lit(HllM.toLong) - col("n_occupied")) * lit(1L << 23))
+          .as("sum_scaled"),
+        (lit(HllM.toLong) - col("n_occupied")).as("n_zero"))
     // raw estimate: alpha·m²·2²³ / sum_scaled; linear counting when
     // the raw estimate is small and empty registers remain
     val raw = lit(alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble) /
@@ -925,9 +937,12 @@ object CoreQueries {
     val est = when(col("n_zero") > 0 && raw <= lit(2.5 * HllM),
         log(lit(HllM.toDouble) / col("n_zero")) * lit(HllM.toDouble))
       .otherwise(raw)
-    regs.select(col("col_name"), col("sum_scaled"), col("n_zero"),
+    agg.select(col("col_name"), col("sum_scaled"), col("n_zero"),
       round(est, 2).as("est_distinct"))
   }
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllEstimate(hllRegisters(Tables.orders(spark, dir)))
 
   /** The DuckDB oracle for `q_hll_distinct`, rendered from the same
     * constants. Absent buckets contribute 2^23 to the harmonic sum —

@@ -2244,6 +2244,205 @@ object StreamOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Z-order layout maintenance (the OPTIMIZE job)
+  // ------------------------------------------------------------------
+
+  /** Marker ledger for zorderIngestBatch. */
+  private val ZorderMarkersDir = "_graft_zorder_batches"
+
+  /** Streaming appends into a Z-ordered table — the lakehouse
+    * reality the layout family has to survive: arriving micro-batches
+    * land as small UNSORTED files (appending cheap and durable beats
+    * re-clustering per batch), so the table's Z-locality degrades
+    * until the next [[compactZorder]] re-clusters it. Rows are never
+    * wrong in between — only the file-skipping benefit decays, and
+    * [[zorderHealth]] measures exactly that decay (the compact-WHEN
+    * signal, same cadence contract as the index audits). */
+  def zorderIngestBatch(tablePath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/rows"))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$tablePath/$ZorderMarkersDir/b$batchId")
+    if (!fs.exists(marker)) {
+      if (!batch.isEmpty)
+        batch.coalesce(1).write.mode("append").parquet(s"$tablePath/rows")
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** The maintained table (heal-first, like every index reader). */
+  def readZorder(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    spark.read.parquet(p.toString)
+  }
+
+  /** Clustering health: per-FILE zkey ranges and how much they
+    * overlap. `overlap_pairs` counts file pairs whose [min, max]
+    * zkey intervals intersect — 0 right after compaction (range
+    * partitioning gives disjoint segments), growing with every
+    * unsorted append; `n_files` is the small-file pressure. Together
+    * they are the OPTIMIZE trigger a table service would poll. The
+    * per-file stats come from one scan here; at warehouse scale the
+    * same min/max pairs come free from the parquet footers. */
+  def zorderHealth(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, dimX: String, dimY: String): DataFrame = {
+    val rows = readZorder(spark, tablePath)
+      .select(input_file_name().as("f"),
+        graft.queries.LayoutQueries.zKey(col(dimX), col(dimY)).as("zkey"))
+      .groupBy(col("f")).agg(min("zkey").as("lo"), max("zkey").as("hi"))
+    val a = rows.select(col("f").as("fa"), col("lo").as("la"), col("hi").as("ha"))
+    val b = rows.select(col("f").as("fb"), col("lo").as("lb"), col("hi").as("hb"))
+    val overlaps = a.join(b, col("fa") < col("fb") &&
+        col("ha") >= col("lb") && col("hb") >= col("la"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val nFiles = rows.count()
+    import spark.implicits._
+    Seq((nFiles, overlaps)).toDF("n_files", "overlap_pairs")
+  }
+
+  /** Re-cluster the table — the OPTIMIZE job: one range exchange by
+    * zkey into `nFiles` sorted files via the checked tmp+swap
+    * (byte-identical rows, restored locality). Cost is one pass over
+    * the table, amortized across every box-filter read after it. */
+  def compactZorder(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, dimX: String, dimY: String, nFiles: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/rows__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      graft.queries.LayoutQueries.zorderWrite(
+        spark.read.parquet(p.toString), dimX, dimY, tmp.toString, nFiles)
+      val old = new org.apache.hadoop.fs.Path(s"$tablePath/rows__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental HLL distinct sketch (profile maintenance)
+  // ------------------------------------------------------------------
+
+  /** Marker ledger for hllIngestBatch. */
+  private val HllMarkersDir = "_graft_hll_batches"
+
+  /** Incrementally maintain the deterministic HLL profile (the batch
+    * form is CoreQueries.qHllDistinct) as rows ARRIVE — the sketch
+    * member of the index-maintainer family, and the one with the
+    * strongest consistency story: registers form a JOIN SEMILATTICE
+    * (union's registers = element-wise max of the parts'), so the
+    * maintained state is exact — not approximately-merged — and a
+    * crash-window duplicate append is harmless by ALGEBRA (max is
+    * idempotent), where every other maintainer needs its marker for
+    * correctness, not just for state-size hygiene.
+    *
+    * State: `regs` (col_name, bucket, r) — ≤ m rows per column per
+    * applied batch, append-only between compactions; read resolves
+    * max per (col_name, bucket); compaction collapses to the
+    * resolved registers via the checked tmp+swap. Batch cost is the
+    * batch scan + a ≤ m-rows-per-column shuffle — NEVER the corpus:
+    * exactly how a 100 TB profile stays current under continuous
+    * ingest without rescanning anything. */
+  def hllIngestBatch(indexPath: String,
+      cols: Seq[String] = graft.queries.CoreQueries.HllCols,
+      metricsEvery: Int = DefaultMetricsEvery)(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/regs"))
+    val regs = graft.queries.CoreQueries.hllRegisters(batch, cols)
+      .localCheckpoint(true)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$HllMarkersDir/b$batchId")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied && !regs.isEmpty)
+      regs.coalesce(1).write.mode("append").parquet(s"$indexPath/regs")
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId, hllIndexHealth(spark, indexPath))
+    if (!alreadyApplied) fs.create(marker, true).close()
+    regs
+  }
+
+  /** The maintained profile: identical rows (spec-pinned per
+    * boundary) to CoreQueries.hllEstimate over the union of every
+    * row any applied batch has seen. */
+  def readHll(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/regs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val regs =
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, Int)].toDF("col_name", "bucket", "r")
+      }
+    graft.queries.CoreQueries.hllEstimate(
+      regs.groupBy(col("col_name"), col("bucket"))
+        .agg(max(col("r")).as("r")))
+  }
+
+  /** Health row — register rows stored vs the ≤ m×columns a compacted
+    * index holds (the LSM read-amplification analogue). */
+  def hllIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/regs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val (nRows, nResolved) =
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val r = spark.read.parquet(p.toString)
+          .agg(count(lit(1)),
+            countDistinct(col("col_name"), col("bucket"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    import spark.implicits._
+    Seq((nRows, nResolved,
+        if (nResolved == 0L) 0.0 else nRows.toDouble / nResolved))
+      .toDF("n_reg_rows", "n_resolved", "read_amplification")
+  }
+
+  /** Collapse regs to the resolved registers — the LSM compaction,
+    * via the checked tmp+swap. */
+  def compactHllIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/regs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/regs__compact")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(p.toString)
+        .groupBy(col("col_name"), col("bucket")).agg(max(col("r")).as("r"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$indexPath/regs__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $p aside to $old")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new java.io.IOException(s"could not move compacted $tmp into $p")
+      }
+      fs.delete(old, true)
+    }
+  }
+
   /** Streaming ingestion of vendor-item micro-batches into the keyed
     * MERGE sink — the reference's on-demand re-sync becomes
     * `writeStream.foreachBatch(mergeBatch(...))`: each micro-batch of

@@ -1634,6 +1634,65 @@ class StreamOpsSpec extends SparkSpec {
       "reader did not heal the interrupted swap")
     docs.unpersist()
   }
+
+  // ---- incremental HLL profile ----
+
+  private def hllRows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Double)] =
+    df.select("col_name", "sum_scaled", "n_zero", "est_distinct")
+      .as[(String, Long, Long, Double)].collect().toSet
+
+  test("hllIngestBatch: batch-equal to qHllDistinct at every boundary, " +
+      "duplicate appends harmless by algebra, compaction + heal") {
+    val idx = java.nio.file.Files.createTempDirectory("hll-idx").toString
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+      .persist()
+    def slice(i: Long) = orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4)) === i)
+    def truth(upTo: Long): Set[(String, Long, Long, Double)] =
+      hllRows(graft.queries.CoreQueries.hllEstimate(
+        graft.queries.CoreQueries.hllRegisters(
+          orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4)) < upTo))))
+    for (i <- 0L until 4L) {
+      StreamOps.hllIngestBatch(idx, metricsEvery = 1)(slice(i), i + 1L)
+      assert(hllRows(StreamOps.readHll(spark, idx)) == truth(i + 1),
+        s"maintained profile diverged from the batch sketch after batch ${i + 1}")
+    }
+    assert(hllRows(StreamOps.readHll(spark, idx)) ==
+      hllRows(graft.queries.CoreQueries.qHllDistinct(spark, "/root/testdata/sf0.01")),
+      "maintained profile != one-shot qHllDistinct over the full table")
+    // replay: marker-guarded no-op
+    val regsBefore = spark.read.parquet(s"$idx/regs").count()
+    StreamOps.hllIngestBatch(idx, metricsEvery = 1)(slice(2), 3L)
+    assert(spark.read.parquet(s"$idx/regs").count() == regsBefore)
+    // the semilattice property: a crash between append and marker
+    // re-appends a batch's registers WITHOUT the marker's protection —
+    // max-merge makes even that duplicate state row-identical
+    graft.queries.CoreQueries.hllRegisters(slice(1))
+      .coalesce(1).write.mode("append").parquet(s"$idx/regs")
+    assert(hllRows(StreamOps.readHll(spark, idx)) == truth(4),
+      "duplicate register append changed the resolved profile")
+    // health sees the duplicates; compaction collapses them
+    val health = StreamOps.hllIndexHealth(spark, idx).collect()(0)
+    assert(health.getAs[Double]("read_amplification") > 1.0)
+    StreamOps.compactHllIndex(spark, idx)
+    val h2 = StreamOps.hllIndexHealth(spark, idx).collect()(0)
+    assert(h2.getAs[Double]("read_amplification") == 1.0)
+    assert(hllRows(StreamOps.readHll(spark, idx)) == truth(4))
+    // ingest continues across the fold
+    val extra = slice(0).withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    StreamOps.hllIngestBatch(idx, metricsEvery = 1)(extra, 5L)
+    val wantAll = hllRows(graft.queries.CoreQueries.hllEstimate(
+      graft.queries.CoreQueries.hllRegisters(orders.unionByName(extra))))
+    assert(hllRows(StreamOps.readHll(spark, idx)) == wantAll,
+      "post-compaction ingest diverged")
+    // crash inside a compaction swap — reader heals first
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/regs"),
+      new org.apache.hadoop.fs.Path(s"$idx/regs__old")))
+    assert(hllRows(StreamOps.readHll(spark, idx)) == wantAll,
+      "reader did not heal the interrupted swap")
+    orders.unpersist()
+  }
 }
 
 object StreamOpsSpec {

@@ -107,4 +107,56 @@ class ZOrderSpec extends SparkSpec {
       s"z-order pruning too weak: $zTouched vs $lTouched files")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("z-order maintenance: unsorted appends degrade locality, the OPTIMIZE " +
+      "compaction restores it, replay is a no-op, heal-first") {
+    import graft.streaming.StreamOps
+    val tbl = java.nio.file.Files.createTempDirectory("graft-ztable").toString
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .persist()
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val want = rowSet(li)
+    for (i <- 0L until 4L)
+      StreamOps.zorderIngestBatch(tbl)(
+        li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === i), i + 1L)
+    assert(rowSet(StreamOps.readZorder(spark, tbl)) == want)
+    // each hash-sliced append spans the whole key space, so every
+    // file pair's zkey ranges overlap — locality is fully degraded
+    val h1 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    val n1 = h1.getAs[Long]("n_files")
+    assert(n1 >= 4 && h1.getAs[Long]("overlap_pairs") == n1 * (n1 - 1) / 2,
+      s"expected full overlap before compaction: $h1")
+    // replay: marker-guarded no-op
+    StreamOps.zorderIngestBatch(tbl)(
+      li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === 2), 3L)
+    assert(rowSet(StreamOps.readZorder(spark, tbl)) == want)
+    // OPTIMIZE: byte-identical rows, disjoint per-file zkey segments
+    StreamOps.compactZorder(spark, tbl, "l_partkey", "l_suppkey", 8)
+    assert(rowSet(StreamOps.readZorder(spark, tbl)) == want,
+      "compaction changed the row multiset")
+    val h2 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h2.getAs[Long]("overlap_pairs") == 0L,
+      s"compaction left overlapping zkey ranges: $h2")
+    // ingest continues; locality decays again from the clean base
+    StreamOps.zorderIngestBatch(tbl)(
+      li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L), 5L)
+    val h3 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h3.getAs[Long]("overlap_pairs") > 0L)
+    // crash inside the compaction swap — reader heals it
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val after = rowSet(StreamOps.readZorder(spark, tbl))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tbl/rows"),
+      new org.apache.hadoop.fs.Path(s"$tbl/rows__old")))
+    assert(rowSet(StreamOps.readZorder(spark, tbl)) == after,
+      "reader did not heal the interrupted swap")
+    li.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+  }
 }
