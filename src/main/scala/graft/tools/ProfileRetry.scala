@@ -63,7 +63,11 @@ object ProfileRetry {
     "t_collocations", "t_weighted_sample",
     // eager localCheckpoint per frontier superstep — the lineage-
     // truncation-under-kills shape g1 pins, on a data-dependent loop
-    "g6_bfs_dists")
+    "g6_bfs_dists",
+    // round-13: the HLL registers (max per bucket — a re-run partial
+    // must not move any register) and the Morton key (pure map; its
+    // equal-width bucket must not depend on task attempt)
+    "q_hll_distinct", "q_zorder_key")
 
   /** First-attempt tasks with index ≡ KillResidue (mod KillMod) are
     * killed — deterministic selection, ~20% of every stage. */

@@ -137,7 +137,13 @@ object ProfileSuite10x {
     // frontier BFS: replicas are disjoint components, so the root's
     // traversal touches ONE replica — the edge BUILD (shared with
     // g4) is the only term that grows; expect well under linear
-    "g6_bfs_dists" -> LinearBound)
+    "g6_bfs_dists" -> LinearBound,
+    // round-13: the deterministic HLL profile (per-column register
+    // shuffle is CONSTANT ≤ m rows — the scan is the only term that
+    // grows) and the Morton key projection (pure map + one narrow
+    // shift for the bucket — no shuffle at all)
+    "q_hll_distinct" -> LinearBound,
+    "q_zorder_key" -> LinearBound)
 
   private val KeyOffset = 100000000L
 
