@@ -53,11 +53,21 @@ class DuckDbCompatSpec extends SparkSpec {
       Seq("a", "b", "c"))
   }
 
-  test("aliases never shadow a builtin except the documented len override") {
+  test("aliases never shadow a builtin except the documented overrides") {
     // regexp_replace must stay Spark's: aliasing it would silently
     // change 3-arg behavior for any session SQL
     assert(DuckDbCompat.functions.map(_._1.funcName)
       .forall(n => n != "regexp_replace"))
-    assert(DuckDbCompat.overrides.map(_._1.funcName) == Seq("len"))
+    // the pinned override list: len (type-dispatched superset) and
+    // make_timestamp (1-arg micros form the builtin never claims)
+    assert(DuckDbCompat.overrides.map(_._1.funcName).sorted ==
+      Seq("len", "make_timestamp"))
+  }
+
+  test("make_timestamp: 1-arg is DuckDB micros, 6-arg stays the Spark builtin") {
+    assert(one("SELECT CAST(make_timestamp(803134800000000) AS STRING)") ==
+      "1995-06-14 13:00:00")
+    assert(one("SELECT CAST(make_timestamp(1995, 6, 14, 13, 0, 0) AS STRING)") ==
+      "1995-06-14 13:00:00")
   }
 }
