@@ -41,14 +41,15 @@ object LayoutQueries {
 
   /** Morton interleave of two masked 16-bit dimensions: x rides the
     * even bit positions, y the odd. One codegen'd expression — 32
-    * shift/mask/or terms, no UDF, no join. */
+    * shift/mask/or terms, no UDF, no join. The bit layout IS
+    * [[graft.sources.Layout.interleave]] at d=2 (bit i of col k →
+    * position 2i+k), so this delegates rather than keeping a second
+    * Morton implementation in sync. */
   def zKey(x: Column, y: Column, bits: Int = ZBits): Column = {
-    val xs = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    val ys = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val mask = lit((1L << bits) - 1)
+    graft.sources.Layout.interleave(
+      Seq(x.cast("long").bitwiseAND(mask), y.cast("long").bitwiseAND(mask)),
+      bits)
   }
 
   /** Inverse of [[zKey]] for one dimension: gather the even
@@ -68,11 +69,8 @@ object LayoutQueries {
     * skewed key ranges. */
   def zorderWrite(df: DataFrame, dimX: String, dimY: String,
       outPath: String, nFiles: Int): Unit =
-    df.withColumn("zkey", zKey(col(dimX), col(dimY)))
-      .repartitionByRange(nFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("zkey")
-      .write.mode("overwrite").parquet(outPath)
+    graft.sources.Layout.writeClustered(
+      df, zKey(col(dimX), col(dimY)), outPath, nFiles)
 
   /** `q_zorder_key`: the Morton key + its equal-width layout bucket
     * for every lineitem row on (l_partkey, l_suppkey) — the

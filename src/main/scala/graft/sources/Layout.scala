@@ -77,10 +77,18 @@ object Layout {
     val files =
       if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    df.withColumn("_graft_z", zValue(df, zCols, bits))
-      .repartitionByRange(files, col("_graft_z"))
+    writeClustered(df, zValue(df, zCols, bits), path, files)
+  }
+
+  /** The one range-exchange clustering body both z-order writers
+    * share (min/max-scaled [[writeZOrdered]] and the raw-key
+    * LayoutQueries.zorderWrite): range-partition by `key` into
+    * `numFiles`, sort within each, drop the key, write. */
+  private[graft] def writeClustered(df: DataFrame, key: Column,
+      path: String, numFiles: Int): Unit =
+    df.withColumn("_graft_z", key)
+      .repartitionByRange(numFiles, col("_graft_z"))
       .sortWithinPartitions(col("_graft_z"))
       .drop("_graft_z")
       .write.mode("overwrite").parquet(path)
-  }
 }

@@ -2258,64 +2258,207 @@ object StreamOps {
     * until the next [[compactZorder]] re-clusters it. Rows are never
     * wrong in between — only the file-skipping benefit decays, and
     * [[zorderHealth]] measures exactly that decay (the compact-WHEN
-    * signal, same cadence contract as the index audits). */
-  def zorderIngestBatch(tablePath: String)(
+    * signal, same cadence contract as the index audits).
+    *
+    * Idempotent by FILE NAME, not just by marker: the batch lands
+    * under deterministic names `b<batchId>-<i>.parquet` (staged,
+    * then moved), and a replay first deletes any partial copy of its
+    * own names, so a crash anywhere between the data move and the
+    * marker create can never leave duplicate rows — the multiset
+    * invariant compactZorder preserves holds across kills. The batch
+    * write also records each landed file's zkey [min, max] in the
+    * `zstats/` ledger — the same numbers the parquet footers carry,
+    * captured at write time so [[zorderHealth]] reads metadata
+    * (one row per file), never the table. The clustering dims are
+    * maintainer parameters (a table's Z dims are fixed at creation,
+    * like OPTIMIZE ZORDER BY columns). */
+  def zorderIngestBatch(tablePath: String, dimX: String, dimY: String,
+      metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/rows"))
+    val rowsPath = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
+    val fs = rowsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, rowsPath)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
     val marker = new org.apache.hadoop.fs.Path(
       s"$tablePath/$ZorderMarkersDir/b$batchId")
-    if (!fs.exists(marker)) {
-      if (!batch.isEmpty)
-        batch.coalesce(1).write.mode("append").parquet(s"$tablePath/rows")
+    val alreadyApplied = fs.exists(marker)
+    if (!alreadyApplied) {
+      if (!batch.isEmpty) {
+        val stage = new org.apache.hadoop.fs.Path(s"$tablePath/rows__stage_b$batchId")
+        if (fs.exists(stage)) fs.delete(stage, true)
+        batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val parts = fs.listStatus(stage)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName)
+        // replay hygiene: drop any partial copy of THIS batch's names
+        if (fs.exists(rowsPath))
+          fs.listStatus(rowsPath)
+            .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+            .foreach(s => fs.delete(s.getPath, false))
+        else fs.mkdirs(rowsPath)
+        val named = parts.zipWithIndex.map { case (p, i) =>
+          (p, new org.apache.hadoop.fs.Path(rowsPath, s"b$batchId-$i.parquet"))
+        }
+        // footer-equivalent stats, computed from the staged batch
+        // (batch-sized read) and keyed by the FINAL file name
+        val z = graft.queries.LayoutQueries.zKey(col(dimX), col(dimY))
+        val stats = spark.read.parquet(stage.toString)
+          .select(input_file_name().as("sf"), z.as("zkey"))
+          .groupBy(col("sf")).agg(min("zkey").as("lo"), max("zkey").as("hi"))
+          .collect().map { r =>
+            val sfName = r.getString(0).split('/').last
+            val fin = named.find(_._1.getName == sfName).getOrElse(
+              throw new IllegalStateException(s"staged file $sfName vanished"))._2
+            (fin.getName, r.getLong(1), r.getLong(2))
+          }
+        named.foreach { case (src, dst) =>
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"could not move $src to $dst")
+        }
+        // deterministic ledger file per batch — a replay overwrites
+        import spark.implicits._
+        writeZstats(spark, fs, tablePath, s"b$batchId",
+          stats.toSeq.toDF("f", "lo", "hi"))
+        fs.delete(stage, true)
+      }
       fs.create(marker, true).close()
     }
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(tablePath, batchId,
+        zorderHealth(spark, tablePath, dimX, dimY))
   }
 
-  /** The maintained table (heal-first, like every index reader). */
+  /** Write one zstats ledger entry as a single deterministically
+    * named parquet file `zstats/<name>.parquet` (staged, then moved,
+    * so a replay overwrites instead of duplicating). */
+  private def writeZstats(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      name: String, stats: DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tablePath/zstats")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val stage = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__stage_$name")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    stats.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath).head
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(part, dst))
+      throw new java.io.IOException(s"could not move $part to $dst")
+    fs.delete(stage, true)
+  }
+
+  /** The maintained table (heal-first, like every index reader). A
+    * table no applied batch has written rows to yet (fresh root, or
+    * only empty batches so far) reads as an empty frame — `schemaOf`
+    * supplies its columns when the caller needs them downstream. */
   def readZorder(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): DataFrame = {
+      tablePath: String,
+      schemaOf: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
-    spark.read.parquet(p.toString)
+    if (zorderDataFiles(fs, p).nonEmpty) spark.read.parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaOf.getOrElse(new org.apache.spark.sql.types.StructType()))
   }
+
+  private def zorderDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      rowsPath: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(rowsPath)) Nil
+    else fs.listStatus(rowsPath).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSeq
 
   /** Clustering health: per-FILE zkey ranges and how much they
     * overlap. `overlap_pairs` counts file pairs whose [min, max]
     * zkey intervals intersect — 0 right after compaction (range
     * partitioning gives disjoint segments), growing with every
     * unsorted append; `n_files` is the small-file pressure. Together
-    * they are the OPTIMIZE trigger a table service would poll. The
-    * per-file stats come from one scan here; at warehouse scale the
-    * same min/max pairs come free from the parquet footers. */
+    * they are the OPTIMIZE trigger a table service would poll.
+    *
+    * Reads METADATA, not the table: per-file ranges come from the
+    * `zstats/` ledger both writers maintain (the numbers the parquet
+    * footers carry, captured at write time); only files the ledger
+    * lacks — a table predating it — are patched by scanning exactly
+    * those files, and the patch is persisted so the repair runs
+    * once. Overlap counting is an O(F log F) endpoint sweep, not the
+    * O(F²) theta self-join: pairs = C(F,2) − #{(i,j): hi_i < lo_j}
+    * (hi_i < lo_j ⟺ disjoint-and-ordered, and every disjoint pair is
+    * ordered exactly one way), the subtrahend counted with one
+    * running sum over the 2F merged endpoint events — lo events
+    * sorted before hi events at equal value, so touching intervals
+    * (hi = lo) correctly count as overlapping. */
   def zorderHealth(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, dimX: String, dimY: String): DataFrame = {
-    val rows = readZorder(spark, tablePath)
-      .select(input_file_name().as("f"),
-        graft.queries.LayoutQueries.zKey(col(dimX), col(dimY)).as("zkey"))
-      .groupBy(col("f")).agg(min("zkey").as("lo"), max("zkey").as("hi"))
-    val a = rows.select(col("f").as("fa"), col("lo").as("la"), col("hi").as("ha"))
-    val b = rows.select(col("f").as("fb"), col("lo").as("lb"), col("hi").as("hb"))
-    val overlaps = a.join(b, col("fa") < col("fb") &&
-        col("ha") >= col("lb") && col("hb") >= col("la"))
-      .agg(count(lit(1))).collect()(0).getLong(0)
-    val nFiles = rows.count()
     import spark.implicits._
+    val rowsPath = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
+    val fs = rowsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, rowsPath)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
+    val live = zorderDataFiles(fs, rowsPath)
+    if (live.isEmpty)
+      return Seq((0L, 0L)).toDF("n_files", "overlap_pairs")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$tablePath/zstats")
+    val recorded =
+      if (fs.exists(statsPath)) spark.read.parquet(statsPath.toString)
+        // data files are immutable (writers only ever rename fresh
+        // names in), so duplicate ledger rows for one file are
+        // byte-equal — any one wins; rows for files a compaction
+        // replaced drop out of the live filter
+        .filter(col("f").isin(live: _*)).groupBy(col("f"))
+        .agg(min("lo").as("lo"), min("hi").as("hi"))
+      else Seq.empty[(String, Long, Long)].toDF("f", "lo", "hi")
+    val have = recorded.select(col("f")).collect().map(_.getString(0)).toSet
+    val missing = live.filterNot(have)
+    val ranges = if (missing.isEmpty) recorded else {
+      val z = graft.queries.LayoutQueries.zKey(col(dimX), col(dimY))
+      val patched = spark.read
+        .parquet(missing.map(f => s"$rowsPath/$f"): _*)
+        .select(input_file_name().as("ff"), z.as("zkey"))
+        .groupBy(col("ff"))
+        .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+        .select(element_at(split(col("ff"), "/"), -1).as("f"),
+          col("lo"), col("hi"))
+        .localCheckpoint(true)
+      writeZstats(spark, fs, tablePath,
+        s"repair_${java.util.UUID.randomUUID().toString.take(8)}", patched)
+      recorded.unionByName(patched)
+    }
+    val nFiles = live.size.toLong
+    val events = ranges.select(col("lo").as("v"), lit(0).as("kind"))
+      .unionByName(ranges.select(col("hi").as("v"), lit(1).as("kind")))
+    val disjointOrdered = events
+      .withColumn("his_before",
+        sum(when(col("kind") === 1, 1L).otherwise(0L)).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("v"), col("kind"))
+            .rowsBetween(Long.MinValue, -1)))
+      .filter(col("kind") === 0)
+      .agg(coalesce(sum(col("his_before")), lit(0L)))
+      .collect()(0).getLong(0)
+    val overlaps = nFiles * (nFiles - 1) / 2 - disjointOrdered
     Seq((nFiles, overlaps)).toDF("n_files", "overlap_pairs")
   }
 
   /** Re-cluster the table — the OPTIMIZE job: one range exchange by
     * zkey into `nFiles` sorted files via the checked tmp+swap
-    * (byte-identical rows, restored locality). Cost is one pass over
-    * the table, amortized across every box-filter read after it. */
+    * (byte-identical rows, restored locality), then the `zstats/`
+    * ledger rewritten wholesale from the compacted files (dropping
+    * every orphaned pre-compaction entry — the ledger's own
+    * compaction). Cost is one pass over the table plus one over the
+    * compacted copy for its stats (the numbers the footers of the
+    * files just written already hold), amortized across every
+    * box-filter read after it. A crash between the rows swap and the
+    * stats rewrite is healed by [[zorderHealth]]'s missing-file
+    * patch. */
   def compactZorder(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, dimX: String, dimY: String, nFiles: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/rows__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -2330,6 +2473,28 @@ object StreamOps {
         throw new java.io.IOException(s"could not move compacted $tmp into $p")
       }
       fs.delete(old, true)
+      // ledger rewrite from the compacted files via the same tmp+swap
+      val z = graft.queries.LayoutQueries.zKey(col(dimX), col(dimY))
+      val stats = spark.read.parquet(p.toString)
+        .select(input_file_name().as("ff"), z.as("zkey"))
+        .groupBy(col("ff"))
+        .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+        .select(element_at(split(col("ff"), "/"), -1).as("f"),
+          col("lo"), col("hi"))
+        .localCheckpoint(true)
+      val zs = new org.apache.hadoop.fs.Path(s"$tablePath/zstats")
+      val ztmp = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__compact")
+      if (fs.exists(ztmp)) fs.delete(ztmp, true)
+      stats.coalesce(1).write.mode("overwrite").parquet(ztmp.toString)
+      val zold = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__old")
+      if (fs.exists(zold)) fs.delete(zold, true)
+      if (fs.exists(zs) && !fs.rename(zs, zold))
+        throw new java.io.IOException(s"could not move $zs aside to $zold")
+      if (!fs.rename(ztmp, zs)) {
+        if (fs.exists(zold)) fs.rename(zold, zs)
+        throw new java.io.IOException(s"could not move compacted $ztmp into $zs")
+      }
+      fs.delete(zold, true)
     }
   }
 

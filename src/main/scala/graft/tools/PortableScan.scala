@@ -25,8 +25,10 @@ object PortableScan {
       graft.SparkEntry.queries(n)(spark, dir).count()
       println(f"[portable] GATED $n%-24s ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    // sorted multiset, not a Set: duplicate-row multiplicity counts
+    // (matching the driver gate's canon)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).foreach { case (name, q) =>
       val t0 = System.nanoTime()
@@ -37,8 +39,8 @@ object PortableScan {
         val viaDf = rows(graft.SparkEntry.queries(name)(spark, dir))
         if (viaSql == viaDf) s"PORTABLE sql=$sqlSecs total=$secs"
         else s"DIVERGENT: sql=${viaSql.size} df=${viaDf.size} " +
-          s"onlySql=${(viaSql -- viaDf).take(1).mkString.take(120)} " +
-          s"onlyDf=${(viaDf -- viaSql).take(1).mkString.take(120)}"
+          s"onlySql=${viaSql.diff(viaDf).take(1).mkString.take(120)} " +
+          s"onlyDf=${viaDf.diff(viaSql).take(1).mkString.take(120)}"
       } catch {
         case e: Throwable =>
           "ERROR: " + String.valueOf(e.getMessage).linesIterator

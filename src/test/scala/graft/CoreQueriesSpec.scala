@@ -46,10 +46,15 @@ class CoreQueriesSpec extends SparkSpec {
     }
     // order/partitioning invariance: registers are a max per bucket
     // and the harmonic sum is exact in integers, so a different
-    // physical layout of the same rows CANNOT move any output bit
+    // physical layout of the same rows CANNOT move any output bit —
+    // the second run builds the sketch from a repartitioned,
+    // reverse-sorted copy of the same table so the layout actually
+    // differs
     val a = CoreQueries.qHllDistinct(spark, "/root/testdata/sf0.01")
       .collect().map(_.toString).sorted
-    val b = CoreQueries.qHllDistinct(spark, "/root/testdata/sf0.01")
+    val shuffled = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+      .repartition(7).sortWithinPartitions(col("o_orderkey").desc)
+    val b = CoreQueries.hllEstimate(CoreQueries.hllRegisters(shuffled))
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }

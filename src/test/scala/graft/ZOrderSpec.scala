@@ -119,7 +119,7 @@ class ZOrderSpec extends SparkSpec {
       df.collect().map(_.toString).sorted.toSeq
     val want = rowSet(li)
     for (i <- 0L until 4L)
-      StreamOps.zorderIngestBatch(tbl)(
+      StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
         li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === i), i + 1L)
     assert(rowSet(StreamOps.readZorder(spark, tbl)) == want)
     // each hash-sliced append spans the whole key space, so every
@@ -130,7 +130,7 @@ class ZOrderSpec extends SparkSpec {
     assert(n1 >= 4 && h1.getAs[Long]("overlap_pairs") == n1 * (n1 - 1) / 2,
       s"expected full overlap before compaction: $h1")
     // replay: marker-guarded no-op
-    StreamOps.zorderIngestBatch(tbl)(
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
       li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === 2), 3L)
     assert(rowSet(StreamOps.readZorder(spark, tbl)) == want)
     // OPTIMIZE: byte-identical rows, disjoint per-file zkey segments
@@ -142,7 +142,7 @@ class ZOrderSpec extends SparkSpec {
     assert(h2.getAs[Long]("overlap_pairs") == 0L,
       s"compaction left overlapping zkey ranges: $h2")
     // ingest continues; locality decays again from the clean base
-    StreamOps.zorderIngestBatch(tbl)(
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
       li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === 0)
         .withColumn("l_orderkey", col("l_orderkey") + 10000000L), 5L)
     val h3 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
@@ -156,7 +156,59 @@ class ZOrderSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$tbl/rows__old")))
     assert(rowSet(StreamOps.readZorder(spark, tbl)) == after,
       "reader did not heal the interrupted swap")
+    // crash BETWEEN the data move and the marker create: the data
+    // landed but the marker didn't, so the batch replays — the
+    // deterministic per-batch file names make the replay overwrite
+    // its own files instead of appending duplicates
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$tbl/_graft_zorder_batches/b5"), false)
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
+      li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L), 5L)
+    assert(rowSet(StreamOps.readZorder(spark, tbl)) == after,
+      "marker-less replay duplicated the batch's rows")
     li.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+  }
+
+  test("z-order maintenance on a fresh table: empty read, zero health, " +
+      "health rides the zstats ledger not a table scan") {
+    import graft.streaming.StreamOps
+    val tbl = java.nio.file.Files.createTempDirectory("graft-zfresh").toString
+    // fresh root (no applied batch yet): read is empty, health is 0/0
+    assert(StreamOps.readZorder(spark, tbl).count() == 0L)
+    val h0 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h0.getAs[Long]("n_files") == 0L &&
+      h0.getAs[Long]("overlap_pairs") == 0L)
+    // an EMPTY first micro-batch creates the marker but no rows/ —
+    // the exact shape the reader and the health poll must survive
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
+      li.limit(0), 1L)
+    assert(StreamOps.readZorder(spark, tbl).count() == 0L)
+    assert(StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0).getAs[Long]("n_files") == 0L)
+    // two real batches: the ledger holds one row per landed file, and
+    // deleting it forces (and persists) the scan-repair path with the
+    // same exact answer
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(li.limit(50), 2L)
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(
+      li.orderBy(col("l_orderkey").desc).limit(50), 3L)
+    val h1 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zstats = new org.apache.hadoop.fs.Path(s"$tbl/zstats")
+    assert(fs.exists(zstats), "writers did not maintain the zstats ledger")
+    assert(spark.read.parquet(zstats.toString).select("f").distinct().count()
+      == h1.getAs[Long]("n_files"))
+    fs.delete(zstats, true)
+    val h2 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h2 == h1, s"ledger-less repair diverged: $h2 vs $h1")
+    assert(fs.exists(zstats), "the scan-repair was not persisted")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
   }
 }
