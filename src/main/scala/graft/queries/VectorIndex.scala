@@ -98,7 +98,31 @@ object VectorIndex {
 
   private[graft] def invalidateCentroids(indexPath: String): Unit = {
     centroidCache.remove(indexPath)
+    quantizerCache.remove(indexPath)
     entriesCache.remove(indexPath)
+  }
+
+  /** Per-path cache of the graph index's two-level quantizer —
+    * centroidCache's discipline (signature-keyed on cents/, which the
+    * build token moves on every rebuild; supers/ is written by the
+    * same build, so one signature covers both). */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, GraphQuantizer)]()
+
+  private[graft] def cachedGraphQuantizer(spark: SparkSession,
+      indexPath: String): GraphQuantizer = {
+    val sig = centsSignature(spark, indexPath)
+    quantizerCache.compute(indexPath, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, {
+        val supers = spark.read.parquet(s"$indexPath/supers")
+          .select(col("sid"), col("cent")).collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+        val cells = spark.read.parquet(s"$indexPath/cents")
+          .select(col("kk"), col("sid"), col("cent")).collect()
+          .sortBy(_.getInt(0)).map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq
+        GraphQuantizer(supers, cells)
+      }))._2
   }
 
   /** Per-path cache of the graph index's per-cell entry points —
@@ -765,12 +789,31 @@ object VectorIndex {
   //   is assigned to its 2 nearest coarse cells (the 2nd assignment is
   //   what stitches adjacent clusters together so the graph stays
   //   connected across cell borders), pairs are generated WITHIN cells
-  //   only (Σ cell² bounded by the adaptive cell count ≈ n/500), and
-  //   each node keeps its top-GraphDegree by exact dot. Rows are
-  //   written partitionBy(primary cell) with each edge carrying its
-  //   endpoint's cell, so SERVING reads prune to the cells the walk
-  //   actually visits — the same physical-pruning argument as IVF's
-  //   partitionBy("cell"), with the walk replacing nprobe.
+  //   only, and each node keeps its top-GraphDegree by exact dot. The
+  //   cell count is UNCAPPED (≈ n/GraphCellTarget, growing with the
+  //   corpus) and two levers keep every stage linear in n at any
+  //   corpus size:
+  //    - TWO-LEVEL assignment: the quantizer is hierarchical —
+  //      ~√cells super-centroids, each owning its own sub-cells —
+  //      and a vector (or query) scores the supers first, then only
+  //      the cells of its top-2 supers, so the assignment scan is
+  //      n × O(√cells) dots instead of n × cells (the IVF-HNSW /
+  //      two-level-IMI discipline). The top-2 SUPERS also bound the
+  //      stitch: both member cells come from the same neighborhood
+  //      of the space.
+  //    - BOUNDED CELL SIZE at the pair stage: a cell whose membership
+  //      exceeds 2×GraphShardTarget (k-means skew — the mega-cluster
+  //      case) is sharded into ⌈cnt/GraphShardTarget⌉ deterministic
+  //      vec_id-mod slices BEFORE pair generation, so the per-cell
+  //      pair frame is ≤ cells' × shard², never cnt² — the same
+  //      grow-k-with-N + split-oversized argument emb_semdedup makes.
+  //      (Shard borders cost a few candidate edges inside one skewed
+  //      cell; the dual assignment keeps its members reachable.)
+  //   Rows are written partitionBy(primary cell) with each edge
+  //   carrying its endpoint's cell, so SERVING reads prune to the
+  //   cells the walk actually visits — the same physical-pruning
+  //   argument as IVF's partitionBy("cell"), with the walk replacing
+  //   nprobe.
   //
   // SEARCH — two forms sharing one fixed-round greedy semantics:
   //   searchGraph (bounded-driver, the localSupersteps pattern):
@@ -797,6 +840,23 @@ object VectorIndex {
   private[graft] val GraphDegree = 8
   private[graft] val GraphBeam = 8
   private[graft] val GraphHops = 4
+  /** Target PRIMARY members per cell — cells ≈ n/GraphCellTarget,
+    * uncapped (the count grows with the corpus; per-vector assignment
+    * cost stays O(√cells) via the two-level quantizer). */
+  private[graft] val GraphCellTarget = 500
+  /** Pair-stage shard size: a cell whose membership (primary +
+    * stitch) exceeds 2× this is split into ⌈cnt/target⌉ vec_id-mod
+    * shards before pair generation, bounding the within-cell pair
+    * frame under k-means skew. */
+  private[graft] val GraphShardTarget = 1000
+  /** Below this many cells the quantizer keeps ONE super owning every
+    * cell — the two-level assignment then degenerates to exact flat
+    * top-2-of-all-cells (a flat scan of ≤ 64 cells costs less than
+    * the hierarchy saves, and small corpora keep full assignment
+    * accuracy). Above it, ~√cells supers prune the scan to O(√cells)
+    * dots per vector — the accuracy trade every IVF tree makes, taken
+    * only where it pays. */
+  private[graft] val GraphFlatCellBound = 64
   /** Entry cells probed per query — the walk's nprobe: hop 0 reads
     * only these cells' partitions, so the first fetch is pruned like
     * every later one (seeding from ALL entry points would scan every
@@ -811,11 +871,71 @@ object VectorIndex {
   @volatile private[graft] var lastFetchCells: List[Set[Int]] = Nil
   @volatile private[graft] var lastFetchNodes: List[Int] = Nil
 
-  /** Build the NSW-lite graph index: `graph/` (vec_id, emb, nbrs —
-    * struct(nid, cell) edges, partitioned by the node's primary cell),
-    * `entries/` (per-cell entry point: the vector nearest its
-    * centroid — deterministic, and well-centered for greedy descent),
-    * and `members/` (the top-2 cell-membership roster the streaming
+  /** The graph index's hierarchical coarse quantizer: `supers(s)` is
+    * super-centroid s; `cells(k) = (sid, centroid)` is cell k owned
+    * by super sid. Cell ids are positions in `cells`. Both levels are
+    * the SEMANTIC model (the oracle renders both and replays the
+    * two-level assignment), not an implementation detail. */
+  private[graft] case class GraphQuantizer(
+      supers: Seq[Seq[Double]], cells: Seq[(Int, Seq[Double])])
+
+  /** Deterministic hierarchical training: Lloyd the supers on the
+    * whole sample, partition the sample by max-dot super (ties to the
+    * lower sid — the assignment tie rule), then Lloyd each super's
+    * sub-cells on its members with a proportional share of the cell
+    * budget. Supers that end up with no sample members (Lloyd can
+    * strand an initial centroid) are dropped and sids re-packed, so
+    * every stored super owns ≥ 1 cell. Driver-side: the sample is
+    * bounded (≈ 8 rows per requested cell), and the per-super Lloyd
+    * is embarrassingly parallel if it ever needs to move off the
+    * driver. */
+  private[graft] def trainGraphQuantizer(sample: Array[Array[Double]],
+      cellsTarget: Int, lloydRounds: Int): GraphQuantizer = {
+    require(sample.nonEmpty, "graph training sample is empty")
+    val sCount =
+      if (cellsTarget <= GraphFlatCellBound) 1
+      else math.min(sample.length,
+        math.max(2, math.ceil(math.sqrt(cellsTarget.toDouble)).toInt))
+    val supers0 =
+      VectorQueries.pqTrain(sample, 1, sCount, VectorQueries.Dim, lloydRounds).head
+    def bestSuper(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var s = 0
+      while (s < supers0.length) {
+        var d = 0.0; var i = 0
+        val c = supers0(s)
+        while (i < v.length) { d += v(i) * c(i); i += 1 }
+        if (d > bestD) { bestD = d; best = s }
+        s += 1
+      }
+      best
+    }
+    // stable partition: sample order (vec_id order) is preserved per
+    // super, so pqTrain's first-k initialization is deterministic
+    val membersOf = Array.fill(supers0.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach(v => membersOf(bestSuper(v)) += v)
+    val kept = supers0.indices.filter(membersOf(_).nonEmpty)
+    val quantizer = kept.map { s =>
+      val members = membersOf(s).toArray
+      val share = math.max(1, math.min(members.length,
+        math.round(cellsTarget.toDouble * members.length / sample.length).toInt))
+      val subs =
+        VectorQueries.pqTrain(members, 1, share, VectorQueries.Dim, lloydRounds).head
+      supers0(s) -> subs
+    }
+    GraphQuantizer(
+      quantizer.map(_._1),
+      quantizer.zipWithIndex.flatMap { case ((_, subs), sid) =>
+        subs.map(c => (sid, c)) })
+  }
+
+  /** Build the NSW-lite graph index: `supers/` + `cents/` (the
+    * two-level quantizer), `graph/` (vec_id, emb, nbrs — struct(nid,
+    * cell) edges, partitioned by the node's primary cell), `entries/`
+    * (per-cell entry point: the vector nearest its centroid —
+    * deterministic, and well-centered for greedy descent), and
+    * `members/` (the top-2 cell-membership roster the streaming
     * maintainer recomputes affected neighborhoods from). */
   def buildGraph(spark: SparkSession, dir: String, indexPath: String,
       degree: Int = GraphDegree, lloydRounds: Int = 4,
@@ -823,42 +943,80 @@ object VectorIndex {
     val emb = VectorQueries.embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    // adaptive cell count: ~500 vectors per cell bounds the within-cell
-    // pair frame at ~cells × (2×500)² — linear in n at fixed cell size
-    val cells = math.max(16, math.min(256, (n / 500L).toInt + 1))
+    // adaptive and UNCAPPED cell count — the pair frame stays linear
+    // because cell SIZE is bounded (attachShards), and the assignment
+    // scan stays linear because the quantizer is two-level
+    val cellsTarget = math.max(16, (n / GraphCellTarget).toInt + 1)
+    // the sample grows with the cell count (8 rows per cell floor),
+    // not with the corpus — still a bounded, deterministic collect
+    val sampleN = math.max(maxTrain, 8 * cellsTarget)
     val sample: Array[Array[Double]] = emb
-      .orderBy(col("vec_id")).limit(maxTrain)
+      .orderBy(col("vec_id")).limit(sampleN)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= cells,
-      s"graph training sample ${sample.length} < cells=$cells")
-    val cents = VectorQueries.pqTrain(sample, 1, cells, VectorQueries.Dim, lloydRounds).head
+    val q = trainGraphQuantizer(sample, cellsTarget, lloydRounds)
 
     import spark.implicits._
     // persist the quantizer: serving seeds the walk from the QUERY'S
     // nearest cells (not every entry point — that first fetch would
     // scan every partition, index-proportional I/O on the serve path)
     invalidateCentroids(indexPath)
-    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+    q.supers.zipWithIndex.map { case (c, sid) => (sid, c) }.toDF("sid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/supers")
+    q.cells.zipWithIndex.map { case ((sid, c), kk) => (kk, sid, c) }
+      .toDF("kk", "sid", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
     stampBuildToken(spark, indexPath)
     writeGraphTables(spark, emb.select(col("vec_id"), col("emb")),
-      cents, indexPath, degree)
+      q, indexPath, degree)
     emb.unpersist(false)
   }
 
-  /** Top-2 cell assignments of a normalized (vec_id, emb) frame: the
-    * posexplode of the dot row is k rows per vector, one shuffle for
-    * the per-vector window. Shared verbatim by the one-shot build and
-    * the streaming maintainer — batch and incremental assignment can
-    * never disagree. */
-  private[graft] def top2CellsExpr(cents: Seq[Seq[Double]], src: DataFrame): DataFrame = {
-    val dots = src.select(col("vec_id"), col("emb"),
-        posexplode(array(cents.map(c =>
-          call_function("graft_dot", col("emb"), typedlit(c))): _*)))
-      .select(col("vec_id"), col("emb"), col("pos").as("cell"), col("col").as("dp"))
-    dots.withColumn("rk", row_number().over(
+  /** Top-`topK` cell assignments of a normalized (vec_id, emb) frame
+    * under the two-level quantizer: score the supers (a posexplode of
+    * the √cells-wide dot row), keep the top-2 per vector, then score
+    * ONLY those supers' cells via a broadcast join on sid. Per-row
+    * work is O(√cells) dots — never O(cells) — and the second window
+    * reuses the first's vec_id hash partitioning (one exchange, two
+    * sorts). Shared verbatim by the one-shot build, the streaming
+    * maintainer, and the distributed walk's seed stage — batch and
+    * incremental assignment can never disagree. */
+  private[graft] def assignCellsExpr(q: GraphQuantizer, src: DataFrame,
+      topK: Int = 2): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val sdots = src.select(col("vec_id"), col("emb"),
+        posexplode(array(q.supers.map(s =>
+          call_function("graft_dot", col("emb"), typedlit(s))): _*)))
+      .select(col("vec_id"), col("emb"), col("pos").as("sid"), col("col").as("sdp"))
+    val top2s = sdots.withColumn("srk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sdp").desc, col("sid"))))
+      .filter(col("srk") <= 2).select(col("vec_id"), col("emb"), col("sid"))
+    val cellsDf = q.cells.zipWithIndex
+      .map { case ((sid, c), kk) => (kk, sid, c) }.toDF("cell", "sid", "cent")
+    top2s.join(broadcast(cellsDf), Seq("sid"))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        call_function("graft_dot", col("emb"), col("cent")).as("dp"))
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dp").desc, col("cell"))))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= topK)
+  }
+
+  /** Shard oversized cells for the pair stage: per-cell member counts
+    * are computed from the GIVEN frame (the build passes the full
+    * roster; the maintainer passes the full current membership of
+    * every touched cell — identical counts for those cells by
+    * construction), and a cell over 2×GraphShardTarget splits into
+    * ⌈cnt/GraphShardTarget⌉ vec_id-mod shards. Adds `sh`; pair
+    * generation then joins on (cell, sh). */
+  private[graft] def attachShards(members: DataFrame,
+      target: Int = GraphShardTarget): DataFrame = {
+    val counts = members.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val nsh = counts.select(col("cell"),
+      when(col("cnt") > 2L * target,
+          ceil(col("cnt") / lit(target.toDouble)).cast("long"))
+        .otherwise(lit(1L)).as("nsh"))
+    members.join(broadcast(nsh), Seq("cell"))
+      .withColumn("sh", pmod(col("vec_id"), col("nsh"))).drop("nsh")
   }
 
   /** Aggregate a directed top-`degree` edge frame (src, nid, sim) into
@@ -884,19 +1042,23 @@ object VectorIndex {
     * train-once contract makes the quantizer a parameter, not a
     * product, of everything downstream. */
   private[graft] def writeGraphTables(spark: SparkSession, emb: DataFrame,
-      cents: Seq[Seq[Double]], indexPath: String,
-      degree: Int = GraphDegree): Unit = {
-    val assign = top2CellsExpr(cents, emb)
+      q: GraphQuantizer, indexPath: String,
+      degree: Int = GraphDegree,
+      shardTarget: Int = GraphShardTarget): Unit = {
+    val assign = assignCellsExpr(q, emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val primary = assign.filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("emb"), col("dp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // within-cell candidate pairs → exact dot → top-degree per node.
-    // Both directions are emitted before the window so an edge (a, b)
-    // can survive at a even when b's neighborhood is more crowded.
-    val members = assign.select(col("cell"), col("vec_id"), col("emb"))
-    val pairs = members.as("x").join(members.as("y"), Seq("cell"))
+    // within-(cell, shard) candidate pairs → exact dot → top-degree
+    // per node. Shards bound the pair frame under k-means skew
+    // (attachShards); both directions are emitted before the window
+    // so an edge (a, b) can survive at a even when b's neighborhood
+    // is more crowded.
+    val members = attachShards(
+      assign.select(col("cell"), col("vec_id"), col("emb")), shardTarget)
+    val pairs = members.as("x").join(members.as("y"), Seq("cell", "sh"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         call_function("graft_dot", col("x.emb"), col("y.emb")).as("sim"))
@@ -987,11 +1149,23 @@ object VectorIndex {
     }
 
     // seed each query from its GraphSeedCells nearest cells' entry
-    // points (the stored quantizer + entry map — both ride the
-    // signature-keyed caches, so a warm serve reads NO model tables),
-    // so hop 0 prunes like every later hop instead of touching every
-    // partition
-    val cents = cachedCentroids(spark, indexPath)
+    // points (the stored two-level quantizer + entry map — both ride
+    // the signature-keyed caches, so a warm serve reads NO model
+    // tables), so hop 0 prunes like every later hop instead of
+    // touching every partition. Seeding is the assignment semantics:
+    // top-2 supers by dot, then the best GraphSeedCells cells among
+    // those supers' cells — O(√cells) dots per query, never O(cells).
+    val qz = cachedGraphQuantizer(spark, indexPath)
+
+    def seedCellsOf(qv: Array[Double]): Seq[Int] = {
+      val topSup = qz.supers.indices
+        .map(s => (dot(qv, qz.supers(s)), s))
+        .sortBy { case (d, s) => (-d, s) }.take(2).map(_._2).toSet
+      qz.cells.zipWithIndex
+        .filter { case ((sid, _), _) => topSup(sid) }
+        .map { case ((_, c), kk) => (dot(qv, c), kk) }
+        .sortBy { case (d, kk) => (-d, kk) }.take(GraphSeedCells).map(_._2)
+    }
 
     // per-query walk state: scored pool (nid -> sim), expanded set,
     // and the next frontier to score — all serving-batch-bounded
@@ -1000,10 +1174,7 @@ object VectorIndex {
     val expanded = qs.map { case (qid, _) =>
       qid -> scala.collection.mutable.Set.empty[Long] }.toMap
     var toScore: Map[Long, Map[Long, Int]] = qs.map { case (qid, qv) =>
-      val seeds = cents.zipWithIndex
-        .map { case (c, i) => (dot(qv, c), i) }
-        .sortBy { case (d, i) => (-d, i) }.take(GraphSeedCells).map(_._2)
-      qid -> seeds.flatMap(c => cellEntry.get(c).map(_ -> c)).toMap
+      qid -> seedCellsOf(qv).flatMap(c => cellEntry.get(c).map(_ -> c)).toMap
     }.toMap
 
     // FIXED-ROUND contract: always hops+1 scoring rounds (seeds +
@@ -1042,19 +1213,20 @@ object VectorIndex {
   def annGraphStored(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
     migrateGraphLayout(spark, dir, idx)
-    lastStoredGraph = Some(cachedCentroids(spark, idx))
+    lastStoredGraph = Some(cachedGraphQuantizer(spark, idx))
     searchGraph(spark, idx, corpusQueries(spark, dir))
   }
 
   /** Layout migration: a root built before the quantizer (round-12
-    * pre-seeded-walk layout) or before the membership roster (round-13
-    * maintainer layout) carries a _complete marker but lacks the
+    * pre-seeded-walk layout), before the membership roster (round-13
+    * maintainer layout), or before the two-level supers (round-14
+    * uncapped-cells layout) carries a _complete marker but lacks the
     * table — rebuild in place rather than failing the serve. */
   private def migrateGraphLayout(spark: SparkSession, dir: String,
       idx: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stale = Seq("cents", "members").exists(sub =>
+    val stale = Seq("cents", "members", "supers").exists(sub =>
       !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$sub")))
     if (stale) buildGraph(spark, dir, idx)
   }
@@ -1076,10 +1248,12 @@ object VectorIndex {
     * Per hop: frontier ⋈ edge list (n×degree rows, read once and
     * persisted) → candidate (qid, nid) pairs, anti-join pool, score
     * by one join against the graph's embedding column + one against
-    * the normalized query frame. Driver state: the centroid/entry
-    * caches only (model-sized). The seeds stage broadcasts the ≤256
-    * centroid rows; everything else is shuffle joins on qid/nid —
-    * at a 1000-executor scale both sides partition on the join keys
+    * the normalized query frame. Driver state: the quantizer/entry
+    * caches only (model-sized). The seeds stage broadcasts the
+    * √cells-sized supers table and the cells table (two-level
+    * assignment — per-query work O(√cells) even with cells uncapped);
+    * everything else is shuffle joins on qid/nid — at a
+    * 1000-executor scale both sides partition on the join keys
     * and no stage holds more than queries × beam × degree rows.
     *
     * Equality: pinned row-identical to the driver walk on the same
@@ -1092,7 +1266,7 @@ object VectorIndex {
       beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val cents = cachedCentroids(spark, indexPath)
+    val qz = cachedGraphQuantizer(spark, indexPath)
     val entries = cachedEntries(spark, indexPath)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -1135,13 +1309,24 @@ object VectorIndex {
       spark.createDataFrame(c.rdd, c.schema)
     }
 
-    // seeds: per-query top seed cells against the broadcast centroid
-    // table, mapped to their entry points
-    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "cent")
+    // seeds: the two-level assignment semantics, distributed — per
+    // query, top-2 supers against the broadcast √cells-sized supers
+    // table, then top-GraphSeedCells cells among those supers' cells
+    // (a broadcast join on sid), mapped to their entry points. The
+    // second window reuses the first's qid partitioning.
+    val supersDf = qz.supers.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("sid", "scent")
+    val cellsDf = qz.cells.zipWithIndex
+      .map { case ((sid, c), kk) => (kk, sid, c) }.toDF("cell", "sid", "cent")
     val entryDf = entries.toSeq.map { case (c, vid) => (c, vid) }
       .toDF("cell", "nid")
-    val seeds = qn.crossJoin(broadcast(centsDf))
+    val qsup = qn.crossJoin(broadcast(supersDf))
+      .select(col("qid"), col("qemb"), col("sid"),
+        call_function("graft_dot", col("qemb"), col("scent")).as("sdp"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sdp").desc, col("sid"))))
+      .filter(col("srk") <= 2).select(col("qid"), col("qemb"), col("sid"))
+    val seeds = qsup.join(broadcast(cellsDf), Seq("sid"))
       .select(col("qid"), col("cell"),
         call_function("graft_dot", col("qemb"), col("cent")).as("dp"))
       .withColumn("rk", row_number().over(
@@ -1186,34 +1371,39 @@ object VectorIndex {
   def annGraphBatch(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "graph")(buildGraph(spark, dir, _))
     migrateGraphLayout(spark, dir, idx)
-    lastStoredGraphBatch = Some(cachedCentroids(spark, idx))
+    lastStoredGraphBatch = Some(cachedGraphQuantizer(spark, idx))
     searchGraphBatch(spark, idx, Tables.embeddings(spark, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
   }
 
-  @volatile private[graft] var lastStoredGraph: Option[Seq[Seq[Double]]] = None
+  @volatile private[graft] var lastStoredGraph: Option[GraphQuantizer] = None
 
   /** DuckDB oracle for `ann_graph_topk` — the rendered-model pattern
-    * taken one level up: the stored quantizer renders as VALUES (the
-    * IVF discipline), and because the whole BUILD is deterministic
-    * given that quantizer (VectorIndexSpec pins two builds
-    * byte-equal), the oracle recomputes the ENTIRE index — top-2 cell
-    * assignments, within-cell exact-dot pairs, top-degree edge lists,
-    * per-cell entry points — from the embeddings table, then unrolls
-    * the fixed-round greedy beam walk (GraphHops rounds of: top-beam
-    * unexpanded frontier, neighbor expansion, anti-join against the
-    * pool, rounded-cosine scoring) as chained CTEs. A stale stored
-    * graph (testdata regenerated under a cached _complete marker)
-    * surfaces as a loud hash mismatch, exactly like the other stored
-    * indexes. Every arithmetic step is the proven-parity form:
+    * taken one level up: the stored TWO-LEVEL quantizer renders as
+    * two VALUES tables (supers + cells-with-owner), and because the
+    * whole BUILD is deterministic given that quantizer
+    * (VectorIndexSpec pins two builds byte-equal), the oracle
+    * recomputes the ENTIRE index — top-2 supers then top-2 cells per
+    * vector (the exact two-level assignment), the per-cell
+    * shard split (counts over the rendered membership, the same
+    * ceil(cnt/target) rule), within-(cell, shard) exact-dot pairs,
+    * top-degree edge lists, per-cell entry points — from the
+    * embeddings table, then unrolls the fixed-round greedy beam walk
+    * (GraphHops rounds of: top-beam unexpanded frontier, neighbor
+    * expansion, anti-join against the pool, rounded-cosine scoring)
+    * as chained CTEs. A stale stored graph (testdata regenerated
+    * under a cached _complete marker) surfaces as a loud hash
+    * mismatch, exactly like the other stored indexes. Every
+    * arithmetic step is the proven-parity form:
     * list_transform-normalization ≡ embNormed, list_dot_product ≡
     * graft_dot/the driver dot loop, round(.,4) ≡ the engine's
-    * BigDecimal HALF_UP on bit-identical doubles. */
+    * BigDecimal HALF_UP on bit-identical doubles, BIGINT % ≡ pmod on
+    * the non-negative vec_ids. */
   private[graft] def graphOracleSql: Option[String] =
     lastStoredGraph.map(
       graphOracleSqlOf(_, s"WHERE vec_id < ${VectorQueries.QueryK}"))
 
-  @volatile private[graft] var lastStoredGraphBatch: Option[Seq[Seq[Double]]] = None
+  @volatile private[graft] var lastStoredGraphBatch: Option[GraphQuantizer] = None
 
   /** Oracle for `ann_graph_batch` — the SAME rendered-graph walk,
     * with the query set widened to the whole corpus (the distributed
@@ -1221,8 +1411,19 @@ object VectorIndex {
   private[graft] def graphBatchOracleSql: Option[String] =
     lastStoredGraphBatch.map(graphOracleSqlOf(_, ""))
 
-  private[graft] def graphOracleSqlOf(cents: Seq[Seq[Double]],
-      queryFilter: String): String = {
+  private def superValues(supers: Seq[Seq[Double]]): String =
+    supers.zipWithIndex.map { case (c, sid) =>
+      s"($sid, list_value(${c.map(VectorQueries.dlit).mkString(", ")}))"
+    }.mkString(",\n           ")
+
+  private def cellValues(cells: Seq[(Int, Seq[Double])]): String =
+    cells.zipWithIndex.map { case ((sid, c), kk) =>
+      s"($kk, $sid, list_value(${c.map(VectorQueries.dlit).mkString(", ")}))"
+    }.mkString(",\n           ")
+
+  private[graft] def graphOracleSqlOf(qz: GraphQuantizer,
+      queryFilter: String,
+      shardTarget: Int = GraphShardTarget): String = {
       // rounds r = 1..GraphHops over ONE state relation s_r per hop:
       // (qid, nid, sim, ex) where ex marks ever-expanded pool rows —
       // pool and expanded-set fused so each hop references the
@@ -1268,19 +1469,34 @@ object VectorIndex {
                 GROUP BY 1, 2)"""
       }.mkString(",\n          ")
       s"""WITH ${VectorQueries.NormedCte},
-            cents(cid, w, c2) AS (VALUES
-           ${VectorQueries.centroidValues(cents)}),
-            d AS (SELECT vec_id, cid, list_dot_product(emb, w) AS dp
-                  FROM e CROSS JOIN cents),
+            sup(sid, w) AS (VALUES
+           ${superValues(qz.supers)}),
+            cl(cid, sid, w) AS (VALUES
+           ${cellValues(qz.cells)}),
+            ds AS (SELECT e.vec_id, s.sid, list_dot_product(e.emb, s.w) AS dp
+                  FROM e CROSS JOIN sup s),
+            vs2 AS (SELECT vec_id, sid FROM (
+                  SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dp DESC, sid) AS srk FROM ds) WHERE srk <= 2),
+            d AS (SELECT s.vec_id, c.cid, list_dot_product(e.emb, c.w) AS dp
+                  FROM vs2 s JOIN cl c ON c.sid = s.sid
+                  JOIN e ON e.vec_id = s.vec_id),
             asg AS (SELECT vec_id, cid, dp,
                   row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rk
                   FROM d),
             mem AS (SELECT a.vec_id, a.cid, e.emb
                   FROM asg a JOIN e USING (vec_id) WHERE a.rk <= 2),
             prim AS (SELECT vec_id, cid, dp FROM asg WHERE rk = 1),
+            csh AS (SELECT cid, CASE WHEN count(*) > ${2 * shardTarget}
+                    THEN CAST(ceil(count(*) / $shardTarget.0) AS BIGINT)
+                    ELSE 1 END AS nsh
+                  FROM mem GROUP BY cid),
+            msh AS (SELECT m.vec_id, m.cid, m.emb, m.vec_id % c.nsh AS sh
+                  FROM mem m JOIN csh c ON c.cid = m.cid),
             pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
                   max(list_dot_product(x.emb, y.emb)) AS sim
-                  FROM mem x JOIN mem y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                  FROM msh x JOIN msh y ON x.cid = y.cid AND x.sh = y.sh
+                    AND x.vec_id < y.vec_id
                   GROUP BY 1, 2),
             dir AS (SELECT a AS src, b AS nid, sim FROM pr
                   UNION ALL SELECT b AS src, a AS nid, sim FROM pr),
@@ -1293,10 +1509,15 @@ object VectorIndex {
                     ORDER BY dp DESC, vec_id) AS rk FROM prim)
                   WHERE rk = 1),
             q AS (SELECT vec_id AS qid, emb AS qemb FROM e $queryFilter),
+            qs2 AS (SELECT qid, sid FROM (
+                  SELECT q.qid, s.sid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_dot_product(q.qemb, s.w) DESC, s.sid) AS rk
+                  FROM q CROSS JOIN sup s) WHERE rk <= 2),
             sd AS (SELECT qid, cid FROM (
-                  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                  SELECT t.qid, c.cid, row_number() OVER (PARTITION BY t.qid
                     ORDER BY list_dot_product(q.qemb, c.w) DESC, c.cid) AS rk
-                  FROM q CROSS JOIN cents c) WHERE rk <= $GraphSeedCells),
+                  FROM qs2 t JOIN cl c ON c.sid = t.sid
+                  JOIN q ON q.qid = t.qid) WHERE rk <= $GraphSeedCells),
             s0 AS (SELECT s.qid, en.vec_id AS nid,
                   round(list_dot_product(q.qemb, ge.emb), 4) AS sim, 0 AS ex
                   FROM sd s JOIN entries en USING (cid)

@@ -1589,14 +1589,19 @@ object StreamOps {
     * adjacency from scratch rather than patching lists in place:
     *
     *  - a new vector joins its top-2 cells (the build's shared
-    *    `top2CellsExpr` — batch and incremental assignment can never
-    *    disagree); only nodes sharing ≥ 1 cell with a batch vector
-    *    can gain or lose an edge (candidate pairs are within-cell by
-    *    construction), so the recompute roster is exactly those
-    *    nodes + the batch;
+    *    `assignCellsExpr` — the two-level quantizer assignment, so
+    *    batch and incremental assignment can never disagree); only
+    *    nodes sharing ≥ 1 cell with a batch vector can gain or lose
+    *    an edge (candidate pairs are within-cell by construction),
+    *    so the recompute roster is exactly those nodes + the batch;
     *  - each roster node's full candidate set is re-derived from the
     *    `members/` roster of ITS OWN cells (stored rows + this
-    *    batch), re-ranked to top-degree with the build's expressions;
+    *    batch), under the build's shard rule — counts over the full
+    *    current membership of each touched cell, the identical
+    *    `attachShards` arithmetic — and re-ranked to top-degree with
+    *    the build's expressions (a batch that pushes a cell across
+    *    the split threshold re-shards the WHOLE cell: every member is
+    *    in the roster because the cell is touched);
     *  - per-cell entry points are recomputed only for cells gaining
     *    new PRIMARY members (old members' centroid dots are fixed, so
     *    no other cell's argmax can move).
@@ -1625,7 +1630,7 @@ object StreamOps {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val VI = graft.queries.VectorIndex
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val cents = VI.cachedCentroids(spark, indexPath)
+    val qz = VI.cachedGraphQuantizer(spark, indexPath)
     val normed = batch
       .select(col("vec_id").cast("long"),
         col("emb").cast("array<double>").as("emb"))
@@ -1633,7 +1638,7 @@ object StreamOps {
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
-    val batchAsg = VI.top2CellsExpr(cents, normed).persist(lvl)
+    val batchAsg = VI.assignCellsExpr(qz, normed).persist(lvl)
 
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1652,7 +1657,7 @@ object StreamOps {
         .dropDuplicates("cell", "vec_id")
       val affectedOld = membersT.select(col("vec_id"), col("emb"))
         .dropDuplicates("vec_id")
-      val oldAsg = VI.top2CellsExpr(cents, affectedOld).persist(lvl)
+      val oldAsg = VI.assignCellsExpr(qz, affectedOld).persist(lvl)
       val c2 = oldAsg.select(col("cell"))
         .unionByName(batchAsg.select(col("cell"))).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -1670,8 +1675,17 @@ object StreamOps {
         .unionByName(batchAsg
           .select(col("vec_id"), col("emb"), col("cell"), col("rk")))
         .dropDuplicates("vec_id", "cell") // batch rows already stored on replay
-      val candidates = rosterMem.as("n")
-        .join(membersAll.as("m"), Seq("cell"))
+      // candidate pairs honor the build's shard rule: membersAll IS
+      // the full current membership of every cell in play, so
+      // attachShards derives the identical per-cell shard counts the
+      // one-shot build would; roster rows pick up their own shard by
+      // (cell, vec_id) lookup in the same frame
+      val mshAll = VI.attachShards(membersAll)
+      val rosterSh = rosterMem.join(
+        mshAll.select(col("cell"), col("vec_id"), col("sh")),
+        Seq("cell", "vec_id"))
+      val candidates = rosterSh.as("n")
+        .join(mshAll.as("m"), Seq("cell", "sh"))
         .filter(col("n.vec_id") =!= col("m.vec_id"))
         .select(col("n.vec_id").as("src"), col("m.vec_id").as("nid"),
           call_function("graft_dot", col("n.emb"), col("m.emb")).as("sim"))
@@ -1682,7 +1696,7 @@ object StreamOps {
         .filter(col("rk") <= VI.GraphDegree)
       // every candidate id's primary cell, recomputed from its emb —
       // deterministic, so identical to its stored assignment
-      val primaryOf = VI.top2CellsExpr(cents,
+      val primaryOf = VI.assignCellsExpr(qz,
           membersAll.select(col("vec_id"), col("emb")).dropDuplicates("vec_id"))
         .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
       val roster = rosterMem.filter(col("rk") === 1)
@@ -1701,7 +1715,7 @@ object StreamOps {
       val ePrim = batchAsg.filter(col("rk") === 1)
         .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
       if (ePrim.nonEmpty) {
-        val centsDf = ePrim.map(c => (c, cents(c))).toDF("cell", "cent")
+        val centsDf = ePrim.map(c => (c, qz.cells(c)._2)).toDF("cell", "cent")
         membersAll.filter(col("rk") === 1 && col("cell").isin(ePrim: _*))
           .join(broadcast(centsDf), Seq("cell"))
           .withColumn("dp", call_function("graft_dot", col("emb"), col("cent")))

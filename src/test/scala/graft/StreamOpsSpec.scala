@@ -287,7 +287,7 @@ class StreamOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graph-ingest").toString
     VectorIndex.buildGraph(spark, dir, idx)
-    val cents = VectorIndex.cachedCentroids(spark, idx)
+    val qz = VectorIndex.cachedGraphQuantizer(spark, idx)
     def normed(df: org.apache.spark.sql.DataFrame) = df
       .select(col("vec_id").cast("long"),
         col("emb").cast("array<double>").as("emb"))
@@ -309,9 +309,13 @@ class StreamOpsSpec extends SparkSpec {
     val corpus = normed(spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("emb")))
     VectorIndex.writeGraphTables(spark,
-      corpus.unionByName(normed(extras)), cents, ref)
+      corpus.unionByName(normed(extras)), qz, ref)
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, kk) => (kk, c) }.toDF("kk", "cent")
+    qz.supers.zipWithIndex.map { case (c, sid) => (sid, c) }
+      .toDF("sid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ref/supers")
+    qz.cells.zipWithIndex.map { case ((sid, c), kk) => (kk, sid, c) }
+      .toDF("kk", "sid", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$ref/cents")
 
     def canon(df: org.apache.spark.sql.DataFrame) =

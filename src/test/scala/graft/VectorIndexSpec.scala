@@ -293,4 +293,63 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(run() == run())
   }
+
+  test("graph index under a FORCED multi-super quantizer and toy shard " +
+      "target: walks agree with each other and with the rendered two-level " +
+      "oracle; oversized cells actually split") {
+    // At sandbox corpus sizes the natural build keeps ONE super (the
+    // flat-degenerate case, GraphFlatCellBound) and no cell crosses
+    // the shard threshold — so this test forces both levers at toy
+    // parameters and pins the full contract on them: driver walk ≡
+    // distributed batch walk ≡ the rendered-model oracle text (run
+    // through the spark.sql door — the same text DuckDB gets, under
+    // the proven-parity DuckDbCompat semantics).
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val idx = Files.createTempDirectory("graft-graphidx-hier").toString
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+      .persist()
+    val sample = corpus.orderBy(col("vec_id")).limit(4096)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    // 80 requested cells >> GraphFlatCellBound → ~√80 supers
+    val qz = VectorIndex.trainGraphQuantizer(sample, 80, 4)
+    assert(qz.supers.length >= 2,
+      s"forced quantizer kept ${qz.supers.length} super(s) — not hierarchical")
+    assert(qz.cells.map(_._1).distinct.length == qz.supers.length,
+      "every super must own at least one cell")
+    val shardTarget = 5
+    qz.supers.zipWithIndex.map { case (c, sid) => (sid, c) }
+      .toDF("sid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/supers")
+    qz.cells.zipWithIndex.map { case ((sid, c), kk) => (kk, sid, c) }
+      .toDF("kk", "sid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/cents")
+    VectorIndex.writeGraphTables(spark, corpus, qz, idx,
+      shardTarget = shardTarget)
+    // the split lever must actually engage on this fixture
+    val oversized = spark.read.parquet(s"$idx/members")
+      .groupBy(col("cell")).count()
+      .filter(col("count") > 2L * shardTarget).count()
+    assert(oversized > 0,
+      "no cell crossed the toy split threshold — fixture too uniform")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val driver = canon(VectorIndex.searchGraph(spark, idx, queries))
+    assert(driver == canon(VectorIndex.searchGraphBatch(spark, idx, queries)),
+      "batch walk diverges from the driver walk under the hierarchy")
+    graft.SqlGateway.open(spark, dir)
+    val viaSql = canon(spark.sql(VectorIndex.graphOracleSqlOf(
+      qz, "WHERE vec_id < 10", shardTarget)))
+    assert(driver == viaSql,
+      "rendered two-level oracle diverges from the engine walks")
+    corpus.unpersist()
+  }
 }
