@@ -54,6 +54,7 @@ object SparkEntry {
     "q_zorder_key" -> (graft.queries.LayoutQueries.qZorderKey _),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
     "q_quantiles_twophase" -> (CoreQueries.qQuantilesTwoPhase _),
+    "q_quantiles_auto" -> (CoreQueries.qQuantilesAuto _),
     "q_quantiles_approx" -> ((s: SparkSession, d: String) => CoreQueries.qQuantilesApprox(s, d)),
     "a6_rollup" -> (CoreQueries.a6Rollup _),
     "a7_pivot" -> (CoreQueries.a7Pivot _),
@@ -67,12 +68,15 @@ object SparkEntry {
     "e1_tumbling_window" -> (EventQueries.e1TumblingWindow _),
     "e2_sessionize" -> (EventQueries.e2Sessionize _),
     "e13_sessionize_twophase" -> (EventQueries.e13SessionizeTwoPhase _),
+    "e16_sessionize_auto" -> (EventQueries.e16SessionizeAuto _),
     "e3_asof_join" -> (EventQueries.e3AsofJoin _),
     "e12_asof_twophase" -> (EventQueries.e12AsofTwoPhase _),
+    "e15_asof_auto" -> (EventQueries.e15AsofAuto _),
     "e4_salted_rollup" -> (EventQueries.e4SaltedRollup _),
     "e5_range_join" -> (EventQueries.e5RangeJoin _),
     "e6_funnel" -> (EventQueries.e6Funnel _),
     "e11_funnel_twophase" -> (EventQueries.e11FunnelTwoPhase _),
+    "e14_funnel_auto" -> (EventQueries.e14FunnelAuto _),
     "e7_retention" -> (EventQueries.e7Retention _),
     "e8_spike" -> ((s: SparkSession, d: String) => EventQueries.e8Spike(s, d)),
     "e9_resample" -> ((s: SparkSession, d: String) => EventQueries.e9Resample(s, d)),
@@ -405,6 +409,15 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
          round(max(o_totalprice), 2) AS pmax
          FROM orders GROUP BY o_orderstatus""",
+    // the auto twin's oracle is again the one-pass exact quantile:
+    // whichever route the skew probe picks must reproduce it
+    "q_quantiles_auto" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+         round(max(o_totalprice), 2) AS pmax
+         FROM orders GROUP BY o_orderstatus""",
     "t_redact_pii" ->
       """SELECT c_custkey,
          array_to_string(string_split_regex(c_name, '[0-9]+'), '<ID>') AS name_masked,
@@ -517,6 +530,25 @@ object SparkEntry {
     // deliberately e2's ONE-PASS oracle verbatim: the engine runs the
     // (user, day)-bucketed session RENUMBERING, so agreement proves
     // the decomposition (the w4/e11/e12 proof trick)
+    "e16_sessionize_auto" ->
+      """WITH l AS (SELECT user_id, ts, value, event_id,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              g AS (SELECT user_id, ts, value, event_id,
+                    CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+                    FROM l),
+              s AS (SELECT user_id, value,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+                    FROM g),
+              per AS (SELECT user_id, session_id, count(*) AS n_events,
+                      round(sum(value), 2) AS session_value
+                      FROM s GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(max(session_value), 2) AS max_session_value
+         FROM per GROUP BY user_id""",
     "e13_sessionize_twophase" ->
       """WITH l AS (SELECT user_id, ts, value, event_id,
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -537,6 +569,14 @@ object SparkEntry {
            round(max(session_value), 2) AS max_session_value
          FROM per GROUP BY user_id""",
     "e3_asof_join" ->
+      """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""",
+    // the auto twin must reproduce the one-pass ASOF whichever route
+    // the skew probe picks
+    "e15_asof_auto" ->
       """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN
@@ -572,6 +612,37 @@ object SparkEntry {
     // conditional min over the same per-user frame; stage k counts
     // only at-or-after stage k-1's first time
     "e6_funnel" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                    FROM events),
+              l1 AS (SELECT user_id, ts, event_id, event_type,
+                    min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+                    FROM s),
+              l2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                           AND view_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+                    FROM l1),
+              l3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                           AND click_ts IS NOT NULL THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts
+                    FROM l2),
+              agg AS (SELECT user_id,
+                    epoch_us(min(view_ts)) AS view_us,
+                    epoch_us(min(click_ts)) AS click_us,
+                    epoch_us(min(purchase_ts)) AS purchase_us
+                    FROM l3 GROUP BY user_id)
+         SELECT user_id, view_us, click_us, purchase_us,
+           CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+                WHEN click_us IS NOT NULL THEN 2
+                WHEN view_us IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS depth
+         FROM agg""",
+    // the auto twin must reproduce the one-pass funnel whichever
+    // route the skew probe picks
+    "e14_funnel_auto" ->
       """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
                     FROM events),
               l1 AS (SELECT user_id, ts, event_id, event_type,

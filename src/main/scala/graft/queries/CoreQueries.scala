@@ -354,7 +354,7 @@ object CoreQueries {
     * spec and for operators reading the decision (query name →
     * "one-pass" | "two-phase"). */
   @volatile private[graft] var lastAutoRoutes: Map[String, String] = Map.empty
-  private def recordRoute(q: String, twoPhase: Boolean): Unit =
+  private[graft] def recordRoute(q: String, twoPhase: Boolean): Unit =
     lastAutoRoutes += q -> (if (twoPhase) "two-phase" else "one-pass")
 
   /** W6: the running total with AUTOMATIC one-pass vs two-phase
@@ -469,13 +469,40 @@ object CoreQueries {
     * same way qProfile swaps to HLL — kept exact here so the oracle
     * hash-matches. */
   def qQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    quantilesOnePassOf(Tables.orders(spark, dir))
+
+  /** The one-pass exact-percentile core over any (o_orderstatus,
+    * o_totalprice) frame — shared by qQuantiles and the auto twin's
+    * uniform route. */
+  private[graft] def quantilesOnePassOf(orders: DataFrame): DataFrame =
+    orders
       .groupBy(col("o_orderstatus"))
       .agg(
         round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
         round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
         round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
         round(max(col("o_totalprice")), 2).as("pmax"))
+
+  /** Q_QUANTILES with AUTOMATIC one-pass vs two-phase selection —
+    * the order-statistic member of the w6/w7 dispatch family: a hot
+    * GROUP (one status owning ≥ AutoSkewThreshold× the mean group's
+    * rows means the one-pass percentile's per-group sort buffer is
+    * that many × the average) routes to the histogram localization;
+    * uniform groups keep the one-pass exact percentile, whose single
+    * sorted pass is optimal. Both routes compute quantile_cont's
+    * exact interpolation, so the answer is identical whichever fires,
+    * and the oracle is deliberately the one-pass text — a routing
+    * decision that COULD change the result fails loudly. */
+  def qQuantilesAuto(spark: SparkSession, dir: String): DataFrame =
+    quantilesAutoOf(Tables.orders(spark, dir))
+
+  private[graft] def quantilesAutoOf(orders: DataFrame): DataFrame = {
+    val twoPhase =
+      keySkewRatio(orders, col("o_orderstatus")) >= AutoSkewThreshold
+    recordRoute("quantiles", twoPhase)
+    if (twoPhase) quantilesTwoPhaseOf(orders)
+    else quantilesOnePassOf(orders)
+  }
 
   /** qQuantiles rebuilt SKEW-SAFE — the sixth two-phase combine
     * algebra: ORDER-STATISTIC LOCALIZATION. The one-pass exact

@@ -406,6 +406,48 @@ object EventQueries {
           .otherwise(0L))
   }
 
+  /** E14/E15/E16: the three event-family two-phase decompositions
+    * with AUTOMATIC route selection — w6/w7's stats-driven dispatch
+    * (CoreQueries.keySkewRatio ≥ AutoSkewThreshold → the bucketed
+    * two-phase form; uniform keys → the one-pass window, whose single
+    * ordered scan per key is optimal). The probe is the same exact
+    * per-key count (one narrow map-side-combinable agg — a rounding
+    * error next to the window it sizes). All three decompositions are
+    * proven result-identical to their one-pass forms (the e11/e12/e13
+    * oracle trick: the oracle IS the one-pass text), so routing can
+    * never leak into the result. */
+  def e14FunnelAuto(spark: SparkSession, dir: String): DataFrame =
+    funnelAutoOf(Tables.events(spark, dir))
+
+  private[graft] def funnelAutoOf(events: DataFrame): DataFrame = {
+    val twoPhase = CoreQueries.keySkewRatio(events, col("user_id")) >=
+      CoreQueries.AutoSkewThreshold
+    CoreQueries.recordRoute("funnel", twoPhase)
+    if (twoPhase) funnelTwoPhaseOf(events) else funnelOf(events)
+  }
+
+  /** See [[e14FunnelAuto]]. */
+  def e15AsofAuto(spark: SparkSession, dir: String): DataFrame =
+    asofAutoOf(Tables.events(spark, dir))
+
+  private[graft] def asofAutoOf(events: DataFrame): DataFrame = {
+    val twoPhase = CoreQueries.keySkewRatio(events, col("user_id")) >=
+      CoreQueries.AutoSkewThreshold
+    CoreQueries.recordRoute("asof", twoPhase)
+    if (twoPhase) asofTwoPhaseOf(events) else e3AsofJoinOf(events)
+  }
+
+  /** See [[e14FunnelAuto]]. */
+  def e16SessionizeAuto(spark: SparkSession, dir: String): DataFrame =
+    sessionizeAutoOf(Tables.events(spark, dir))
+
+  private[graft] def sessionizeAutoOf(events: DataFrame): DataFrame = {
+    val twoPhase = CoreQueries.keySkewRatio(events, col("user_id")) >=
+      CoreQueries.AutoSkewThreshold
+    CoreQueries.recordRoute("sessionize", twoPhase)
+    if (twoPhase) sessionizeTwoPhaseOf(events) else sessionizeOf(events)
+  }
+
   /** E8: traffic-burst anomaly detection. An (event_type, hour)
     * bucket is a spike when its count reaches `factor`× that type's
     * mean per-hour count. The burst ratio is n·n_buckets/total —

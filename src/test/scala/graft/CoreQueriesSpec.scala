@@ -302,5 +302,26 @@ class CoreQueriesSpec extends SparkSpec {
       "hot segment should route two-phase")
     assert(windows(autoK) == 2)
     assert(canon(autoK) == canon(CoreQueries.topkTwoPhaseOf(hotSeg)))
+
+    // ---- exact quantiles (the order-statistic member) ----
+    val uniQ = CoreQueries.quantilesAutoOf(orders)
+    assert(CoreQueries.lastAutoRoutes("quantiles") == "one-pass",
+      "uniform statuses should route one-pass")
+    assert(windows(uniQ) == 0,
+      "one-pass quantiles is a plain percentile agg — no Window")
+    assert(canon(uniQ) == canon(CoreQueries.quantilesTwoPhaseOf(orders)),
+      "quantile routes disagree on uniform orders")
+    // hot fixture: one status owns 900 rows, 56 cold statuses own 5
+    // each (hot/mean ≈ 43× — well past the 8× cut)
+    val hotQ = ((1 to 900).map(i => ("HOT", 100.0 + i)) ++
+        (1 to 280).map(i => (s"S${i % 56}", 50.0 + i)))
+      .toDF("o_orderstatus", "o_totalprice")
+    val autoQ = CoreQueries.quantilesAutoOf(hotQ)
+    assert(CoreQueries.lastAutoRoutes("quantiles") == "two-phase",
+      "hot status should route two-phase")
+    // the dispatch cannot leak: equal to the ONE-PASS exact
+    // percentile on the same hot fixture
+    assert(canon(autoQ) == canon(CoreQueries.quantilesOnePassOf(hotQ)),
+      "two-phase quantiles diverged from the one-pass percentile")
   }
 }

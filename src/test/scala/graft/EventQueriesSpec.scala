@@ -340,4 +340,55 @@ class EventQueriesSpec extends SparkSpec {
       ("2024-01-01", 2L) -> 1L,
       ("2024-01-08", 0L) -> 1L))
   }
+
+  test("auto routing (funnel/asof/sessionize): uniform users plan one-pass, " +
+      "a hot user plans two-phase, and the answer is identical either way") {
+    import spark.implicits._
+    import graft.queries.CoreQueries
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // uniform: the real events table routes one-pass on every family,
+    // and the two routes agree there too
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val fu = EventQueries.funnelAutoOf(ev)
+    assert(CoreQueries.lastAutoRoutes("funnel") == "one-pass")
+    assert(canon(fu) == canon(EventQueries.funnelTwoPhaseOf(ev)))
+    val au = EventQueries.asofAutoOf(ev)
+    assert(CoreQueries.lastAutoRoutes("asof") == "one-pass")
+    assert(canon(au) == canon(EventQueries.asofTwoPhaseOf(ev)))
+    val su = EventQueries.sessionizeAutoOf(ev)
+    assert(CoreQueries.lastAutoRoutes("sessionize") == "one-pass")
+    assert(canon(su) == canon(EventQueries.sessionizeTwoPhaseOf(ev)))
+
+    // hot fixture: user 1 owns 900 of 999 events (hot/mean ≈ 90×),
+    // spread across many day buckets with a mix of within-bucket
+    // session breaks (45-minute steps) and quiet stretches, event
+    // types cycling so funnel stages and asof sides all engage
+    val types = Seq("view", "click", "purchase", "error")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var acc = 0L
+    val hotRows = (1 to 900).map { i =>
+      acc += (if (i % 7 == 0) 45L else 25L) * 60000L
+      (1L, new java.sql.Timestamp(t0 + acc), i.toLong, types(i % 4),
+        (i % 13).toDouble)
+    } ++ (2 to 100).map { u =>
+      (u.toLong, new java.sql.Timestamp(t0 + u * 3600000L),
+        10000L + u, types(u % 4), 1.0)
+    }
+    val hot = hotRows
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val fh = EventQueries.funnelAutoOf(hot)
+    assert(CoreQueries.lastAutoRoutes("funnel") == "two-phase",
+      "hot user should route the funnel two-phase")
+    assert(canon(fh) == canon(EventQueries.funnelOf(hot)),
+      "two-phase funnel diverged from one-pass on the hot fixture")
+    val ah = EventQueries.asofAutoOf(hot)
+    assert(CoreQueries.lastAutoRoutes("asof") == "two-phase")
+    assert(canon(ah) == canon(EventQueries.e3AsofJoinOf(hot)),
+      "two-phase asof diverged from one-pass on the hot fixture")
+    val sh = EventQueries.sessionizeAutoOf(hot)
+    assert(CoreQueries.lastAutoRoutes("sessionize") == "two-phase")
+    assert(canon(sh) == canon(EventQueries.sessionizeOf(hot)),
+      "two-phase sessionize diverged from one-pass on the hot fixture")
+  }
 }

@@ -128,7 +128,11 @@ class SqlGatewaySpec extends SparkSpec {
     "g1_pagerank", "emb_centroids", "emb_outliers",
     "ann_lsh_topk", "ann_pq_topk", "ann_pq_stored", "ann_ivfpq_stored",
     // round-13 new oracle-gated operators, portable from birth
-    "q_hll_distinct", "q_zorder_key")
+    "q_hll_distinct", "q_zorder_key",
+    // round-14 auto-routed twins (one-pass oracle texts reused
+    // verbatim, so portability follows their parents'); e15_asof_auto
+    // is absent for the same reason as e3/e12 — the ASOF JOIN text
+    "e14_funnel_auto", "e16_sessionize_auto", "q_quantiles_auto")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle
