@@ -1623,7 +1623,8 @@ object StreamOps {
     * Vec_ids are unique across batches by contract (the IVF ingest's
     * contract). Returns the batch's (vec_id, cell) primary
     * assignments. */
-  def graphIngestBatch(indexPath: String)(
+  def graphIngestBatch(indexPath: String,
+      metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -1728,6 +1729,14 @@ object StreamOps {
       }
       oldAsg.unpersist(false); membersAll.unpersist(false)
     }
+    // Post-append health emission, BEFORE the marker (the ivf/hll
+    // discipline: a replay at worst re-emits a duplicate batch_id;
+    // after the marker, a crash here would lose the batch's row for
+    // good). Rides the ingest path so delta backlog and quantizer
+    // skew surface in the metrics log the batch they move, at the
+    // same metricsEvery cadence as every other index family.
+    if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
+      emitMetrics(indexPath, batchId, graphIndexHealth(spark, indexPath))
     if (!alreadyApplied) fs.create(marker, true).close()
     val out = batchAsg.filter(col("rk") === 1)
       .select(col("vec_id"), col("cell")).localCheckpoint(true)
@@ -1784,6 +1793,72 @@ object StreamOps {
       .dropDuplicates("cell", "vec_id")
       .repartition(targetPartitions, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+  }
+
+  /** Health row of the graph-ANN index — the audit the round-13
+    * verdict flagged as the one index family without one. One row:
+    *
+    *   n_nodes        — distinct indexed vectors (members roster)
+    *   n_cells        — cells holding at least one member
+    *   max_cell_n     — largest cell membership: the per-batch ingest
+    *                    cost driver (a touched cell's FULL membership
+    *                    re-pairs — within its shards — every batch
+    *                    that lands in it)
+    *   sharded_cells  — cells past the 2×GraphShardTarget split
+    *                    threshold: quantizer-skew exposure; a rising
+    *                    count under stable n_nodes means the stored
+    *                    quantizer has drifted off the data and a
+    *                    rebuild (the ivf_staleness playbook) is due
+    *   graph_rows     — adjacency rows stored: base + delta
+    *   delta_rows     — of those, unfolded maintainer appends
+    *   read_amplification — graph_rows / n_nodes: the LSM
+    *                    compact-WHEN signal (1.0 right after
+    *                    [[compactGraphIndex]]; every serve resolves
+    *                    versions across all stored rows, so this IS
+    *                    the per-walk read multiplier)
+    *
+    * Metadata-sized relative to the corpus: two count-aggregates over
+    * cell-partitioned tables (map-side combinable on the partition
+    * key) — never a pair frame, never an embedding dot. An absent
+    * index reads as the all-zeros row, matching the other audits. */
+  def graphIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def existing(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      recoverCompaction(fs, p)
+      if (!fs.exists(p)) None
+      else try Some(spark.read.parquet(p.toString))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    val splitAt = 2L * graft.queries.VectorIndex.GraphShardTarget
+    val (nNodes, nCells, maxCell, sharded) = existing("members") match {
+      case None => (0L, 0L, 0L, 0L)
+      case Some(m) =>
+        val perCell = m.dropDuplicates("cell", "vec_id")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            // distinct vec_ids counted per cell then re-merged would
+            // double-count rk=2 rows; count them once globally below
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_prim"))
+        val r = perCell.agg(
+          coalesce(sum(col("n_prim")), lit(0L)),
+          count(lit(1)),
+          coalesce(max(col("n")), lit(0L)),
+          coalesce(sum(when(col("n") > splitAt, 1L).otherwise(0L)), lit(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val baseRows = existing("graph").map(_.count()).getOrElse(0L)
+    val deltaRows = existing("graph_delta").map(_.count()).getOrElse(0L)
+    val graphRows = baseRows + deltaRows
+    Seq((nNodes, nCells, maxCell, sharded, graphRows, deltaRows,
+        if (nNodes == 0L) 0.0
+        else math.rint(graphRows.toDouble / nNodes * 10000) / 10000))
+      .toDF("n_nodes", "n_cells", "max_cell_n", "sharded_cells",
+        "graph_rows", "delta_rows", "read_amplification")
   }
 
   // ------------------------------------------------------------------

@@ -369,6 +369,55 @@ class StreamOpsSpec extends SparkSpec {
     extras.unpersist()
   }
 
+  test("graphIndexHealth: audit rides the maintainer at metricsEvery cadence; " +
+      "compaction resets read amplification") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    // absent index reads as the all-zeros row, like every other audit
+    val empty = java.nio.file.Files.createTempDirectory("graph-health-0").toString
+    val z = StreamOps.graphIndexHealth(spark, empty).collect()(0)
+    assert((0 until 6).forall(i => z.getLong(i) == 0L) && z.getDouble(6) == 0.0,
+      s"absent index should audit as zeros: $z")
+
+    val idx = java.nio.file.Files.createTempDirectory("graph-health").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val h0 = StreamOps.graphIndexHealth(spark, idx).collect()(0)
+    val n0 = h0.getAs[Long]("n_nodes")
+    assert(n0 > 0 && h0.getAs[Long]("n_cells") > 0 &&
+      h0.getAs[Long]("max_cell_n") > 0)
+    assert(h0.getAs[Long]("delta_rows") == 0L &&
+      h0.getAs[Double]("read_amplification") == 1.0,
+      s"fresh build should read at 1.0 amplification: $h0")
+
+    // an ingest batch appends delta rows; at metricsEvery=1 the audit
+    // row lands in the metrics log the same batch
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(30)
+    StreamOps.graphIngestBatch(idx, metricsEvery = 1)(extras, 1L).count()
+    val h1 = StreamOps.graphIndexHealth(spark, idx).collect()(0)
+    assert(h1.getAs[Long]("n_nodes") == n0 + 30,
+      s"roster should grow by the batch: $h1")
+    assert(h1.getAs[Long]("delta_rows") > 0L &&
+      h1.getAs[Double]("read_amplification") > 1.0,
+      s"maintainer appends should surface as delta backlog: $h1")
+    val logged = StreamOps.indexMetrics(spark, idx)
+      .getOrElse(fail("no metrics log after metricsEvery=1 ingest"))
+      .filter(col("batch_id") === 1L).collect()
+    assert(logged.length == 1 &&
+      logged(0).getAs[Long]("n_nodes") == n0 + 30,
+      "ingest did not emit the health row at batch cadence")
+
+    // compaction folds the delta: amplification returns to 1.0 with
+    // the roster intact
+    StreamOps.compactGraphIndex(spark, idx, targetPartitions = 4)
+    val h2 = StreamOps.graphIndexHealth(spark, idx).collect()(0)
+    assert(h2.getAs[Long]("n_nodes") == n0 + 30 &&
+      h2.getAs[Long]("delta_rows") == 0L &&
+      h2.getAs[Double]("read_amplification") == 1.0,
+      s"compaction should fold the delta away: $h2")
+  }
+
   test("IVF compaction crash window: ingest and serving heal cells before touching it") {
     import graft.queries.VectorIndex
     val dir = "/root/testdata/sf0.001"
