@@ -91,6 +91,16 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 4, "graft_bloom_agg takes exactly 4 arguments")
           BloomAgg(children(0), children(1), children(2), children(3))
+        }),
+      // not a user-facing function: the ASOF JOIN marker the parser
+      // wraps around the ON condition (see GraftSqlParser /
+      // AsofJoinRewriteRule)
+      (FunctionIdentifier("graft_asof_marker"),
+        new ExpressionInfo(classOf[graft.plans.GraftAsofCond].getName,
+          "graft_asof_marker"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_asof_marker takes exactly 1 argument")
+          graft.plans.GraftAsofCond(children(0))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -108,5 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketingRule)
     ext.injectOptimizerRule(_ => graft.plans.NanosTsPushdownRule)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewriteRule)
+    // ASOF [LEFT] JOIN syntax — parser injection has no runtime
+    // route, so this is the one graft feature exclusive to the
+    // config-activated session (GraftSqlParser Scaladoc)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -55,11 +55,18 @@ object RangeJoinBucketingRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinConfKey = "spark.graft.rangejoin.bin"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(_, _, Inner, Some(cond), _)
-        if j.resolved && cond.deterministic && !hasEquiKey(j) =>
-      rewrite(j).getOrElse(j)
-  }
+  /** Session kill switch (default on) — config-injected rules cannot
+    * be removed at runtime, so the off-switch is a conf, the same
+    * shape as Spark's own optimizer flags. */
+  val EnabledConfKey = "spark.graft.rangejoin.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConfKey, "true").toBoolean) plan
+    else plan.transform {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if j.resolved && cond.deterministic && !hasEquiKey(j) =>
+        rewrite(j).getOrElse(j)
+    }
 
   private def hasEquiKey(j: Join): Boolean =
     splitConjunctivePredicates(j.condition.get).exists {

@@ -12,6 +12,10 @@ object PortableScan {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val prefix = if (args.length > 1) args(1) else ""
     val spark = SparkSession.builder().master("local[8]")
+      // the ASOF-capable parser rides the extensions config only —
+      // without it the three as-of texts read as non-runnable here
+      // while SqlGatewaySpec (whose session has it) counts them
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsofSqlRewrite
+import graft.sources.Tables
+
+/** The ASOF JOIN SQL door: GraftSqlParser's text lowering +
+  * AsofJoinRewriteRule's window-bounded equi join, pinned against the
+  * engine's own one-pass as-of form and against hand-computed
+  * fixtures. The shared SparkSpec session is built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, i.e. the
+  * production activation route. */
+class AsofJoinRuleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  // ---------------- text lowering ----------------
+
+  test("AsofSqlRewrite: lowers ASOF LEFT JOIN and leaves the rest verbatim") {
+    val in = """SELECT a.x FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.t >= b.t
+               WHERE a.x > 0 ORDER BY a.x"""
+    val out = AsofSqlRewrite(in)
+    assert(!out.toUpperCase.contains("ASOF LEFT"))
+    assert(out.contains("LEFT JOIN b ON graft_asof_marker(") &&
+      out.contains("a.k = b.k AND a.t >= b.t"))
+    // the condition wrap must close BEFORE the WHERE clause
+    assert(out.indexOf(") ") < out.indexOf("WHERE"),
+      s"marker did not close before WHERE: $out")
+    // no-ASOF text returns the same reference, untouched
+    val plain = "SELECT 1 FROM t WHERE x = 'asof text'"
+    assert(AsofSqlRewrite(plain) eq plain)
+  }
+
+  test("AsofSqlRewrite: a relation NAMED asof is not the keyword; " +
+      "LEFT( in the condition does not end it; strings are opaque") {
+    val named = "SELECT * FROM asof JOIN b ON asof.k = b.k"
+    assert(AsofSqlRewrite(named) == named)
+    val fn = """SELECT * FROM a ASOF JOIN b
+               ON left(a.k, 3) = left(b.k, 3) AND a.t > b.t LIMIT 5"""
+    val out = AsofSqlRewrite(fn)
+    assert(out.contains("graft_asof_marker(") &&
+      out.contains("left(b.k, 3) AND a.t > b.t") &&
+      out.trim.endsWith("LIMIT 5"), s"LEFT( mis-ended the condition: $out")
+    val str = "SELECT ' ASOF JOIN ' AS s FROM t"
+    assert(AsofSqlRewrite(str) == str, "string literal was rewritten")
+  }
+
+  test("AsofSqlRewrite: nested ASOF in a subquery lowers on the next pass") {
+    val in = """SELECT * FROM a ASOF JOIN
+               (SELECT * FROM c ASOF LEFT JOIN d ON c.k = d.k AND c.t >= d.t) b
+               ON a.k = b.k AND a.t >= b.t"""
+    val out = AsofSqlRewrite(in)
+    assert(!out.toUpperCase.split("\\s+").contains("ASOF"))
+    assert("graft_asof_marker".r.findAllIn(out).size == 2,
+      s"expected both joins lowered: $out")
+  }
+
+  test("AsofSqlRewrite: unparenthesized join chain before ON fails loudly") {
+    val bad = "SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k ON a.k = b.k"
+    val e = intercept[IllegalArgumentException](AsofSqlRewrite(bad))
+    assert(e.getMessage.contains("unparenthesized"))
+    val using = "SELECT * FROM a ASOF JOIN b USING (k)"
+    assert(intercept[IllegalArgumentException](AsofSqlRewrite(using))
+      .getMessage.contains("USING"))
+  }
+
+  // ---------------- end-to-end through spark.sql ----------------
+
+  test("ASOF LEFT JOIN through the SQL door equals the engine's one-pass as-of") {
+    SqlGateway.open(spark, sf)
+    val viaSql = spark.sql(SparkEntry.oracleSql("e3_asof_join"))
+    assert(rows(viaSql) == rows(SparkEntry.queries("e3_asof_join")(spark, sf)),
+      "ASOF SQL rows diverge from EventQueries.e3AsofJoin")
+    // the marker must be rewritten away and the plan must be the
+    // window-bounded EQUI join — no nested-loop fallback
+    val opt = viaSql.queryExecution.optimizedPlan
+    assert(!opt.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.GraftAsofCond])) &&
+      !opt.exists(p => p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.GraftAsofCond]))),
+      "marker survived optimization")
+    assert(opt.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Window]),
+      "rewrite did not insert the boundary window")
+    val phys = viaSql.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"ASOF lowering planned a pair product:\n$phys")
+  }
+
+  test("ASOF (inner) JOIN equals the LEFT form filtered to matches") {
+    SqlGateway.open(spark, sf)
+    val inner = spark.sql(
+      """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""")
+    val left = SparkEntry.queries("e3_asof_join")(spark, sf)
+      .filter(col("asof_err_id").isNotNull)
+    assert(rows(inner) == rows(left))
+  }
+
+  test("forward ASOF (<=) picks the EARLIEST at-or-after row; " +
+      "ties break to the smallest tuple") {
+    SqlGateway.open(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c.event_id, e.err_id AS next_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts <= e.ts""")
+    // ground truth from first principles: min (ts, err_id) among
+    // errors at-or-after the click, per click
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("ets"))
+    val want = clicks.join(errors,
+        col("user_id") === col("u") && col("ts") <= col("ets"), "left")
+      .groupBy(col("event_id"))
+      .agg(min(when(col("err_id").isNotNull,
+        struct(col("ets"), col("err_id")))).as("m"))
+      .select(col("event_id"), col("m.err_id").as("next_err_id"))
+    assert(rows(viaSql) == rows(want))
+  }
+
+  test("a PLAIN left join with the same condition is not hijacked") {
+    SqlGateway.open(spark, sf)
+    val plain = spark.sql(
+      """SELECT c.event_id, e.err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""")
+    val asof = SparkEntry.queries("e3_asof_join")(spark, sf)
+    // the plain join keeps EVERY matching error per click
+    assert(plain.count() > asof.count(),
+      "plain range left join should out-row the as-of pick at sf0.001")
+  }
+
+  test("ASOF with extra WHERE above and multiple equality keys") {
+    SqlGateway.open(spark, sf)
+    // second equality key folds the partition: constant TRUE-ish key
+    // via event-day equality narrows matches to same-day errors
+    val viaSql = spark.sql(
+      """SELECT c.event_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS d, ts
+               FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, CAST(ts AS DATE) AS d, ts
+               FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.d = e.d AND c.ts >= e.ts
+         WHERE c.event_id % 2 = 0""")
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("d"), col("ts"))
+      .filter(col("event_id") % 2 === 0)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u"),
+        col("ts").cast("date").as("ed"), col("ts").as("ets"))
+    val want = clicks.join(errors,
+        col("user_id") === col("u") && col("d") === col("ed") &&
+          col("ts") >= col("ets"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(when(col("err_id").isNotNull,
+        struct(col("ets"), col("err_id")))).as("m"))
+      .select(col("event_id"), col("m.err_id").as("asof_err_id"))
+    assert(rows(viaSql) == rows(want))
+  }
+}

@@ -25,10 +25,11 @@ class RangeJoinRuleSpec extends SparkSpec {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   private def withoutRule[A](f: => A): A = {
-    val saved = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations =
-      saved.filterNot(_ == RangeJoinBucketingRule)
-    try f finally spark.experimental.extraOptimizations = saved
+    // the rule is ALSO config-injected (SparkSpec builds the session
+    // with graft.functions.GraftExtensions), so disabling means the
+    // conf kill switch, not just dropping the runtime injection
+    spark.conf.set(RangeJoinBucketingRule.EnabledConfKey, "false")
+    try f finally spark.conf.unset(RangeJoinBucketingRule.EnabledConfKey)
   }
 
   /** AQE query-stage wrappers are leaf nodes (their subtree is not in

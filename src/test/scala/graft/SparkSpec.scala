@@ -23,6 +23,10 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the library's documented activation route — exercises the
+    // injected functions, optimizer rules, and the ASOF-capable
+    // parser exactly as a production session would
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

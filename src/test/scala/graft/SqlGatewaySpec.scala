@@ -46,9 +46,10 @@ class SqlGatewaySpec extends SparkSpec {
   //    the head so both engines compute the whole chain in IEEE
   //    doubles.
   // The remaining non-runnable texts use dialect-structural
-  // constructs no alias can bridge — 1-based list slicing `[i:j]`,
-  // `::` casts, `//` division, UNNEST in FROM position, UNION
-  // (distinct) recursive CTEs — and remain DataFrame-first with the
+  // constructs no alias (or bounded parser lowering — the round-14
+  // ASOF bridge) can bridge: UNION-distinct recursive CTEs, whose
+  // fixed-point-with-dedup termination Spark 4.1's UNION ALL-only
+  // recursion cannot express. They remain DataFrame-first with the
   // oracle as the cross-engine recompute.
   private val VerbatimPortable = Set(
     "a1_group_collect", "a2_option_agg", "a3_sum_reduce",
@@ -130,9 +131,15 @@ class SqlGatewaySpec extends SparkSpec {
     // round-13 new oracle-gated operators, portable from birth
     "q_hll_distinct", "q_zorder_key",
     // round-14 auto-routed twins (one-pass oracle texts reused
-    // verbatim, so portability follows their parents'); e15_asof_auto
-    // is absent for the same reason as e3/e12 — the ASOF JOIN text
-    "e14_funnel_auto", "e16_sessionize_auto", "q_quantiles_auto")
+    // verbatim, so portability follows their parents')
+    "e14_funnel_auto", "e16_sessionize_auto", "q_quantiles_auto",
+    // round-14 ASOF bridge: GraftSqlParser lowers `ASOF [LEFT] JOIN`
+    // (the one DuckDB construct Spark's grammar lacks) to a marked
+    // join that AsofJoinRewriteRule turns into the window-bounded
+    // equi join — all three as-of texts now run verbatim on both
+    // engines (AsofJoinRuleSpec pins the lowering and the tie
+    // discipline)
+    "e3_asof_join", "e12_asof_twophase", "e15_asof_auto")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle
