@@ -51,6 +51,7 @@ object SparkEntry {
     "q_profile" -> (CoreQueries.qProfile _),
     "q_profile_hll" -> ((s: SparkSession, d: String) => CoreQueries.qProfileApprox(s, d)),
     "q_hll_distinct" -> (CoreQueries.qHllDistinct _),
+    "q_hll_grouped" -> (CoreQueries.qHllGrouped _),
     "q_zorder_key" -> (graft.queries.LayoutQueries.qZorderKey _),
     "q_quantiles" -> (CoreQueries.qQuantiles _),
     "q_quantiles_twophase" -> (CoreQueries.qQuantilesTwoPhase _),
@@ -488,6 +489,7 @@ object SparkEntry {
               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
            (SELECT count(*) FROM lineitem)""",
     "q_hll_distinct" -> graft.queries.CoreQueries.hllOracleSql,
+    "q_hll_grouped" -> graft.queries.CoreQueries.hllGroupedOracleSql,
     "q_zorder_key" -> graft.queries.LayoutQueries.zorderOracleSql,
     "q_profile" ->
       """WITH t AS (SELECT * FROM orders)

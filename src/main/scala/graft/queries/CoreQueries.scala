@@ -930,16 +930,40 @@ object CoreQueries {
   private[graft] def hllRegisters(df: DataFrame,
       cols: Seq[String] = HllCols): DataFrame =
     cols.map { c =>
-      val h32 = conv(substring(md5(col(c).cast("string")), 25, 8), 16, 10)
-        .cast("long")
-      val suffix = ((h32 - (h32 % HllM)) / HllM).cast("long")
-      val rank = when(suffix === 0, lit(23))
-        .otherwise(lit(23) - length(bin(suffix)))
+      val (bucket, rho) = hllBucketRho(col(c))
       df.filter(col(c).isNotNull)
-        .select((h32 % HllM).as("bucket"), rank.as("rho"))
+        .select(bucket.as("bucket"), rho.as("rho"))
         .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
         .select(lit(c).as("col_name"), col("bucket"), col("r"))
     }.reduce(_ unionByName _)
+
+  /** The shared hash→(bucket, rho) fragment: md5-low-32 polynomial,
+    * p=10 bucket, rank of the 22-bit suffix. */
+  private def hllBucketRho(v: Column): (Column, Column) = {
+    val h32 = conv(substring(md5(v.cast("string")), 25, 8), 16, 10)
+      .cast("long")
+    val suffix = ((h32 - (h32 % HllM)) / HllM).cast("long")
+    (h32 % HllM,
+      when(suffix === 0, lit(23)).otherwise(lit(23) - length(bin(suffix))))
+  }
+
+  /** GROUPED register table: one HLL per value of `groupCol`,
+    * counting distinct `valueCol` — (col_name = the group's string
+    * value, bucket, r), deliberately the SAME schema and max-merge
+    * semilattice as [[hllRegisters]], so [[hllEstimate]], the
+    * streaming maintainer's state layout, its compaction, and its
+    * health audit all apply unchanged. ≤ m rows PER GROUP at any
+    * input size — the shuffle is (groups × 1024)-bounded, never
+    * corpus-sized, which is what makes per-slice cardinality
+    * profiling (the corpus-mix design signal) viable at 100 TB. */
+  private[graft] def hllGroupRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val (bucket, rho) = hllBucketRho(col(valueCol))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("col_name"),
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("col_name"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
 
   /** Fold a register table to the estimate row per column: exact
     * integer harmonic sum, one IEEE division, the HLL++-style
@@ -970,6 +994,17 @@ object CoreQueries {
 
   def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllEstimate(hllRegisters(Tables.orders(spark, dir)))
+
+  /** `q_hll_grouped`: distinct users per event type — the per-slice
+    * cardinality profile (how many unique actors/documents does each
+    * corpus slice actually have?) behind mix design and dedup-rate
+    * auditing. Same deterministic sketch as q_hll_distinct, one HLL
+    * per group; exact w.r.t. the register algebra, so the oracle hash
+    * gate applies. */
+  def qHllGrouped(spark: SparkSession, dir: String): DataFrame =
+    hllEstimate(hllGroupRegisters(Tables.events(spark, dir),
+        "event_type", "user_id"))
+      .withColumnRenamed("col_name", "event_type")
 
   /** The DuckDB oracle for `q_hll_distinct`, rendered from the same
     * constants. Absent buckets contribute 2^23 to the harmonic sum —
@@ -1004,6 +1039,36 @@ object CoreQueries {
            THEN ln(CAST($HllM AS DOUBLE) / n_zero) * $HllM
            ELSE ${alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble}
                / sum_scaled END, 2) AS est_distinct
+       FROM agg"""
+  }
+
+  /** The DuckDB oracle for `q_hll_grouped` — the grouped rendering of
+    * [[hllOracleSql]] (one register set per event_type, same hash,
+    * same exact-integer harmonic sum, same linear-counting branch). */
+  private[graft] def hllGroupedOracleSql: String = {
+    val hex = TextQueries.hexPolySql("hx", 25)
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    val rawNum = alpha * HllM.toDouble * HllM.toDouble * (1L << 23).toDouble
+    s"""WITH b AS (
+         SELECT g, h % $HllM AS bucket,
+           CASE WHEN CAST((h - (h % $HllM)) / $HllM AS BIGINT) = 0 THEN 23
+                ELSE 23 - length(bin(CAST((h - (h % $HllM)) / $HllM AS BIGINT)))
+           END AS rho
+         FROM (SELECT g, $hex AS h
+               FROM (SELECT event_type AS g, md5(concat(user_id, '')) AS hx
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL))),
+       regs AS (SELECT g, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+       agg AS (SELECT g,
+             CAST(sum(power(2, 23 - r)) AS BIGINT)
+               + (CAST($HllM AS BIGINT) - count(*)) * ${1L << 23} AS sum_scaled,
+             CAST($HllM AS BIGINT) - count(*) AS n_zero
+             FROM regs GROUP BY 1)
+       SELECT g AS event_type, sum_scaled, n_zero,
+         round(CASE WHEN n_zero > 0
+             AND $rawNum / sum_scaled <= ${2.5 * HllM}
+           THEN ln(CAST($HllM AS DOUBLE) / n_zero) * $HllM
+           ELSE $rawNum / sum_scaled END, 2) AS est_distinct
        FROM agg"""
   }
 

@@ -2614,13 +2614,33 @@ object StreamOps {
   def hllIngestBatch(indexPath: String,
       cols: Seq[String] = graft.queries.CoreQueries.HllCols,
       metricsEvery: Int = DefaultMetricsEvery)(
-      batch: DataFrame, batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
+      batch: DataFrame, batchId: Long): DataFrame =
+    hllIngestRegs(indexPath, metricsEvery,
+      graft.queries.CoreQueries.hllRegisters(batch, cols), batchId)
+
+  /** GROUPED twin of [[hllIngestBatch]]: maintains one register set
+    * per `groupCol` value counting distinct `valueCol` — the
+    * streaming form of `q_hll_grouped`'s per-slice cardinality
+    * profile. The register schema is identical (col_name carries the
+    * group's string value), so [[readHll]] (one estimate row per
+    * group), [[compactHllIndex]], and [[hllIndexHealth]] apply to a
+    * grouped index verbatim. State is ≤ m rows per GROUP per applied
+    * batch; a group appearing mid-stream simply starts its register
+    * set in that batch — max-merge needs no backfill. */
+  def hllGroupIngestBatch(indexPath: String, groupCol: String,
+      valueCol: String, metricsEvery: Int = DefaultMetricsEvery)(
+      batch: DataFrame, batchId: Long): DataFrame =
+    hllIngestRegs(indexPath, metricsEvery,
+      graft.queries.CoreQueries.hllGroupRegisters(batch, groupCol, valueCol),
+      batchId)
+
+  private def hllIngestRegs(indexPath: String, metricsEvery: Int,
+      regsFrame: DataFrame, batchId: Long): DataFrame = {
+    val spark = regsFrame.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/regs"))
-    val regs = graft.queries.CoreQueries.hllRegisters(batch, cols)
-      .localCheckpoint(true)
+    val regs = regsFrame.localCheckpoint(true)
     val marker = new org.apache.hadoop.fs.Path(
       s"$indexPath/$HllMarkersDir/b$batchId")
     val alreadyApplied = fs.exists(marker)

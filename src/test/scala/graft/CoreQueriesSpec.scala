@@ -59,6 +59,35 @@ class CoreQueriesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q_hll_grouped: per-slice estimates track exact distinct users; " +
+      "layout invariant") {
+    val dir = "/root/testdata/sf0.01"
+    val est = CoreQueries.qHllGrouped(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+    val exact = ev.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "group sets differ")
+    for ((g, n) <- exact)
+      if (n > 100)
+        assert(math.abs(est(g) - n) <= n * 0.163,
+          s"$g: grouped hll ${est(g)} vs exact $n")
+      else
+        assert(math.abs(est(g) - n) <= 0.5,
+          s"$g: linear-counting ${est(g)} vs exact $n")
+    // layout invariance, same argument as the ungrouped sketch
+    val shuffled = ev.repartition(7)
+      .sortWithinPartitions(col("event_id").desc)
+    val b = CoreQueries.hllEstimate(
+        CoreQueries.hllGroupRegisters(shuffled, "event_type", "user_id"))
+      .withColumnRenamed("col_name", "event_type")
+      .collect().map(_.toString).sorted
+    assert(CoreQueries.qHllGrouped(spark, dir)
+      .collect().map(_.toString).sorted.sameElements(b))
+  }
+
   test("qProfileApprox estimates every distinct count within the documented error") {
     // HLL++ at rsd=0.02 has std error 2%; 5× that is a generous
     // deterministic bound (the sketch is seed-free, so this is a

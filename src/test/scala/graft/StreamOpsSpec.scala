@@ -1746,6 +1746,41 @@ class StreamOpsSpec extends SparkSpec {
       "reader did not heal the interrupted swap")
     orders.unpersist()
   }
+
+  test("hllGroupIngestBatch: maintained per-group profile equals the " +
+      "one-shot grouped sketch; late-appearing groups just start") {
+    val idx = java.nio.file.Files.createTempDirectory("hll-grp-idx").toString
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id")).persist()
+    def slice(i: Long) = ev.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+    for (i <- 0L until 3L)
+      StreamOps.hllGroupIngestBatch(idx, "event_type", "user_id",
+        metricsEvery = 1)(slice(i), i + 1L)
+    val maintained = hllRows(StreamOps.readHll(spark, idx))
+    val oneShot = hllRows(graft.queries.CoreQueries.hllEstimate(
+      graft.queries.CoreQueries.hllGroupRegisters(ev, "event_type", "user_id")))
+    assert(maintained == oneShot,
+      "maintained grouped profile != one-shot grouped sketch")
+    // a group unseen until now starts its register set mid-stream
+    val novel = ev.limit(50)
+      .withColumn("event_type", lit("novel_type"))
+    StreamOps.hllGroupIngestBatch(idx, "event_type", "user_id",
+      metricsEvery = 1)(novel, 4L)
+    val withNovel = StreamOps.readHll(spark, idx)
+      .filter(col("col_name") === "novel_type").collect()
+    assert(withNovel.length == 1 && withNovel(0).getDouble(3) > 0,
+      "late-appearing group did not start a register set")
+    // replay: marker-guarded no-op; compaction keeps the rows
+    val regsBefore = spark.read.parquet(s"$idx/regs").count()
+    StreamOps.hllGroupIngestBatch(idx, "event_type", "user_id")(slice(1), 2L)
+    assert(spark.read.parquet(s"$idx/regs").count() == regsBefore)
+    StreamOps.compactHllIndex(spark, idx)
+    assert(hllRows(StreamOps.readHll(spark, idx)
+        .filter(col("col_name") =!= "novel_type")) == oneShot,
+      "compaction changed the grouped profile")
+    ev.unpersist()
+  }
 }
 
 object StreamOpsSpec {
