@@ -52,13 +52,22 @@ case class GraftAsofCond(child: Expression)
 }
 
 /** Optimizer rule: lower an `ASOF JOIN` (marked by [[GraftAsofCond]],
-  * see [[GraftSqlParser]]) into the window-bounded equi join.
+  * see [[GraftSqlParser]]) into an equivalent Spark plan.
   *
   * Semantics implemented (DuckDB `ASOF JOIN`, reference e3's shape):
   * for each left row, the single right row sharing the equality keys
   * whose ordering column is the LATEST satisfying `l.t >= r.t` (or
   * `>`; the EARLIEST for `<=`/`<`) — `LEFT` keeps unmatched left rows
-  * with nulls. The lowering:
+  * with nulls. Two lowerings, both producing the identical rows
+  * (spec-pinned against each other and against first-principles
+  * fixtures, ties included):
+  *
+  *  - WINDOW (default): the union-tag-window one-pass shape — the
+  *    very plan the engine's hand-written as-of uses
+  *    (EventQueries.e3AsofJoinOf). ONE shuffle of |L|+|R| rows on the
+  *    key, linear at any skew. See [[rewriteToWindow]].
+  *  - JOIN (`spark.graft.asof.lowering=join`, and the automatic
+  *    fallback for shapes the window form cannot express):
   *
   * {{{
   *   l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t
@@ -68,28 +77,27 @@ case class GraftAsofCond(child: Expression)
   *          AND (next IS NULL OR NOT l.t >= next)
   * }}}
   *
-  * Exactly one right row survives per (left row, key): the matching
-  * rows form a prefix of the window order (nulls sort FIRST in both
-  * directions so a null ordering value can never be the `next` of a
-  * real one), and only the prefix's last element has a `next` that
-  * fails the predicate. Ties on the ordering column are broken by the
-  * remaining right columns (ascending for backward as-of, descending
-  * for forward), picking the max/min tuple — the same row the
-  * engine's one-pass form keeps (EventQueries.e3AsofJoinOf orders by
-  * (ts, side, id), so the largest id at the winning timestamp wins
-  * there too).
-  *
-  * Scale note: the rewrite plans as a hash/sort-merge EQUI join on
-  * the keys with the range bound as residual — per-key work is
-  * O(clicks × errors) in the worst (single hot key) case, the classic
-  * residual-filter cost. This rule is the SQL DOOR for as-of queries;
-  * the engine's production paths remain the linear one-pass
-  * (EventQueries.e3AsofJoin), the skew-safe two-phase (e12), and the
-  * probe-routed auto form (e15).
+  * In the join form exactly one right row survives per (left row,
+  * key): the matching rows form a prefix of the window order (nulls
+  * sort FIRST in both directions so a null ordering value can never
+  * be the `next` of a real one), and only the prefix's last element
+  * has a `next` that fails the predicate. Ties on the ordering column
+  * break to the remaining right columns (ascending for backward
+  * as-of, descending for forward), picking the max/min tuple — the
+  * same row the engine's one-pass form keeps. Its cost term is the
+  * equi join's range residual: O(|L_k|·|R_k|) inside a hot key —
+  * which is why the linear window form is the default.
   *
   * Registered via `GraftExtensions` (`spark.sql.extensions`) or at
   * runtime with [[AsofJoinRewriteRule.ensureInjected]]. */
 object AsofJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Lowering strategy: "window" (default — the linear union-tag-
+    * window one-pass shape, see [[rewriteToWindow]]) or "join" (the
+    * window-bounded equi join, see [[rewriteToJoin]]). The window
+    * form automatically falls back to the join form on shapes it
+    * cannot express. */
+  val LoweringConfKey = "spark.graft.asof.lowering"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(_, _, _, Some(cond), _) if j.resolved &&
@@ -120,13 +128,14 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       else None
 
     var eqs = Seq.empty[(Expression, Expression)] // (left expr, right expr)
-    // (left expr, right expr, predicate builder, backward?)
+    // (left expr, right expr, predicate builder, backward?, inclusive?)
     var ineq: Option[(Expression, Expression,
-      (Expression, Expression) => Expression, Boolean)] = None
+      (Expression, Expression) => Expression, Boolean, Boolean)] = None
     def setIneq(l: Expression, r: Expression,
-        mk: (Expression, Expression) => Expression, back: Boolean): Unit = {
+        mk: (Expression, Expression) => Expression,
+        back: Boolean, incl: Boolean): Unit = {
       if (ineq.isDefined) fail("more than one ordering inequality in the condition")
-      ineq = Some((l, r, mk, back))
+      ineq = Some((l, r, mk, back, incl))
     }
     inner.foreach {
       case e @ (EqualTo(_, _) | EqualNullSafe(_, _)) =>
@@ -142,29 +151,150 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case c: BinaryComparison =>
         (sideOf(c.left), sideOf(c.right)) match {
           case (Some(true), Some(false)) => c match {
-            case _: GreaterThanOrEqual => setIneq(c.left, c.right, GreaterThanOrEqual, true)
-            case _: GreaterThan => setIneq(c.left, c.right, GreaterThan, true)
-            case _: LessThanOrEqual => setIneq(c.left, c.right, LessThanOrEqual, false)
-            case _: LessThan => setIneq(c.left, c.right, LessThan, false)
+            case _: GreaterThanOrEqual => setIneq(c.left, c.right, GreaterThanOrEqual, true, true)
+            case _: GreaterThan => setIneq(c.left, c.right, GreaterThan, true, false)
+            case _: LessThanOrEqual => setIneq(c.left, c.right, LessThanOrEqual, false, true)
+            case _: LessThan => setIneq(c.left, c.right, LessThan, false, false)
             case other => fail(s"unsupported comparison: ${other.sql}")
           }
           case (Some(false), Some(true)) => c match {
             // mirrored spelling: r.t <= l.t ≡ l.t >= r.t
-            case _: LessThanOrEqual => setIneq(c.right, c.left, GreaterThanOrEqual, true)
-            case _: LessThan => setIneq(c.right, c.left, GreaterThan, true)
-            case _: GreaterThanOrEqual => setIneq(c.right, c.left, LessThanOrEqual, false)
-            case _: GreaterThan => setIneq(c.right, c.left, LessThan, false)
+            case _: LessThanOrEqual => setIneq(c.right, c.left, GreaterThanOrEqual, true, true)
+            case _: LessThan => setIneq(c.right, c.left, GreaterThan, true, false)
+            case _: GreaterThanOrEqual => setIneq(c.right, c.left, LessThanOrEqual, false, true)
+            case _: GreaterThan => setIneq(c.right, c.left, LessThan, false, false)
             case other => fail(s"unsupported comparison: ${other.sql}")
           }
           case _ => fail(s"comparison does not span the two sides: ${c.sql}")
         }
       case other => fail(s"unsupported conjunct in the ASOF condition: ${other.sql}")
     }
-    val (lexpr, rexpr, mk, backward) = ineq.getOrElse(
+    val (lexpr, rexpr, mk, backward, inclusive) = ineq.getOrElse(
       fail("no ordering inequality (</<=/>/>=) in the condition"))
     if (!RowOrdering.isOrderable(rexpr.dataType))
       fail(s"ordering column type is not orderable: ${rexpr.dataType}")
 
+    val strategy = conf.getConfString(LoweringConfKey, "window")
+    // null-safe equalities MATCH null keys; the window lowering's
+    // null-right filter would drop those rows, so they take the join
+    // form, which keeps the original conjuncts verbatim
+    val hasNullSafeEq = inner.exists(_.isInstanceOf[EqualNullSafe])
+    val viaWindow =
+      if (strategy == "join" || hasNullSafeEq) None
+      else rewriteToWindow(j, outer, eqs, lexpr, rexpr, backward, inclusive)
+    viaWindow.getOrElse(
+      rewriteToJoin(j, inner, outer, eqs, lexpr, rexpr, mk, backward))
+  }
+
+  /** The LINEAR lowering (default): the union-tag-window one-pass
+    * shape the engine's own as-of uses (EventQueries.e3AsofJoinOf) —
+    * no join at all, so no per-hot-key pair residual:
+    *
+    * {{{
+    *   Union(left rows tagged side=L with a NULL right-struct,
+    *         right rows tagged side=R carrying struct(right cols))
+    *   → last(struct, ignoreNulls) OVER (PARTITION BY key
+    *       ORDER BY t [asc|desc], side, struct  ROWS UNBOUNDED
+    *       PRECEDING)
+    *   → keep side=L rows; unpack the struct back to the right cols
+    * }}}
+    *
+    * Side ordering encodes strictness: for an INCLUSIVE bound a right
+    * row at the left row's own t must be visible (right sorts first
+    * at equal t); STRICT flips it. NullsFirst everywhere + right rows
+    * with null key/t filtered out (they can never match) means a left
+    * row with null key or t reads a null struct — the unmatched-left
+    * semantics — with no special casing. Ties on t break to the same
+    * struct tuple [[rewriteToJoin]]'s tiebreaks pick (struct field
+    * order is the right output order; the constant-in-group t field
+    * cannot reorder anything). Cost: ONE shuffle of |L|+|R| rows on
+    * the key — linear at any skew, the same plan a hand-written
+    * one-pass as-of produces.
+    *
+    * Falls back to the join lowering (None) when: the right struct is
+    * not orderable (tie discipline would be lost), an eq conjunct's
+    * two sides have different types (positional Union needs exact
+    * types; analysis normally coerces, so this is belt-and-braces),
+    * or a LEFT OUTER marked join carries extra non-ASOF conjuncts
+    * (outer-join condition semantics differ from a post-filter). */
+  private def rewriteToWindow(j: Join, outer: Seq[Expression],
+      eqs: Seq[(Expression, Expression)], lexpr: Expression,
+      rexpr: Expression, backward: Boolean,
+      inclusive: Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    if (j.joinType == LeftOuter && outer.nonEmpty) return None
+    if (eqs.exists { case (l, r) => l.dataType != r.dataType }) return None
+    if (lexpr.dataType != rexpr.dataType) return None
+    val rcols = j.right.output
+    val rstructType = StructType(
+      rcols.map(a => StructField(a.name, a.dataType, nullable = true)))
+    if (!RowOrdering.isOrderable(rstructType)) return None
+
+    val sideL = if (inclusive) 1 else 0
+    val sideR = 1 - sideL
+    // L branch: original left attrs ride through un-aliased, so their
+    // exprIds survive the Union (output adopts the FIRST child's ids)
+    val lProj = Project(
+      Seq(Alias(Literal(sideL, IntegerType), "__graft_side")()) ++
+        eqs.map(_._1).zipWithIndex.map { case (e, i) => Alias(e, s"__graft_k$i")() } ++
+        Seq(Alias(lexpr, "__graft_t")()) ++
+        j.left.output ++
+        Seq(Alias(Literal(null, rstructType), "__graft_r")()),
+      j.left)
+    // R branch: rows whose key or t is null can never match a left
+    // row — dropping them here is what makes the null handling above
+    // fall out of NullsFirst ordering alone
+    val rKeep = (rexpr +: eqs.map(_._2))
+      .map(IsNotNull(_): Expression).reduce(And)
+    val rProj = Project(
+      Seq(Alias(Literal(sideR, IntegerType), "__graft_side")()) ++
+        eqs.map(_._2).zipWithIndex.map { case (e, i) => Alias(e, s"__graft_k$i")() } ++
+        Seq(Alias(rexpr, "__graft_t")()) ++
+        j.left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
+        Seq(Alias(CreateStruct(rcols), "__graft_r")()),
+      Filter(rKeep, j.right))
+    val union = Union(Seq(lProj, rProj), byName = false, allowMissingCol = false)
+    val uOut = union.output
+    val (sideA, tA, rA) = (uOut.head, uOut(1 + eqs.size), uOut.last)
+    val keyA = uOut.slice(1, 1 + eqs.size)
+
+    val dir = if (backward) Ascending else Descending
+    val sorts = Seq(
+      SortOrder(tA, dir, NullsFirst, Seq.empty),
+      SortOrder(sideA, Ascending, NullsFirst, Seq.empty),
+      SortOrder(rA, dir, NullsFirst, Seq.empty))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val lastAgg = AggregateExpression(
+      Last(rA, ignoreNulls = true), Complete, isDistinct = false)
+    val matched = Alias(WindowExpression(lastAgg,
+      WindowSpecDefinition(keyA, sorts, frame)), "__graft_asof_match")()
+    val win = Window(Seq(matched), keyA, sorts, union, None)
+    val mRef = matched.toAttribute
+
+    val keepLeft = EqualTo(sideA, Literal(sideL, IntegerType))
+    val filt = Filter(
+      if (j.joinType == Inner) And(keepLeft, IsNotNull(mRef)) else keepLeft,
+      win)
+    // restore the right columns under their ORIGINAL exprIds so the
+    // already-planned consumers above the join resolve unchanged
+    val restored = rcols.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(mRef, i, Some(a.name)), a.name)(exprId = a.exprId)
+    }
+    val leftRestored = j.left.output.map(a => uOut.find(_.exprId == a.exprId).get)
+    val proj = Project(leftRestored ++ restored, filt)
+    Some(if (outer.isEmpty) proj else Filter(outer.reduce(And), proj))
+  }
+
+  /** The JOIN lowering (fallback, and `spark.graft.asof.lowering=join`):
+    * window-bounded equi join — general (any orderable ordering
+    * column, extra pushed-in conjuncts), but the range residual costs
+    * O(|L_k|·|R_k|) inside a hot key. */
+  private def rewriteToJoin(j: Join, inner: Seq[Expression],
+      outer: Seq[Expression], eqs: Seq[(Expression, Expression)],
+      lexpr: Expression, rexpr: Expression,
+      mk: (Expression, Expression) => Expression,
+      backward: Boolean): LogicalPlan = {
     // backward as-of keeps the LATEST matching right row → ascending
     // window, survivor = last match; forward keeps the EARLIEST →
     // descending. NullsFirst in BOTH directions: a null ordering value

@@ -86,11 +86,84 @@ class AsofJoinRuleSpec extends SparkSpec {
       "marker survived optimization")
     assert(opt.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.Window]),
-      "rewrite did not insert the boundary window")
+      "rewrite did not insert the as-of window")
+    // the DEFAULT lowering is the linear one-pass shape: a union +
+    // window, NO join operator at all
+    assert(opt.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Union]),
+      "default lowering should be the union-tag-window form")
+    assert(!opt.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "default lowering should not plan any join")
     val phys = viaSql.queryExecution.executedPlan.toString
     assert(!phys.contains("BroadcastNestedLoopJoin") &&
       !phys.contains("CartesianProduct"),
       s"ASOF lowering planned a pair product:\n$phys")
+  }
+
+  test("join lowering (conf) is row-identical to the window lowering") {
+    SqlGateway.open(spark, sf)
+    val text = SparkEntry.oracleSql("e3_asof_join")
+    val viaWindow = rows(spark.sql(text))
+    spark.conf.set(graft.plans.AsofJoinRewriteRule.LoweringConfKey, "join")
+    try {
+      val df = spark.sql(text)
+      assert(df.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "conf=join should plan the window-bounded equi join")
+      assert(rows(df) == viaWindow, "the two lowerings diverge")
+    } finally spark.conf.unset(graft.plans.AsofJoinRewriteRule.LoweringConfKey)
+  }
+
+  test("tie discipline: both lowerings pick the identical row on " +
+      "(key, t) ties, inclusive and strict") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L)).toDF("cid", "u", "t").createOrReplaceTempView("lx")
+    Seq((3L, 10L, 90L), (5L, 10L, 100L), (7L, 10L, 100L))
+      .toDF("eid", "u", "t").createOrReplaceTempView("rx")
+    def q(op: String) =
+      s"""SELECT l.cid, r.eid FROM lx l
+          ASOF LEFT JOIN rx r ON l.u = r.u AND l.t $op r.t"""
+    def run(op: String, lowering: String): Set[String] = {
+      spark.conf.set(graft.plans.AsofJoinRewriteRule.LoweringConfKey, lowering)
+      try rows(spark.sql(q(op)))
+      finally spark.conf.unset(graft.plans.AsofJoinRewriteRule.LoweringConfKey)
+    }
+    // inclusive backward: ties at t=100 break to the max tuple (eid 7)
+    assert(run(">=", "window") == Set("1|7"))
+    assert(run(">=", "join") == Set("1|7"))
+    // strict backward: t=100 excluded, the t=90 row wins
+    assert(run(">", "window") == Set("1|3"))
+    assert(run(">", "join") == Set("1|3"))
+    // forward inclusive: earliest at-or-after = min tuple at t=100
+    assert(run("<=", "window") == Set("1|5"))
+    assert(run("<=", "join") == Set("1|5"))
+    // forward strict: nothing strictly after t=100 → null
+    assert(run("<", "window") == Set("1|null"))
+    assert(run("<", "join") == Set("1|null"))
+  }
+
+  test("null keys and null ordering values never match; null-safe " +
+      "equality falls back to the join form and DOES match null keys") {
+    import spark.implicits._
+    Seq((1L, Option(10L), Option(100L)), (2L, None, Option(100L)),
+        (3L, Option(10L), None))
+      .toDF("cid", "u", "t").createOrReplaceTempView("lnull")
+    Seq((5L, Option(10L), Option(90L)), (6L, None, Option(80L)),
+        (7L, Option(10L), None))
+      .toDF("eid", "u", "t").createOrReplaceTempView("rnull")
+    val got = rows(spark.sql(
+      """SELECT l.cid, r.eid FROM lnull l
+         ASOF LEFT JOIN rnull r ON l.u = r.u AND l.t >= r.t"""))
+    assert(got == Set("1|5", "2|null", "3|null"))
+    // <=> matches the null key pair (cid 2 ↔ eid 6): join-form path
+    val nullSafe = spark.sql(
+      """SELECT l.cid, r.eid FROM lnull l
+         ASOF LEFT JOIN rnull r ON l.u <=> r.u AND l.t >= r.t""")
+    assert(nullSafe.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "null-safe equality should take the join lowering")
+    assert(rows(nullSafe) == Set("1|5", "2|6", "3|null"))
   }
 
   test("ASOF (inner) JOIN equals the LEFT form filtered to matches") {

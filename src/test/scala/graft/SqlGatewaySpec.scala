@@ -130,6 +130,9 @@ class SqlGatewaySpec extends SparkSpec {
     "ann_lsh_topk", "ann_pq_topk", "ann_pq_stored", "ann_ivfpq_stored",
     // round-13 new oracle-gated operators, portable from birth
     "q_hll_distinct", "q_zorder_key",
+    // round-14: the grouped per-slice cardinality profile, portable
+    // from birth (the q_hll_distinct rendering with a group key)
+    "q_hll_grouped",
     // round-14 auto-routed twins (one-pass oracle texts reused
     // verbatim, so portability follows their parents')
     "e14_funnel_auto", "e16_sessionize_auto", "q_quantiles_auto",
