@@ -41,25 +41,37 @@ object Verify {
     if (failures.nonEmpty)
       println(s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED: " +
         failures.map(_._1).mkString(", "))
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // full query inventory, so checkers can flag queries that threw
-    // (no output dir) instead of silently skipping them
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // oracle texts + full query inventory, so checkers can flag
+    // queries that threw (no output dir) instead of silently
+    // skipping them
+    Verify.writeDumpManifests(outDir, SparkEntry.queries.keys.toSeq)
     spark.stop()
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness. ONE definition, shared with tools.VerifySome, so
+    * the full dump and the prefix-filtered dump can never diverge on
+    * escaping. */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Write the driver-compare manifests (`oracle_sql.json` restricted
+    * to `names`, plus the `queries.json` inventory) into `outDir`. */
+  private[graft] def writeDumpManifests(outDir: String, names: Seq[String]): Unit = {
+    val osql = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      osql.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      names.sorted.map(jsonStr).mkString("[", ",", "]"))
   }
 }

@@ -70,14 +70,17 @@ object AsofSqlRewrite {
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("asof")) return sql
     var cur = sql
     var guard = 0
-    while (guard < 64) {
+    while (true) {
       rewriteOne(cur) match {
-        case Some(next) => cur = next; guard += 1
+        case Some(next) =>
+          guard += 1
+          if (guard > 64) throw new IllegalArgumentException(
+            "ASOF JOIN: more than 64 ASOF joins in one statement")
+          cur = next
         case None => return cur
       }
     }
-    throw new IllegalArgumentException(
-      "ASOF JOIN: more than 64 ASOF joins in one statement")
+    cur // unreachable
   }
 
   private case class Tok(s: String, start: Int, end: Int, word: Boolean)
@@ -93,18 +96,26 @@ object AsofSqlRewrite {
     * `(` (`left(s, 3)`), so they terminate only when not called. */
   private val StopUnlessCall = Set("LEFT", "RIGHT", "FULL", "INNER",
     "SEMI", "ANTI")
-  /** A word directly after one of these (or after a comma) is a
-    * relation name, not the ASOF keyword (`FROM asof JOIN b …` joins
-    * a table named asof). */
-  private val RelationLead = Set("FROM", "JOIN")
+  /** A word directly after one of these (or after a comma, a dot, or
+    * a closing paren) is a relation or alias NAME, not the ASOF
+    * keyword: `FROM asof JOIN b`, `events AS asof JOIN b`,
+    * `sch.asof JOIN b`, `(SELECT …) asof JOIN b` all name a relation
+    * `asof`. The `)` case also covers a REAL unaliased-subquery ASOF
+    * (`FROM (…) ASOF JOIN b`) — that one then fails loudly in Spark's
+    * parser on the un-rewritten ASOF token (alias the subquery to
+    * use it), which beats silently corrupting the alias reading. */
+  private val RelationLead = Set("FROM", "JOIN", "AS")
 
   private def rewriteOne(sql: String): Option[String] = {
     val toks = tokenize(sql)
     var i = 0
     while (i < toks.length) {
-      val relationPos = i > 0 && (toks(i - 1).s == "," ||
-        (toks(i - 1).word && RelationLead.contains(
-          toks(i - 1).s.toUpperCase(java.util.Locale.ROOT))))
+      val relationPos = i > 0 && {
+        val p = toks(i - 1)
+        p.s == "," || p.s == "." || p.s == ")" ||
+          (p.word && RelationLead.contains(
+            p.s.toUpperCase(java.util.Locale.ROOT)))
+      }
       if (toks(i).word && eqi(toks(i).s, "ASOF") && !relationPos) {
         var k = i + 1
         if (k < toks.length && toks(k).word &&

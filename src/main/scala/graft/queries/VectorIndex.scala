@@ -115,13 +115,30 @@ object VectorIndex {
     quantizerCache.compute(indexPath, (_, cur) =>
       if (cur != null && cur._1 == sig) cur
       else (sig, {
-        val supers = spark.read.parquet(s"$indexPath/supers")
-          .select(col("sid"), col("cent")).collect()
-          .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
-        val cells = spark.read.parquet(s"$indexPath/cents")
-          .select(col("kk"), col("sid"), col("cent")).collect()
-          .sortBy(_.getInt(0)).map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq
-        GraphQuantizer(supers, cells)
+        val sp = new org.apache.hadoop.fs.Path(s"$indexPath/supers")
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sp)) {
+          val supers = spark.read.parquet(sp.toString)
+            .select(col("sid"), col("cent")).collect()
+            .sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+          val cells = spark.read.parquet(s"$indexPath/cents")
+            .select(col("kk"), col("sid"), col("cent")).collect()
+            .sortBy(_.getInt(0)).map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq
+          GraphQuantizer(supers, cells)
+        } else {
+          // pre-supers (round-13 flat-quantizer) root: ONE implicit
+          // super owning every cell makes the two-level assignment
+          // degenerate to the old flat top-2 over all cells — the
+          // exact semantics that index was built under. The serve
+          // paths rebuild such roots outright (migrateGraphLayout has
+          // the corpus dir); the streaming maintainer has only the
+          // index, so it heals here instead of dying on the read.
+          val cells = spark.read.parquet(s"$indexPath/cents")
+            .select(col("kk"), col("cent")).collect()
+            .sortBy(_.getInt(0)).map(r => (0, r.getSeq[Double](1))).toSeq
+          require(cells.nonEmpty, s"graph index $indexPath has an empty cents table")
+          GraphQuantizer(Seq(cells.head._2.map(_ => 0.0)), cells)
+        }
       }))._2
   }
 
@@ -790,9 +807,9 @@ object VectorIndex {
   //   what stitches adjacent clusters together so the graph stays
   //   connected across cell borders), pairs are generated WITHIN cells
   //   only, and each node keeps its top-GraphDegree by exact dot. The
-  //   cell count is UNCAPPED (≈ n/GraphCellTarget, growing with the
-  //   corpus) and two levers keep every stage linear in n at any
-  //   corpus size:
+  //   cell count is ≈ n/GraphCellTarget up to the trainable ceiling
+  //   MaxGraphCells (the driver-sample bound — see its Scaladoc) and
+  //   two levers keep every stage linear in n at any corpus size:
   //    - TWO-LEVEL assignment: the quantizer is hierarchical —
   //      ~√cells super-centroids, each owning its own sub-cells —
   //      and a vector (or query) scores the supers first, then only
@@ -840,10 +857,24 @@ object VectorIndex {
   private[graft] val GraphDegree = 8
   private[graft] val GraphBeam = 8
   private[graft] val GraphHops = 4
-  /** Target PRIMARY members per cell — cells ≈ n/GraphCellTarget,
-    * uncapped (the count grows with the corpus; per-vector assignment
-    * cost stays O(√cells) via the two-level quantizer). */
+  /** Target PRIMARY members per cell — cells ≈ n/GraphCellTarget
+    * up to [[MaxGraphCells]] (per-vector assignment cost stays
+    * O(√cells) via the two-level quantizer). */
   private[graft] val GraphCellTarget = 500
+  /** Ceiling on the trainable cell count. The quantizer is k-means
+    * over a DRIVER-side sample of ~8 rows per cell, so an uncapped
+    * cell count would grow the collect and the training dot budget
+    * linearly with the corpus (at 500M vectors: an 8M-row collect +
+    * ~10^10 driver dots). At 2^16 cells the sample tops out at 512k
+    * rows and training at ~10^9 dots — a fixed, survivable driver
+    * cost. LINEARITY of the build's pair frame does NOT depend on
+    * this cap: past it, cell membership grows as n/2^16, and
+    * [[attachShards]] splits any cell over 2×GraphShardTarget into
+    * vec_id-mod shards, keeping within-cell pairs ≤ n×GraphShardTarget
+    * at any corpus size — the cap trades only quantizer granularity
+    * (the same trade every bounded-codebook IVF makes), not scale
+    * safety. */
+  private[graft] val MaxGraphCells = 1 << 16
   /** Pair-stage shard size: a cell whose membership (primary +
     * stitch) exceeds 2× this is split into ⌈cnt/target⌉ vec_id-mod
     * shards before pair generation, bounding the within-cell pair
@@ -943,12 +974,14 @@ object VectorIndex {
     val emb = VectorQueries.embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    // adaptive and UNCAPPED cell count — the pair frame stays linear
-    // because cell SIZE is bounded (attachShards), and the assignment
-    // scan stays linear because the quantizer is two-level
-    val cellsTarget = math.max(16, (n / GraphCellTarget).toInt + 1)
-    // the sample grows with the cell count (8 rows per cell floor),
-    // not with the corpus — still a bounded, deterministic collect
+    // adaptive cell count, bounded only by the trainable ceiling —
+    // the pair frame stays linear at ANY n because cell SIZE is
+    // bounded (attachShards), and the assignment scan stays linear
+    // because the quantizer is two-level (see MaxGraphCells)
+    val cellsTarget = math.max(16,
+      math.min(MaxGraphCells.toLong, n / GraphCellTarget + 1).toInt)
+    // 8 sample rows per cell, capped with the cell count — the
+    // collect is bounded (≤ 8×2^16 rows) regardless of the corpus
     val sampleN = math.max(maxTrain, 8 * cellsTarget)
     val sample: Array[Array[Double]] = emb
       .orderBy(col("vec_id")).limit(sampleN)

@@ -2399,7 +2399,14 @@ object StreamOps {
             val sfName = r.getString(0).split('/').last
             val fin = named.find(_._1.getName == sfName).getOrElse(
               throw new IllegalStateException(s"staged file $sfName vanished"))._2
-            (fin.getName, r.getLong(1), r.getLong(2))
+            // a file whose every row has a null clustering dim has no
+            // zkey range: record (null, null) — zorderHealth treats it
+            // as zero-width (it cannot intersect any box filter), and
+            // a bare getLong here would NPE the batch into a replay
+            // loop before its marker ever lands
+            (fin.getName,
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))
           }
         named.foreach { case (src, dst) =>
           if (!fs.rename(src, dst))
@@ -2516,8 +2523,15 @@ object StreamOps {
       recorded.unionByName(patched)
     }
     val nFiles = live.size.toLong
-    val events = ranges.select(col("lo").as("v"), lit(0).as("kind"))
-      .unionByName(ranges.select(col("hi").as("v"), lit(1).as("kind")))
+    // files with a NULL range (every row had a null clustering dim)
+    // carry no zkey interval: they count in n_files but cannot
+    // overlap anything — a null event value would otherwise corrupt
+    // the endpoint sweep's ordering
+    val ranged = ranges.filter(col("lo").isNotNull && col("hi").isNotNull)
+      .localCheckpoint(true)
+    val nRanged = ranged.count()
+    val events = ranged.select(col("lo").as("v"), lit(0).as("kind"))
+      .unionByName(ranged.select(col("hi").as("v"), lit(1).as("kind")))
     val disjointOrdered = events
       .withColumn("his_before",
         sum(when(col("kind") === 1, 1L).otherwise(0L)).over(
@@ -2527,7 +2541,7 @@ object StreamOps {
       .filter(col("kind") === 0)
       .agg(coalesce(sum(col("his_before")), lit(0L)))
       .collect()(0).getLong(0)
-    val overlaps = nFiles * (nFiles - 1) / 2 - disjointOrdered
+    val overlaps = nRanged * (nRanged - 1) / 2 - disjointOrdered
     Seq((nFiles, overlaps)).toDF("n_files", "overlap_pairs")
   }
 

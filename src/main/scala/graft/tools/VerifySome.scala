@@ -30,22 +30,9 @@ object VerifySome {
       spark.catalog.clearCache()
       println(s"[verifysome] dumped $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val osql = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      osql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/queries.json"),
-      names.map(q).mkString("[", ",", "]"))
+    // ONE manifest writer (escaping included) shared with the full
+    // Verify dump — the two can never diverge on JSON rules
+    graft.Verify.writeDumpManifests(outDir, names)
     spark.stop()
   }
 }

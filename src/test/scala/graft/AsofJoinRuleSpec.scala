@@ -40,6 +40,13 @@ class AsofJoinRuleSpec extends SparkSpec {
       "LEFT( in the condition does not end it; strings are opaque") {
     val named = "SELECT * FROM asof JOIN b ON asof.k = b.k"
     assert(AsofSqlRewrite(named) == named)
+    // alias / qualified / subquery-alias positions are NAMES too
+    val aliased = "SELECT * FROM events AS asof JOIN b ON asof.k = b.k"
+    assert(AsofSqlRewrite(aliased) == aliased)
+    val qualified = "SELECT * FROM sch.asof JOIN b ON k = j"
+    assert(AsofSqlRewrite(qualified) == qualified)
+    val subqAlias = "SELECT * FROM (SELECT 1 AS k) asof JOIN b ON asof.k = b.k"
+    assert(AsofSqlRewrite(subqAlias) == subqAlias)
     val fn = """SELECT * FROM a ASOF JOIN b
                ON left(a.k, 3) = left(b.k, 3) AND a.t > b.t LIMIT 5"""
     val out = AsofSqlRewrite(fn)

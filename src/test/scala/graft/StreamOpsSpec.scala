@@ -418,6 +418,38 @@ class StreamOpsSpec extends SparkSpec {
       s"compaction should fold the delta away: $h2")
   }
 
+  test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
+      "state equals the current-layout twin") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graph-modern").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    // clone the index as a ROUND-13 layout: cents WITHOUT the sid
+    // column, NO supers table (at sandbox scale the live quantizer is
+    // single-super, so the legacy heal — one implicit super owning
+    // every cell — must reproduce its assignment exactly)
+    val legacy = java.nio.file.Files.createTempDirectory("graph-legacy").toString
+    spark.read.parquet(s"$idx/cents").select(col("kk"), col("cent"))
+      .coalesce(1).write.parquet(s"$legacy/cents")
+    spark.read.parquet(s"$idx/graph")
+      .write.partitionBy("cell").parquet(s"$legacy/graph")
+    spark.read.parquet(s"$idx/members")
+      .write.partitionBy("cell").parquet(s"$legacy/members")
+    spark.read.parquet(s"$idx/entries").coalesce(1)
+      .write.parquet(s"$legacy/entries")
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 30000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(25)
+    // the first maintainer touch of the legacy root used to die on
+    // spark.read.parquet(legacy/supers)
+    StreamOps.graphIngestBatch(legacy)(batch, 1L).count()
+    StreamOps.graphIngestBatch(idx)(batch, 1L).count()
+    def canon(p: String) = VectorIndex.resolvedGraph(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(legacy) == canon(idx),
+      "legacy-healed maintainer state diverges from the modern twin")
+  }
+
   test("IVF compaction crash window: ingest and serving heal cells before touching it") {
     import graft.queries.VectorIndex
     val dir = "/root/testdata/sf0.001"

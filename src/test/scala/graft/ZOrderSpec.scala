@@ -211,4 +211,36 @@ class ZOrderSpec extends SparkSpec {
     assert(fs.exists(zstats), "the scan-repair was not persisted")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
   }
+
+  test("an all-null-dim batch applies (null ledger range) instead of " +
+      "replay-looping; health counts it rangeless") {
+    import graft.streaming.StreamOps
+    val tbl = java.nio.file.Files.createTempDirectory("graft-znull").toString
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    // every row's zkey is null: min/max over the staged file are null,
+    // which used to NPE the ledger extraction before the marker — a
+    // permanently stuck batch
+    val allNull = li.limit(100)
+      .withColumn("l_partkey", lit(null).cast("long"))
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(allNull, 1L)
+    assert(StreamOps.readZorder(spark, tbl).count() == 100,
+      "all-null batch rows were lost")
+    val h1 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h1.getAs[Long]("n_files") == 1 && h1.getAs[Long]("overlap_pairs") == 0,
+      s"rangeless file mis-audited: $h1")
+    // a real batch coexists: one ranged + one rangeless file → still
+    // zero overlapping pairs, rows intact, replay still a no-op
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(li.limit(50), 2L)
+    val h2 = StreamOps.zorderHealth(spark, tbl, "l_partkey", "l_suppkey")
+      .collect()(0)
+    assert(h2.getAs[Long]("n_files") == 2 && h2.getAs[Long]("overlap_pairs") == 0,
+      s"one ranged + one rangeless file should not pair: $h2")
+    val before = StreamOps.readZorder(spark, tbl).count()
+    StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey")(allNull, 1L)
+    assert(StreamOps.readZorder(spark, tbl).count() == before,
+      "replay of the null-dim batch duplicated rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+  }
 }
