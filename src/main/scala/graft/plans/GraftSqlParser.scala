@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(AsofSqlRewrite(sqlText))
+  // the interface DEFAULT routes through parsePlan and DROPS the
+  // parameter context — forward it to the delegate explicitly so
+  // parameterized spark.sql(text, args) keeps its binding
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(AsofSqlRewrite(sqlText), ctx)
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(AsofSqlRewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =

@@ -211,6 +211,19 @@ class AsofJoinRuleSpec extends SparkSpec {
     assert(rows(viaSql) == rows(want))
   }
 
+  test("parameterized spark.sql keeps its named-arg binding through the " +
+      "delegating parser") {
+    SqlGateway.open(spark, sf)
+    val df = spark.sql(
+      """SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = :lt) c
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = :rt) e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""",
+      Map("lt" -> "click", "rt" -> "error"))
+    assert(rows(df) == rows(SparkEntry.queries("e3_asof_join")(spark, sf)))
+  }
+
   test("a PLAIN left join with the same condition is not hijacked") {
     SqlGateway.open(spark, sf)
     val plain = spark.sql(
