@@ -67,7 +67,16 @@ object ProfileRetry {
     // round-13: the HLL registers (max per bucket — a re-run partial
     // must not move any register) and the Morton key (pure map; its
     // equal-width bucket must not depend on task attempt)
-    "q_hll_distinct", "q_zorder_key")
+    "q_hll_distinct", "q_zorder_key",
+    // round-14: the grouped registers (same algebra, group-keyed
+    // state), the corpus-sized graph batch walk (checkpointed
+    // frontier legs under kills), and the skew-probe-routed twins —
+    // the PROBE's exact count must not move under retries, or the
+    // route (and with the route, the tie discipline in play) could
+    // flip between attempts
+    "q_hll_grouped", "ann_graph_batch",
+    "e14_funnel_auto", "e15_asof_auto", "e16_sessionize_auto",
+    "q_quantiles_auto", "w6_running_total_auto", "w7_topk_auto")
 
   /** First-attempt tasks with index ≡ KillResidue (mod KillMod) are
     * killed — deterministic selection, ~20% of every stage. */
