@@ -102,14 +102,19 @@ object AsofSqlRewrite {
     * `(` (`left(s, 3)`), so they terminate only when not called. */
   private val StopUnlessCall = Set("LEFT", "RIGHT", "FULL", "INNER",
     "SEMI", "ANTI")
-  /** A word directly after one of these (or after a comma, a dot, or
-    * a closing paren) is a relation or alias NAME, not the ASOF
-    * keyword: `FROM asof JOIN b`, `events AS asof JOIN b`,
-    * `sch.asof JOIN b`, `(SELECT …) asof JOIN b` all name a relation
-    * `asof`. The `)` case also covers a REAL unaliased-subquery ASOF
-    * (`FROM (…) ASOF JOIN b`) — that one then fails loudly in Spark's
-    * parser on the un-rewritten ASOF token (alias the subquery to
-    * use it), which beats silently corrupting the alias reading. */
+  /** A word directly after one of these (or after a comma or a dot)
+    * is a relation or alias NAME, not the ASOF keyword: `FROM asof
+    * JOIN b`, `events AS asof JOIN b`, `sch.asof JOIN b` all name a
+    * relation `asof` — in those positions no left relation precedes,
+    * so an ASOF join is not grammatical in EITHER dialect. After a
+    * closing paren the DuckDB reading wins: `(subquery) ASOF JOIN b`
+    * IS an as-of join there (ASOF is a contextual keyword), and these
+    * lowered texts are DuckDB-dialect by purpose. The rare
+    * Spark-dialect text that meant `asof` as an IMPLICIT subquery
+    * alias then fails LOUDLY at analysis (its `asof.col` references
+    * no longer resolve once the token is consumed) rather than the
+    * rewrite silently picking a side — and `AS asof` states the alias
+    * intent unambiguously. */
   private val RelationLead = Set("FROM", "JOIN", "AS")
 
   private def rewriteOne(sql: String): Option[String] = {
@@ -118,7 +123,7 @@ object AsofSqlRewrite {
     while (i < toks.length) {
       val relationPos = i > 0 && {
         val p = toks(i - 1)
-        p.s == "," || p.s == "." || p.s == ")" ||
+        p.s == "," || p.s == "." ||
           (p.word && RelationLead.contains(
             p.s.toUpperCase(java.util.Locale.ROOT)))
       }

@@ -45,8 +45,15 @@ class AsofJoinRuleSpec extends SparkSpec {
     assert(AsofSqlRewrite(aliased) == aliased)
     val qualified = "SELECT * FROM sch.asof JOIN b ON k = j"
     assert(AsofSqlRewrite(qualified) == qualified)
-    val subqAlias = "SELECT * FROM (SELECT 1 AS k) asof JOIN b ON asof.k = b.k"
-    assert(AsofSqlRewrite(subqAlias) == subqAlias)
+    // after `)` the DuckDB reading wins: `(subquery) ASOF JOIN` is
+    // the as-of keyword (an implicit alias named asof must be
+    // spelled `AS asof`) — so this DOES lower
+    val unaliased = "SELECT * FROM (SELECT 1 AS k, 2 AS t) ASOF JOIN b ON k = b.k AND t >= b.t"
+    assert(AsofSqlRewrite(unaliased).contains("graft_asof_marker("))
+    // and a previous join's parenthesized ON condition does not
+    // shadow a following ASOF join
+    val chained = "SELECT * FROM a JOIN b ON (a.k = b.k) ASOF JOIN c ON a.k = c.k AND a.t >= c.t"
+    assert(AsofSqlRewrite(chained).contains("graft_asof_marker( a.k = c.k"))
     val fn = """SELECT * FROM a ASOF JOIN b
                ON left(a.k, 3) = left(b.k, 3) AND a.t > b.t LIMIT 5"""
     val out = AsofSqlRewrite(fn)
@@ -209,6 +216,19 @@ class AsofJoinRuleSpec extends SparkSpec {
         struct(col("ets"), col("err_id")))).as("m"))
       .select(col("event_id"), col("m.err_id").as("next_err_id"))
     assert(rows(viaSql) == rows(want))
+  }
+
+  test("unaliased-subquery ASOF runs as an as-of join, not a silent plain join") {
+    SqlGateway.open(spark, sf)
+    val df = spark.sql(
+      """SELECT event_id, user_id, e.err_id AS asof_err_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id AS u, ts AS ets
+               FROM events WHERE event_type = 'error') e
+           ON user_id = e.u AND ts >= e.ets""")
+    assert(rows(df) == rows(SparkEntry.queries("e3_asof_join")(spark, sf)),
+      "unaliased-subquery ASOF diverged from the aliased form")
   }
 
   test("parameterized spark.sql keeps its named-arg binding through the " +

@@ -437,9 +437,12 @@ class StreamOpsSpec extends SparkSpec {
       .write.partitionBy("cell").parquet(s"$legacy/members")
     spark.read.parquet(s"$idx/entries").coalesce(1)
       .write.parquet(s"$legacy/entries")
+    // orderBy before limit: the batch plan re-executes once per
+    // maintainer call, so an unordered limit could feed the two
+    // roots different 25-row sets
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") + 30000L).as("vec_id"), col("embedding").as("emb"))
-      .limit(25)
+      .orderBy(col("vec_id")).limit(25)
     // the first maintainer touch of the legacy root used to die on
     // spark.read.parquet(legacy/supers)
     StreamOps.graphIngestBatch(legacy)(batch, 1L).count()
