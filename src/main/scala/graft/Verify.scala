@@ -67,6 +67,15 @@ object Verify {
   /** Write the driver-compare manifests (`oracle_sql.json` restricted
     * to `names`, plus the `queries.json` inventory) into `outDir`. */
   private[graft] def writeDumpManifests(outDir: String, names: Seq[String]): Unit = {
+    // the filter below intentionally narrows to `names` (VerifySome
+    // passes a prefix subset) — but an oracleSql key with NO queries
+    // entry would be dropped by it on the FULL dump too, and the
+    // driver would never check that oracle. Fail loudly instead of
+    // silently filtering.
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(orphaned.isEmpty,
+      s"oracleSql entries with no matching queries entry (the driver " +
+        s"would never check them): ${orphaned.toSeq.sorted.mkString(", ")}")
     val osql = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       osql.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }

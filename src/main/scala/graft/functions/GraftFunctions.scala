@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketingRule)
     ext.injectOptimizerRule(_ => graft.plans.NanosTsPushdownRule)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewriteRule)
+    // stamps the ASOF probe side at analysis time so the rewrite can
+    // detect (and refuse) a join whose children an optimizer rule
+    // reordered — see GraftAsofCond.probeTag
+    ext.injectResolutionRule(_ => graft.plans.AsofProbeTagRule)
     // ASOF [LEFT] JOIN syntax — parser injection has no runtime
     // route, so this is the one graft feature exclusive to the
     // config-activated session (GraftSqlParser Scaladoc)

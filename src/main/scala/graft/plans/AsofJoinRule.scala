@@ -28,8 +28,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * (a session without `spark.sql.extensions` and without
   * [[AsofJoinRewriteRule.ensureInjected]]), evaluation fails with an
   * actionable message instead of silently running the marked join as
-  * a plain join — wrong rows are worse than a loud error. */
-case class GraftAsofCond(child: Expression)
+  * a plain join — wrong rows are worse than a loud error.
+  *
+  * `probeTag` records the PROBE side: [[AsofProbeTagRule]] stamps it
+  * at analysis time with the exprIds of the join's left child's
+  * output, and [[AsofJoinRewriteRule]] refuses to rewrite if any
+  * tagged id has migrated to the right side — an optimizer rule that
+  * swaps or re-associates the marked join's children (e.g. CBO join
+  * reorder, off by default) would otherwise silently invert the
+  * as-of direction through the mirrored-comparison branch. A plain
+  * Seq[Long] rather than ExprId so the tag is inert data: not a
+  * child, no references, invisible to every transform. */
+case class GraftAsofCond(child: Expression, probeTag: Seq[Long] = Nil)
     extends UnaryExpression with Predicate {
   override def foldable: Boolean = false
   override def nullable: Boolean = child.nullable
@@ -49,6 +59,28 @@ case class GraftAsofCond(child: Expression)
     throw notRewritten
   override protected def withNewChildInternal(newChild: Expression): GraftAsofCond =
     copy(child = newChild)
+}
+
+/** Analysis-time stamp of the ASOF probe side (see
+  * [[GraftAsofCond.probeTag]]): the FIRST resolved sighting of a
+  * marked join records its left child's output exprIds into the
+  * marker, before any optimizer batch could reorder the join's
+  * children. Idempotent (only empty tags are stamped), so the
+  * analyzer's fixed-point batches converge. Registered alongside the
+  * parser in `GraftExtensions` — the marker can only ever be born
+  * from the extensions parser, so a session that can produce one
+  * always has this rule. */
+object AsofProbeTagRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, _, _, Some(cond), _) if j.resolved && cond.exists {
+          case m: GraftAsofCond => m.probeTag.isEmpty
+          case _ => false
+        } =>
+      val ids = left.output.map(_.exprId.id)
+      j.copy(condition = Some(cond.transform {
+        case m: GraftAsofCond if m.probeTag.isEmpty => m.copy(probeTag = ids)
+      }))
+  }
 }
 
 /** Optimizer rule: lower an `ASOF JOIN` (marked by [[GraftAsofCond]],
@@ -116,10 +148,23 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val (markers, outer) = splitConjunctivePredicates(j.condition.get)
       .partition(_.isInstanceOf[GraftAsofCond])
     if (markers.size != 1) fail("exactly one ASOF condition per join")
-    val inner = splitConjunctivePredicates(
-      markers.head.asInstanceOf[GraftAsofCond].child)
+    val marker = markers.head.asInstanceOf[GraftAsofCond]
+    val inner = splitConjunctivePredicates(marker.child)
 
     val (lset, rset) = (j.left.outputSet, j.right.outputSet)
+    // the probe side was stamped at analysis time (AsofProbeTagRule);
+    // if any stamped column now sits under the RIGHT child, an
+    // optimizer rule reordered the marked join's children, and the
+    // mirrored-comparison branch below would silently invert the
+    // as-of direction — fail loudly instead. Column pruning may DROP
+    // stamped ids from the left side (legal), so only right-side
+    // presence is the swap signal.
+    if (marker.probeTag.nonEmpty &&
+        rset.exists(a => marker.probeTag.contains(a.exprId.id)))
+      fail("the marked join's children were reordered between analysis " +
+        "and this rewrite (the parsed probe/left relation's columns now " +
+        "sit on the right side) — as-of direction would invert; disable " +
+        "the reordering rule over ASOF joins or use the DataFrame-API as-of")
     // Some(true) = left-side expression, Some(false) = right-side
     def sideOf(e: Expression): Option[Boolean] =
       if (e.references.isEmpty || !e.deterministic) None

@@ -106,16 +106,27 @@ object AsofSqlRewrite {
     * is a relation or alias NAME, not the ASOF keyword: `FROM asof
     * JOIN b`, `events AS asof JOIN b`, `sch.asof JOIN b` all name a
     * relation `asof` — in those positions no left relation precedes,
-    * so an ASOF join is not grammatical in EITHER dialect. After a
-    * closing paren the DuckDB reading wins: `(subquery) ASOF JOIN b`
-    * IS an as-of join there (ASOF is a contextual keyword), and these
-    * lowered texts are DuckDB-dialect by purpose. The rare
-    * Spark-dialect text that meant `asof` as an IMPLICIT subquery
-    * alias then fails LOUDLY at analysis (its `asof.col` references
-    * no longer resolve once the token is consumed) rather than the
-    * rewrite silently picking a side — and `AS asof` states the alias
-    * intent unambiguously. */
+    * so an ASOF join is not grammatical in EITHER dialect. Everywhere
+    * ELSE the DuckDB reading wins, and that covers TWO implicit-alias
+    * ambiguities, not one:
+    *  - after a closing paren: `(subquery) ASOF JOIN b` IS an as-of
+    *    join (ASOF is a contextual keyword there), though stock Spark
+    *    would have read `asof` as the subquery's implicit alias;
+    *  - after a bare relation identifier: `FROM events ASOF JOIN b`
+    *    IS an as-of join, though stock Spark would have read `asof`
+    *    as `events`' implicit alias followed by a PLAIN join — valid
+    *    Spark SQL whose RESULT silently changes under the extensions
+    *    parser if the text never references the `asof` alias.
+    * These lowered texts are DuckDB-dialect by purpose, so the DuckDB
+    * reading is the right default; every fired lowering logs a
+    * warning (see [[rewriteOne]]) so an affected Spark-dialect text
+    * is visible rather than silent, a text that DID reference
+    * `asof.col` fails LOUDLY at analysis once the token is consumed,
+    * and `AS asof` states alias intent unambiguously (the rewrite
+    * never fires after `AS`). */
   private val RelationLead = Set("FROM", "JOIN", "AS")
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def rewriteOne(sql: String): Option[String] = {
     val toks = tokenize(sql)
@@ -134,6 +145,15 @@ object AsofSqlRewrite {
         if (k < toks.length && toks(k).word && eqi(toks(k).s, "JOIN")) {
           val on = findOn(toks, k + 1)
           val condEnd = findCondEnd(sql, toks, on + 1)
+          // visible reinterpretation notice: `rel ASOF JOIN` / `(sub)
+          // ASOF JOIN` would have parsed in STOCK Spark as an implicit
+          // alias named asof plus a plain join — the RelationLead doc's
+          // two ambiguous positions — so every fire says which token
+          // was consumed and where
+          log.warn(s"graft: lowering ASOF JOIN at offset ${toks(i).start} " +
+            "(token 'asof' consumed as the join keyword, DuckDB dialect; " +
+            "stock Spark would have read it as an implicit relation alias " +
+            "— write 'AS asof' if an alias was intended)")
           // java.lang.StringBuilder: its 3-arg append is the REAL
           // (CharSequence, from, until) slice — Scala's would
           // auto-tuple the args into append(Any)

@@ -844,10 +844,24 @@ object StreamOps {
     * 1 = every batch (rehearsal scale), 0 = off. */
   val DefaultMetricsEvery = 16
 
+  /** Best-effort BY CONTRACT: every call site sits between a batch's
+    * data appends and its marker write, so a failure here would fail
+    * the batch post-append and the replay would re-append the data
+    * rows — healed on read by dedup/version resolution, but
+    * permanently inflating the table (and its read amplification)
+    * until the next compaction. A lost audit row costs one missed
+    * health sample; a blocked marker costs durable bloat — so the
+    * audit compute AND its write are by-name inside the catch, and
+    * any non-fatal failure logs and lets the marker land. */
   private def emitMetrics(indexPath: String, batchId: Long,
-      row: DataFrame): Unit =
-    row.withColumn("batch_id", lit(batchId))
+      row: => DataFrame): Unit =
+    try row.withColumn("batch_id", lit(batchId))
       .coalesce(1).write.mode("append").parquet(s"$indexPath/$MetricsDir")
+    catch { case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft: index health emission failed for $indexPath batch " +
+          s"$batchId — ingest continues, audit row skipped", e)
+    }
 
   /** The accumulated health log of an index, newest last by batch_id;
     * None until the first emitting ingest runs. */
