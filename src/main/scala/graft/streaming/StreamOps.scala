@@ -2544,19 +2544,66 @@ object StreamOps {
     val ranged = ranges.filter(col("lo").isNotNull && col("hi").isNotNull)
       .localCheckpoint(true)
     val nRanged = ranged.count()
-    val events = ranged.select(col("lo").as("v"), lit(0).as("kind"))
-      .unionByName(ranged.select(col("hi").as("v"), lit(1).as("kind")))
-    val disjointOrdered = events
-      .withColumn("his_before",
-        sum(when(col("kind") === 1, 1L).otherwise(0L)).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("v"), col("kind"))
-            .rowsBetween(Long.MinValue, -1)))
-      .filter(col("kind") === 0)
-      .agg(coalesce(sum(col("his_before")), lit(0L)))
-      .collect()(0).getLong(0)
+    val disjointOrdered =
+      if (nRanged < 2) 0L
+      else zorderSweepFrame(ranged).collect()(0).getLong(0)
     val overlaps = nRanged * (nRanged - 1) / 2 - disjointOrdered
     Seq((nFiles, overlaps)).toDF("n_files", "overlap_pairs")
+  }
+
+  /** Bucket count of [[zorderSweepFrame]]'s range split — also the
+    * bound on the one remaining unpartitioned window's input. */
+  private[graft] val ZorderSweepBuckets = 1024L
+
+  /** The endpoint sweep behind [[zorderHealth]], DISTRIBUTED: count
+    * the disjoint-and-ordered file pairs #{(i,j): hi_i < lo_j}
+    * without a partition-less window over the 2F endpoint events —
+    * at warehouse file counts (10⁶–10⁷ files) a global
+    * `orderBy(v, kind)` window serializes all of them through one
+    * task. The w4 two-phase prefix shape instead:
+    *
+    *  1. bucket each event by zkey range (`(v - min) div width` —
+    *     exact Long arithmetic; equal values can never straddle a
+    *     bucket, so the (v, kind) order is preserved across the
+    *     split);
+    *  2. the his-before-me prefix WITHIN a bucket runs in a window
+    *     partitioned by bucket — F-proportional work spread over
+    *     [[ZorderSweepBuckets]] tasks;
+    *  3. the cross-bucket carry is a prefix over the per-bucket hi
+    *     totals — the only unpartitioned window left, and its input
+    *     is aggregate-bounded to ≤ [[ZorderSweepBuckets]] rows
+    *     regardless of F (the property the spec's plan pin checks:
+    *     every Window with an empty partitionSpec must sit above an
+    *     Aggregate), then broadcast back to the event side.
+    *
+    * Takes the non-null (f, lo, hi) frame; returns the single-row
+    * `disjoint_ordered` count frame — collect-site in the caller, so
+    * the spec can pin THIS frame's plan shape. */
+  private[graft] def zorderSweepFrame(ranged: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val b = ranged.agg(min("lo"), max("hi")).collect()(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // zkeys are non-negative (Morton interleave), so span fits a Long
+    val width = math.max(1L, (mx - mn) / ZorderSweepBuckets + 1L)
+    val events = ranged.select(col("lo").as("v"), lit(0).as("kind"))
+      .unionByName(ranged.select(col("hi").as("v"), lit(1).as("kind")))
+      .withColumn("bkt", expr(s"(v - ${mn}L) div ${width}L"))
+    def isHi = when(col("kind") === 1, 1L).otherwise(0L)
+    val bucketCarry = events.groupBy(col("bkt"))
+      .agg(sum(isHi).as("bh"))
+      .withColumn("carry", coalesce(
+        sum(col("bh")).over(W.orderBy(col("bkt"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bkt"), col("carry"))
+    events
+      .withColumn("wh", coalesce(
+        sum(isHi).over(W.partitionBy(col("bkt"))
+          .orderBy(col("v"), col("kind"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter(col("kind") === 0)
+      .join(broadcast(bucketCarry), Seq("bkt"))
+      .agg(coalesce(sum(col("wh") + col("carry")), lit(0L))
+        .as("disjoint_ordered"))
   }
 
   /** Re-cluster the table — the OPTIMIZE job: one range exchange by

@@ -243,4 +243,51 @@ class ZOrderSpec extends SparkSpec {
       "replay of the null-dim batch duplicated rows")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
   }
+
+  test("endpoint sweep: two-phase bucketed count equals the brute-force pair count") {
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val iv = (1 to 300).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (s"f$i", lo, lo + rnd.nextInt(3000).toLong)
+    }
+    var brute = 0L
+    val arr = iv.toArray
+    for (i <- arr.indices; j <- i + 1 until arr.length)
+      if (!(arr(i)._3 < arr(j)._2 || arr(j)._3 < arr(i)._2)) brute += 1
+    val n = arr.length.toLong
+    val disjoint = StreamOps.zorderSweepFrame(iv.toDF("f", "lo", "hi"))
+      .collect()(0).getLong(0)
+    assert(n * (n - 1) / 2 - disjoint == brute,
+      s"sweep overlap ${n * (n - 1) / 2 - disjoint} != brute $brute")
+    // degenerate span: every interval identical → one bucket, width 1,
+    // all pairs overlap
+    val same = (1 to 40).map(i => (s"g$i", 7L, 7L))
+    val d2 = StreamOps.zorderSweepFrame(same.toDF("f", "lo", "hi"))
+      .collect()(0).getLong(0)
+    assert(d2 == 0L, s"identical intervals must all overlap, disjoint=$d2")
+  }
+
+  test("endpoint sweep plan: every partition-less window is aggregate-bounded") {
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val ranged = Seq(("a", 1L, 5L), ("b", 3L, 9L), ("c", 10L, 12L))
+      .toDF("f", "lo", "hi")
+    val plan = StreamOps.zorderSweepFrame(ranged).queryExecution.optimizedPlan
+    // the bucket-carry prefix is the ONE global window allowed, and
+    // only because its input is the ≤ZorderSweepBuckets-row per-bucket
+    // aggregate — a partition-less window whose subtree has no
+    // Aggregate would serialize all 2F events through one task again
+    val bad = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.exists(_.isInstanceOf[Aggregate]) => w
+    }
+    assert(bad.isEmpty,
+      s"partition-less window over non-aggregated input:\n${bad.mkString("\n")}")
+    assert(plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }.nonEmpty, "the F-proportional sweep must run in a PARTITIONED window")
+  }
 }
