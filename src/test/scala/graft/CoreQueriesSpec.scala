@@ -353,4 +353,34 @@ class CoreQueriesSpec extends SparkSpec {
     assert(canon(autoQ) == canon(CoreQueries.quantilesOnePassOf(hotQ)),
       "two-phase quantiles diverged from the one-pass percentile")
   }
+
+  test("auto-routing skew probe memo: a repeat call on unchanged data " +
+      "runs no probe scan and routes identically") {
+    CoreQueries.clearSkewCache()
+    val before = CoreQueries.probeScanCount.get()
+    val r1 = CoreQueries.w6RunningTotalAuto(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val route1 = CoreQueries.lastAutoRoutes("running_total")
+    val afterFirst = CoreQueries.probeScanCount.get()
+    assert(afterFirst == before + 1,
+      "first auto call must pay exactly one probe scan")
+    val r2 = CoreQueries.w6RunningTotalAuto(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    assert(CoreQueries.probeScanCount.get() == afterFirst,
+      "repeat auto call on unchanged files must be a memo hit — zero probe scans")
+    assert(CoreQueries.lastAutoRoutes("running_total") == route1,
+      "memo hit changed the route")
+    assert(r1 == r2, "memo hit changed the answer")
+    // a frame with NO backing files can't prove input identity — it
+    // must probe every time, never hitting or filling the memo
+    import spark.implicits._
+    val mem = (1 to 50)
+      .map(i => (i.toLong, i.toLong, java.sql.Date.valueOf("2024-01-05"), 1.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val b2 = CoreQueries.probeScanCount.get()
+    CoreQueries.runningTotalAutoOf(mem).collect()
+    CoreQueries.runningTotalAutoOf(mem).collect()
+    assert(CoreQueries.probeScanCount.get() == b2 + 2,
+      "fileless frames must stay exact: one probe per call")
+  }
 }
