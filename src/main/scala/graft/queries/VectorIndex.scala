@@ -111,6 +111,12 @@ object VectorIndex {
 
   private[graft] def cachedGraphQuantizer(spark: SparkSession,
       indexPath: String): GraphQuantizer = {
+    // committed-rebuild roll-forward BEFORE the signature read: the
+    // quantizer must never be the pre-rebuild one while the tables a
+    // later heal swaps in are post-rebuild
+    graft.streaming.StreamOps.recoverGraphRebuild(
+      new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath)
     val sig = centsSignature(spark, indexPath)
     quantizerCache.compute(indexPath, (_, cur) =>
       if (cur != null && cur._1 == sig) cur
@@ -171,10 +177,14 @@ object VectorIndex {
   }
 
   /** Heal interrupted compaction swaps on every graph-index table the
-    * serve reads — the graph twin of healCells. */
+    * serve reads — the graph twin of healCells. Rolls a COMMITTED
+    * quantizer rebuild forward first (recoverGraphRebuild): a crash
+    * inside the rebuild's table-swap sequence must never leave a
+    * reader on a half-swapped index (new quantizer, old graph). */
   private def healGraph(spark: SparkSession, indexPath: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.StreamOps.recoverGraphRebuild(fs, indexPath)
     Seq("graph", "entries", "members").foreach { sub =>
       graft.streaming.StreamOps.recoverCompaction(fs,
         new org.apache.hadoop.fs.Path(s"$indexPath/$sub")) }
@@ -973,6 +983,20 @@ object VectorIndex {
       maxTrain: Int = 4096): Unit = {
     val emb = VectorQueries.embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainAndWriteGraph(spark, emb, indexPath, degree, lloydRounds, maxTrain)
+    emb.unpersist(false)
+  }
+
+  /** The quantizer-training + table-writing core of [[buildGraph]],
+    * over an already-NORMALIZED (vec_id, emb) frame — split out so
+    * the staged rebuild operator (StreamOps.rebuildGraphIndex) can
+    * retrain over the maintained roster (whose embs were normalized
+    * once at original build/ingest time; re-normalizing would move
+    * last-ulp bits and break the rebuild-equals-fresh-build
+    * equality). */
+  private[graft] def trainAndWriteGraph(spark: SparkSession, emb: DataFrame,
+      indexPath: String, degree: Int = GraphDegree, lloydRounds: Int = 4,
+      maxTrain: Int = 4096): Unit = {
     val n = emb.count()
     // adaptive cell count, bounded only by the trainable ceiling —
     // the pair frame stays linear at ANY n because cell SIZE is
@@ -1001,7 +1025,6 @@ object VectorIndex {
     stampBuildToken(spark, indexPath)
     writeGraphTables(spark, emb.select(col("vec_id"), col("emb")),
       q, indexPath, degree)
-    emb.unpersist(false)
   }
 
   /** Top-`topK` cell assignments of a normalized (vec_id, emb) frame

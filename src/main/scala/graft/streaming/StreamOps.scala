@@ -1640,12 +1640,6 @@ object StreamOps {
   def graphIngestBatch(indexPath: String,
       metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val VI = graft.queries.VectorIndex
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val qz = VI.cachedGraphQuantizer(spark, indexPath)
     val normed = batch
       .select(col("vec_id").cast("long"),
         col("emb").cast("array<double>").as("emb"))
@@ -1653,6 +1647,24 @@ object StreamOps {
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+    graphIngestNormed(indexPath, metricsEvery)(normed, batchId)
+  }
+
+  /** [[graphIngestBatch]] minus the normalization — the entry the
+    * rebuild's catch-up uses: roster embs were normalized ONCE at
+    * original build/ingest time, and re-normalizing an already-unit
+    * vector moves last-ulp bits (sqrt(1±ulp) division), which would
+    * make a caught-up vector bit-diverge from its directly-ingested
+    * twin. */
+  private[graft] def graphIngestNormed(indexPath: String,
+      metricsEvery: Int = DefaultMetricsEvery)(
+      normed: DataFrame, batchId: Long): DataFrame = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val VI = graft.queries.VectorIndex
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val qz = VI.cachedGraphQuantizer(spark, indexPath)
     val batchAsg = VI.assignCellsExpr(qz, normed).persist(lvl)
 
     val fs = new org.apache.hadoop.fs.Path(indexPath)
@@ -1770,6 +1782,7 @@ object StreamOps {
     val VI = graft.queries.VectorIndex
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    recoverGraphRebuild(fs, indexPath)
     def swapIn(sub: String, write: String => Unit): Unit = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)
@@ -1809,6 +1822,185 @@ object StreamOps {
       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
   }
 
+  /** Staging root of [[rebuildGraphIndex]] — a full graph-index
+    * layout nested under the live one (underscore prefix: invisible
+    * to every parquet read of the real tables). */
+  private[graft] val GraphRebuildDir = "_graft_rebuild"
+  /** Every table a rebuild can replace, in swap order. */
+  private val GraphRebuildTables = Seq("supers", "cents", "graph",
+    "entries", "members", "graph_delta", "entries_delta")
+
+  /** Roll a COMMITTED graph-quantizer rebuild forward — the heal
+    * every graph reader/ingester runs first (healGraph,
+    * cachedGraphQuantizer, graphIngestBatch, compactGraphIndex,
+    * graphIndexHealth), so a crash anywhere inside the table-swap
+    * sequence finishes on the next touch instead of leaving a
+    * half-swapped index (new quantizer, old graph — or worse, a
+    * stale delta whose versions would override fresh base rows).
+    *
+    * The `_COMMITTED` manifest (written LAST by the rebuild, after
+    * every staged table landed) lists exactly the staged tables, so
+    * replays can distinguish "staged dir absent because this table's
+    * swap already completed" (skip) from "never staged" (the real
+    * copy describes the REPLACED index — delete it; stale delta
+    * logs die here). Every step is idempotent: per-table delete +
+    * atomic rename, re-runnable from any crash point. A staging root
+    * WITHOUT the manifest is left alone — it is either an active
+    * rebuild mid-staging (readers stay on the intact live tables) or
+    * an abandoned one (the next rebuild clears it); deleting it here
+    * would race a live rebuild's staging writes. */
+  private[graft] def recoverGraphRebuild(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
+    if (!fs.exists(root)) return
+    val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (!fs.exists(committed)) return
+    val staged = {
+      val in = fs.open(committed)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+      new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    }
+    GraphRebuildTables.foreach { t =>
+      val s = new org.apache.hadoop.fs.Path(root, t)
+      val real = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
+      if (staged.contains(t)) {
+        if (fs.exists(s)) {
+          if (fs.exists(real)) fs.delete(real, true)
+          if (!fs.rename(s, real)) throw new java.io.IOException(
+            s"graph rebuild roll-forward: could not move $s into $real")
+        }
+      } else if (fs.exists(real)) {
+        fs.delete(real, true)
+      }
+    }
+    fs.delete(root, true)
+    graft.queries.VectorIndex.invalidateCentroids(indexPath)
+  }
+
+  /** Rebuild the graph-ANN index's two-level quantizer over the
+    * CURRENT roster and re-cell + re-edge every vector under it —
+    * the ACT side of [[graphIndexHealth]]'s rebuild-WHEN signal
+    * (`sharded_cells` rising under stable `n_nodes` means the
+    * build-time quantizer has drifted off the ingested distribution;
+    * the measured stale-regime penalty is PROFILE_VOLUME.md's
+    * 114.5 s vs 17.0 s per probe batch). Until now acting on the
+    * signal meant a manual offline `buildGraph` re-run against the
+    * original corpus; this is the staged retrain-under-ingest
+    * operator with the same tmp+swap/heal contract as the other
+    * maintainers:
+    *
+    *  1. STAGE: train a fresh quantizer on a bounded sample of the
+    *     roster (`members/` dedup — every vector the index has ever
+    *     ingested, already normalized) and write a complete new
+    *     index (supers/cents/graph/entries/members) under
+    *     [[GraphRebuildDir]] via the build's own
+    *     `trainAndWriteGraph` path. The live index keeps serving and
+    *     ingesting throughout — staging touches nothing outside its
+    *     root.
+    *  2. CATCH UP: batches applied to the LIVE index while staging
+    *     ran (visible as new ledger markers) are folded into the
+    *     staging root through the maintainer's own ingest path
+    *     (`graphIngestNormed` — their vectors are read back from the
+    *     live `members/` roster, already normalized), iterated until
+    *     the ledger holds still. Each round shrinks to just the
+    *     batches of the previous round's window; a ledger that never
+    *     holds still within `maxCatchUp` rounds fails loudly with
+    *     the pause-the-ingest instruction rather than spinning.
+    *  3. COMMIT: write the `_COMMITTED` manifest (the staged table
+    *     list) and run [[recoverGraphRebuild]] — per-table
+    *     delete + atomic rename, idempotent from any crash point,
+    *     finished by whichever reader/ingester touches the index
+    *     next if this process dies mid-swap. Stale delta logs die
+    *     with the replaced tables (their versions refer to the old
+    *     quantizer's cells); the batch-marker ledger is PRESERVED —
+    *     every marked batch is in the staged index by construction
+    *     (roster read covers markers ≤ staging start; catch-up
+    *     covers the rest), so replay idempotency carries over.
+    *
+    * Writer discipline: same single-maintenance-writer contract as
+    * `compactGraphIndex` — call it from the process that runs the
+    * ingest loop, BETWEEN batches (the foreachBatch shape). The
+    * expensive phase (staging) tolerates concurrent ingest by
+    * design; only the commit itself assumes no append in flight.
+    * Serving stays available throughout: pre-commit reads see the
+    * intact live index, post-crash reads heal-first.
+    *
+    * After it: `sharded_cells` returns to the fresh-build value
+    * (cells re-sized to the CURRENT n/GraphCellTarget),
+    * read_amplification to ~1 (a catch-up delta may remain —
+    * `compactGraphIndex` folds it), and probe cost to the fresh
+    * curve (ProfileGraphIngest act 3). */
+  def rebuildGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, degree: Int = graft.queries.VectorIndex.GraphDegree,
+      lloydRounds: Int = 4, maxTrain: Int = 4096): Unit =
+    rebuildGraphIndexStaged(spark, indexPath, degree, lloydRounds,
+      maxTrain)(() => ())
+
+  /** [[rebuildGraphIndex]] with a post-staging hook — the spec
+    * injects a live ingest batch there to pin the catch-up path. */
+  private[graft] def rebuildGraphIndexStaged(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      degree: Int = graft.queries.VectorIndex.GraphDegree,
+      lloydRounds: Int = 4, maxTrain: Int = 4096, maxCatchUp: Int = 8)(
+      afterStaging: () => Unit): Unit = {
+    val VI = graft.queries.VectorIndex
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any committed predecessor, clear any abandoned staging
+    recoverGraphRebuild(fs, indexPath)
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
+    if (fs.exists(root)) fs.delete(root, true)
+    Seq("graph", "entries", "members").foreach(sub =>
+      recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/$sub")))
+
+    def markerSet(): Set[String] = {
+      val mp = new org.apache.hadoop.fs.Path(
+        s"$indexPath/${VI.GraphMarkersDir}")
+      if (!fs.exists(mp)) Set.empty
+      else fs.listStatus(mp).map(_.getPath.getName).toSet
+    }
+    def roster(): DataFrame = spark.read.parquet(s"$indexPath/members")
+      .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
+
+    // 1. STAGE
+    var seen = markerSet()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val r0 = roster().persist(lvl)
+    VI.trainAndWriteGraph(spark, r0, root.toString, degree, lloydRounds,
+      maxTrain)
+    r0.unpersist(false)
+    afterStaging()
+
+    // 2. CATCH UP
+    var rounds = 0
+    var cur = markerSet()
+    while (cur != seen) {
+      if (rounds >= maxCatchUp) throw new IllegalStateException(
+        s"graph rebuild at $indexPath could not catch up with concurrent " +
+          s"ingest after $maxCatchUp rounds — pause the ingest and re-run")
+      val missed = roster().join(
+        spark.read.parquet(s"$root/members").select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      // delta version: any id above the staged base's −1 orders
+      // correctly; the newest live batchId keeps versions aligned
+      // with the ledger for post-swap debugging
+      val ver = (cur -- seen).map(_.stripPrefix("b").toLong).max
+      graphIngestNormed(root.toString, metricsEvery = 0)(missed, ver)
+      seen = cur
+      cur = markerSet()
+      rounds += 1
+    }
+
+    // 3. COMMIT — manifest last, then the shared idempotent heal
+    val stagedTables = GraphRebuildTables.filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true)
+    try out.write(stagedTables.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    recoverGraphRebuild(fs, indexPath)
+  }
+
   /** Health row of the graph-ANN index — the audit the round-13
     * verdict flagged as the one index family without one. One row:
     *
@@ -1840,6 +2032,7 @@ object StreamOps {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverGraphRebuild(fs, indexPath)
     def existing(sub: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)

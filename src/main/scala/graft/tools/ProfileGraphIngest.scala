@@ -131,6 +131,27 @@ object ProfileGraphIngest {
         f"cells=${h.getLong(1)}%4d max_cell=${h.getLong(2)}%6d " +
         f"sharded=${h.getLong(3)}%3d")
     }
+
+    // the ACT side, through the OPERATOR: recover the stale root in
+    // place with rebuildGraphIndex (retrain over its own roster,
+    // staged swap) and re-probe — the cost must return to the
+    // fresh-quantizer curve above, closing the playbook loop the
+    // health row's sharded_cells opens
+    val stalePath = roots.head._2
+    val t2 = System.nanoTime()
+    StreamOps.rebuildGraphIndex(spark, stalePath)
+    println(f"[graphingest] rebuild    op=${(System.nanoTime() - t2) / 1e9}%6.1fs " +
+      f"over ~$nAcc vectors")
+    val rb = emb.orderBy(col("vec_id")).limit(10)
+      .select((col("vec_id") + probeBase).as("vec_id"), col("emb"))
+    probeBase += 1000
+    val t3 = System.nanoTime()
+    StreamOps.graphIngestBatch(stalePath, metricsEvery = 0)(rb, 2L).count()
+    val secsR = (System.nanoTime() - t3) / 1e9
+    val hr = StreamOps.graphIndexHealth(spark, stalePath).collect()(0)
+    println(f"[graphingest] rebuilt    probe10=$secsR%6.2fs  n_nodes=${hr.getLong(0)}%7d " +
+      f"cells=${hr.getLong(1)}%4d max_cell=${hr.getLong(2)}%6d " +
+      f"sharded=${hr.getLong(3)}%3d")
     spark.stop()
   }
 }

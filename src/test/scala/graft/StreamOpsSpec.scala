@@ -418,6 +418,132 @@ class StreamOpsSpec extends SparkSpec {
       s"compaction should fold the delta away: $h2")
   }
 
+  test("rebuildGraphIndex: roster retrain equals a fresh one-shot build; " +
+      "catch-up folds ingest-during-staging; commit heals from any crash point") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graph-rb").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+        col("embedding").as("emb"))
+      .limit(60).cache()
+    val parts = (0 until 2).map(i => extras.filter(pmod(col("vec_id"), lit(2)) === i))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamOps.graphIngestBatch(idx)(p, (i + 1).toLong).count() }
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def state(p: String) = canon(VectorIndex.resolvedGraph(spark, p))
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def served(p: String) = canon(VectorIndex.searchGraph(spark, p, queries))
+
+    // ---- A: rebuild over the accumulated roster == a FRESH one-shot
+    // build over the same vectors (same deterministic sample, same
+    // training, same tables — the strongest equality available)
+    StreamOps.rebuildGraphIndex(spark, idx)
+    val refCorpus = java.nio.file.Files.createTempDirectory("graph-rb-corpus").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(extras.select(col("vec_id"), col("label"),
+        col("emb").as("embedding")))
+      .write.parquet(s"$refCorpus/embeddings.parquet")
+    val ref = java.nio.file.Files.createTempDirectory("graph-rb-ref").toString
+    VectorIndex.buildGraph(spark, refCorpus, ref)
+    assert(state(idx) == state(ref),
+      "rebuilt adjacency state diverges from the fresh one-shot build")
+    assert(VectorIndex.cachedEntries(spark, idx) ==
+      VectorIndex.cachedEntries(spark, ref), "entry points diverge")
+    assert(served(idx) == served(ref), "serving diverges after rebuild")
+    val hA = StreamOps.graphIndexHealth(spark, idx).collect()(0)
+    assert(hA.getAs[Long]("delta_rows") == 0L &&
+      hA.getAs[Double]("read_amplification") == 1.0 &&
+      hA.getAs[Long]("sharded_cells") == 0L,
+      s"rebuild should restore fresh-build health: $hA")
+
+    // ---- B: a batch lands on the LIVE index between staging and
+    // commit — the catch-up loop folds it into the staged index
+    val late = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 30000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(20).cache()
+    StreamOps.rebuildGraphIndexStaged(spark, idx)(() => {
+      StreamOps.graphIngestBatch(idx)(late, 3L).count(); () })
+    val qz2 = VectorIndex.cachedGraphQuantizer(spark, idx)
+    def normed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        call_function("graft_vec_div", col("emb"), col("nrm")).as("emb"))
+    val ref2 = java.nio.file.Files.createTempDirectory("graph-rb-ref2").toString
+    val allVecs = normed(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").as("emb")))
+      .unionByName(normed(extras)).unionByName(normed(late))
+    VectorIndex.writeGraphTables(spark, allVecs, qz2, ref2)
+    import spark.implicits._
+    qz2.supers.zipWithIndex.map { case (c, sid) => (sid, c) }
+      .toDF("sid", "cent").coalesce(1).write.mode("overwrite")
+      .parquet(s"$ref2/supers")
+    qz2.cells.zipWithIndex.map { case ((sid, c), kk) => (kk, sid, c) }
+      .toDF("kk", "sid", "cent").coalesce(1).write.mode("overwrite")
+      .parquet(s"$ref2/cents")
+    assert(state(idx) == state(ref2),
+      "caught-up state diverges from the one-shot rebuild under the new quantizer")
+    assert(VectorIndex.cachedEntries(spark, idx) ==
+      VectorIndex.cachedEntries(spark, ref2),
+      "entry points diverge after catch-up")
+    val selfQ = late.filter(col("vec_id") === 30003L)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val top = VectorIndex.searchGraph(spark, idx, selfQ).collect()
+      .minBy(_.getLong(1))
+    assert(top.getDouble(3) == 1.0,
+      s"ingested-during-staging vector does not serve at sim 1.0: $top")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/${VectorIndex.GraphMarkersDir}/b3")),
+      "the batch-marker ledger must survive the rebuild")
+    val deltaRows = spark.read.parquet(s"$idx/graph_delta").count()
+    StreamOps.graphIngestBatch(idx)(late, 3L).count()
+    assert(spark.read.parquet(s"$idx/graph_delta").count() == deltaRows,
+      "replay of the caught-up batch re-appended after the rebuild")
+
+    // ---- C: crash discipline.
+    StreamOps.compactGraphIndex(spark, idx, targetPartitions = 4)
+    val stateBefore = state(idx)
+    // C1 abandoned staging (death before commit): real index untouched,
+    // readers leave the staging root alone
+    intercept[RuntimeException] {
+      StreamOps.rebuildGraphIndexStaged(spark, idx)(() =>
+        throw new RuntimeException("boom")) }
+    val root = new org.apache.hadoop.fs.Path(
+      s"$idx/${StreamOps.GraphRebuildDir}")
+    assert(fs.exists(root) && !fs.exists(
+      new org.apache.hadoop.fs.Path(root, "_COMMITTED")),
+      "hook-killed rebuild should leave uncommitted staging behind")
+    assert(state(idx) == stateBefore,
+      "uncommitted staging leaked into the live index")
+    // C2 crash right after the commit manifest: hand-write _COMMITTED
+    // over the (complete) abandoned staging — the next reader touch
+    // must roll the swap forward to exactly the staged state
+    val stagedState = canon(VectorIndex.resolvedGraph(spark, root.toString))
+    val stagedTables = Seq("supers", "cents", "graph", "entries", "members")
+      .filter(t => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t")))
+    val outS = fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true)
+    outS.write(stagedTables.mkString("\n").getBytes("UTF-8")); outS.close()
+    val healedState = state(idx) // resolvedGraph heals first
+    assert(!fs.exists(root), "roll-forward should consume the staging root")
+    assert(healedState == stagedState,
+      "healed index is not the staged index")
+    // C3 replay of the heal is a no-op
+    StreamOps.recoverGraphRebuild(fs, idx)
+    assert(state(idx) == stagedState)
+    extras.unpersist(); late.unpersist()
+  }
+
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
       "state equals the current-layout twin") {
     import graft.queries.VectorIndex
