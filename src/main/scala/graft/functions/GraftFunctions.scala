@@ -101,6 +101,18 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.size == 1, "graft_asof_marker takes exactly 1 argument")
           graft.plans.GraftAsofCond(children(0))
+        }),
+      // the ASOF … USING placeholder (column names as string
+      // literals; lowered by AsofProbeTagRule — see GraftAsofUsing)
+      (FunctionIdentifier("graft_asof_using"),
+        new ExpressionInfo(classOf[graft.plans.GraftAsofUsing].getName,
+          "graft_asof_using"),
+        (children: Seq[Expression]) => {
+          require(children.nonEmpty && children.forall(c => c.foldable &&
+              c.dataType == org.apache.spark.sql.types.StringType),
+            "graft_asof_using takes 1+ string-literal column names")
+          graft.plans.GraftAsofUsing(
+            children.map(c => String.valueOf(c.eval())))
         }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -61,17 +61,76 @@ case class GraftAsofCond(child: Expression, probeTag: Seq[Long] = Nil)
     copy(child = newChild)
 }
 
-/** Analysis-time stamp of the ASOF probe side (see
-  * [[GraftAsofCond.probeTag]]): the FIRST resolved sighting of a
-  * marked join records its left child's output exprIds into the
-  * marker, before any optimizer batch could reorder the join's
-  * children. Idempotent (only empty tags are stamped), so the
-  * analyzer's fixed-point batches converge. Registered alongside the
-  * parser in `GraftExtensions` — the marker can only ever be born
-  * from the extensions parser, so a session that can produce one
-  * always has this rule. */
+/** Placeholder condition of `ASOF JOIN … USING (c1…, t)` between
+  * parse and analysis. The parser cannot lower USING to an ON text
+  * directly — the bare column names would be ambiguous there (both
+  * sides expose them) — so it parks the names as data and
+  * [[AsofProbeTagRule]] builds the real condition at analysis time,
+  * where per-side resolution exists: equality on every column but the
+  * last, `left.t >= right.t` on the last (the DuckDB ASOF USING
+  * default), and USING's output dedup (left columns + right columns
+  * minus the USING set — the left side supplies the key and ordering
+  * values, as USING semantics require).
+  *
+  * DELIBERATELY never `resolved`: the enclosing Join stays unresolved
+  * until the rule replaces this, so a `SELECT *` above expands against
+  * the DEDUPED projection, never the raw two-sided join — the same
+  * device Spark's own UsingJoin type uses. A session that parses it
+  * without the rule (impossible via GraftExtensions, which registers
+  * both) fails analysis loudly rather than running anything. */
+case class GraftAsofUsing(cols: Seq[String])
+    extends LeafExpression with Predicate {
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override lazy val resolved: Boolean = false
+  private def notLowered = new UnsupportedOperationException(
+    "ASOF JOIN … USING was parsed but not lowered: register " +
+      "graft.plans.AsofProbeTagRule (spark.sql.extensions=" +
+      "graft.functions.GraftExtensions)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    throw notLowered
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    throw notLowered
+}
+
+/** Analysis-time half of the ASOF door, two jobs in one resolution
+  * rule (registered alongside the parser in `GraftExtensions` — the
+  * expressions it handles can only be born from that parser, so a
+  * session that can produce them always has this rule):
+  *
+  *  1. USING lowering: replace a [[GraftAsofUsing]] condition with
+  *     the per-side-resolved equality + `>=` conjunction (wrapped in
+  *     the marker, probe side pre-stamped) and project the join's
+  *     output down to USING's deduped column set.
+  *  2. Probe-side stamp (see [[GraftAsofCond.probeTag]]): the FIRST
+  *     resolved sighting of a marked join records its left child's
+  *     output exprIds into the marker, before any optimizer batch
+  *     could reorder the join's children.
+  *
+  * Both are idempotent (a lowered USING leaves no GraftAsofUsing; only
+  * empty tags are stamped), so the analyzer's fixed-point batches
+  * converge. */
 object AsofProbeTagRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, _, Some(u: GraftAsofUsing), _)
+        if left.resolved && right.resolved =>
+      def pick(side: LogicalPlan, label: String, c: String): Attribute =
+        side.output.filter(a => conf.resolver(a.name, c)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"ASOF JOIN USING column `$c` is missing on the $label side")
+          case _ => throw new IllegalArgumentException(
+            s"ASOF JOIN USING column `$c` is ambiguous on the $label side")
+        }
+      val pairs = u.cols.map(c => (pick(left, "left", c), pick(right, "right", c)))
+      val conds: Seq[Expression] =
+        pairs.init.map { case (l, r) => EqualTo(l, r): Expression } :+
+          GreaterThanOrEqual(pairs.last._1, pairs.last._2)
+      val marked = GraftAsofCond(conds.reduce(And),
+        left.output.map(_.exprId.id))
+      val dropped = pairs.map(_._2.exprId).toSet
+      Project(left.output ++ right.output.filterNot(a => dropped(a.exprId)),
+        j.copy(condition = Some(marked)))
     case j @ Join(left, _, _, Some(cond), _) if j.resolved && cond.exists {
           case m: GraftAsofCond => m.probeTag.isEmpty
           case _ => false

@@ -143,8 +143,6 @@ object AsofSqlRewrite {
         if (k < toks.length && toks(k).word &&
             (eqi(toks(k).s, "LEFT") || eqi(toks(k).s, "INNER"))) k += 1
         if (k < toks.length && toks(k).word && eqi(toks(k).s, "JOIN")) {
-          val on = findOn(toks, k + 1)
-          val condEnd = findCondEnd(sql, toks, on + 1)
           // visible reinterpretation notice: `rel ASOF JOIN` / `(sub)
           // ASOF JOIN` would have parsed in STOCK Spark as an implicit
           // alias named asof plus a plain join — the RelationLead doc's
@@ -158,12 +156,42 @@ object AsofSqlRewrite {
           // (CharSequence, from, until) slice — Scala's would
           // auto-tuple the args into append(Any)
           val sb = new java.lang.StringBuilder
-          sb.append(sql, 0, toks(i).start)            // up to ASOF
-          sb.append(sql, toks(i).end, toks(on).end)   // JOIN … ON, ASOF dropped
-          sb.append(" graft_asof_marker(")
-          sb.append(sql, toks(on).end, condEnd)       // the condition
-          sb.append(") ")
-          sb.append(sql, condEnd, sql.length)
+          val close = findJoinClose(toks, k + 1)
+          // a CHAINED right side (`… ASOF JOIN b JOIN c ON bc ON ab`,
+          // ONs matching inside-out) must be parenthesized in the
+          // lowered text: Spark's grammar has no deferred-ON
+          // right-deep chain, and an unparenthesized CROSS JOIN
+          // would steal the ON. `( rel JOIN … )` is valid Spark
+          // relation syntax with inner qualifiers still visible.
+          def appendRight(upTo: Int): Unit = {
+            sb.append(sql, 0, toks(i).start)            // up to ASOF
+            sb.append(sql, toks(i).end, toks(k).end)    // [LEFT|INNER] JOIN
+            if (close.chained) sb.append(" (")
+            sb.append(sql, toks(k).end, upTo)           // the right side
+            if (close.chained) sb.append(" )")
+          }
+          close match {
+            case OnAt(on, _) =>
+              val condEnd = findCondEnd(sql, toks, on + 1)
+              appendRight(toks(on).start)
+              sb.append(" ON graft_asof_marker(")
+              sb.append(sql, toks(on).end, condEnd)     // the condition
+              sb.append(") ")
+              sb.append(sql, condEnd, sql.length)
+            case UsingAt(u, cols, closeEnd, _) =>
+              // `USING (k…, t)` → `ON graft_asof_using('k'…, 't')`:
+              // the column list rides as string literals because the
+              // bare names would be AMBIGUOUS in ON position (both
+              // sides expose them); AsofProbeTagRule lowers the
+              // placeholder at analysis time, where per-side
+              // resolution and USING's output dedup are expressible
+              appendRight(toks(u).start)
+              sb.append(" ON graft_asof_using(")
+              sb.append(cols.map(c =>
+                "'" + c.replace("'", "''") + "'").mkString(", "))
+              sb.append(") ")
+              sb.append(sql, closeEnd, sql.length)
+          }
           return Some(sb.toString)
         }
       }
@@ -172,10 +200,39 @@ object AsofSqlRewrite {
     None
   }
 
-  /** Index of the ASOF join's own ON keyword: first depth-0 ON after
-    * the JOIN token (the right relation's parens are skipped whole). */
-  private def findOn(toks: Vector[Tok], from: Int): Int = {
+  private sealed trait JoinClose { def chained: Boolean }
+  private case class OnAt(idx: Int, chained: Boolean) extends JoinClose
+  /** USING close: keyword index, column names (unquoted), and the
+    * char offset just past the list's closing paren. */
+  private case class UsingAt(idx: Int, cols: Seq[String], closeEnd: Int,
+    chained: Boolean) extends JoinClose
+
+  /** The ASOF join's OWN closing clause — its ON condition or USING
+    * list. An unparenthesized right-deep chain (`A ASOF JOIN B JOIN C
+    * ON bc ON ab`) closes joins inside-out: each depth-0 JOIN between
+    * ours and its close opens one more pending join, and each ON /
+    * USING closes the most recent one — ours is the clause that
+    * arrives with nothing pending. CROSS and NATURAL joins never take
+    * a close, so they do not add to the pending count. The right
+    * relation's parens are skipped whole. */
+  private def findJoinClose(toks: Vector[Tok], from: Int): JoinClose = {
+    def bareJoin(at: Int): Boolean = {
+      // walk back over join modifiers; CROSS/NATURAL head = no ON
+      var b = at - 1
+      while (b >= 0 && toks(b).word && StopUnlessCall.contains(
+          toks(b).s.toUpperCase(java.util.Locale.ROOT))) b -= 1
+      !(b >= 0 && toks(b).word && {
+        val u = toks(b).s.toUpperCase(java.util.Locale.ROOT)
+        u == "CROSS" || u == "NATURAL"
+      })
+    }
     var d = 0
+    var pending = 0
+    var sawJoin = false // ANY depth-0 join (incl. CROSS/NATURAL) →
+                        // the right side must be parenthesized in the
+                        // lowered text: Spark's grammar has no
+                        // deferred-ON right-deep chain, and an
+                        // unparenthesized CROSS would steal the ON
     var m = from
     while (m < toks.length) {
       val t = toks(m)
@@ -183,19 +240,54 @@ object AsofSqlRewrite {
       else if (t.s == ")") {
         d -= 1
         if (d < 0) throw new IllegalArgumentException(
-          "ASOF JOIN: no ON clause before the enclosing subquery closes")
+          "ASOF JOIN: no ON/USING clause before the enclosing subquery closes")
       } else if (d == 0 && t.word) {
         val u = t.s.toUpperCase(java.util.Locale.ROOT)
-        if (u == "ON") return m
-        if (u == "JOIN") throw new IllegalArgumentException(
-          "ASOF JOIN: unparenthesized join chain between ASOF JOIN and its " +
-            "ON is unsupported — parenthesize the right side")
-        if (u == "USING") throw new IllegalArgumentException(
-          "ASOF JOIN … USING is unsupported — spell the condition with ON")
+        if (u == "ON") {
+          if (pending == 0) return OnAt(m, sawJoin)
+          pending -= 1
+        } else if (u == "USING") {
+          if (pending == 0) return parseUsingList(toks, m, sawJoin)
+          pending -= 1
+        } else if (u == "JOIN") {
+          sawJoin = true
+          if (bareJoin(m)) pending += 1
+        }
       }
       m += 1
     }
-    throw new IllegalArgumentException("ASOF JOIN: no ON clause found")
+    throw new IllegalArgumentException("ASOF JOIN: no ON/USING clause found")
+  }
+
+  /** Parse `USING (c1, c2, …)` starting at the USING token: bare or
+    * backtick-quoted identifiers, comma-separated. */
+  private def parseUsingList(toks: Vector[Tok], at: Int,
+      chained: Boolean): UsingAt = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"ASOF JOIN USING: $msg")
+    var m = at + 1
+    if (m >= toks.length || toks(m).s != "(") bad("expected ( after USING")
+    m += 1
+    val cols = Seq.newBuilder[String]
+    var expectIdent = true
+    while (m < toks.length && toks(m).s != ")") {
+      val t = toks(m)
+      if (expectIdent) {
+        if (t.word) cols += t.s
+        else if (t.s.length >= 2 && t.s.startsWith("`") && t.s.endsWith("`"))
+          cols += t.s.substring(1, t.s.length - 1).replace("``", "`")
+        else bad(s"expected a column name, got ${t.s}")
+        expectIdent = false
+      } else {
+        if (t.s != ",") bad(s"expected , or ), got ${t.s}")
+        expectIdent = true
+      }
+      m += 1
+    }
+    if (m >= toks.length) bad("unclosed column list")
+    val out = cols.result()
+    if (out.isEmpty || expectIdent) bad("empty or trailing-comma column list")
+    UsingAt(at, out, toks(m).end, chained)
   }
 
   /** Character offset just past the ON condition's last token. */

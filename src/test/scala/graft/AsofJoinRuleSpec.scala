@@ -26,7 +26,8 @@ class AsofJoinRuleSpec extends SparkSpec {
                WHERE a.x > 0 ORDER BY a.x"""
     val out = AsofSqlRewrite(in)
     assert(!out.toUpperCase.contains("ASOF LEFT"))
-    assert(out.contains("LEFT JOIN b ON graft_asof_marker(") &&
+    assert(out.replaceAll("\\s+", " ")
+        .contains("LEFT JOIN b ON graft_asof_marker(") &&
       out.contains("a.k = b.k AND a.t >= b.t"))
     // the condition wrap must close BEFORE the WHERE clause
     assert(out.indexOf(") ") < out.indexOf("WHERE"),
@@ -74,13 +75,40 @@ class AsofJoinRuleSpec extends SparkSpec {
       s"expected both joins lowered: $out")
   }
 
-  test("AsofSqlRewrite: unparenthesized join chain before ON fails loudly") {
-    val bad = "SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k ON a.k = b.k"
-    val e = intercept[IllegalArgumentException](AsofSqlRewrite(bad))
-    assert(e.getMessage.contains("unparenthesized"))
-    val using = "SELECT * FROM a ASOF JOIN b USING (k)"
-    assert(intercept[IllegalArgumentException](AsofSqlRewrite(using))
-      .getMessage.contains("USING"))
+  test("AsofSqlRewrite: unparenthesized join chains wrap the ASOF's OWN ON " +
+      "(inside-out matching), and USING lowers to the placeholder") {
+    // `JOIN c ON b.k = c.k` closes first; the LAST ON is the ASOF's —
+    // and the chained right side gains parens (Spark's grammar has no
+    // deferred-ON right-deep chain)
+    val chain = "SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k ON a.k = b.k AND a.t >= b.t"
+    val outC = AsofSqlRewrite(chain).replaceAll("\\s+", " ")
+    assert(outC.contains(
+      "JOIN ( b JOIN c ON b.k = c.k ) ON graft_asof_marker( a.k = b.k AND a.t >= b.t)"),
+      s"chain mis-wrapped: $outC")
+    // CROSS / NATURAL joins take no ON and must not shift the match;
+    // they too get parenthesized so the CROSS cannot steal the ON
+    val cross = "SELECT * FROM a ASOF JOIN b CROSS JOIN c ON a.k = b.k AND a.t >= b.t"
+    assert(AsofSqlRewrite(cross).replaceAll("\\s+", " ")
+      .contains("JOIN ( b CROSS JOIN c ) ON graft_asof_marker("),
+      s"CROSS JOIN shifted the ON match: ${AsofSqlRewrite(cross)}")
+    // USING parks the column list as string literals for the
+    // analysis-time lowering (bare names would be ambiguous in ON)
+    val using = "SELECT * FROM a ASOF JOIN b USING (k, t) WHERE x > 0"
+    val outU = AsofSqlRewrite(using)
+    assert(outU.contains("ON graft_asof_using('k', 't')") &&
+      !outU.toUpperCase.contains("USING (") &&
+      outU.contains("WHERE x > 0"), s"USING mis-lowered: $outU")
+    val quoted = "SELECT * FROM a ASOF LEFT JOIN b USING (`weird k`, ts)"
+    assert(AsofSqlRewrite(quoted).replaceAll("\\s+", " ")
+      .contains("LEFT JOIN b ON graft_asof_using('weird k', 'ts')"))
+    // a USING that closes an INNER pending join is not the ASOF's
+    val inner = "SELECT * FROM a ASOF JOIN b JOIN c USING (k) ON a.k = b.k AND a.t >= b.t"
+    assert(AsofSqlRewrite(inner).replaceAll("\\s+", " ")
+      .contains("JOIN ( b JOIN c USING (k) ) ON graft_asof_marker("),
+      s"inner USING consumed as the ASOF close: ${AsofSqlRewrite(inner)}")
+    val empty = "SELECT * FROM a ASOF JOIN b USING ()"
+    assert(intercept[IllegalArgumentException](AsofSqlRewrite(empty))
+      .getMessage.contains("column list"))
   }
 
   // ---------------- end-to-end through spark.sql ----------------
@@ -127,6 +155,61 @@ class AsofJoinRuleSpec extends SparkSpec {
         "conf=join should plan the window-bounded equi join")
       assert(rows(df) == viaWindow, "the two lowerings diverge")
     } finally spark.conf.unset(graft.plans.AsofJoinRewriteRule.LoweringConfKey)
+  }
+
+  test("ASOF JOIN … USING: row-identical to the spelled-out ON form, " +
+      "output deduped to USING semantics, LEFT keeps unmatched") {
+    import spark.implicits._
+    Seq((10L, 100L, "a"), (10L, 50L, "b"), (20L, 70L, "c"), (30L, 5L, "d"))
+      .toDF("k", "t", "x").createOrReplaceTempView("ul")
+    Seq((10L, 90L, 1.0), (10L, 40L, 2.0), (20L, 70L, 3.0), (40L, 1L, 4.0))
+      .toDF("k", "t", "y").createOrReplaceTempView("ur")
+    val viaUsing = spark.sql(
+      "SELECT k, t, x, y FROM ul ASOF LEFT JOIN ur USING (k, t)")
+    val viaOn = spark.sql(
+      """SELECT l.k, l.t, l.x, r.y FROM ul l
+         ASOF LEFT JOIN ur r ON l.k = r.k AND l.t >= r.t""")
+    assert(rows(viaUsing) == rows(viaOn),
+      "USING diverges from the equivalent ON form")
+    assert(rows(viaUsing) ==
+      Set("10|100|a|1.0", "10|50|b|2.0", "20|70|c|3.0", "30|5|d|null"),
+      "USING rows wrong against the hand fixture")
+    // SELECT *: USING dedups — left columns + right minus the USING
+    // set, one k and one t (the left's), no duplicate names
+    val star = spark.sql("SELECT * FROM ul ASOF LEFT JOIN ur USING (k, t)")
+    assert(star.columns.toSeq == Seq("k", "t", "x", "y"),
+      s"USING output not deduped: ${star.columns.toSeq}")
+    assert(rows(star) == rows(viaUsing))
+    // inner form drops the unmatched left row
+    assert(rows(spark.sql(
+        "SELECT k, t, x, y FROM ul ASOF JOIN ur USING (k, t)")) ==
+      Set("10|100|a|1.0", "10|50|b|2.0", "20|70|c|3.0"))
+    // a USING column missing on one side fails loudly at analysis
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM ul ASOF JOIN ur USING (k, nope)").collect())
+    assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("unparenthesized ASOF join chain end-to-end equals the " +
+      "parenthesized form") {
+    import spark.implicits._
+    Seq((10L, 100L, "a"), (20L, 70L, "c"), (30L, 5L, "d"))
+      .toDF("k", "t", "x").createOrReplaceTempView("cl")
+    Seq((10L, 90L, 7L), (20L, 60L, 8L), (20L, 75L, 9L))
+      .toDF("k", "t", "rid").createOrReplaceTempView("cr")
+    Seq((7L, "r7"), (8L, "r8"), (9L, "r9"))
+      .toDF("rid", "nm").createOrReplaceTempView("cs")
+    val chained = spark.sql(
+      """SELECT cl.k, cl.t, nm FROM cl
+         ASOF LEFT JOIN cr JOIN cs ON cr.rid = cs.rid
+           ON cl.k = cr.k AND cl.t >= cr.t""")
+    val parenthesized = spark.sql(
+      """SELECT cl.k, cl.t, nm FROM cl
+         ASOF LEFT JOIN (SELECT cr.k, cr.t, nm FROM cr JOIN cs ON cr.rid = cs.rid) j
+           ON cl.k = j.k AND cl.t >= j.t""")
+    assert(rows(chained) == rows(parenthesized),
+      "chained right side diverges from the parenthesized form")
+    assert(rows(chained) == Set("10|100|r7", "20|70|r8", "30|5|null"))
   }
 
   test("tie discipline: both lowerings pick the identical row on " +
