@@ -53,29 +53,45 @@ object Bench {
 
   /** The self-sufficient trailer line: the driver records only the LAST
     * 2000 chars of stdout (minus sbt's trailing "[success] ..." line),
-    * so the complete per-query map must fit ~1900 chars. 96 query names
-    * alone are ~1700 chars of JSON, which is why values are integer
-    * DECISECONDS under "queries_ds" (5 = 0.5s) — the only encoding that
-    * fits all 96 entries. If a noisy box inflates values past the
-    * budget, the FASTEST entries are dropped first (reported as
-    * "omitted") — the slow queries are the signal. Full-precision maps
-    * live in the earlier stdout line and BENCH_SELF.json. */
+    * so the complete per-query map must fit ~1900 chars. 96+ query
+    * names alone are ~1700 chars of JSON, which is why values are
+    * integer DECISECONDS under "queries_ds" (5 = 0.5s) — the only
+    * encoding that fits. When the suite outgrows even that (125
+    * queries at round 14 dropped 34 fastest rows), the FASTEST
+    * entries are dropped first — the slow queries are the signal —
+    * but no row goes driver-INVISIBLE: the dropped rows are rolled up
+    * into "omitted_fams_ds", per-FAMILY decisecond sums keyed by the
+    * query-name prefix (everything before the first '_': ann, dedup,
+    * emb, g, t, w, …), alongside the "omitted" count. A fast row that
+    * regresses past the heavy rows re-enters the individual map by
+    * construction (drop order is by time), and one that regresses
+    * within the omitted tail moves its family sum — either way the
+    * round-over-round diff sees it. Full-precision maps live in the
+    * earlier stdout line and BENCH_SELF.json. */
   private[graft] def trailerJson(best: Seq[(String, Double)], value: Double,
       totalBest: Double, loadVariance: Double, noisy: Boolean,
       retried: Boolean, budget: Int = 1915): String = {
     def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
-    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+    def famOf(name: String): String = name.takeWhile(_ != '_')
+    def render(kept: Seq[(String, Double)]): String = {
       val m = kept.map { case (k, v) =>
         "\"" + k + "\":" + math.round(v * 10) }.mkString("{", ",", "}")
-      val om = if (omitted == 0) "" else s""","omitted":$omitted"""
+      val dropped = best.filterNot(b => kept.exists(_._1 == b._1))
+      val om = if (dropped.isEmpty) "" else {
+        val fams = dropped.groupBy(b => famOf(b._1)).toSeq.sortBy(_._1)
+          .map { case (f, rs) =>
+            "\"" + f + "\":" + math.round(rs.map(_._2).sum * 10) }
+          .mkString("{", ",", "}")
+        s""","omitted":${dropped.size},"omitted_fams_ds":$fams"""
+      }
       s"""{"metric":"total","value":${r2(value)},"unit":"sec","total_best":${r2(totalBest)},"lv":${r2(loadVariance)},"noisy":$noisy,"retried":$retried,"queries_ds":$m$om}"""
     }
     // drop fastest-first until the line fits the tail budget
     var kept = best
-    var line = render(kept, 0)
+    var line = render(kept)
     while (line.length > budget && kept.nonEmpty) {
       kept = kept.sortBy(-_._2).dropRight(1).sortBy(_._1)
-      line = render(kept, best.size - kept.size)
+      line = render(kept)
     }
     line
   }

@@ -64,6 +64,29 @@ class BenchSpec extends AnyFunSuite {
     assert(!tiny.contains("omitted") && tiny.contains("\"query_name_number_01\":1"))
   }
 
+  test("trailerJson rolls dropped rows into per-family decisecond sums — " +
+      "no row is driver-invisible") {
+    // two families; a tight budget forces drops from the fast family
+    val best = (1 to 40).map(i => (f"slowfam_q$i%02d", 5.0 + i * 0.1)) ++
+      (1 to 40).map(i => (f"fastfam_q$i%02d", 0.1 * i))
+    val line = Bench.trailerJson(best.sortBy(_._1), 300.0, 280.0, 1.5,
+      noisy = false, retried = false, budget = 800)
+    assert(line.length <= 800)
+    assert(line.contains("\"omitted\":") && line.contains("\"omitted_fams_ds\":"),
+      s"dropped rows must surface as a family digest: $line")
+    // every dropped row's time is accounted for: kept ds + family ds
+    // sums to the suite total (±1 ds per entry from rounding)
+    val dsVals = """:(\d+)""".r.findAllMatchIn(
+      line.substring(line.indexOf("queries_ds")))
+      .map(_.group(1).toLong).toSeq
+    val totalDs = math.round(best.map(_._2).sum * 10)
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    assert(math.abs(dsVals.sum - omitted - totalDs) <= best.size,
+      s"family digest loses time: kept+fams=${dsVals.sum} vs total=$totalDs")
+    // the fast family dominates the drops, so its family key exists
+    assert(line.contains("\"fastfam\":"), s"missing family rollup: $line")
+  }
+
   test("the retry threshold matches the recorded-pollution bar") {
     // variance 3.0 exactly is NOT noisy (strict >): warm spreads up to
     // 3x are within this box's observed calm-day jitter
