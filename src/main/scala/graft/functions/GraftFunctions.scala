@@ -138,6 +138,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ASOF [LEFT] JOIN syntax — parser injection has no runtime
     // route, so this is the one graft feature exclusive to the
     // config-activated session (GraftSqlParser Scaladoc)
-    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(delegate, Some(session)))
   }
 }

@@ -22,21 +22,36 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * JOIN` in join position — everything else passes through verbatim,
   * and SQL without the substring `asof` skips the scan entirely.
   *
+  * The session-aware constructor also routes top-level
+  * `WITH RECURSIVE … UNION` (distinct) statements through
+  * [[RecursiveSqlBridge]] — the driver-paced fixpoint evaluation of
+  * the one other DuckDB construct Spark cannot run (its native
+  * recursion is UNION ALL-only, and these texts' cyclic walks REQUIRE
+  * distinct-step termination). The bridge fires only on that exact
+  * shape; everything else, including UNION ALL recursion, reaches the
+  * delegate verbatim.
+  *
   * Registered via `GraftExtensions` (`spark.sql.extensions=`
   * `graft.functions.GraftExtensions`); there is no runtime injection
   * route for parsers, so sessions built without the config reject
   * ASOF SQL exactly as stock Spark does. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[org.apache.spark.sql.SparkSession] = None)
+    extends ParserInterface {
+  private def lower(sqlText: String): String = {
+    val t = AsofSqlRewrite(sqlText)
+    session.flatMap(s => RecursiveSqlBridge.maybeBridge(s, t)).getOrElse(t)
+  }
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(AsofSqlRewrite(sqlText))
+    delegate.parsePlan(lower(sqlText))
   // the interface DEFAULT routes through parsePlan and DROPS the
   // parameter context — forward it to the delegate explicitly so
   // parameterized spark.sql(text, args) keeps its binding
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(AsofSqlRewrite(sqlText), ctx)
+    delegate.parsePlanWithParameters(lower(sqlText), ctx)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(AsofSqlRewrite(sqlText))
+    delegate.parseQuery(lower(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -89,7 +104,7 @@ object AsofSqlRewrite {
     cur // unreachable
   }
 
-  private case class Tok(s: String, start: Int, end: Int, word: Boolean)
+  private[plans] case class Tok(s: String, start: Int, end: Int, word: Boolean)
 
   private def eqi(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
 
@@ -316,7 +331,7 @@ object AsofSqlRewrite {
   /** Token stream with comments dropped; string literals and quoted
     * identifiers are single non-word tokens, so keywords and parens
     * inside them can never confuse the scan. */
-  private def tokenize(sql: String): Vector[Tok] = {
+  private[plans] def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     val n = sql.length
     var i = 0

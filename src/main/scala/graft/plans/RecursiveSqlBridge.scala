@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-side iterate-to-fixpoint bridge for `WITH RECURSIVE … UNION`
+  * (DISTINCT) — the last 6 non-portable oracle texts' construct.
+  * Spark 4.1's native recursion is UNION ALL-only, and the reachability
+  * walks these texts run are CYCLIC (`walk` re-reaches every node of a
+  * component from every other), so UNION ALL would enumerate paths
+  * forever: the distinct-step semantics IS the termination argument,
+  * which is why the verdicts adjudicated this grammar-unbridgeable.
+  * The bridge goes around the grammar instead: [[GraftSqlParser]]
+  * detects the shape ahead of the delegate and EVALUATES the recursion
+  * as a driver loop of distributed steps — exactly how any SQL engine
+  * executes linear recursion (seminaive iteration: the working table
+  * holds each round's NEW distinct rows), just paced from the driver:
+  *
+  *  1. parse (token-level) `WITH RECURSIVE <others…>, name(cols) AS
+  *     ( base UNION step ) <final>`; exactly one self-referencing CTE,
+  *     with a column list, whose body splits at ONE depth-0 UNION not
+  *     followed by ALL — anything else passes through untouched (a
+  *     UNION ALL recursion runs on Spark's native path);
+  *  2. acc = distinct(base); frontier = acc; loop until the frontier
+  *     is empty: evaluate step with `name` bound to the FRONTIER (a
+  *     temp view; the other CTEs re-attach verbatim), keep only rows
+  *     not already in acc (`except` — distinct semantics), fold them
+  *     into acc. Each round is one distributed job; rounds = the
+  *     recursion's depth (graph diameter for the component walks).
+  *     Lineage is cut per round (localCheckpoint), the round count is
+  *     bounded by [[MaxRounds]], and the loop fails loudly past it;
+  *  3. park acc in a deterministically-named temp view (name = hash of
+  *     the statement text, so re-running a query reuses its slot —
+  *     bounded leak) and hand the delegate `<WITH others…, name AS
+  *     (SELECT * FROM view)> <final>` — a plain non-recursive
+  *     statement.
+  *
+  * Scale: per-round work is the step query over the frontier — the
+  * same frames a hand-written BFS/label-propagation loop (the engine's
+  * own g4/g6 shape) touches; driver state is one view handle, never
+  * rows. Limits (documented, pass-through when hit): top-level WITH
+  *  RECURSIVE only, single recursive member, linear recursion (the
+  * step sees the previous round's rows — mutual/multi-member recursion
+  * is not attempted), and `name` must appear in FROM/JOIN position
+  * inside its own body to be recognized as recursive. */
+object RecursiveSqlBridge {
+
+  /** Loud upper bound on fixpoint rounds — a recursion that deepens
+    * past this is either divergent under ALL-like semantics (a bug
+    * this bridge exists to avoid) or genuinely deeper than any
+    * workload here; either way stopping beats spinning. */
+  val MaxRounds = 1000
+
+  import AsofSqlRewrite.{Tok, tokenize}
+
+  private case class Cte(name: String, cols: Seq[String],
+    bodyStart: Int, bodyEnd: Int, defStart: Int, defEnd: Int)
+
+  private def eqi(a: String, b: String) = a.equalsIgnoreCase(b)
+
+  /** Evaluate the recursion if `sql` matches the bridged shape; the
+    * returned text is the equivalent NON-recursive statement over the
+    * materialized view. None = not our shape, hand to the delegate. */
+  def maybeBridge(spark: SparkSession, sql: String): Option[String] = {
+    if (!sql.toLowerCase(java.util.Locale.ROOT).contains("recursive"))
+      return None
+    val toks = tokenize(sql)
+    if (toks.length < 3 || !toks(0).word || !eqi(toks(0).s, "WITH") ||
+        !toks(1).word || !eqi(toks(1).s, "RECURSIVE")) return None
+
+    // ---- parse the CTE list ----
+    val ctes = Seq.newBuilder[Cte]
+    var i = 2
+    var restStart = -1
+    var ok = true
+    while (ok && restStart < 0 && i < toks.length) {
+      val defStart = toks(i).start
+      val name =
+        if (toks(i).word) toks(i).s
+        else if (toks(i).s.startsWith("`")) toks(i).s.stripPrefix("`")
+          .stripSuffix("`").replace("``", "`")
+        else { ok = false; "" }
+      i += 1
+      val cols = Seq.newBuilder[String]
+      if (ok && i < toks.length && toks(i).s == "(") {
+        i += 1
+        while (ok && i < toks.length && toks(i).s != ")") {
+          if (toks(i).word) cols += toks(i).s
+          else if (toks(i).s != ",") ok = false
+          i += 1
+        }
+        i += 1 // past )
+      }
+      if (ok && i < toks.length && toks(i).word && eqi(toks(i).s, "AS") &&
+          i + 1 < toks.length && toks(i + 1).s == "(") {
+        i += 2
+        val bodyStart = toks(i - 1).end
+        var d = 0
+        while (i < toks.length && !(d == 0 && toks(i).s == ")")) {
+          if (toks(i).s == "(") d += 1
+          else if (toks(i).s == ")") d -= 1
+          i += 1
+        }
+        if (i >= toks.length) ok = false
+        else {
+          ctes += Cte(name, cols.result(), bodyStart, toks(i).start,
+            defStart, toks(i).end)
+          i += 1 // past )
+          if (i < toks.length && toks(i).s == ",") i += 1
+          else restStart = if (i < toks.length) toks(i).start else sql.length
+        }
+      } else ok = false
+    }
+    if (!ok || restStart < 0) return None
+    val all = ctes.result()
+
+    // ---- find the single recursive member ----
+    def selfRefs(c: Cte): Boolean = {
+      val body = toks.filter(t => t.start >= c.bodyStart && t.end <= c.bodyEnd)
+      body.zipWithIndex.exists { case (t, bi) =>
+        t.word && eqi(t.s, c.name) && bi > 0 && {
+          val p = body(bi - 1)
+          p.word && (eqi(p.s, "FROM") || eqi(p.s, "JOIN"))
+        }
+      }
+    }
+    val (rec, others) = all.partition(selfRefs)
+    if (rec.size != 1 || rec.head.cols.isEmpty) return None
+    val r = rec.head
+
+    // ---- split the body at its depth-0 UNION (must be DISTINCT) ----
+    val body = toks.filter(t => t.start >= r.bodyStart && t.end <= r.bodyEnd)
+    var d = 0
+    var unionAt = -1
+    for ((t, bi) <- body.zipWithIndex if unionAt < 0) {
+      if (t.s == "(") d += 1
+      else if (t.s == ")") d -= 1
+      else if (d == 0 && t.word && eqi(t.s, "UNION")) unionAt = bi
+    }
+    if (unionAt < 0) return None
+    if (unionAt + 1 < body.length && body(unionAt + 1).word &&
+        eqi(body(unionAt + 1).s, "ALL")) return None // native Spark path
+    val baseText = sql.substring(r.bodyStart, body(unionAt).start)
+    val stepText = sql.substring(body(unionAt).end, r.bodyEnd)
+    val finalText = sql.substring(restStart)
+    val othersText = others.map(c => sql.substring(c.defStart, c.defEnd))
+
+    Some(evaluate(spark, sql, r.name, r.cols, othersText, baseText,
+      stepText, finalText))
+  }
+
+  /** Seminaive fixpoint: rounds of `step(frontier) \ acc`. */
+  private def evaluate(spark: SparkSession, statement: String, name: String,
+      cols: Seq[String], others: Seq[String], baseText: String,
+      stepText: String, finalText: String): String = {
+    def withCtes(list: Seq[String]): String =
+      if (list.isEmpty) "" else "WITH " + list.mkString(", ") + " "
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val slot = java.lang.Integer.toHexString(statement.hashCode)
+    val workView = s"__graft_rec_work_$slot"
+    val resView = s"__graft_rec_$slot"
+
+    // Constraint propagation is OFF for the evaluation rounds: these
+    // texts stack a duplicate-alias projection (`SELECT src, src` —
+    // the component walks' seed) and self-joins above a UNION edge
+    // list, and Spark's Union constraint rewrite crashes on that
+    // shape ("key not found: <attr>") — an optimizer-internal
+    // AttributeMap miss, not a semantics issue. The rounds lose only
+    // InferFiltersFromConstraints (irrelevant to these frames); the
+    // conf is restored before the final statement parses, and every
+    // round's result crosses a localCheckpoint barrier anyway (which
+    // also cuts the per-round lineage growth).
+    val ConstraintKey = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(ConstraintKey)
+    spark.conf.set(ConstraintKey, "false")
+    try {
+      var acc = ck(ck(spark.sql(withCtes(others) + baseText))
+        .toDF(cols: _*).distinct())
+      var frontier = acc
+      var rounds = 0
+      while (!frontier.isEmpty) {
+        rounds += 1
+        if (rounds > MaxRounds) throw new IllegalStateException(
+          s"recursive CTE `$name` did not reach a fixpoint in $MaxRounds " +
+            "rounds — aborting the driver-side recursion bridge")
+        frontier.createOrReplaceTempView(workView)
+        val step = ck(spark.sql(withCtes(
+          others :+ s"$name AS (SELECT * FROM $workView)") + stepText))
+        val fresh = ck(step.toDF(cols: _*).distinct().except(acc))
+        if (!fresh.isEmpty) acc = ck(acc.union(fresh))
+        frontier = fresh
+      }
+      spark.catalog.dropTempView(workView)
+      acc.createOrReplaceTempView(resView)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ConstraintKey, v)
+        case None => spark.conf.unset(ConstraintKey)
+      }
+    }
+    withCtes(others :+ s"$name AS (SELECT * FROM $resView)") + finalText
+  }
+}

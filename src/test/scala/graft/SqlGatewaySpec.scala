@@ -142,7 +142,15 @@ class SqlGatewaySpec extends SparkSpec {
     // equi join — all three as-of texts now run verbatim on both
     // engines (AsofJoinRuleSpec pins the lowering and the tie
     // discipline)
-    "e3_asof_join", "e12_asof_twophase", "e15_asof_auto")
+    "e3_asof_join", "e12_asof_twophase", "e15_asof_auto",
+    // round-15: RecursiveSqlBridge evaluates WITH RECURSIVE … UNION
+    // (distinct) as a driver-paced seminaive fixpoint — Spark's
+    // native recursion is UNION ALL-only and these cyclic walks
+    // REQUIRE distinct-step termination, so this was the last
+    // structurally-non-portable construct. The portable set is now
+    // the WHOLE oracle inventory.
+    "dedup_clusters", "dedup_clusters_lsh", "emb_dedup_clusters",
+    "g4_components", "g5_components_inc", "g6_bfs_dists")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle
