@@ -46,10 +46,23 @@ class GraftSqlParser(delegate: ParserInterface,
     delegate.parsePlan(lower(sqlText))
   // the interface DEFAULT routes through parsePlan and DROPS the
   // parameter context — forward it to the delegate explicitly so
-  // parameterized spark.sql(text, args) keeps its binding
+  // parameterized spark.sql(text, args) keeps its binding. The
+  // recursion bridge only fires when NO bindings ride along: its
+  // internal spark.sql calls are parameterless, so a bound :param in
+  // the base/step would read as unbound mid-evaluation — a
+  // parameterized recursive text instead reaches Spark's native path
+  // and fails loudly there (UNION ALL recursion still runs).
   override def parsePlanWithParameters(sqlText: String,
-      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(lower(sqlText), ctx)
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.parser.{NamedParameterContext, PositionalParameterContext}
+    val hasArgs = ctx match {
+      case NamedParameterContext(m) => m.nonEmpty
+      case PositionalParameterContext(s) => s.nonEmpty
+      case _ => true // unknown context shape: be conservative, no bridge
+    }
+    val t = if (hasArgs) AsofSqlRewrite(sqlText) else lower(sqlText)
+    delegate.parsePlanWithParameters(t, ctx)
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(lower(sqlText))
   override def parseExpression(sqlText: String): Expression =
@@ -232,9 +245,12 @@ object AsofSqlRewrite {
     * relation's parens are skipped whole. */
   private def findJoinClose(toks: Vector[Tok], from: Int): JoinClose = {
     def bareJoin(at: Int): Boolean = {
-      // walk back over join modifiers; CROSS/NATURAL head = no ON
+      // walk back over join modifiers (incl. OUTER, which is not in
+      // StopUnlessCall because it is never an ON-condition stopper);
+      // CROSS/NATURAL head = no ON
+      val modifiers = StopUnlessCall + "OUTER"
       var b = at - 1
-      while (b >= 0 && toks(b).word && StopUnlessCall.contains(
+      while (b >= 0 && toks(b).word && modifiers.contains(
           toks(b).s.toUpperCase(java.util.Locale.ROOT))) b -= 1
       !(b >= 0 && toks(b).word && {
         val u = toks(b).s.toUpperCase(java.util.Locale.ROOT)

@@ -41,7 +41,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  RECURSIVE only, single recursive member, linear recursion (the
   * step sees the previous round's rows — mutual/multi-member recursion
   * is not attempted), and `name` must appear in FROM/JOIN position
-  * inside its own body to be recognized as recursive. */
+  * inside its own body to be recognized as recursive.
+  *
+  * EAGERNESS is the accepted price of going around the grammar: the
+  * fixpoint runs inside parsePlan, so `spark.sql(text)` on a bridged
+  * statement executes the recursion even if the returned frame is
+  * never acted on, re-parsing re-runs it, and `EXPLAIN WITH RECURSIVE
+  * …` bypasses the bridge (first token is EXPLAIN) and fails on the
+  * native path. Parameterized statements (`spark.sql(text, args)`)
+  * never bridge — the internal round statements are parameterless, so
+  * bindings could not be honored; they reach Spark's native path and
+  * fail loudly there. These are the documented boundaries of a
+  * construct that was previously rejected outright. */
 object RecursiveSqlBridge {
 
   /** Loud upper bound on fixpoint rounds — a recursion that deepens
@@ -126,6 +137,12 @@ object RecursiveSqlBridge {
     val (rec, others) = all.partition(selfRefs)
     if (rec.size != 1 || rec.head.cols.isEmpty) return None
     val r = rec.head
+    // ORIGINAL positions matter: a CTE declared AFTER the recursive
+    // one may reference it (legal — `…, agg AS (SELECT … FROM walk)`)
+    // and Spark's CTE scoping is lexical, so the final statement must
+    // re-emit the list with walk's REPLACEMENT in walk's own slot,
+    // not appended last
+    val (before, after) = others.partition(_.defStart < r.defStart)
 
     // ---- split the body at its depth-0 UNION (must be DISTINCT) ----
     val body = toks.filter(t => t.start >= r.bodyStart && t.end <= r.bodyEnd)
@@ -142,16 +159,22 @@ object RecursiveSqlBridge {
     val baseText = sql.substring(r.bodyStart, body(unionAt).start)
     val stepText = sql.substring(body(unionAt).end, r.bodyEnd)
     val finalText = sql.substring(restStart)
-    val othersText = others.map(c => sql.substring(c.defStart, c.defEnd))
+    def raw(c: Cte) = sql.substring(c.defStart, c.defEnd)
 
-    Some(evaluate(spark, sql, r.name, r.cols, othersText, baseText,
-      stepText, finalText))
+    Some(evaluate(spark, sql, r.name, r.cols, before.map(raw),
+      after.map(raw), baseText, stepText, finalText))
   }
 
-  /** Seminaive fixpoint: rounds of `step(frontier) \ acc`. */
+  /** Seminaive fixpoint: rounds of `step(frontier) \ acc`. The whole
+    * evaluation is serialized process-wide (this object's monitor):
+    * it temporarily flips a SESSION-level conf, and two interleaved
+    * evaluations restoring each other's override could leave the
+    * session degraded permanently. Bridged statements are rare and
+    * driver-paced by nature, so the serialization costs nothing. */
   private def evaluate(spark: SparkSession, statement: String, name: String,
-      cols: Seq[String], others: Seq[String], baseText: String,
-      stepText: String, finalText: String): String = {
+      cols: Seq[String], before: Seq[String], after: Seq[String],
+      baseText: String, stepText: String,
+      finalText: String): String = this.synchronized {
     def withCtes(list: Seq[String]): String =
       if (list.isEmpty) "" else "WITH " + list.mkString(", ") + " "
     def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
@@ -173,7 +196,10 @@ object RecursiveSqlBridge {
     val prev = spark.conf.getOption(ConstraintKey)
     spark.conf.set(ConstraintKey, "false")
     try {
-      var acc = ck(ck(spark.sql(withCtes(others) + baseText))
+      // lexical scope: base and step can only see CTEs declared
+      // BEFORE the recursive member, so only those attach to the
+      // per-round statements; the ones after re-join in the final
+      var acc = ck(ck(spark.sql(withCtes(before) + baseText))
         .toDF(cols: _*).distinct())
       var frontier = acc
       var rounds = 0
@@ -184,19 +210,23 @@ object RecursiveSqlBridge {
             "rounds — aborting the driver-side recursion bridge")
         frontier.createOrReplaceTempView(workView)
         val step = ck(spark.sql(withCtes(
-          others :+ s"$name AS (SELECT * FROM $workView)") + stepText))
+          before :+ s"$name AS (SELECT * FROM $workView)") + stepText))
         val fresh = ck(step.toDF(cols: _*).distinct().except(acc))
         if (!fresh.isEmpty) acc = ck(acc.union(fresh))
         frontier = fresh
       }
-      spark.catalog.dropTempView(workView)
       acc.createOrReplaceTempView(resView)
     } finally {
+      // the work view must not outlive a FAILED evaluation either
+      try spark.catalog.dropTempView(workView) catch { case _: Throwable => }
       prev match {
         case Some(v) => spark.conf.set(ConstraintKey, v)
         case None => spark.conf.unset(ConstraintKey)
       }
     }
-    withCtes(others :+ s"$name AS (SELECT * FROM $resView)") + finalText
+    // walk's replacement sits in walk's ORIGINAL slot so later CTEs
+    // that reference it still resolve lexically
+    withCtes((before :+ s"$name AS (SELECT * FROM $resView)") ++ after) +
+      finalText
   }
 }

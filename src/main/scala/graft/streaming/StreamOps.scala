@@ -1640,6 +1640,10 @@ object StreamOps {
   def graphIngestBatch(indexPath: String,
       metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
+    // register BEFORE building the normed frame: Dataset construction
+    // analyzes eagerly, so an unregistered graft_dot would throw here
+    // on a session whose first graft call is this entry point
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
     val normed = batch
       .select(col("vec_id").cast("long"),
         col("emb").cast("array<double>").as("emb"))
@@ -1830,6 +1834,21 @@ object StreamOps {
   private val GraphRebuildTables = Seq("supers", "cents", "graph",
     "entries", "members", "graph_delta", "entries_delta")
 
+  /** Per-indexPath monitor serializing the rebuild heal within this
+    * JVM: the heal runs from EVERY reader/ingester touch, and two
+    * concurrent touchers interleaving exists/delete/rename on the
+    * same committed rebuild could each consume half the swap (one
+    * deletes a real table the other just renamed in). All supported
+    * deployments drive a given index from one driver JVM (the
+    * single-maintenance-writer contract compactGraphIndex's swaps
+    * already assume), so a JVM-level lock closes the race where it
+    * can actually occur; cross-process concurrency remains out of
+    * contract, exactly as for the other maintainers' swaps. */
+  private val graphRebuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def graphRebuildLock(indexPath: String): Object =
+    graphRebuildLocks.computeIfAbsent(indexPath, _ => new Object)
+
   /** Roll a COMMITTED graph-quantizer rebuild forward — the heal
     * every graph reader/ingester runs first (healGraph,
     * cachedGraphQuantizer, graphIngestBatch, compactGraphIndex,
@@ -1838,19 +1857,24 @@ object StreamOps {
     * half-swapped index (new quantizer, old graph — or worse, a
     * stale delta whose versions would override fresh base rows).
     *
-    * The `_COMMITTED` manifest (written LAST by the rebuild, after
-    * every staged table landed) lists exactly the staged tables, so
-    * replays can distinguish "staged dir absent because this table's
-    * swap already completed" (skip) from "never staged" (the real
-    * copy describes the REPLACED index — delete it; stale delta
-    * logs die here). Every step is idempotent: per-table delete +
-    * atomic rename, re-runnable from any crash point. A staging root
-    * WITHOUT the manifest is left alone — it is either an active
-    * rebuild mid-staging (readers stay on the intact live tables) or
-    * an abandoned one (the next rebuild clears it); deleting it here
-    * would race a live rebuild's staging writes. */
+    * The `_COMMITTED` manifest (staged to a temp name and RENAMED in
+    * by the rebuild — atomic, so a crash mid-write can never leave a
+    * truncated manifest that reads as "nothing staged") lists exactly
+    * the staged tables, so replays can distinguish "staged dir absent
+    * because this table's swap already completed" (skip) from "never
+    * staged" (the real copy describes the REPLACED index — delete it;
+    * stale delta logs die here). Every step is idempotent: per-table
+    * delete + atomic rename, re-runnable from any crash point, and
+    * serialized per index within the JVM (see [[graphRebuildLock]]).
+    * Belt-and-braces: an empty manifest is rejected loudly rather
+    * than interpreted (a real one always lists at least the five
+    * core tables). A staging root WITHOUT the manifest is left
+    * alone — it is either an active rebuild mid-staging (readers
+    * stay on the intact live tables) or an abandoned one (the next
+    * rebuild clears it); deleting it here would race a live
+    * rebuild's staging writes. */
   private[graft] def recoverGraphRebuild(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): Unit = {
+      indexPath: String): Unit = graphRebuildLock(indexPath).synchronized {
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
     if (!fs.exists(root)) return
     val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
@@ -1861,6 +1885,9 @@ object StreamOps {
       finally in.close()
       new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
     }
+    if (staged.isEmpty) throw new java.io.IOException(
+      s"graph rebuild manifest $committed is empty — refusing to roll " +
+        "forward (a valid commit always stages the five core tables)")
     GraphRebuildTables.foreach { t =>
       val s = new org.apache.hadoop.fs.Path(root, t)
       val real = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
@@ -1992,12 +2019,20 @@ object StreamOps {
       rounds += 1
     }
 
-    // 3. COMMIT — manifest last, then the shared idempotent heal
+    // 3. COMMIT — manifest written to a temp name and RENAMED in
+    // (atomic: a crash mid-write leaves only the unrecognized temp,
+    // never a truncated manifest the heal would misread as "nothing
+    // staged" and delete the live index over), then the shared
+    // idempotent heal completes the swap
     val stagedTables = GraphRebuildTables.filter(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t")))
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true)
+    val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_COMMITTED__tmp")
+    val out = fs.create(tmp, true)
     try out.write(stagedTables.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, committed)) throw new java.io.IOException(
+      s"graph rebuild: could not move the commit manifest $tmp into place")
     recoverGraphRebuild(fs, indexPath)
   }
 

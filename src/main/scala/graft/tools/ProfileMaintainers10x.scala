@@ -81,7 +81,8 @@ object ProfileMaintainers10x {
       probe("x5")
       println("[maint10x] hll       compact  (mid-curve LSM fold)")
       StreamOps.compactHllIndex(spark, idx)
-      (1 to 3).foreach { _ =>
+      // 4 more seeds so the x10 probe is the 10th applied batch
+      (1 to 4).foreach { _ =>
         bid += 1; StreamOps.hllIngestBatch(idx, metricsEvery = 0)(orders, bid) }
       val x10 = probe("x10")
       check("hll", x1, x10)
@@ -111,7 +112,7 @@ object ProfileMaintainers10x {
       probe("x5")
       println("[maint10x] hll_group compact  (mid-curve LSM fold)")
       StreamOps.compactHllIndex(spark, idx)
-      (1 to 3).foreach { _ => bid += 1
+      (1 to 4).foreach { _ => bid += 1
         StreamOps.hllGroupIngestBatch(idx, "event_type", "user_id",
           metricsEvery = 0)(events, bid) }
       val x10 = probe("x10")
@@ -144,7 +145,7 @@ object ProfileMaintainers10x {
       probe("x5")
       println("[maint10x] zorder    compact  (mid-curve OPTIMIZE)")
       StreamOps.compactZorder(spark, tbl, "l_partkey", "l_suppkey", 16)
-      (1 to 3).foreach { _ => bid += 1
+      (1 to 4).foreach { _ => bid += 1
         StreamOps.zorderIngestBatch(tbl, "l_partkey", "l_suppkey",
           metricsEvery = 0)(li, bid) }
       val x10 = probe("x10")

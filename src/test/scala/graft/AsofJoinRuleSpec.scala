@@ -91,6 +91,12 @@ class AsofJoinRuleSpec extends SparkSpec {
     assert(AsofSqlRewrite(cross).replaceAll("\\s+", " ")
       .contains("JOIN ( b CROSS JOIN c ) ON graft_asof_marker("),
       s"CROSS JOIN shifted the ON match: ${AsofSqlRewrite(cross)}")
+    // …including with the full modifier stack (OUTER must be walked
+    // back over to see the NATURAL head)
+    val natOuter = "SELECT * FROM a ASOF JOIN b NATURAL LEFT OUTER JOIN c ON a.k = b.k AND a.t >= b.t"
+    assert(AsofSqlRewrite(natOuter).replaceAll("\\s+", " ")
+      .contains("JOIN ( b NATURAL LEFT OUTER JOIN c ) ON graft_asof_marker("),
+      s"NATURAL LEFT OUTER JOIN miscounted as ON-taking: ${AsofSqlRewrite(natOuter)}")
     // USING parks the column list as string literals for the
     // analysis-time lowering (bare names would be ambiguous in ON)
     val using = "SELECT * FROM a ASOF JOIN b USING (k, t) WHERE x > 0"

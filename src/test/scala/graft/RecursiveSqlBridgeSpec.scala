@@ -86,6 +86,38 @@ class RecursiveSqlBridgeSpec extends SparkSpec {
          SELECT * FROM r""")) == Set("1", "2", "3"))
   }
 
+  test("a CTE declared AFTER the recursive member that references it " +
+      "keeps its lexical slot in the final statement") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L)).toDF("s", "d")
+      .createOrReplaceTempView("postedges")
+    val got = rows(spark.sql(
+      """WITH RECURSIVE
+         e AS (SELECT s AS src, d AS dst FROM postedges
+               UNION SELECT d, s FROM postedges),
+         walk(id, lbl) AS (
+               SELECT src, src FROM e
+               UNION
+               SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id),
+         agg AS (SELECT id, min(lbl) AS comp FROM walk GROUP BY id)
+         SELECT * FROM agg"""))
+    assert(got == Set("1|1", "2|1", "5|5", "6|5"),
+      s"post-recursive CTE mis-scoped: $got")
+  }
+
+  test("parameterized statements never bridge: bindings would be lost " +
+      "mid-evaluation, so they fail loudly on the native path") {
+    val e = intercept[Exception](spark.sql(
+      """WITH RECURSIVE r(n) AS (SELECT 1 UNION SELECT n + 1 FROM r WHERE n < :cap)
+         SELECT * FROM r""", Map("cap" -> 3)).collect())
+    // Spark's native recursion rejects UNION-distinct (or the unbound
+    // construct) — EITHER way the failure is loud, never a silently
+    // unbound parameter inside the bridge's internal statements
+    assert(e != null)
+    // and a parameterized NON-recursive statement still binds fine
+    assert(spark.sql("SELECT :x AS v", Map("x" -> 7)).collect()(0).getInt(0) == 7)
+  }
+
   test("acyclic UNION-distinct recursion agrees with the equivalent " +
       "UNION ALL native run") {
     import spark.implicits._

@@ -541,6 +541,20 @@ class StreamOpsSpec extends SparkSpec {
     // C3 replay of the heal is a no-op
     StreamOps.recoverGraphRebuild(fs, idx)
     assert(state(idx) == stagedState)
+    // C4 a truncated/empty manifest (crash inside a NON-atomic write —
+    // which the tmp+rename commit makes unreachable, but belt and
+    // braces) is refused loudly instead of read as "nothing staged"
+    // and deleting the live index
+    fs.mkdirs(root)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true).close()
+    val boom = intercept[java.io.IOException](
+      StreamOps.recoverGraphRebuild(fs, idx))
+    assert(boom.getMessage.contains("empty"), s"wrong refusal: $boom")
+    // EVERY reader refuses too (loud-until-fixed, by design); after
+    // clearing the corrupt root the live index is untouched
+    intercept[java.io.IOException](state(idx))
+    fs.delete(root, true)
+    assert(state(idx) == stagedState, "empty-manifest heal touched the index")
     extras.unpersist(); late.unpersist()
   }
 
