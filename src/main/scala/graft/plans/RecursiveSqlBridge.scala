@@ -212,7 +212,12 @@ object RecursiveSqlBridge {
         val step = ck(spark.sql(withCtes(
           before :+ s"$name AS (SELECT * FROM $workView)") + stepText))
         val fresh = ck(step.toDF(cols: _*).distinct().except(acc))
-        if (!fresh.isEmpty) acc = ck(acc.union(fresh))
+        // acc accumulates as a SHALLOW union of checkpointed legs
+        // (the searchGraphBatch pattern): each leg is materialized
+        // once, so a D-round recursion costs Σ|leg| extra — NOT the
+        // O(D·|acc|) a per-round re-checkpoint of the whole
+        // accumulation would pay
+        if (!fresh.isEmpty) acc = acc.union(fresh)
         frontier = fresh
       }
       acc.createOrReplaceTempView(resView)

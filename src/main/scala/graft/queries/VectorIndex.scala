@@ -88,6 +88,13 @@ object VectorIndex {
 
   private[graft] def cachedCentroids(spark: SparkSession,
       indexPath: String): Seq[Seq[Double]] = {
+    // committed-rebuild roll-forward BEFORE the signature read (the
+    // cachedGraphQuantizer discipline): the quantizer must never be
+    // the pre-rebuild one while a later heal swaps in post-rebuild
+    // tables
+    graft.streaming.StreamOps.recoverStagedRebuild(
+      new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath)
     val sig = centsSignature(spark, indexPath)
     centroidCache.compute(indexPath, (_, cur) =>
       if (cur != null && cur._1 == sig) cur
@@ -114,7 +121,7 @@ object VectorIndex {
     // committed-rebuild roll-forward BEFORE the signature read: the
     // quantizer must never be the pre-rebuild one while the tables a
     // later heal swaps in are post-rebuild
-    graft.streaming.StreamOps.recoverGraphRebuild(
+    graft.streaming.StreamOps.recoverStagedRebuild(
       new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration), indexPath)
     val sig = centsSignature(spark, indexPath)
@@ -178,13 +185,13 @@ object VectorIndex {
 
   /** Heal interrupted compaction swaps on every graph-index table the
     * serve reads — the graph twin of healCells. Rolls a COMMITTED
-    * quantizer rebuild forward first (recoverGraphRebuild): a crash
+    * quantizer rebuild forward first (recoverStagedRebuild): a crash
     * inside the rebuild's table-swap sequence must never leave a
     * reader on a half-swapped index (new quantizer, old graph). */
   private def healGraph(spark: SparkSession, indexPath: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.streaming.StreamOps.recoverGraphRebuild(fs, indexPath)
+    graft.streaming.StreamOps.recoverStagedRebuild(fs, indexPath)
     Seq("graph", "entries", "members").foreach { sub =>
       graft.streaming.StreamOps.recoverCompaction(fs,
         new org.apache.hadoop.fs.Path(s"$indexPath/$sub")) }
@@ -268,8 +275,11 @@ object VectorIndex {
     * recreate would silently answer from a nearly-empty index. */
   private def healCells(spark: SparkSession, indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
-    graft.streaming.StreamOps.recoverCompaction(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed-rebuild roll-forward first (rebuildIvfIndex's
+    // contract, same as healGraph's)
+    graft.streaming.StreamOps.recoverStagedRebuild(fs, indexPath)
+    graft.streaming.StreamOps.recoverCompaction(fs, p)
   }
 
   /** The stored quantizer, reassembled. */
@@ -375,6 +385,18 @@ object VectorIndex {
       maxTrain: Int = 4096): Unit = {
     val emb = VectorQueries.embNormed(spark, dir).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainAndWriteIvf(spark, emb, indexPath, k, lloydRounds, trainMod, maxTrain)
+    emb.unpersist(false)
+  }
+
+  /** The quantizer-training + table-writing core of [[buildIvf]],
+    * over an already-NORMALIZED (vec_id, emb) frame — split out so
+    * the staged rebuild operator (StreamOps.rebuildIvfIndex) can
+    * retrain over the maintained cells roster with bit-identical
+    * sampling (the trainAndWriteGraph precedent). */
+  private[graft] def trainAndWriteIvf(spark: SparkSession, emb: DataFrame,
+      indexPath: String, k: Int = 16, lloydRounds: Int = 4,
+      trainMod: Int = 1, maxTrain: Int = 4096): Unit = {
     val sample: Array[Array[Double]] = emb
       .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
       .orderBy(col("vec_id")).limit(maxTrain)
@@ -397,10 +419,18 @@ object VectorIndex {
     // compares accumulated adds against. Computed from the WRITTEN
     // cells (one extra index scan at build; self-describing — the
     // stats always match what is on disk, not what was about to be).
-    cellStatsOf(spark.read.parquet(s"$indexPath/cells"), cents)
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
-    emb.unpersist(false)
+    writeIvfStats(spark, indexPath)
   }
+
+  /** Recompute and persist the `stats` reference from the CURRENT
+    * cells table — shared by the build and by the staged rebuild's
+    * post-catch-up refresh (the reference must describe the cells the
+    * swap lands, catch-up rows included, or ivfStaleness would read a
+    * phantom drift immediately after its own remedy). */
+  private[graft] def writeIvfStats(spark: SparkSession, indexPath: String): Unit =
+    cellStatsOf(spark.read.parquet(s"$indexPath/cells"),
+        cachedCentroids(spark, indexPath))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
 
   /** Quantization summary of a cells-shaped frame: row count, exact
     * decimal sum of the per-row 4dp-rounded max-dot (the assigned

@@ -1571,6 +1571,7 @@ object StreamOps {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
     val fs = p.getFileSystem(hconf)
+    recoverStagedRebuild(fs, indexPath)
     recoverCompaction(fs, p)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cells__compact")
@@ -1786,7 +1787,7 @@ object StreamOps {
     val VI = graft.queries.VectorIndex
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
-    recoverGraphRebuild(fs, indexPath)
+    recoverStagedRebuild(fs, indexPath)
     def swapIn(sub: String, write: String => Unit): Unit = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)
@@ -1826,13 +1827,18 @@ object StreamOps {
       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
   }
 
-  /** Staging root of [[rebuildGraphIndex]] — a full graph-index
-    * layout nested under the live one (underscore prefix: invisible
-    * to every parquet read of the real tables). */
+  /** Staging root of the staged index rebuilds ([[rebuildGraphIndex]],
+    * [[rebuildIvfIndex]]) — a full index layout nested under the live
+    * one (underscore prefix: invisible to every parquet read of the
+    * real tables). One name serves every family: a root is only ever
+    * ONE kind of index, and the commit manifest carries the family's
+    * table list explicitly. */
   private[graft] val GraphRebuildDir = "_graft_rebuild"
-  /** Every table a rebuild can replace, in swap order. */
+  /** Every table a graph rebuild can replace, in swap order. */
   private val GraphRebuildTables = Seq("supers", "cents", "graph",
     "entries", "members", "graph_delta", "entries_delta")
+  /** Every table an IVF rebuild can replace, in swap order. */
+  private val IvfRebuildTables = Seq("cents", "cells", "stats")
 
   /** Per-indexPath monitor serializing the rebuild heal within this
     * JVM: the heal runs from EVERY reader/ingester touch, and two
@@ -1849,53 +1855,60 @@ object StreamOps {
   private def graphRebuildLock(indexPath: String): Object =
     graphRebuildLocks.computeIfAbsent(indexPath, _ => new Object)
 
-  /** Roll a COMMITTED graph-quantizer rebuild forward — the heal
-    * every graph reader/ingester runs first (healGraph,
-    * cachedGraphQuantizer, graphIngestBatch, compactGraphIndex,
-    * graphIndexHealth), so a crash anywhere inside the table-swap
-    * sequence finishes on the next touch instead of leaving a
-    * half-swapped index (new quantizer, old graph — or worse, a
-    * stale delta whose versions would override fresh base rows).
+  /** Roll a COMMITTED staged index rebuild forward — the heal every
+    * reader/ingester of a rebuildable index runs first (graph:
+    * healGraph, cachedGraphQuantizer, graphIngestBatch,
+    * compactGraphIndex, graphIndexHealth; IVF: healCells,
+    * cachedCentroids, ivfIngestBatch, compactIvfIndex), so a crash
+    * anywhere inside the table-swap sequence finishes on the next
+    * touch instead of leaving a half-swapped index (new quantizer,
+    * old rows — or worse, a stale delta whose versions would
+    * override fresh base rows).
     *
     * The `_COMMITTED` manifest (staged to a temp name and RENAMED in
     * by the rebuild — atomic, so a crash mid-write can never leave a
-    * truncated manifest that reads as "nothing staged") lists exactly
-    * the staged tables, so replays can distinguish "staged dir absent
-    * because this table's swap already completed" (skip) from "never
-    * staged" (the real copy describes the REPLACED index — delete it;
-    * stale delta logs die here). Every step is idempotent: per-table
-    * delete + atomic rename, re-runnable from any crash point, and
-    * serialized per index within the JVM (see [[graphRebuildLock]]).
-    * Belt-and-braces: an empty manifest is rejected loudly rather
-    * than interpreted (a real one always lists at least the five
-    * core tables). A staging root WITHOUT the manifest is left
+    * truncated manifest that reads as "nothing staged") carries one
+    * action per line — `swap:<table>` (staged copy replaces the
+    * real; absence of the staged dir means this table's swap already
+    * completed on a previous heal — skip) or `drop:<table>` (the
+    * real copy describes the REPLACED index — delete it; stale delta
+    * logs die here) — so the heal is family-agnostic: the committing
+    * rebuild decides the table list, the heal just replays it. Every
+    * step is idempotent: per-table delete + atomic rename,
+    * re-runnable from any crash point, and serialized per index
+    * within the JVM (see [[graphRebuildLock]]). Belt-and-braces: an
+    * empty or unparseable manifest is rejected loudly rather than
+    * interpreted. A staging root WITHOUT the manifest is left
     * alone — it is either an active rebuild mid-staging (readers
     * stay on the intact live tables) or an abandoned one (the next
     * rebuild clears it); deleting it here would race a live
     * rebuild's staging writes. */
-  private[graft] def recoverGraphRebuild(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverStagedRebuild(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Unit = graphRebuildLock(indexPath).synchronized {
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
     if (!fs.exists(root)) return
     val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
     if (!fs.exists(committed)) return
-    val staged = {
+    val lines = {
       val in = fs.open(committed)
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
       finally in.close()
-      new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     }
-    if (staged.isEmpty) throw new java.io.IOException(
-      s"graph rebuild manifest $committed is empty — refusing to roll " +
-        "forward (a valid commit always stages the five core tables)")
-    GraphRebuildTables.foreach { t =>
+    if (lines.isEmpty || !lines.forall(l =>
+        l.startsWith("swap:") || l.startsWith("drop:")))
+      throw new java.io.IOException(
+        s"staged-rebuild manifest $committed is empty or malformed — " +
+          "refusing to roll forward (expected swap:/drop: lines)")
+    lines.foreach { line =>
+      val t = line.substring(5)
       val s = new org.apache.hadoop.fs.Path(root, t)
       val real = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
-      if (staged.contains(t)) {
+      if (line.startsWith("swap:")) {
         if (fs.exists(s)) {
           if (fs.exists(real)) fs.delete(real, true)
           if (!fs.rename(s, real)) throw new java.io.IOException(
-            s"graph rebuild roll-forward: could not move $s into $real")
+            s"staged-rebuild roll-forward: could not move $s into $real")
         }
       } else if (fs.exists(real)) {
         fs.delete(real, true)
@@ -1903,6 +1916,25 @@ object StreamOps {
     }
     fs.delete(root, true)
     graft.queries.VectorIndex.invalidateCentroids(indexPath)
+  }
+
+  /** Commit a staged rebuild: write the action manifest atomically
+    * (temp name + rename) and run the shared idempotent heal. */
+  private def commitStagedRebuild(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, root: org.apache.hadoop.fs.Path,
+      tables: Seq[String]): Unit = {
+    val actions = tables.map { t =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t"))) s"swap:$t"
+      else s"drop:$t"
+    }
+    val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_COMMITTED__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(actions.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, committed)) throw new java.io.IOException(
+      s"staged rebuild: could not move the commit manifest $tmp into place")
+    recoverStagedRebuild(fs, indexPath)
   }
 
   /** Rebuild the graph-ANN index's two-level quantizer over the
@@ -1935,7 +1967,7 @@ object StreamOps {
     *     holds still within `maxCatchUp` rounds fails loudly with
     *     the pause-the-ingest instruction rather than spinning.
     *  3. COMMIT: write the `_COMMITTED` manifest (the staged table
-    *     list) and run [[recoverGraphRebuild]] — per-table
+    *     list) and run [[recoverStagedRebuild]] — per-table
     *     delete + atomic rename, idempotent from any crash point,
     *     finished by whichever reader/ingester touches the index
     *     next if this process dies mid-swap. Stale delta logs die
@@ -1975,7 +2007,7 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // finish any committed predecessor, clear any abandoned staging
-    recoverGraphRebuild(fs, indexPath)
+    recoverStagedRebuild(fs, indexPath)
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
     if (fs.exists(root)) fs.delete(root, true)
     Seq("graph", "entries", "members").foreach(sub =>
@@ -2019,21 +2051,104 @@ object StreamOps {
       rounds += 1
     }
 
-    // 3. COMMIT — manifest written to a temp name and RENAMED in
-    // (atomic: a crash mid-write leaves only the unrecognized temp,
-    // never a truncated manifest the heal would misread as "nothing
-    // staged" and delete the live index over), then the shared
-    // idempotent heal completes the swap
-    val stagedTables = GraphRebuildTables.filter(t =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t")))
-    val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
-    val tmp = new org.apache.hadoop.fs.Path(root, "_COMMITTED__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(stagedTables.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, committed)) throw new java.io.IOException(
-      s"graph rebuild: could not move the commit manifest $tmp into place")
-    recoverGraphRebuild(fs, indexPath)
+    // 3. COMMIT — the shared atomic manifest + idempotent heal
+    commitStagedRebuild(fs, indexPath, root, GraphRebuildTables)
+  }
+
+  /** The IVF twin of [[rebuildGraphIndex]]: retrain the coarse
+    * quantizer over the CURRENT cells roster and re-assign every
+    * vector under it, staged + atomically committed — the ACT side
+    * of `ivfStaleness`'s rebuild flag (which rides the ingest path's
+    * metrics log). Until now acting on the flag meant an in-place
+    * `buildIvf` re-run that (a) needs the ORIGINAL corpus directory
+    * and (b) overwrites cents and cells non-atomically — a crash
+    * between the two leaves a new quantizer over old assignments.
+    * Same three phases as the graph rebuild (stage from the roster /
+    * catch up batches that landed during staging through the
+    * maintainer's own assignment / commit via the shared manifest +
+    * heal), same single-maintenance-writer discipline, and the
+    * `stats` staleness reference is recomputed over the FINAL staged
+    * cells (catch-up included) so the audit reads clean immediately
+    * after its own remedy.
+    *
+    * `k` = 0 (default) keeps the CURRENT centroid count — the common
+    * re-center-on-drift case, and the setting under which a rebuild
+    * with no interleaved ingest is bit-identical to a fresh
+    * `buildIvf` over the same vectors (spec-pinned); pass an explicit
+    * k to re-size the codebook for a grown corpus (the flat
+    * quantizer scores all k per probe, so scale k like any IVF:
+    * ~√n-to-n/500 by serving budget). */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int = 0, lloydRounds: Int = 4,
+      trainMod: Int = 1, maxTrain: Int = 4096): Unit =
+    rebuildIvfIndexStaged(spark, indexPath, k, lloydRounds, trainMod,
+      maxTrain)(() => ())
+
+  /** [[rebuildIvfIndex]] with the spec's post-staging hook. */
+  private[graft] def rebuildIvfIndexStaged(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      k: Int = 0, lloydRounds: Int = 4, trainMod: Int = 1,
+      maxTrain: Int = 4096, maxCatchUp: Int = 8)(
+      afterStaging: () => Unit): Unit = {
+    val VI = graft.queries.VectorIndex
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStagedRebuild(fs, indexPath)
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
+    if (fs.exists(root)) fs.delete(root, true)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
+
+    def markerSet(): Set[String] = {
+      val mp = new org.apache.hadoop.fs.Path(s"$indexPath/$IvfMarkersDir")
+      if (!fs.exists(mp)) Set.empty
+      else fs.listStatus(mp).map(_.getPath.getName).toSet
+    }
+    // crash-window replays can duplicate rows — the roster dedups by
+    // vec_id exactly as compaction would
+    def roster(): DataFrame = spark.read.parquet(s"$indexPath/cells")
+      .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
+
+    // 1. STAGE
+    var seen = markerSet()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val r0 = roster().persist(lvl)
+    val kEff = if (k > 0) k
+      else VI.cachedCentroids(spark, indexPath).length
+    VI.trainAndWriteIvf(spark, r0, root.toString, kEff, lloydRounds,
+      trainMod, maxTrain)
+    r0.unpersist(false)
+    afterStaging()
+
+    // 2. CATCH UP — assign the missed vectors under the NEW quantizer
+    // (the maintainer's own nearestCellExpr) and append to the staged
+    // cells; rows are read back from the live roster already
+    // normalized, so no re-normalization bit-drift
+    var rounds = 0
+    var cur = markerSet()
+    var caughtUp = false
+    while (cur != seen) {
+      if (rounds >= maxCatchUp) throw new IllegalStateException(
+        s"IVF rebuild at $indexPath could not catch up with concurrent " +
+          s"ingest after $maxCatchUp rounds — pause the ingest and re-run")
+      val missed = roster().join(
+        spark.read.parquet(s"$root/cells").select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      val cents = VI.cachedCentroids(spark, root.toString)
+      missed
+        .withColumn("cell", VI.nearestCellExpr(cents, col("emb")))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+      caughtUp = true
+      seen = cur
+      cur = markerSet()
+      rounds += 1
+    }
+    // the staleness reference must describe the FINAL staged cells —
+    // with no catch-up the build already wrote it from exactly these
+    if (caughtUp) VI.writeIvfStats(spark, root.toString)
+
+    // 3. COMMIT
+    commitStagedRebuild(fs, indexPath, root, IvfRebuildTables)
   }
 
   /** Health row of the graph-ANN index — the audit the round-13
@@ -2067,7 +2182,7 @@ object StreamOps {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverGraphRebuild(fs, indexPath)
+    recoverStagedRebuild(fs, indexPath)
     def existing(sub: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)

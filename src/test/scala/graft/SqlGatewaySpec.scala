@@ -176,6 +176,13 @@ class SqlGatewaySpec extends SparkSpec {
     assert(portable == VerbatimPortable,
       s"portable set drifted: gained=${(portable -- VerbatimPortable).toSeq.sorted} " +
         s"lost=${(VerbatimPortable -- portable).toSeq.sorted}")
+    // round-15 TOTALITY pin: the portable set IS the whole oracle
+    // inventory. A future query whose oracle text cannot run through
+    // spark.sql fails HERE first — either make it portable or
+    // consciously re-open this boundary with a documented reason.
+    assert(VerbatimPortable == SparkEntry.oracleSql.keySet,
+      "the SQL door is supposed to be total: " +
+        s"${(SparkEntry.oracleSql.keySet -- VerbatimPortable).toSeq.sorted}")
     // every runnable-but-not-portable entry must be a KNOWN dialect
     // trap — silent divergence is worse than a parse failure
     assert(runnable -- portable == KnownDivergent,

@@ -418,6 +418,101 @@ class StreamOpsSpec extends SparkSpec {
       s"compaction should fold the delta away: $h2")
   }
 
+  test("rebuildIvfIndex: roster retrain equals a fresh one-shot build; " +
+      "the staleness flag clears after its own remedy; catch-up folds " +
+      "ingest-during-staging") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivf-rb").toString
+    VectorIndex.buildIvf(spark, dir, idx)
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+        col("embedding").as("emb"))
+      .limit(90).cache()
+    val parts = (0 until 2).map(i => extras.filter(pmod(col("vec_id"), lit(2)) === i))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      StreamOps.ivfIngestBatch(idx)(p, (i + 1).toLong).count() }
+
+    def cellsState(p: String) = spark.read.parquet(s"$p/cells")
+      .collect().map(_.toString).sorted.toSeq
+    def centsState(p: String) = VectorIndex.cachedCentroids(spark, p)
+    def served(p: String) = {
+      val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      VectorIndex.searchIvf(spark, p, queries).collect()
+        .map(_.toString).sorted.toSeq
+    }
+
+    // ---- A: rebuild over the accumulated roster == a FRESH one-shot
+    // build over the same vectors (k defaults to the current count,
+    // sampling discipline shared via trainAndWriteIvf)
+    StreamOps.rebuildIvfIndex(spark, idx)
+    val refCorpus = java.nio.file.Files.createTempDirectory("ivf-rb-corpus").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(extras.select(col("vec_id"), col("label"),
+        col("emb").as("embedding")))
+      .write.parquet(s"$refCorpus/embeddings.parquet")
+    val ref = java.nio.file.Files.createTempDirectory("ivf-rb-ref").toString
+    VectorIndex.buildIvf(spark, refCorpus, ref)
+    assert(centsState(idx) == centsState(ref),
+      "rebuilt quantizer diverges from the fresh build's")
+    assert(cellsState(idx) == cellsState(ref),
+      "rebuilt cell assignments diverge from the fresh build's")
+    assert(served(idx) == served(ref), "serving diverges after rebuild")
+
+    // ---- B: genuine drift trips the staleness flag; the rebuild is
+    // its remedy and the flag clears because the stats reference now
+    // describes the rebuilt cells
+    val drifted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("emb"))
+      .limit(300).cache()
+    StreamOps.ivfIngestBatch(idx)(drifted, 3L).count()
+    val flagged = VectorIndex.ivfStaleness(spark, idx).collect()(0)
+    assert(flagged.getAs[Boolean]("rebuild"),
+      s"negated vectors should trip the staleness flag: $flagged")
+    StreamOps.rebuildIvfIndex(spark, idx)
+    val cleared = VectorIndex.ivfStaleness(spark, idx).collect()(0)
+    assert(!cleared.getAs[Boolean]("rebuild"),
+      s"the flag must clear after its own remedy: $cleared")
+    val selfQ = drifted.filter(col("vec_id") === 20001L)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val top = VectorIndex.searchIvf(spark, idx, selfQ).collect()
+      .minBy(_.getLong(1))
+    assert(top.getLong(2) == 20001L && top.getDouble(3) == 1.0,
+      s"drifted vector does not serve itself at 1.0 after rebuild: $top")
+
+    // ---- C: a batch lands between staging and commit — caught up
+    // under the NEW quantizer, marker ledger preserved, replay no-op
+    val late = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 30000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(20).cache()
+    StreamOps.rebuildIvfIndexStaged(spark, idx)(() => {
+      StreamOps.ivfIngestBatch(idx)(late, 4L).count(); () })
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/${StreamOps.GraphRebuildDir}")), "staging root survived the commit")
+    val lateQ = late.filter(col("vec_id") === 30003L)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    // 30003 is a re-keyed COPY of vec_id 3, so both serve at 1.0 and
+    // the rank tie-break may prefer the original — the pin is that
+    // the caught-up copy SERVES at 1.0 at all
+    val lateHits = VectorIndex.searchIvf(spark, idx, lateQ).collect()
+    assert(lateHits.exists(r => r.getLong(2) == 30003L && r.getDouble(3) == 1.0),
+      s"ingested-during-staging vector lost by the IVF rebuild: " +
+        s"${lateHits.map(_.toString).mkString(", ")}")
+    val n = spark.read.parquet(s"$idx/cells").count()
+    StreamOps.ivfIngestBatch(idx)(late, 4L).count()
+    assert(spark.read.parquet(s"$idx/cells").count() == n,
+      "replay of the caught-up batch re-appended after the rebuild")
+    StreamOps.recoverStagedRebuild(fs, idx) // heal replay: no-op
+    assert(spark.read.parquet(s"$idx/cells").count() == n)
+    extras.unpersist(); drifted.unpersist(); late.unpersist()
+  }
+
   test("rebuildGraphIndex: roster retrain equals a fresh one-shot build; " +
       "catch-up folds ingest-during-staging; commit heals from any crash point") {
     import graft.queries.VectorIndex
@@ -530,16 +625,17 @@ class StreamOpsSpec extends SparkSpec {
     // over the (complete) abandoned staging — the next reader touch
     // must roll the swap forward to exactly the staged state
     val stagedState = canon(VectorIndex.resolvedGraph(spark, root.toString))
-    val stagedTables = Seq("supers", "cents", "graph", "entries", "members")
+    val manifest = Seq("supers", "cents", "graph", "entries", "members")
       .filter(t => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t")))
+      .map("swap:" + _) ++ Seq("drop:graph_delta", "drop:entries_delta")
     val outS = fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true)
-    outS.write(stagedTables.mkString("\n").getBytes("UTF-8")); outS.close()
+    outS.write(manifest.mkString("\n").getBytes("UTF-8")); outS.close()
     val healedState = state(idx) // resolvedGraph heals first
     assert(!fs.exists(root), "roll-forward should consume the staging root")
     assert(healedState == stagedState,
       "healed index is not the staged index")
     // C3 replay of the heal is a no-op
-    StreamOps.recoverGraphRebuild(fs, idx)
+    StreamOps.recoverStagedRebuild(fs, idx)
     assert(state(idx) == stagedState)
     // C4 a truncated/empty manifest (crash inside a NON-atomic write —
     // which the tmp+rename commit makes unreachable, but belt and
@@ -548,7 +644,7 @@ class StreamOpsSpec extends SparkSpec {
     fs.mkdirs(root)
     fs.create(new org.apache.hadoop.fs.Path(root, "_COMMITTED"), true).close()
     val boom = intercept[java.io.IOException](
-      StreamOps.recoverGraphRebuild(fs, idx))
+      StreamOps.recoverStagedRebuild(fs, idx))
     assert(boom.getMessage.contains("empty"), s"wrong refusal: $boom")
     // EVERY reader refuses too (loud-until-fixed, by design); after
     // clearing the corrupt root the live index is untouched
