@@ -1024,16 +1024,21 @@ object VectorIndex {
     * once at original build/ingest time; re-normalizing would move
     * last-ulp bits and break the rebuild-equals-fresh-build
     * equality). */
+  /** The adaptive cell count a build over `n` vectors trains —
+    * bounded only by the trainable ceiling (the pair frame stays
+    * linear at ANY n because cell SIZE is bounded via attachShards,
+    * and the assignment scan stays linear because the quantizer is
+    * two-level; see [[MaxGraphCells]]). Shared with the maintenance
+    * policy so rebuild-WHEN compares against exactly what a rebuild
+    * WOULD train. */
+  private[graft] def graphCellsTarget(n: Long): Int = math.max(16,
+    math.min(MaxGraphCells.toLong, n / GraphCellTarget + 1).toInt)
+
   private[graft] def trainAndWriteGraph(spark: SparkSession, emb: DataFrame,
       indexPath: String, degree: Int = GraphDegree, lloydRounds: Int = 4,
       maxTrain: Int = 4096): Unit = {
     val n = emb.count()
-    // adaptive cell count, bounded only by the trainable ceiling —
-    // the pair frame stays linear at ANY n because cell SIZE is
-    // bounded (attachShards), and the assignment scan stays linear
-    // because the quantizer is two-level (see MaxGraphCells)
-    val cellsTarget = math.max(16,
-      math.min(MaxGraphCells.toLong, n / GraphCellTarget + 1).toInt)
+    val cellsTarget = graphCellsTarget(n)
     // 8 sample rows per cell, capped with the cell count — the
     // collect is bounded (≤ 8×2^16 rows) regardless of the corpus
     val sampleN = math.max(maxTrain, 8 * cellsTarget)

@@ -2151,6 +2151,102 @@ object StreamOps {
     commitStagedRebuild(fs, indexPath, root, IvfRebuildTables)
   }
 
+  // ------------------------------------------------------------------
+  // Index maintenance policy (the closed loop: audit → decide → act)
+  // ------------------------------------------------------------------
+
+  /** WHAT a graph table service should do given the audit row — PURE,
+    * so the spec pins the decision table without paying index builds.
+    * Two independent signals, two remedies:
+    *
+    *  - REBUILD when the quantizer is structurally under-provisioned:
+    *    skew already shows (`sharded_cells` > 0 — cells past the
+    *    2×GraphShardTarget split) AND a fresh build over the CURRENT
+    *    roster would train ≥ 2× the cells this index has
+    *    (graphCellsTarget — the same arithmetic the rebuild runs, so
+    *    the policy recommends exactly what acting on it delivers).
+    *    The 2× guard keeps one skewed cell on an otherwise
+    *    right-sized index (data skew k-means cannot fix; the shard
+    *    rule already bounds its cost) from triggering futile
+    *    retrains.
+    *  - COMPACT when `read_amplification` ≥ `compactAmp` (delta rows
+    *    the version resolution re-reads on every serve). A rebuild
+    *    SUBSUMES compaction (fresh base tables, empty delta), so only
+    *    one action is ever recommended.
+    *
+    * Thresholds are arguments, not constants, because the right knee
+    * is deployment-specific (ProfileGraphIngest measured the stale
+    * regime at 6.7× probe cost with cellsTarget/n_cells = 10×; the
+    * default 2× acts well before that). */
+  private[graft] def graphMaintenanceActions(nNodes: Long, nCells: Long,
+      shardedCells: Long, readAmp: Double,
+      compactAmp: Double = 2.0): Seq[String] =
+    if (nNodes == 0L) Seq.empty
+    else if (shardedCells > 0 && nCells > 0 &&
+      graft.queries.VectorIndex.graphCellsTarget(nNodes) >= 2L * nCells)
+      Seq("rebuild")
+    else if (readAmp >= compactAmp) Seq("compact")
+    else Seq.empty
+
+  /** The IVF decision: `ivfStaleness.rebuild` IS the rebuild signal
+    * (quality/skew thresholds measured against the build-time
+    * reference — see its Scaladoc); compaction fires on small-file
+    * pressure (crash-replay duplicates and per-batch appends grow the
+    * file count; past `fileFactor`× the cell count, listing and
+    * footer overhead dominate small probes). */
+  private[graft] def ivfMaintenanceActions(rebuildFlag: Boolean,
+      cellsFiles: Long, k: Int, fileFactor: Int = 8): Seq[String] =
+    if (rebuildFlag) Seq("rebuild")
+    else if (k > 0 && cellsFiles > fileFactor.toLong * k) Seq("compact")
+    else Seq.empty
+
+  /** Poll-and-act entry point for the graph index — what a table
+    * service schedules: read [[graphIndexHealth]], decide
+    * ([[graphMaintenanceActions]]), act ([[rebuildGraphIndex]] /
+    * [[compactGraphIndex]]). Returns the actions taken, so the
+    * caller's log shows WHY the index changed. Same
+    * single-maintenance-writer discipline as the actions themselves. */
+  def maintainGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, compactAmp: Double = 2.0,
+      targetPartitions: Int = 32): Seq[String] = {
+    val h = graphIndexHealth(spark, indexPath).collect()(0)
+    val actions = graphMaintenanceActions(h.getLong(0), h.getLong(1),
+      h.getLong(3), h.getDouble(6), compactAmp)
+    actions.foreach {
+      case "rebuild" => rebuildGraphIndex(spark, indexPath)
+      case "compact" => compactGraphIndex(spark, indexPath, targetPartitions)
+    }
+    actions
+  }
+
+  /** The IVF twin of [[maintainGraphIndex]]. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, fileFactor: Int = 8,
+      targetPartitions: Int = 32): Seq[String] = {
+    val VI = graft.queries.VectorIndex
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStagedRebuild(fs, indexPath)
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    recoverCompaction(fs, cellsPath)
+    if (!fs.exists(cellsPath)) return Seq.empty
+    val flagged = VI.ivfStaleness(spark, indexPath)
+      .collect()(0).getAs[Boolean]("rebuild")
+    def countParquet(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val actions = ivfMaintenanceActions(flagged, countParquet(cellsPath),
+      VI.cachedCentroids(spark, indexPath).length, fileFactor)
+    actions.foreach {
+      case "rebuild" => rebuildIvfIndex(spark, indexPath)
+      case "compact" => compactIvfIndex(spark, indexPath, targetPartitions)
+    }
+    actions
+  }
+
   /** Health row of the graph-ANN index — the audit the round-13
     * verdict flagged as the one index family without one. One row:
     *

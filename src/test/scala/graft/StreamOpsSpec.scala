@@ -418,6 +418,67 @@ class StreamOpsSpec extends SparkSpec {
       s"compaction should fold the delta away: $h2")
   }
 
+  test("index maintenance policy: decision table pinned; poll-and-act " +
+      "runs the right remedy and settles to no-op") {
+    import graft.queries.VectorIndex
+    // ---- the PURE decision table ----
+    // empty index: nothing to do
+    assert(StreamOps.graphMaintenanceActions(0, 0, 0, 0.0).isEmpty)
+    // healthy: nothing
+    assert(StreamOps.graphMaintenanceActions(2000, 16, 0, 1.0).isEmpty)
+    // delta backlog: compact
+    assert(StreamOps.graphMaintenanceActions(2000, 16, 0, 2.5) == Seq("compact"))
+    // ONE skewed cell on a right-sized index is data skew the shard
+    // rule already bounds — not a rebuild (target(8000)=17 < 2×16)
+    assert(StreamOps.graphMaintenanceActions(8000, 16, 1, 1.0).isEmpty)
+    // the profiler's measured stale regime (x10 row: 20300 nodes on
+    // 16 cells, all sharded): rebuild — and rebuild SUBSUMES compact,
+    // so it is the only action even at amp 7
+    assert(StreamOps.graphMaintenanceActions(20300, 16, 16, 7.0) == Seq("rebuild"))
+    assert(StreamOps.ivfMaintenanceActions(rebuildFlag = false, 10, 16).isEmpty)
+    assert(StreamOps.ivfMaintenanceActions(rebuildFlag = true, 10, 16) == Seq("rebuild"))
+    assert(StreamOps.ivfMaintenanceActions(rebuildFlag = false, 200, 16) == Seq("compact"))
+
+    // ---- poll-and-act: graph delta backlog → compact → settles ----
+    val dir = "/root/testdata/sf0.001"
+    val gIdx = java.nio.file.Files.createTempDirectory("maint-graph").toString
+    VectorIndex.buildGraph(spark, dir, gIdx)
+    val extras = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 40000L).as("vec_id"), col("embedding").as("emb"))
+      .limit(30)
+    StreamOps.graphIngestBatch(gIdx, metricsEvery = 0)(extras, 1L).count()
+    val served0 = VectorIndex.searchGraph(spark, gIdx,
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+      .collect().map(_.toString).sorted.toSeq
+    // compactAmp low enough that the one batch's delta trips it
+    assert(StreamOps.maintainGraphIndex(spark, gIdx, compactAmp = 1.0001,
+      targetPartitions = 4) == Seq("compact"))
+    val h = StreamOps.graphIndexHealth(spark, gIdx).collect()(0)
+    assert(h.getAs[Double]("read_amplification") == 1.0,
+      s"compact remedy did not settle the audit: $h")
+    assert(StreamOps.maintainGraphIndex(spark, gIdx, compactAmp = 1.0001,
+      targetPartitions = 4).isEmpty, "policy did not settle to no-op")
+    val served1 = VectorIndex.searchGraph(spark, gIdx,
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served0 == served1, "maintenance changed serving results")
+
+    // ---- poll-and-act: IVF drift → rebuild → settles ----
+    val vIdx = java.nio.file.Files.createTempDirectory("maint-ivf").toString
+    VectorIndex.buildIvf(spark, dir, vIdx)
+    val drifted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("emb"))
+      .limit(300)
+    StreamOps.ivfIngestBatch(vIdx)(drifted, 1L).count()
+    assert(StreamOps.maintainIvfIndex(spark, vIdx) == Seq("rebuild"),
+      "drifted IVF index should poll into a rebuild")
+    assert(StreamOps.maintainIvfIndex(spark, vIdx).isEmpty,
+      "IVF policy did not settle to no-op after its remedy")
+  }
+
   test("rebuildIvfIndex: roster retrain equals a fresh one-shot build; " +
       "the staleness flag clears after its own remedy; catch-up folds " +
       "ingest-during-staging") {
