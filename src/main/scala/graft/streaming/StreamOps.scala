@@ -2219,6 +2219,55 @@ object StreamOps {
     actions
   }
 
+  /** Z-order decision: COMPACT (the OPTIMIZE job) when clustering has
+    * decayed — overlap pairs per file ≥ `overlapPerFile` (a freshly
+    * compacted table reads 0: range partitioning gives disjoint
+    * segments; every unsorted append overlaps ~all existing segments,
+    * so the per-file average climbs fast exactly when box-filter
+    * pruning degrades) — or on raw small-file pressure past
+    * `maxFiles`. Pure; `zorderHealth` supplies the inputs. */
+  private[graft] def zorderMaintenanceActions(nFiles: Long,
+      overlapPairs: Long, overlapPerFile: Double = 1.0,
+      maxFiles: Long = 512): Seq[String] =
+    if (nFiles <= 1) Seq.empty
+    else if (overlapPairs.toDouble / nFiles >= overlapPerFile ||
+      nFiles > maxFiles) Seq("compact")
+    else Seq.empty
+
+  /** HLL decision: COMPACT when the register log's read
+    * amplification (rows stored / resolved registers) reaches
+    * `compactAmp` — every profile read max-merges the whole log, so
+    * amplification IS the read multiplier. */
+  private[graft] def hllMaintenanceActions(readAmp: Double,
+      compactAmp: Double = 2.0): Seq[String] =
+    if (readAmp >= compactAmp) Seq("compact") else Seq.empty
+
+  /** Poll-and-act for a Z-order table: [[zorderHealth]] →
+    * [[zorderMaintenanceActions]] → [[compactZorder]]. `nFiles` is
+    * the OPTIMIZE target segment count (compactZorder's parameter). */
+  def maintainZorderTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, dimX: String, dimY: String,
+      overlapPerFile: Double = 1.0, maxFiles: Long = 512,
+      nFiles: Int = 32): Seq[String] = {
+    val h = zorderHealth(spark, tablePath, dimX, dimY).collect()(0)
+    val actions = zorderMaintenanceActions(h.getLong(0), h.getLong(1),
+      overlapPerFile, maxFiles)
+    actions.foreach { case "compact" =>
+      compactZorder(spark, tablePath, dimX, dimY, nFiles) }
+    actions
+  }
+
+  /** Poll-and-act for an HLL profile index: [[hllIndexHealth]] →
+    * [[hllMaintenanceActions]] → [[compactHllIndex]]. Applies to the
+    * grouped index verbatim (same register schema). */
+  def maintainHllIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, compactAmp: Double = 2.0): Seq[String] = {
+    val h = hllIndexHealth(spark, indexPath).collect()(0)
+    val actions = hllMaintenanceActions(h.getDouble(2), compactAmp)
+    actions.foreach { case "compact" => compactHllIndex(spark, indexPath) }
+    actions
+  }
+
   /** The IVF twin of [[maintainGraphIndex]]. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, fileFactor: Int = 8,

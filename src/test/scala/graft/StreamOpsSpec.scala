@@ -477,6 +477,33 @@ class StreamOpsSpec extends SparkSpec {
       "drifted IVF index should poll into a rebuild")
     assert(StreamOps.maintainIvfIndex(spark, vIdx).isEmpty,
       "IVF policy did not settle to no-op after its remedy")
+
+    // ---- zorder / hll decision tables + poll-and-act ----
+    assert(StreamOps.zorderMaintenanceActions(1, 0).isEmpty)
+    assert(StreamOps.zorderMaintenanceActions(16, 0).isEmpty)
+    assert(StreamOps.zorderMaintenanceActions(16, 16) == Seq("compact"))
+    assert(StreamOps.zorderMaintenanceActions(600, 0) == Seq("compact"))
+    assert(StreamOps.hllMaintenanceActions(1.0).isEmpty)
+    assert(StreamOps.hllMaintenanceActions(2.0) == Seq("compact"))
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val ztbl = java.nio.file.Files.createTempDirectory("maint-z").toString
+    // three interleaved appends: every file overlaps the others
+    (1 to 3).foreach(i => StreamOps.zorderIngestBatch(ztbl, "l_partkey",
+      "l_suppkey", metricsEvery = 0)(li.limit(200), i.toLong))
+    assert(StreamOps.maintainZorderTable(spark, ztbl, "l_partkey",
+      "l_suppkey", nFiles = 4) == Seq("compact"))
+    assert(StreamOps.maintainZorderTable(spark, ztbl, "l_partkey",
+      "l_suppkey", nFiles = 4).isEmpty,
+      "zorder policy did not settle after OPTIMIZE")
+    val hIdx = java.nio.file.Files.createTempDirectory("maint-hll").toString
+    val ord = graft.sources.Tables.orders(spark, dir)
+    (1 to 2).foreach(i => StreamOps.hllIngestBatch(hIdx,
+      metricsEvery = 0)(ord.limit(100), i.toLong))
+    assert(StreamOps.maintainHllIndex(spark, hIdx) == Seq("compact"),
+      "duplicated register appends should poll into a compact")
+    assert(StreamOps.maintainHllIndex(spark, hIdx).isEmpty,
+      "hll policy did not settle after the fold")
   }
 
   test("rebuildIvfIndex: roster retrain equals a fresh one-shot build; " +
