@@ -2268,6 +2268,80 @@ object StreamOps {
     actions
   }
 
+  /** Clusters decision: COMPACT (fold the merge log into labels) when
+    * `merge_share` — merge rows per label row, the resolution backlog
+    * every read and ingest pays one clustersOf over — reaches
+    * `maxShare`. Pure; `clustersIndexHealth` supplies it. */
+  private[graft] def clustersMaintenanceActions(mergeShare: Double,
+      maxShare: Double = 0.5): Seq[String] =
+    if (mergeShare >= maxShare && mergeShare > 0) Seq("compact") else Seq.empty
+
+  /** Sample decision: COMPACT (collapse cands to the live top-k) at
+    * `read_amplification` ≥ `compactAmp` — cands rows per (source×k)
+    * the read re-ranks every call. */
+  private[graft] def sampleMaintenanceActions(readAmp: Double,
+      compactAmp: Double = 2.0): Seq[String] =
+    if (readAmp >= compactAmp) Seq("compact") else Seq.empty
+
+  /** Near-dup (text LSH) decision: COMPACT on small-file pressure —
+    * every micro-batch appends a few files per touched bucket, and
+    * past `maxFiles` the per-batch pruned reads pay file-open
+    * overhead per tiny file. (The audit's OTHER signal,
+    * `hot_row_share`, has no automated remedy by design: rising
+    * boilerplate collisions need a re-shingle or upstream dedup — a
+    * human decision the metrics log surfaces, not a lever this
+    * policy should pull.) */
+  private[graft] def nearDupMaintenanceActions(files: Long,
+      maxFiles: Long = 256): Seq[String] =
+    if (files > maxFiles) Seq("compact") else Seq.empty
+
+  private def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+
+  /** Poll-and-act for the incremental-components index. */
+  def maintainClustersIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxShare: Double = 0.5,
+      targetPartitions: Int = 32): Seq[String] = {
+    val h = clustersIndexHealth(spark, indexPath).collect()(0)
+    val actions = clustersMaintenanceActions(h.getDouble(2), maxShare)
+    actions.foreach { case "compact" =>
+      compactClustersIndex(spark, indexPath, targetPartitions) }
+    actions
+  }
+
+  /** Poll-and-act for the weighted-priority sample index. */
+  def maintainSampleIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int = 10,
+      compactAmp: Double = 2.0): Seq[String] = {
+    val h = sampleIndexHealth(spark, indexPath, k).collect()(0)
+    val actions = sampleMaintenanceActions(h.getDouble(2), compactAmp)
+    actions.foreach { case "compact" => compactSampleIndex(spark, indexPath, k) }
+    actions
+  }
+
+  /** Poll-and-act for the text near-dup LSH index. */
+  def maintainNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxFiles: Long = 256,
+      targetPartitions: Int = 32): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      countParquetFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/bands")) +
+      countParquetFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/shingles"))
+    val actions = nearDupMaintenanceActions(files, maxFiles)
+    actions.foreach { case "compact" =>
+      compactNearDupIndex(spark, indexPath, targetPartitions) }
+    actions
+  }
+
   /** The IVF twin of [[maintainGraphIndex]]. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, fileFactor: Int = 8,
@@ -2281,13 +2355,8 @@ object StreamOps {
     if (!fs.exists(cellsPath)) return Seq.empty
     val flagged = VI.ivfStaleness(spark, indexPath)
       .collect()(0).getAs[Boolean]("rebuild")
-    def countParquet(p: org.apache.hadoop.fs.Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
-    val actions = ivfMaintenanceActions(flagged, countParquet(cellsPath),
+    val actions = ivfMaintenanceActions(flagged,
+      countParquetFiles(fs, cellsPath),
       VI.cachedCentroids(spark, indexPath).length, fileFactor)
     actions.foreach {
       case "rebuild" => rebuildIvfIndex(spark, indexPath)

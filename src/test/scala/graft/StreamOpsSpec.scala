@@ -504,6 +504,39 @@ class StreamOpsSpec extends SparkSpec {
       "duplicated register appends should poll into a compact")
     assert(StreamOps.maintainHllIndex(spark, hIdx).isEmpty,
       "hll policy did not settle after the fold")
+
+    // ---- clusters / sample / near-dup decision tables + poll-and-act ----
+    assert(StreamOps.clustersMaintenanceActions(0.0).isEmpty)
+    assert(StreamOps.clustersMaintenanceActions(0.5) == Seq("compact"))
+    assert(StreamOps.sampleMaintenanceActions(1.0).isEmpty)
+    assert(StreamOps.sampleMaintenanceActions(2.0) == Seq("compact"))
+    assert(StreamOps.nearDupMaintenanceActions(10).isEmpty)
+    assert(StreamOps.nearDupMaintenanceActions(300) == Seq("compact"))
+    import spark.implicits._
+    val cIdx = java.nio.file.Files.createTempDirectory("maint-cc").toString
+    StreamOps.clustersIngestBatch(cIdx, metricsEvery = 0)(
+      Seq((10L, 11L), (20L, 21L)).toDF("a_id", "b_id"), 1L).count()
+    // batch 2 merges the two clusters → a merge-log row per label row
+    StreamOps.clustersIngestBatch(cIdx, metricsEvery = 0)(
+      Seq((11L, 20L)).toDF("a_id", "b_id"), 2L).count()
+    val cBefore = StreamOps.readClusters(spark, cIdx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(StreamOps.maintainClustersIndex(spark, cIdx,
+      maxShare = 0.1) == Seq("compact"),
+      "merge backlog should poll into the fold")
+    assert(StreamOps.maintainClustersIndex(spark, cIdx, maxShare = 0.1).isEmpty)
+    assert(StreamOps.readClusters(spark, cIdx).collect()
+      .map(_.toString).sorted.toSeq == cBefore,
+      "clusters maintenance changed the labeling")
+    val sIdx = java.nio.file.Files.createTempDirectory("maint-sample").toString
+    val sdocs = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    (1 to 2).foreach(i => StreamOps.sampleIngestBatch(sIdx,
+      metricsEvery = 0)(sdocs, i.toLong))
+    assert(StreamOps.maintainSampleIndex(spark, sIdx) == Seq("compact"),
+      "duplicated cands should poll into the collapse")
+    assert(StreamOps.maintainSampleIndex(spark, sIdx).isEmpty,
+      "sample policy did not settle after the collapse")
   }
 
   test("rebuildIvfIndex: roster retrain equals a fresh one-shot build; " +
