@@ -215,8 +215,9 @@ object AsofSqlRewrite {
               // resolution and USING's output dedup are expressible
               appendRight(toks(u).start)
               sb.append(" ON graft_asof_using(")
-              sb.append(cols.map(c =>
-                "'" + c.replace("'", "''") + "'").mkString(", "))
+              // quote/backslash-bearing names were rejected at parse
+              // time (parseUsingList), so plain quoting is exact here
+              sb.append(cols.map("'" + _ + "'").mkString(", "))
               sb.append(") ")
               sb.append(sql, closeEnd, sql.length)
           }
@@ -305,9 +306,23 @@ object AsofSqlRewrite {
       val t = toks(m)
       if (expectIdent) {
         if (t.word) cols += t.s
-        else if (t.s.length >= 2 && t.s.startsWith("`") && t.s.endsWith("`"))
-          cols += t.s.substring(1, t.s.length - 1).replace("``", "`")
-        else bad(s"expected a column name, got ${t.s}")
+        else if (t.s.length >= 2 && t.s.startsWith("`") && t.s.endsWith("`")) {
+          val name = t.s.substring(1, t.s.length - 1).replace("``", "`")
+          // the names ride through the lowering as single-quoted
+          // string literals, and Spark's lexer concatenates adjacent
+          // literals ('a''b' → ab) and treats backslash as an escape
+          // — a quote or backslash in the name would be silently
+          // mangled into a confusing missing-column error later, so
+          // refuse it HERE with the real reason (no sane schema
+          // names columns this way; backticked-with-quote names can
+          // still be joined via an explicit ON condition)
+          if (name.contains('\'') || name.contains('\\') ||
+              name.contains('"'))
+            bad(s"column name ${t.s} contains a quote or backslash — " +
+              "not representable in the lowered ON condition; use an " +
+              "explicit ON clause for this join")
+          cols += name
+        } else bad(s"expected a column name, got ${t.s}")
         expectIdent = false
       } else {
         if (t.s != ",") bad(s"expected , or ), got ${t.s}")

@@ -2043,8 +2043,21 @@ object StreamOps {
         Seq("vec_id"), "left_anti")
       // delta version: any id above the staged base's −1 orders
       // correctly; the newest live batchId keeps versions aligned
-      // with the ledger for post-swap debugging
-      val ver = (cur -- seen).map(_.stripPrefix("b").toLong).max
+      // with the ledger for post-swap debugging. Parse defensively:
+      // only b<digits> names are batch markers (a stray file — an FS
+      // artifact, a future marker flavor — must not NumberFormat-abort
+      // a rebuild mid-staging), and a marker set that SHRANK (cur !=
+      // seen with no new names) still loops correctly — fall back to
+      // the newest parseable marker overall, then 0
+      def batchIds(names: Set[String]): Set[Long] = names.collect {
+        // ≤ 18 digits: parseable as Long without overflow-throwing
+        case n if n.length > 1 && n.length <= 19 && n.startsWith("b") &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+      }
+      val fresh = batchIds(cur -- seen)
+      val ver =
+        if (fresh.nonEmpty) fresh.max
+        else (batchIds(cur) + 0L).max
       graphIngestNormed(root.toString, metricsEvery = 0)(missed, ver)
       seen = cur
       cur = markerSet()

@@ -115,6 +115,15 @@ class AsofJoinRuleSpec extends SparkSpec {
     val empty = "SELECT * FROM a ASOF JOIN b USING ()"
     assert(intercept[IllegalArgumentException](AsofSqlRewrite(empty))
       .getMessage.contains("column list"))
+    // a quote/backslash in a backticked USING name would be mangled
+    // by Spark's lexer once it rides as a string literal ('a''b'
+    // concatenates; backslash escapes) — rejected loudly at parse
+    // time instead of surfacing later as a missing-column error
+    for (bad <- Seq("SELECT * FROM a ASOF JOIN b USING (`k'q`, t)",
+        "SELECT * FROM a ASOF JOIN b USING (`k\\q`)")) {
+      assert(intercept[IllegalArgumentException](AsofSqlRewrite(bad))
+        .getMessage.contains("quote or backslash"), s"not rejected: $bad")
+    }
   }
 
   // ---------------- end-to-end through spark.sql ----------------

@@ -383,4 +383,44 @@ class CoreQueriesSpec extends SparkSpec {
     assert(CoreQueries.probeScanCount.get() == b2 + 2,
       "fileless frames must stay exact: one probe per call")
   }
+
+  test("skew probe memo: an external in-place rewrite under the SAME " +
+      "file name moves the signature (length+mtime are bound)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skewsig")
+      .toFile.getAbsolutePath
+    def write(rows: Seq[(Long, Long)], sub: String): Unit =
+      rows.map { case (ck, ok) =>
+        (ck, ok, java.sql.Date.valueOf("2024-01-05"), 1.0)
+      }.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub")
+    write((1 to 40).map(i => (i.toLong % 4, i.toLong)), "t")
+    // a DIFFERENT, heavily-skewed payload to copy over t's part file
+    // (one hot key with 300 rows, ten cold keys with one each)
+    write((1 to 300).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (100L + i, 1000L + i)), "u")
+    def part(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    CoreQueries.clearSkewCache()
+    val b = CoreQueries.probeScanCount.get()
+    val r1 = CoreQueries.keySkewRatio(
+      spark.read.parquet(s"$dir/t"), col("o_custkey"))
+    assert(CoreQueries.probeScanCount.get() == b + 1)
+    assert(CoreQueries.keySkewRatio(
+      spark.read.parquet(s"$dir/t"), col("o_custkey")) == r1)
+    assert(CoreQueries.probeScanCount.get() == b + 1,
+      "fresh read of unchanged files must memo-hit")
+    // the external-writer scenario: same part NAME, new bytes (drop
+    // the local-FS checksum sidecars — a real external writer's FS
+    // would rewrite them; stale ones would fail the read itself)
+    java.nio.file.Files.copy(part("u").toPath, part("t").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val r2 = CoreQueries.keySkewRatio(
+      spark.read.parquet(s"$dir/t"), col("o_custkey"))
+    assert(CoreQueries.probeScanCount.get() == b + 2,
+      "in-place rewrite under the same name must be a memo MISS")
+    assert(r2 > r1, "rewritten (all-hot) payload must read as more skewed")
+  }
 }

@@ -118,6 +118,109 @@ class RecursiveSqlBridgeSpec extends SparkSpec {
     assert(spark.sql("SELECT :x AS v", Map("x" -> 7)).collect()(0).getInt(0) == 7)
   }
 
+  test("memo: a re-run bridged statement on unchanged parquet inputs " +
+      "executes ZERO fixpoint evaluations and identical rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("recmemo")
+      .toFile.getAbsolutePath
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 7L)).toDF("s", "d")
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    spark.read.parquet(s"$dir/edges").createOrReplaceTempView("pedges")
+    RecursiveSqlBridge.clearBridgeMemo()
+    val q = """WITH RECURSIVE
+       e AS (SELECT s AS src, d AS dst FROM pedges
+             UNION SELECT d, s FROM pedges),
+       walk(id, lbl) AS (
+             SELECT src, src FROM e
+             UNION
+             SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+       SELECT id, min(lbl) AS comp FROM walk GROUP BY id"""
+    val before = RecursiveSqlBridge.fixpointRuns.get()
+    val first = rows(spark.sql(q))
+    assert(first == Set("1|1", "2|1", "3|1", "7|7", "8|7"))
+    assert(RecursiveSqlBridge.fixpointRuns.get() == before + 1,
+      "first run must pay exactly one fixpoint")
+    assert(rows(spark.sql(q)) == first)
+    assert(RecursiveSqlBridge.fixpointRuns.get() == before + 1,
+      "re-run on unchanged inputs must be a memo hit — zero fixpoints")
+    // new input files under the same view → signature moves → the
+    // re-run re-evaluates and reflects the new edge, never stale
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 7L), (8L, 9L))
+      .toDF("s", "d").write.mode("overwrite").parquet(s"$dir/edges")
+    spark.read.parquet(s"$dir/edges").createOrReplaceTempView("pedges")
+    val second = rows(spark.sql(q))
+    assert(RecursiveSqlBridge.fixpointRuns.get() == before + 2,
+      "changed inputs must be a memo MISS")
+    assert(second == Set("1|1", "2|1", "3|1", "7|7", "8|7", "9|7"))
+  }
+
+  test("memo: replacing an in-memory fixture view moves the signature " +
+      "(LocalRelation schema + rows are hashed into it)") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+      .createOrReplaceTempView("memedges")
+    RecursiveSqlBridge.clearBridgeMemo()
+    val q = """WITH RECURSIVE
+       e AS (SELECT s AS src, d AS dst FROM memedges
+             UNION SELECT d, s FROM memedges),
+       walk(id, lbl) AS (
+             SELECT src, src FROM e
+             UNION
+             SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+       SELECT id, min(lbl) AS comp FROM walk GROUP BY id"""
+    assert(rows(spark.sql(q)) == Set("1|1", "2|1"))
+    val n = RecursiveSqlBridge.fixpointRuns.get()
+    assert(rows(spark.sql(q)) == Set("1|1", "2|1"))
+    assert(RecursiveSqlBridge.fixpointRuns.get() == n,
+      "identical in-memory fixture must memo-hit")
+    Seq((5L, 6L), (6L, 5L)).toDF("s", "d")
+      .createOrReplaceTempView("memedges")
+    assert(rows(spark.sql(q)) == Set("5|5", "6|5"),
+      "replaced fixture view served a STALE materialization")
+  }
+
+  test("EXPLAIN WITH RECURSIVE returns a plan instead of failing on " +
+      "the native path") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+      .createOrReplaceTempView("expedges")
+    def q(mode: String) = s"""EXPLAIN $mode WITH RECURSIVE
+       walk(id) AS (
+             SELECT s FROM expedges
+             UNION
+             SELECT e.d FROM expedges e JOIN walk w ON e.s = w.id)
+       SELECT * FROM walk"""
+    val plain = spark.sql(q("")).collect()(0).getString(0)
+    assert(plain.contains("== Physical Plan =="), s"not a plan: $plain")
+    val formatted = spark.sql(q("FORMATTED")).collect()(0).getString(0)
+    assert(formatted.contains("== Physical Plan =="))
+    // and the explained statement still RUNS correctly afterwards
+    assert(rows(spark.sql(q("").stripPrefix("EXPLAIN "))) ==
+      Set("1", "2", "3"))
+  }
+
+  test("two statements colliding on String.hashCode keep separate " +
+      "view slots (strong-digest slot naming)") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+      .createOrReplaceTempView("coledges")
+    def q(tag: String) = s"""WITH RECURSIVE
+       walk(id) AS (
+             SELECT s FROM coledges
+             UNION
+             SELECT e.d FROM coledges e JOIN walk w ON e.s = w.id)
+       SELECT DISTINCT id, '$tag' AS tag FROM walk"""
+    val (a, b) = (q("Aa"), q("BB"))
+    assert(a.hashCode == b.hashCode && a != b,
+      "fixture must collide on String.hashCode")
+    // parse BOTH before collecting the first: a shared slot would
+    // have let b's materialization hijack a's frame
+    val dfA = spark.sql(a)
+    val dfB = spark.sql(b)
+    assert(rows(dfA) == Set("1|Aa", "2|Aa"))
+    assert(rows(dfB) == Set("1|BB", "2|BB"))
+  }
+
   test("acyclic UNION-distinct recursion agrees with the equivalent " +
       "UNION ALL native run") {
     import spark.implicits._
