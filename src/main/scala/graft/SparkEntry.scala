@@ -87,6 +87,7 @@ object SparkEntry {
     "t_token_count" -> (TextQueries.tTokenCount _),
     "t_quality_score" -> (TextQueries.tQualityScore _),
     "t_quality_gate" -> (TextQueries.tQualityGate _),
+    "t_html_extract" -> (TextQueries.tHtmlExtract _),
     "t_source_filter" -> (TextQueries.tSourceFilter _),
     "t_source_overlap" -> (TextQueries.tSourceOverlap _),
     "t_source_overlap_minhash" -> (TextQueries.tSourceOverlapMinhash _),
@@ -856,6 +857,47 @@ object SparkEntry {
            (n_tokens >= 20 AND stopword_ratio >= 0.02
             AND uniq_token_frac >= 0.3 AND top_bigram_frac <= 0.1) AS keep
          FROM q JOIN r USING (doc_id)""",
+    // every step is split+rejoin (regexp_replace 3-arg semantics
+    // diverge cross-engine: first-match vs global), so the whole
+    // extraction is a full row-identity oracle
+    "t_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id
+             || '</title><script type="text/javascript">var x = 1; console.log(x);</script></head><body>'
+             || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+             || '<p>' || substr(text, 1, 120) || '.</p>'
+             || '<p>' || substr(text, 121, 80) || '</p>'
+             || '<div>This site uses cookies. Accept.</div>'
+             || '<p>(c) 2024 Corp.</p>'
+             || '<p>' || substr(text, 201, 1000000) || '.</p>'
+             || '</body></html>' AS html
+           FROM documents),
+         s AS (SELECT doc_id,
+               array_to_string(string_split_regex(
+                 array_to_string(string_split_regex(html,
+                   '(?s)<script[^>]*>.*?</script>'), ' '),
+                 '(?s)<style[^>]*>.*?</style>'), ' ') AS t FROM h),
+         r AS (SELECT doc_id,
+               string_split_regex(t, '</p>|</div>|</nav>|</li>|</h[1-6]>|</tr>') AS raw
+               FROM s),
+         n AS (SELECT doc_id, raw,
+               list_transform(
+                 list_filter(raw, l -> length(l) - length(replace(l, '<a ', '')) < 6),
+                 l -> array_to_string(list_filter(
+                   string_split_regex(array_to_string(
+                     string_split_regex(l, '<[^>]*>'), ' '), '\s+'),
+                   w -> w <> ''), ' ')) AS norm FROM r),
+         f AS (SELECT doc_id, raw,
+               list_filter(norm, l -> length(l) > 0
+                 AND substr(l, -1, 1) IN ('.', '!', '?')
+                 AND len(string_split_regex(l, ' ')) >= 5
+                 AND NOT contains(lower(l), 'cookie')
+                 AND NOT contains(lower(l), 'javascript')) AS kept FROM n)
+         SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           round(CAST(len(kept) AS DOUBLE) / len(raw), 4) AS keep_ratio,
+           array_to_string(kept, chr(10)) AS clean_text
+         FROM f""",
     // integer aggregates with one rounded division each; verdict
     // over the already-rounded ratios (the t_quality_gate argument
     // lifted to the per-source rollup)

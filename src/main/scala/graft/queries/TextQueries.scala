@@ -2165,6 +2165,85 @@ object TextQueries {
           col("stop_frac") >= 0.055 && col("mean_tok") >= 50.0)
   }
 
+  /** T-HTML: C4/RefinedWeb-style boilerplate extraction — the one
+    * corpus-ingest step every web-scale text pipeline runs UPSTREAM
+    * of the operators in this file (tag strip, then line-level
+    * keep/drop rules: link-dense navigation lines, lines without
+    * terminal punctuation, sub-5-word fragments, cookie/javascript
+    * policy notices). The testdata corpus carries no HTML, so the
+    * query derives a deterministic page per document
+    * ([[renderHtmlPage]]: head + script + nav boilerplate wrapped
+    * around the document's text) and extracts from that — the
+    * extraction core ([[htmlCleanOf]]) takes any (doc_id, html)
+    * frame, which is what the hand-computed spec drives directly.
+    *
+    * Scale: a pure per-row array pipeline — split / filter /
+    * transform / join builtins only, no UDF, no shuffle, no state —
+    * so it maps over a 100 TB crawl at scan speed and fuses into
+    * whole-stage codegen. Every step is expressed as split+rejoin
+    * rather than regexp_replace because Spark's and DuckDB's
+    * regexp_replace 3-arg semantics DIVERGE (first-match vs global);
+    * split semantics (trailing empties kept, Java and RE2 agree on
+    * these patterns) are identical, which is what makes the oracle a
+    * full row-identity check. */
+  def tHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    htmlCleanOf(docs.select(col("doc_id"),
+      renderHtmlPage(col("doc_id"), col("text")).as("html")))
+  }
+
+  /** Deterministic HTML page around a document's text: title+script
+    * head (stripped whole), a 3-anchor nav (dropped by the link
+    * rule), a terminal-punctuated content line (kept), an
+    * unpunctuated fragment (dropped), a cookie notice (dropped), a
+    * short copyright line (dropped by min-words), and the text tail
+    * (kept when long enough). ASCII-only so char/byte length
+    * semantics can never diverge cross-engine. */
+  private[graft] def renderHtmlPage(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1; " +
+        "console.log(x);</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav>"),
+      lit("<p>"), substring(text, 1, 120), lit(".</p>"),
+      lit("<p>"), substring(text, 121, 80), lit("</p>"),
+      lit("<div>This site uses cookies. Accept.</div>"),
+      lit("<p>(c) 2024 Corp.</p>"),
+      lit("<p>"), substring(text, 201, 1000000), lit(".</p>"),
+      lit("</body></html>"))
+
+  /** The extraction core over any (doc_id, html) frame. Pipeline:
+    * script/style blocks out (split on the whole block, rejoin);
+    * block-close tags delimit lines; lines with ≥ 2 anchors drop
+    * (link density); remaining lines are tag-stripped and
+    * whitespace-normalized; a line survives if it ends in terminal
+    * punctuation, has ≥ 5 words, and mentions neither cookies nor
+    * javascript. Output: per-doc line counts, rounded keep ratio,
+    * and the newline-joined clean text. */
+  def htmlCleanOf(pages: DataFrame): DataFrame = {
+    def stripJoin(c: Column, pattern: String): Column =
+      array_join(split(c, pattern), " ")
+    val noScript = stripJoin(stripJoin(col("html"),
+      "(?s)<script[^>]*>.*?</script>"), "(?s)<style[^>]*>.*?</style>")
+    val raw = split(noScript, "</p>|</div>|</nav>|</li>|</h[1-6]>|</tr>")
+    val noAnchor = filter(raw, l =>
+      length(l) - length(replace(l, lit("<a "), lit(""))) < 6)
+    val norm = transform(noAnchor, l => array_join(
+      filter(split(array_join(split(l, "<[^>]*>"), " "), "\\s+"),
+        w => w =!= ""), " "))
+    val kept = filter(norm, l =>
+      length(l) > 0 && substring(l, -1, 1).isin(".", "!", "?") &&
+        size(split(l, " ")) >= 5 &&
+        !lower(l).contains("cookie") && !lower(l).contains("javascript"))
+    pages.select(col("doc_id"),
+      size(raw).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      round(size(kept).cast("double") / size(raw), 4).as("keep_ratio"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** The gate core over any (doc_id, text) frame — the streaming
     * micro-batch twin scores with exactly these expressions. */
   def qualityGateOf(docs: DataFrame): DataFrame = {

@@ -83,6 +83,41 @@ class TextQueriesSpec extends SparkSpec {
     assert(!mKeep)
   }
 
+  test("htmlCleanOf: hand-computed extraction over a hand-written page " +
+      "(script strip, link density, terminal punct, min words, cookie)") {
+    import spark.implicits._
+    val html = "<html><head><script>var hidden = 1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">X</a></nav>" +
+      "<p>The quick brown fox jumps over the lazy dog.</p>" +
+      "<p>short line.</p>" +
+      "<p>a line with enough words but no terminal punctuation</p>" +
+      "<div>We use cookies to improve your experience online.</div>" +
+      "<p>Is this the <b>final</b>   content line we keep?</p>" +
+      "</body></html>"
+    val out = TextQueries.htmlCleanOf(
+      Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    // 7 raw lines: nav, 4 <p>, 1 <div>, the trailing </body></html>
+    assert(out.getLong(1) == 7L, s"n_lines: $out")
+    // kept: the fox line (ends '.', 9 words) and the final line (tag
+    // stripped, multi-space collapsed, ends '?'); nav drops on 2
+    // anchors, 'short line.' on words, the unpunctuated line on
+    // punct, the cookie notice on the policy rule
+    assert(out.getLong(2) == 2L, s"n_kept: $out")
+    assert(out.getDouble(3) == 0.2857, s"keep_ratio: $out")
+    assert(out.getString(4) ==
+      "The quick brown fox jumps over the lazy dog.\n" +
+        "Is this the final content line we keep?", s"clean_text: $out")
+  }
+
+  test("tHtmlExtract: every rendered page has the fixed 7-line shape " +
+      "and keeps at least the first content line") {
+    val out = TextQueries.tHtmlExtract(spark, sf01).collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(1) == 7L), "page shape drifted")
+    assert(out.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 2L),
+      "first content line (120 chars + '.') must always survive")
+  }
+
   test("tSourceFilter equals a driver-side recompute on sf0.01") {
     val out = TextQueries.tSourceFilter(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
