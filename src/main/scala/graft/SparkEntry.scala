@@ -162,7 +162,8 @@ object SparkEntry {
   val registerGatedQueries: Seq[String] = Seq(
     "t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored",
-    "ann_ivf_staleness", "ann_graph_topk", "ann_graph_batch")
+    "ann_ivf_staleness", "ann_graph_topk", "ann_graph_batch",
+    "t_bpe_tokens")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1692,6 +1693,7 @@ object SparkEntry {
     // order guarantees that); otherwise the driver keeps the old
     // rows-only check
   ) ++ TextQueries.classifierOracleSql.map("t_quality_classifier" -> _) ++
+    TextQueries.bpeOracleSql.map("t_bpe_tokens" -> _) ++
     graft.queries.VectorQueries.kmeansOracleSql.map("emb_kmeans" -> _) ++
     graft.queries.VectorQueries.semDedupOracleSql.map("emb_semdedup" -> _) ++
     graft.queries.VectorQueries.ivfOracleSql.map("ann_ivf_topk" -> _) ++

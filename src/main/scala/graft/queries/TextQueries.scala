@@ -2478,9 +2478,21 @@ object TextQueries {
     val trainSample = wc
       .orderBy(col("cnt").desc, col("word").asc).limit(maxTrainVocab)
       .as[(String, Long)].collect().toSeq
-    val ranks = Bpe.train(trainSample, numMerges)
-      .zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val merges = Bpe.train(trainSample, numMerges)
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val bRanks = spark.sparkContext.broadcast(ranks)
+    // oracle-renderer register (the classifierOracleSql pattern):
+    // the SQL replay delimits symbols with BpeSep inside plain
+    // single-quoted literals, so it is only exact when NO corpus
+    // word carries the separator, a quote, or a backslash (quote
+    // escaping itself is dialect-divergent: '' concatenates adjacent
+    // literals in Spark, backslash is literal in DuckDB) — one tiny
+    // vocabulary-sized probe on the already-persisted word counts
+    // decides; an unsafe vocabulary falls back to the rows-only
+    // check instead of a subtly-wrong oracle
+    val vocabUnsafe = wc
+      .filter(col("word").rlike("['\\\\\\u001f]")).limit(1).count() > 0
+    lastBpeMerges = if (merges.isEmpty || vocabUnsafe) None else Some(merges)
     val encoded = wc.select(col("word")).as[String]
       .mapPartitions(it => it.map(w => (w, Bpe.encode(w, bRanks.value).length.toLong)))
       .toDF("word", "n_bpe")
@@ -2491,4 +2503,76 @@ object TextQueries {
         round(col("n_bpe_tokens") / col("n_words"), 4))
       .transform(CacheScope.owned(_, wc))
   }
+
+  /** Merge list of the most recently trained BPE tokenizer — the
+    * oracle-renderer register (the classifierOracleSql pattern).
+    * None until tBpe has run in this JVM, or when the vocabulary
+    * carries a character the SQL replay cannot delimit (see the
+    * render guard in [[tBpeOf]]). */
+  @volatile private[graft] var lastBpeMerges: Option[Seq[(String, String)]] =
+    None
+
+  /** Symbol delimiter of the SQL encode replay: U+001F (the ASCII
+    * unit separator — definitionally absent from text content). Each
+    * symbol rides as `␟sym␟`, so a merge of (a, b) is ONE substring
+    * replace of `␟a␟␟b␟` with `␟ab␟` — self-delimited occurrences
+    * make replace()'s left-to-right non-overlapping scan EXACTLY
+    * Bpe.mergePair's semantics (a bare single-separator encoding
+    * would mis-merge runs: `a a a a` must become `aa aa`, not
+    * `aa a a`). */
+  private val BpeSep = "\u001f"
+
+  /** DuckDB oracle for `t_bpe_tokens`, rendered from the learned
+    * merges in [[lastBpeMerges]] — the rendered-model pattern one
+    * level up from weights: the SQL replays the ENCODE LOOP itself
+    * as a recursive CTE (UNION distinct), which runs natively in
+    * DuckDB and through the driver-paced recursion bridge on the
+    * Spark SQL door. Per word: the state string starts as the
+    * delimited character symbols + the end mark; each round applies
+    * the lowest-ranked merge PRESENT in the state (row_number over
+    * the rendered rank on a contains-join — exactly Bpe.encode's
+    * best-rank step, with replace-all = mergePair); a word whose
+    * state admits no merge leaves the frontier, and the final state
+    * per word is the one no rendered pattern matches. Token count =
+    * separator pairs. Rounds = max merge ops per word (≤ the longest
+    * word's length), never corpus-sized. */
+  private[graft] def bpeOracleSql: Option[String] =
+    lastBpeMerges.map { merges =>
+      val S = BpeSep
+      val rows = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"($i, '$S$a$S$S$b$S', '$S$a$b$S')"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+           m(mrk, pat, rep) AS (VALUES $rows),
+           words AS (SELECT DISTINCT word FROM (
+                 SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                 FROM documents) WHERE length(word) > 0),
+           walk(word, state) AS (
+                 SELECT word, '$S' || array_to_string(
+                     list_transform(range(1, length(word) + 1),
+                       i -> substr(word, i, 1)), '$S$S')
+                   || '$S$S</w>$S'
+                 FROM words
+                 UNION
+                 SELECT word, replace(state, pat, rep) AS state
+                 FROM (SELECT w.word, w.state, m.pat, m.rep,
+                       row_number() OVER (PARTITION BY w.word
+                         ORDER BY m.mrk) AS pick
+                       FROM walk w JOIN m ON contains(w.state, m.pat)) x
+                 WHERE pick = 1),
+           fin AS (SELECT word, state FROM walk w
+                 WHERE NOT EXISTS (SELECT 1 FROM m
+                                   WHERE contains(w.state, m.pat))),
+           enc AS (SELECT word, CAST((length(state)
+                 - length(replace(state, '$S', ''))) / 2 AS BIGINT) AS n_bpe
+                 FROM fin),
+           wt AS (SELECT doc_id, word FROM (
+                 SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                 FROM documents) WHERE length(word) > 0)
+         SELECT wt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(e.n_bpe) AS DOUBLE) / count(*), 4) AS bpe_per_word
+         FROM wt JOIN enc e USING (word) GROUP BY wt.doc_id"""
+    }
 }

@@ -98,7 +98,7 @@ class SqlGatewaySpec extends SparkSpec {
     // + ordinal (Spark requires one; DuckDB honors the same). Every
     // rewrite proven row-identical in DuckDB before landing.
     "t_decontaminate", "t_decontaminate_bloom", "t_quality_classifier",
-    "t_quality_gate", "t_html_extract", "t_repetition",
+    "t_quality_gate", "t_html_extract", "t_bpe_tokens", "t_repetition",
     "t_substring_spans", "t_token_count",
     // round-13 tranche 3 — the long tail, five mechanical rewrites
     // (each proven row-identical in DuckDB at sf0.01 before landing):
