@@ -1395,6 +1395,7 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1404,6 +1405,7 @@ object StreamOps {
         .write.partitionBy("bkt").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"compaction: could not stage $p aside")
       if (!fs.rename(tmp, p))
@@ -1510,6 +1512,8 @@ object StreamOps {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
+    val lease = acquireMaintenanceLease(
+      new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf), indexPath)
     for (sub <- Seq("bands", "shingles")) {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       val fs = p.getFileSystem(hconf)
@@ -1538,6 +1542,7 @@ object StreamOps {
         // old table so the index is never left absent
         val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
         if (fs.exists(old)) fs.delete(old, true)
+        checkMaintenanceLease(fs, lease)
         if (!fs.rename(p, old))
           throw new java.io.IOException(s"could not move $p aside to $old")
         if (!fs.rename(tmp, p)) {
@@ -1573,6 +1578,7 @@ object StreamOps {
     val fs = p.getFileSystem(hconf)
     recoverStagedRebuild(fs, indexPath)
     recoverCompaction(fs, p)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cells__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1581,6 +1587,7 @@ object StreamOps {
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/cells__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {
@@ -1788,6 +1795,7 @@ object StreamOps {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
     recoverStagedRebuild(fs, indexPath)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     def swapIn(sub: String, write: String => Unit): Unit = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)
@@ -1797,6 +1805,7 @@ object StreamOps {
       write(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {
@@ -1844,16 +1853,121 @@ object StreamOps {
     * JVM: the heal runs from EVERY reader/ingester touch, and two
     * concurrent touchers interleaving exists/delete/rename on the
     * same committed rebuild could each consume half the swap (one
-    * deletes a real table the other just renamed in). All supported
-    * deployments drive a given index from one driver JVM (the
-    * single-maintenance-writer contract compactGraphIndex's swaps
-    * already assume), so a JVM-level lock closes the race where it
-    * can actually occur; cross-process concurrency remains out of
-    * contract, exactly as for the other maintainers' swaps. */
+    * deletes a real table the other just renamed in). The JVM lock
+    * serializes same-process touchers; CROSS-process maintenance is
+    * fenced by the lease + epoch protocol below
+    * ([[acquireMaintenanceLease]] / [[checkMaintenanceLease]]): a
+    * second sweeper acquiring the lease bumps the epoch, and the
+    * older writer fails loudly at its next check — before any
+    * live-table mutation — instead of interleaving commit windows
+    * the heal cannot distinguish. */
   private val graphRebuildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def graphRebuildLock(indexPath: String): Object =
     graphRebuildLocks.computeIfAbsent(indexPath, _ => new Object)
+
+  // ------------------------------------------------------------------
+  // Cross-process maintenance fencing (lease + epoch token)
+  // ------------------------------------------------------------------
+
+  /** Thrown when a maintenance writer discovers a NEWER lease epoch:
+    * another process (or thread outside the JVM lock) has started
+    * maintaining the same index, and proceeding to a swap/commit
+    * could interleave commit windows the crash-heal cannot
+    * distinguish. The loser aborts loudly BEFORE mutating any live
+    * table; re-running it after the winner finishes is always safe
+    * (every maintenance operation here is idempotent from a clean
+    * start). */
+  final class MaintenanceFencedException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Lease directory under each index/table root. Underscore prefix:
+    * invisible to parquet readers, like the staging root. */
+  private[graft] val LeaseDirName = "_graft_lease"
+
+  /** A maintenance writer's fencing token: the epoch it acquired and
+    * the exact lease file name that records it. */
+  final case class MaintenanceLease(indexPath: String, epoch: Long,
+    name: String)
+
+  private def leaseDir(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/$LeaseDirName")
+
+  /** Parse `e<19-digit epoch>_<token>` lease names; anything else in
+    * the directory is ignored (never aborts a writer). */
+  private def leaseEpoch(name: String): Option[Long] =
+    if (name.length > 21 && name.startsWith("e") && name.charAt(20) == '_' &&
+        name.substring(1, 20).forall(_.isDigit))
+      Some(name.substring(1, 20).toLong)
+    else None
+
+  /** Acquire the maintenance lease on an index: create a lease file
+    * at epoch = (current max) + 1. Monotonic epochs make fencing
+    * one-directional — a later acquirer ALWAYS fences every earlier
+    * one, so of two sweepers the newest wins and the older aborts at
+    * its next [[checkMaintenanceLease]]. Two writers racing to the
+    * SAME epoch resolve deterministically (smallest lease file name
+    * wins; the loser deletes its file and aborts here). Lease files
+    * are tiny and pruned to the trailing few epochs on each acquire.
+    *
+    * This is advisory fencing on filesystem listings, not a CAS: the
+    * unfenceable window is the check-to-rename gap itself (a writer
+    * acquiring between another's final check and its rename). What
+    * it closes is the real operational hazard — two long-running
+    * sweepers interleaving whole staging/commit phases; what remains
+    * needs a conditional-write primitive no generic Hadoop FS
+    * offers, and is documented rather than pretended away. */
+  private[graft] def acquireMaintenanceLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): MaintenanceLease = {
+    val dir = leaseDir(indexPath)
+    fs.mkdirs(dir)
+    def names(): Seq[String] =
+      fs.listStatus(dir).map(_.getPath.getName).toSeq
+    val epoch = names().flatMap(leaseEpoch).foldLeft(0L)(math.max) + 1L
+    val name = f"e$epoch%019d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val mine = new org.apache.hadoop.fs.Path(dir, name)
+    fs.create(mine, false).close()
+    val peers = names().filter(n => leaseEpoch(n).contains(epoch))
+    if (peers.min != name) {
+      fs.delete(mine, false)
+      throw new MaintenanceFencedException(
+        s"maintenance lease on $indexPath: lost the epoch-$epoch race to " +
+          s"${peers.min} — another maintenance writer is active")
+    }
+    names().filter(n => leaseEpoch(n).exists(_ < epoch - 4))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    MaintenanceLease(indexPath, epoch, name)
+  }
+
+  /** Fail loudly if this writer's lease is no longer the newest —
+    * called immediately before every point of no return (the first
+    * rename of a compaction swap; each rebuild catch-up write; the
+    * `_COMMITTED` manifest rename). AFTER a manifest rename the heal
+    * proceeds regardless of fencing: a committed rebuild is the
+    * point of no return, and the heal is idempotent from any
+    * process. */
+  private[graft] def checkMaintenanceLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: MaintenanceLease): Unit = {
+    val dir = leaseDir(lease.indexPath)
+    val names =
+      if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq
+      else Seq.empty[String]
+    if (!names.contains(lease.name))
+      throw new MaintenanceFencedException(
+        s"maintenance lease ${lease.name} on ${lease.indexPath} has " +
+          "disappeared — fenced (or the lease dir was removed); aborting " +
+          "before any live-table mutation")
+    val fencedBy = names.filter(n => leaseEpoch(n).exists(e =>
+      e > lease.epoch || (e == lease.epoch && n < lease.name)))
+    if (fencedBy.nonEmpty)
+      throw new MaintenanceFencedException(
+        s"maintenance lease epoch ${lease.epoch} on ${lease.indexPath} is " +
+          s"fenced by ${fencedBy.sorted.last} — a newer maintenance writer " +
+          "owns this index; aborting before any live-table mutation")
+  }
 
   /** Roll a COMMITTED staged index rebuild forward — the heal every
     * reader/ingester of a rebuildable index runs first (graph:
@@ -1882,7 +1996,23 @@ object StreamOps {
     * alone — it is either an active rebuild mid-staging (readers
     * stay on the intact live tables) or an abandoned one (the next
     * rebuild clears it); deleting it here would race a live
-    * rebuild's staging writes. */
+    * rebuild's staging writes.
+    *
+    * CROSS-PROCESS protocol (round 16): every maintenance writer
+    * (`rebuild*`/`compact*`; the `maintain*` policies act through
+    * them) first acquires the per-index lease
+    * ([[acquireMaintenanceLease]] — a monotonic-epoch lease file
+    * under [[LeaseDirName]]) and re-checks it
+    * ([[checkMaintenanceLease]]) immediately before every point of
+    * no return: each compaction swap's first rename, each rebuild
+    * catch-up write, and the `_COMMITTED` manifest rename. A newer
+    * acquisition fences every older one, so of two concurrent
+    * sweepers the newest wins and the older aborts PRE-commit with
+    * [[MaintenanceFencedException]], its staging root left inert
+    * (no manifest ⟹ readers ignore it; the winner's next rebuild
+    * clears it). The heal here runs UNFENCED by design: a committed
+    * manifest is the point of no return and replaying it is
+    * idempotent from any process. */
   private[graft] def recoverStagedRebuild(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Unit = graphRebuildLock(indexPath).synchronized {
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
@@ -1919,10 +2049,14 @@ object StreamOps {
   }
 
   /** Commit a staged rebuild: write the action manifest atomically
-    * (temp name + rename) and run the shared idempotent heal. */
+    * (temp name + rename) and run the shared idempotent heal. The
+    * fencing check runs immediately before the manifest rename — the
+    * last instant a fenced writer can still abort with the live
+    * index untouched; once the manifest is in place the rebuild is
+    * committed and ANY process may finish the heal. */
   private def commitStagedRebuild(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String, root: org.apache.hadoop.fs.Path,
-      tables: Seq[String]): Unit = {
+      tables: Seq[String], lease: MaintenanceLease): Unit = {
     val actions = tables.map { t =>
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t"))) s"swap:$t"
       else s"drop:$t"
@@ -1932,6 +2066,7 @@ object StreamOps {
     val out = fs.create(tmp, true)
     try out.write(actions.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    checkMaintenanceLease(fs, lease)
     if (!fs.rename(tmp, committed)) throw new java.io.IOException(
       s"staged rebuild: could not move the commit manifest $tmp into place")
     recoverStagedRebuild(fs, indexPath)
@@ -2008,6 +2143,7 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // finish any committed predecessor, clear any abandoned staging
     recoverStagedRebuild(fs, indexPath)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
     if (fs.exists(root)) fs.delete(root, true)
     Seq("graph", "entries", "members").foreach(sub =>
@@ -2058,6 +2194,7 @@ object StreamOps {
       val ver =
         if (fresh.nonEmpty) fresh.max
         else (batchIds(cur) + 0L).max
+      checkMaintenanceLease(fs, lease)
       graphIngestNormed(root.toString, metricsEvery = 0)(missed, ver)
       seen = cur
       cur = markerSet()
@@ -2065,7 +2202,7 @@ object StreamOps {
     }
 
     // 3. COMMIT — the shared atomic manifest + idempotent heal
-    commitStagedRebuild(fs, indexPath, root, GraphRebuildTables)
+    commitStagedRebuild(fs, indexPath, root, GraphRebuildTables, lease)
   }
 
   /** The IVF twin of [[rebuildGraphIndex]]: retrain the coarse
@@ -2107,6 +2244,7 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStagedRebuild(fs, indexPath)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
     if (fs.exists(root)) fs.delete(root, true)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
@@ -2147,6 +2285,7 @@ object StreamOps {
         spark.read.parquet(s"$root/cells").select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
       val cents = VI.cachedCentroids(spark, root.toString)
+      checkMaintenanceLease(fs, lease)
       missed
         .withColumn("cell", VI.nearestCellExpr(cents, col("emb")))
         .repartition(col("cell"))
@@ -2161,7 +2300,7 @@ object StreamOps {
     if (caughtUp) VI.writeIvfStats(spark, root.toString)
 
     // 3. COMMIT
-    commitStagedRebuild(fs, indexPath, root, IvfRebuildTables)
+    commitStagedRebuild(fs, indexPath, root, IvfRebuildTables, lease)
   }
 
   // ------------------------------------------------------------------
@@ -2376,6 +2515,79 @@ object StreamOps {
       case "compact" => compactIvfIndex(spark, indexPath, targetPartitions)
     }
     actions
+  }
+
+  /** One swept root's outcome: what was found there, what the policy
+    * did, and the family audit AFTER acting (rendered `k=v` pairs —
+    * for the scheduler's log, not for joins). */
+  final case class MaintenanceReport(root: String, family: String,
+    actions: Seq[String], audit: String)
+
+  /** The unified maintenance sweep — the one entry point a scheduler
+    * calls over every index/table root it owns (the round-15 verdict
+    * item: seven per-family poll-and-act policies existed, but a
+    * table service had to know which was which). Each root's family
+    * is detected from its on-disk layout (each family's table set is
+    * disjoint: graph = graph+cents, IVF = cells+cents, text LSH =
+    * bands+shingles, clusters = labels, sample = cands, HLL = regs,
+    * Z-order = rows+zstats), its family policy runs (audit → pure
+    * decision table → act, exactly the single-family entry points —
+    * this adds DISPATCH, not new policy), and the family audit is
+    * re-read so the report shows the settled state. Unknown layouts
+    * report family "unknown" with no action rather than guessing.
+    *
+    * Z-order roots need their (dimX, dimY) clustering key — layout
+    * cannot reveal which columns the table is sorted by — via
+    * `zorderDims`; a Z-order root without an entry is reported
+    * "skipped:no-dims". `sampleK` is the sample family's top-k.
+    *
+    * Scale: the sweep is sequential by design — maintenance is
+    * IO-swap-bound, not compute-bound, and the lease protocol means
+    * concurrent sweeps of the SAME root would just fence each other;
+    * sweeping distinct roots from distinct schedulers is fine (leases
+    * are per-root). Audits are metadata-sized, so a no-op sweep over
+    * hundreds of roots costs listings, not scans. */
+  def maintainAll(spark: org.apache.spark.sql.SparkSession,
+      roots: Seq[String],
+      zorderDims: Map[String, (String, String)] = Map.empty,
+      sampleK: Int = 10): Seq[MaintenanceReport] = {
+    def render(df: DataFrame): String = {
+      val r = df.collect()(0)
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    }
+    roots.map { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def has(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+      if (has("graph") && has("cents")) MaintenanceReport(root, "graph",
+        maintainGraphIndex(spark, root),
+        render(graphIndexHealth(spark, root)))
+      else if (has("cells") && has("cents")) MaintenanceReport(root, "ivf",
+        maintainIvfIndex(spark, root),
+        render(graft.queries.VectorIndex.ivfStaleness(spark, root)))
+      else if (has("bands") && has("shingles")) MaintenanceReport(root,
+        "neardup", maintainNearDupIndex(spark, root),
+        render(lshIndexHealth(spark, root)))
+      else if (has("labels")) MaintenanceReport(root, "clusters",
+        maintainClustersIndex(spark, root),
+        render(clustersIndexHealth(spark, root)))
+      else if (has("cands")) MaintenanceReport(root, "sample",
+        maintainSampleIndex(spark, root, sampleK),
+        render(sampleIndexHealth(spark, root, sampleK)))
+      else if (has("regs")) MaintenanceReport(root, "hll",
+        maintainHllIndex(spark, root),
+        render(hllIndexHealth(spark, root)))
+      else if (has("rows") && has("zstats")) zorderDims.get(root) match {
+        case Some((dx, dy)) => MaintenanceReport(root, "zorder",
+          maintainZorderTable(spark, root, dx, dy),
+          render(zorderHealth(spark, root, dx, dy)))
+        case None => MaintenanceReport(root, "zorder",
+          Seq("skipped:no-dims"), "")
+      }
+      else MaintenanceReport(root, "unknown", Seq.empty, "")
+    }
   }
 
   /** Health row of the graph-ANN index — the audit the round-13
@@ -2766,6 +2978,7 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/labels")
     val fs = p.getFileSystem(hconf)
     recoverCompaction(fs, p)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/labels__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -2777,6 +2990,7 @@ object StreamOps {
       writeBucketMeta(fs, tmp, IndexBuckets)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/labels__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {
@@ -2896,6 +3110,7 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cands__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -2907,6 +3122,7 @@ object StreamOps {
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/cands__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {
@@ -3193,6 +3409,7 @@ object StreamOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
+    val lease = acquireMaintenanceLease(fs, tablePath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/rows__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -3200,6 +3417,7 @@ object StreamOps {
         spark.read.parquet(p.toString), dimX, dimY, tmp.toString, nFiles)
       val old = new org.apache.hadoop.fs.Path(s"$tablePath/rows__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {
@@ -3344,6 +3562,7 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/regs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
+    val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/regs__compact")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -3352,6 +3571,7 @@ object StreamOps {
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/regs__old")
       if (fs.exists(old)) fs.delete(old, true)
+      checkMaintenanceLease(fs, lease)
       if (!fs.rename(p, old))
         throw new java.io.IOException(s"could not move $p aside to $old")
       if (!fs.rename(tmp, p)) {

@@ -775,6 +775,106 @@ class StreamOpsSpec extends SparkSpec {
     extras.unpersist(); late.unpersist()
   }
 
+  test("maintenance lease: epochs are monotonic, a newer acquisition " +
+      "fences every older one, same-epoch races resolve deterministically") {
+    val idx = java.nio.file.Files.createTempDirectory("lease-unit").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val l1 = StreamOps.acquireMaintenanceLease(fs, idx)
+    StreamOps.checkMaintenanceLease(fs, l1) // own fresh lease: fine
+    val l2 = StreamOps.acquireMaintenanceLease(fs, idx)
+    assert(l2.epoch == l1.epoch + 1, "epochs must be monotonic")
+    intercept[StreamOps.MaintenanceFencedException](
+      StreamOps.checkMaintenanceLease(fs, l1))
+    StreamOps.checkMaintenanceLease(fs, l2) // the newest writer holds
+    // same-epoch race: a peer lease file at l2's epoch with a SMALLER
+    // name (the deterministic winner) fences l2
+    val peer = f"e${l2.epoch}%019d_0000000000000000000000000000000"
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/${StreamOps.LeaseDirName}/$peer"),
+      false).close()
+    intercept[StreamOps.MaintenanceFencedException](
+      StreamOps.checkMaintenanceLease(fs, l2))
+    // a vanished lease file (lease dir wiped) also reads as fenced —
+    // never as "free to commit"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/${StreamOps.LeaseDirName}"), true)
+    intercept[StreamOps.MaintenanceFencedException](
+      StreamOps.checkMaintenanceLease(fs, l2))
+    // stray non-lease files never abort a writer
+    val l3 = StreamOps.acquireMaintenanceLease(fs, idx)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$idx/${StreamOps.LeaseDirName}/not-a-lease"), false).close()
+    StreamOps.checkMaintenanceLease(fs, l3)
+  }
+
+  test("cross-process fencing: a second maintenance writer starting " +
+      "mid-rebuild (own thread, outside the JVM lock) makes the first " +
+      "abort PRE-commit with the live index byte-identical") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graph-fence").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def state() = canon(VectorIndex.resolvedGraph(spark, idx))
+    def listing(): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq(s"${s.getPath}:${s.getLen}")
+        }
+      Seq("supers", "cents", "graph", "entries", "members")
+        .map(t => new org.apache.hadoop.fs.Path(s"$idx/$t"))
+        .filter(fs.exists).flatMap(walk).sorted
+    }
+    val stateBefore = state()
+    val filesBefore = listing()
+    // the second sweeper: a plain lease acquisition from ANOTHER
+    // thread (no shared JVM state with the rebuild loop — exactly a
+    // second process's first move), injected between staging and
+    // commit
+    val boom = intercept[StreamOps.MaintenanceFencedException] {
+      StreamOps.rebuildGraphIndexStaged(spark, idx)(() => {
+        val t = new Thread(() => StreamOps.acquireMaintenanceLease(fs, idx))
+        t.start(); t.join()
+      })
+    }
+    assert(boom.getMessage.contains("fenced"), s"wrong abort: $boom")
+    // losing epoch aborted PRE-commit: staging left inert (no
+    // manifest), every live table byte-identical, serving unchanged
+    val root = new org.apache.hadoop.fs.Path(s"$idx/${StreamOps.GraphRebuildDir}")
+    assert(fs.exists(root) && !fs.exists(
+      new org.apache.hadoop.fs.Path(root, "_COMMITTED")),
+      "fenced rebuild must leave an UNCOMMITTED staging root")
+    assert(listing() == filesBefore,
+      "fenced rebuild mutated live table files")
+    assert(state() == stateBefore, "fenced rebuild changed the index state")
+    // the winner (or any later sweeper) proceeds normally: a fresh
+    // rebuild clears the abandoned staging and commits
+    StreamOps.rebuildGraphIndex(spark, idx)
+    assert(!fs.exists(root), "successful rebuild should consume staging")
+    assert(state() == stateBefore,
+      "no-new-data rebuild changed the resolved state")
+
+    // the IVF twin aborts pre-commit the same way
+    val vdir = java.nio.file.Files.createTempDirectory("ivf-fence").toString
+    VectorIndex.buildIvf(spark, dir, vdir, k = 4)
+    val vfs = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsBefore = canon(spark.read.parquet(s"$vdir/cells"))
+    intercept[StreamOps.MaintenanceFencedException] {
+      StreamOps.rebuildIvfIndexStaged(spark, vdir)(() => {
+        val t = new Thread(() => StreamOps.acquireMaintenanceLease(vfs, vdir))
+        t.start(); t.join()
+      })
+    }
+    assert(!vfs.exists(new org.apache.hadoop.fs.Path(
+      s"$vdir/${StreamOps.GraphRebuildDir}/_COMMITTED")))
+    assert(canon(spark.read.parquet(s"$vdir/cells")) == cellsBefore,
+      "fenced IVF rebuild touched the live cells")
+  }
+
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
       "state equals the current-layout twin") {
     import graft.queries.VectorIndex
