@@ -2523,6 +2523,23 @@ object StreamOps {
   final case class MaintenanceReport(root: String, family: String,
     actions: Seq[String], audit: String)
 
+  /** The per-family thresholds a [[maintainAll]] sweep applies —
+    * one value object instead of seven positional knob lists, with
+    * every default identical to the single-family entry points'.
+    * A deployment tunes ONCE for its file sizes and decay tolerance
+    * and passes the same object to every sweep. */
+  final case class MaintenanceTuning(
+    graphCompactAmp: Double = 2.0,
+    zorderOverlapPerFile: Double = 1.0,
+    zorderMaxFiles: Long = 512,
+    hllCompactAmp: Double = 2.0,
+    clustersMaxShare: Double = 0.5,
+    sampleK: Int = 10,
+    sampleCompactAmp: Double = 2.0,
+    nearDupMaxFiles: Long = 256,
+    ivfFileFactor: Int = 8,
+    targetPartitions: Int = 32)
+
   /** The unified maintenance sweep — the one entry point a scheduler
     * calls over every index/table root it owns (the round-15 verdict
     * item: seven per-family poll-and-act policies existed, but a
@@ -2539,7 +2556,8 @@ object StreamOps {
     * Z-order roots need their (dimX, dimY) clustering key — layout
     * cannot reveal which columns the table is sorted by — via
     * `zorderDims`; a Z-order root without an entry is reported
-    * "skipped:no-dims". `sampleK` is the sample family's top-k.
+    * "skipped:no-dims". Thresholds come from one [[MaintenanceTuning]]
+    * (defaults identical to the single-family entry points').
     *
     * Scale: the sweep is sequential by design — maintenance is
     * IO-swap-bound, not compute-bound, and the lease protocol means
@@ -2550,38 +2568,43 @@ object StreamOps {
   def maintainAll(spark: org.apache.spark.sql.SparkSession,
       roots: Seq[String],
       zorderDims: Map[String, (String, String)] = Map.empty,
-      sampleK: Int = 10): Seq[MaintenanceReport] = {
+      tuning: MaintenanceTuning = MaintenanceTuning()): Seq[MaintenanceReport] = {
     def render(df: DataFrame): String = {
       val r = df.collect()(0)
       r.schema.fieldNames.zip(r.toSeq)
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
     }
+    val t = tuning
     roots.map { root =>
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def has(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
       if (has("graph") && has("cents")) MaintenanceReport(root, "graph",
-        maintainGraphIndex(spark, root),
+        maintainGraphIndex(spark, root, t.graphCompactAmp, t.targetPartitions),
         render(graphIndexHealth(spark, root)))
       else if (has("cells") && has("cents")) MaintenanceReport(root, "ivf",
-        maintainIvfIndex(spark, root),
+        maintainIvfIndex(spark, root, t.ivfFileFactor, t.targetPartitions),
         render(graft.queries.VectorIndex.ivfStaleness(spark, root)))
       else if (has("bands") && has("shingles")) MaintenanceReport(root,
-        "neardup", maintainNearDupIndex(spark, root),
+        "neardup",
+        maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
+          t.targetPartitions),
         render(lshIndexHealth(spark, root)))
       else if (has("labels")) MaintenanceReport(root, "clusters",
-        maintainClustersIndex(spark, root),
+        maintainClustersIndex(spark, root, t.clustersMaxShare,
+          t.targetPartitions),
         render(clustersIndexHealth(spark, root)))
       else if (has("cands")) MaintenanceReport(root, "sample",
-        maintainSampleIndex(spark, root, sampleK),
-        render(sampleIndexHealth(spark, root, sampleK)))
+        maintainSampleIndex(spark, root, t.sampleK, t.sampleCompactAmp),
+        render(sampleIndexHealth(spark, root, t.sampleK)))
       else if (has("regs")) MaintenanceReport(root, "hll",
-        maintainHllIndex(spark, root),
+        maintainHllIndex(spark, root, t.hllCompactAmp),
         render(hllIndexHealth(spark, root)))
       else if (has("rows") && has("zstats")) zorderDims.get(root) match {
         case Some((dx, dy)) => MaintenanceReport(root, "zorder",
-          maintainZorderTable(spark, root, dx, dy),
+          maintainZorderTable(spark, root, dx, dy, t.zorderOverlapPerFile,
+            t.zorderMaxFiles, t.targetPartitions),
           render(zorderHealth(spark, root, dx, dy)))
         case None => MaintenanceReport(root, "zorder",
           Seq("skipped:no-dims"), "")

@@ -875,6 +875,127 @@ class StreamOpsSpec extends SparkSpec {
       "fenced IVF rebuild touched the live cells")
   }
 
+  test("maintainAll: one sweep over a mixed-family root set detects every " +
+      "family, runs each decayed root's remedy, and the second sweep no-ops") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"sweep-$tag").toString
+
+    // ---- graph: delta backlog (one ingest batch on a fresh build) ----
+    val gIdx = tmp("graph")
+    VectorIndex.buildGraph(spark, dir, gIdx)
+    StreamOps.graphIngestBatch(gIdx, metricsEvery = 0)(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select((col("vec_id") + 40000L).as("vec_id"),
+          col("embedding").as("emb")).limit(30), 1L).count()
+
+    // ---- IVF: drifted ingest flips the staleness flag ----
+    val vIdx = tmp("ivf")
+    VectorIndex.buildIvf(spark, dir, vIdx)
+    StreamOps.ivfIngestBatch(vIdx)(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select((col("vec_id") + 50000L).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("emb")).limit(300),
+      1L).count()
+
+    // ---- near-dup LSH: small-file pressure from four appends ----
+    val nIdx = tmp("neardup") + "/index"
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and naps all afternoon",
+      "columnar shuffles and broadcast joins dominate the query plan today",
+      "micro batch ingestion appends a few files per touched index bucket",
+      "entirely novel words describing lakeside weather and morning coffee")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      StreamOps.nearDupIngestBatch(nIdx)(
+        Seq((i.toLong, t)).toDF("doc_id", "text"), i.toLong).count()
+    }
+    def ndFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      Seq("bands", "shingles").map(s => walk(new java.io.File(s"$nIdx/$s"))).sum
+    }
+    val ndPre = ndFiles()
+    assert(ndPre >= 4, s"fixture too small to show file pressure: $ndPre")
+
+    // ---- clusters: a merge backlog from a cross-cluster edge ----
+    val cIdx = tmp("clusters")
+    StreamOps.clustersIngestBatch(cIdx, metricsEvery = 0)(
+      Seq((10L, 11L), (20L, 21L)).toDF("a_id", "b_id"), 1L).count()
+    StreamOps.clustersIngestBatch(cIdx, metricsEvery = 0)(
+      Seq((11L, 20L)).toDF("a_id", "b_id"), 2L).count()
+    val cBefore = StreamOps.readClusters(spark, cIdx).collect()
+      .map(_.toString).sorted.toSeq
+
+    // ---- sample / hll: duplicated appends → read amplification 2 ----
+    val sIdx = tmp("sample")
+    val sdocs = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    (1 to 2).foreach(i =>
+      StreamOps.sampleIngestBatch(sIdx, metricsEvery = 0)(sdocs, i.toLong))
+    val hIdx = tmp("hll")
+    val ord = graft.sources.Tables.orders(spark, dir)
+    (1 to 2).foreach(i =>
+      StreamOps.hllIngestBatch(hIdx, metricsEvery = 0)(ord.limit(100), i.toLong))
+
+    // ---- zorder: interleaved appends (every file overlaps) ----
+    val zTbl = tmp("zorder")
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    (1 to 3).foreach(i => StreamOps.zorderIngestBatch(zTbl, "l_partkey",
+      "l_suppkey", metricsEvery = 0)(li.limit(200), i.toLong))
+    val zNoDims = tmp("zorder-nodims")
+    StreamOps.zorderIngestBatch(zNoDims, "l_partkey", "l_suppkey",
+      metricsEvery = 0)(li.limit(50), 1L)
+
+    val unknown = tmp("unknown")
+
+    val roots = Seq(gIdx, vIdx, nIdx, cIdx, sIdx, hIdx, zTbl, zNoDims, unknown)
+    val tuning = StreamOps.MaintenanceTuning(
+      graphCompactAmp = 1.0001,      // one batch's delta trips it
+      clustersMaxShare = 0.1,        // the one merge-log entry trips it
+      nearDupMaxFiles = ndPre - 1,   // current pressure trips it
+      targetPartitions = 4)
+    val dims = Map(zTbl -> ("l_partkey", "l_suppkey"))
+
+    // ---- sweep 1: every family detected, every decayed root acted on ----
+    val r1 = StreamOps.maintainAll(spark, roots, dims, tuning)
+    assert(r1.map(r => r.root -> r.family) == roots.zip(Seq("graph", "ivf",
+      "neardup", "clusters", "sample", "hll", "zorder", "zorder", "unknown")),
+      s"family detection wrong: $r1")
+    val byRoot = r1.map(r => r.root -> r).toMap
+    assert(byRoot(gIdx).actions == Seq("compact"))
+    assert(byRoot(vIdx).actions == Seq("rebuild"))
+    assert(byRoot(nIdx).actions == Seq("compact"))
+    assert(byRoot(cIdx).actions == Seq("compact"))
+    assert(byRoot(sIdx).actions == Seq("compact"))
+    assert(byRoot(hIdx).actions == Seq("compact"))
+    assert(byRoot(zTbl).actions == Seq("compact"))
+    assert(byRoot(zNoDims).actions == Seq("skipped:no-dims"))
+    assert(byRoot(unknown).actions.isEmpty)
+    // the report carries each family's post-action audit for the log
+    assert(byRoot(gIdx).audit.contains("read_amplification=1.0"),
+      s"graph audit did not settle in the report: ${byRoot(gIdx).audit}")
+    assert(byRoot(cIdx).audit.contains("n_merge_rows=0"),
+      s"clusters audit did not settle in the report: ${byRoot(cIdx).audit}")
+    assert(ndFiles() < ndPre, "near-dup compaction did not reduce file count")
+
+    // remedies must not change what the indexes SAY
+    assert(StreamOps.readClusters(spark, cIdx).collect()
+      .map(_.toString).sorted.toSeq == cBefore,
+      "the sweep changed the cluster labeling")
+
+    // ---- sweep 2 (same tuning): everything settled to no-op ----
+    val r2 = StreamOps.maintainAll(spark, roots, dims, tuning)
+    r2.foreach { r =>
+      val expected =
+        if (r.root == zNoDims) Seq("skipped:no-dims") else Seq.empty
+      assert(r.actions == expected,
+        s"root ${r.root} (${r.family}) did not settle: ${r.actions}")
+    }
+  }
+
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
       "state equals the current-layout twin") {
     import graft.queries.VectorIndex
