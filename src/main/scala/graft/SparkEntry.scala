@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
     "dedup_clusters" -> ((s, d) => TextQueries.dedupClusters(s, d)),
     "dedup_clusters_lsh" -> ((s, d) => TextQueries.dedupClustersLsh(s, d)),
+    "t_split_safe" -> ((s, d) => TextQueries.tSplitSafe(s, d)),
     "t_shard_shuffle" -> (TextQueries.tShardShuffle _),
     "t_pack_chunks" -> ((s: SparkSession, d: String) => TextQueries.tPackChunks(s, d)),
     "t_decontaminate" -> ((s: SparkSession, d: String) => TextQueries.tDecontaminate(s, d)),
@@ -1025,6 +1026,46 @@ object SparkEntry {
                     UNION
                     SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""",
+    // leakage-safe splits: the dedup_clusters_lsh component labels
+    // (same recursive CTE), singletons labeling themselves, then the
+    // split decided by md5 of the CLUSTER label — first two hex
+    // chars as a 0..255 bucket (Spark computes the bucket via conv,
+    // DuckDB via two position() nibble decodes — same value)
+    "t_split_safe" ->
+      """WITH RECURSIVE
+              t AS (SELECT doc_id,
+                    string_split_regex(trim(lower(trim(text))), '\s+') AS toks
+                    FROM documents),
+              s AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2))) AS sh
+                    FROM t WHERE len(toks) >= 3),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              walk(id, lbl) AS (
+                    SELECT src, src FROM e
+                    UNION
+                    SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id),
+              cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                     FROM walk GROUP BY id),
+              lab AS (SELECT d.doc_id,
+                      coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+              b AS (SELECT doc_id, cluster_id,
+                    CAST((position(substr(md5(concat(cluster_id, ':split42')), 1, 1)
+                            IN '0123456789abcdef') - 1) * 16
+                       + position(substr(md5(concat(cluster_id, ':split42')), 2, 1)
+                            IN '0123456789abcdef') - 1 AS BIGINT) AS bucket
+                    FROM lab)
+         SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
     // SimHash: the per-token hash is md5's lower 64 bits (chars
     // 17..32 as two 32-bit halves — hi/lo kept separate here so no
     // intermediate overflows BIGINT), per-bit ±1 majority sums over

@@ -1866,6 +1866,42 @@ object TextQueries {
     clustersOf(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")),
       localFinish = localFinish)
 
+  /** Leakage-safe train/val/test split assignment — the split step a
+    * pretraining pipeline must run AFTER near-dedup, not before: two
+    * near-duplicates straddling train and eval leak training text
+    * into the benchmark, so the unit of assignment is the NEAR-DUP
+    * CLUSTER, not the document. Pipeline: the banded-LSH verified
+    * pair graph ([[dedupMinhash]], Jaccard ≥ 0.7) → connected
+    * components ([[clustersOf]]) → every document labeled with its
+    * component (singletons label themselves) → split decided by the
+    * md5 of the CLUSTER label (first two hex chars as a 0..255
+    * bucket: < 205 train ≈80%, < 230 val ≈10%, else test ≈10%).
+    * Hashing the label (not the doc id) makes the assignment
+    * deterministic, reproducible across runs, co-assigns every
+    * member of a cluster by construction, and stays stable under
+    * corpus growth for unchanged clusters.
+    *
+    * Scale: the pair + component cost IS the dedup pipeline's — a
+    * warehouse reads the stored clusters index (clustersIngestBatch
+    * maintains it) instead of recomputing; everything downstream of
+    * the labels is a narrow, shuffle-free map over
+    * (doc_id, cluster_id). */
+  def tSplitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val labeled = docs
+      .join(dedupClustersLsh(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val bucket = conv(substring(
+      md5(concat(col("cluster_id").cast("string"), lit(":split42"))),
+      1, 2), 16, 10).cast("long")
+    labeled
+      .withColumn("split",
+        when(bucket < 205, "train").when(bucket < 230, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** Corpus heavy hitters, exact: global top-k terms by occurrence
     * count. The scalable global-top-k shape: partial-agg'd counts
     * (vocabulary-sized, uniform term key) then `orderBy.limit(k)` —

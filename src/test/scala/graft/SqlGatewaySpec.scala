@@ -124,7 +124,8 @@ class SqlGatewaySpec extends SparkSpec {
     //  - LSH planes: table index + sign-bit weight rendered as
     //    VALUES literals, retiring `//` and `<<` from the text.
     "e10_drift", "e7_retention", "e9_resample", "w3_order_gaps",
-    "q_profile", "p4_coalesce_chain", "t_shard_shuffle", "t_pack_chunks",
+    "q_profile", "p4_coalesce_chain", "t_shard_shuffle", "t_split_safe",
+    "t_pack_chunks",
     "t_weighted_sample", "t_winnow", "t_collocations", "t_lm_score",
     "t_dsir_weights", "t_curation_e2e", "t_heavy_hitters_cms",
     "g1_pagerank", "emb_centroids", "emb_outliers",

@@ -57,6 +57,37 @@ class TextQueriesSpec extends SparkSpec {
       s"missed=${(want -- got).size} extra=${(got -- want).size}")
   }
 
+  test("tSplitSafe: every doc assigned exactly once, near-dup clusters " +
+      "never straddle splits, and the assignment is deterministic") {
+    val docsN = graft.sources.Tables.documents(spark, sf01).count()
+    val out = TextQueries.tSplitSafe(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length.toLong == docsN, "not a total assignment")
+    assert(out.map(_._1).distinct.length == out.length, "doc assigned twice")
+    // the leakage guard: one split per cluster, by construction
+    val splitsPerCluster = out.groupBy(_._2).map(_._2.map(_._3).distinct.length)
+    assert(splitsPerCluster.forall(_ == 1),
+      "a near-dup cluster straddles train/eval")
+    // real clusters exist at this SF (else the guard is vacuous) and
+    // they agree with the dedup pipeline's own labels
+    val clusters = TextQueries.dedupClustersLsh(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet.size < clusters.size,
+      "fixture has no multi-doc cluster")
+    out.filter(o => clusters.contains(o._1)).foreach { case (d, c, _) =>
+      assert(c == clusters(d), s"doc $d labeled $c, dedup pipeline says ${clusters(d)}")
+    }
+    // all three splits are populated and roughly 80/10/10
+    val by
+      = out.groupBy(_._3).view.mapValues(_.length.toDouble / out.length).toMap
+    assert(Set("train", "val", "test").subsetOf(by.keySet), s"missing split: $by")
+    assert(by("train") > 0.6 && by("train") < 0.95, s"train share off: $by")
+    // determinism: a second run is bit-identical
+    assert(TextQueries.tSplitSafe(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      == out.sorted.toSeq)
+  }
+
   test("sourceFilterOf: dup-heavy source drops, boilerplate source drops, healthy source keeps") {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
