@@ -1886,20 +1886,24 @@ object TextQueries {
     * maintains it) instead of recomputing; everything downstream of
     * the labels is a narrow, shuffle-free map over
     * (doc_id, cluster_id). */
-  def tSplitSafe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val labeled = docs
+  def tSplitSafe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
       .join(dedupClustersLsh(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val bucket = conv(substring(
-      md5(concat(col("cluster_id").cast("string"), lit(":split42"))),
-      1, 2), 16, 10).cast("long")
-    labeled
-      .withColumn("split",
-        when(bucket < 205, "train").when(bucket < 230, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("split"))
+
+  /** The split decision shared by [[tSplitSafe]] and the maintained-
+    * index serving path (StreamOps.splitsOfIndex): md5 of the cluster
+    * label, first two hex chars as a 0..255 bucket — < 205 train
+    * (≈80%), < 230 val (≈10%), else test. One definition so batch and
+    * incremental serving can never disagree on an unchanged label. */
+  private[graft] def splitOf(label: Column): Column = {
+    val bucket = conv(substring(
+      md5(concat(label.cast("string"), lit(":split42"))),
+      1, 2), 16, 10).cast("long")
+    when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
   }
 
   /** Corpus heavy hitters, exact: global top-k terms by occurrence

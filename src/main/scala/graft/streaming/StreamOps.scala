@@ -2968,6 +2968,52 @@ object StreamOps {
     }
   }
 
+  /** Leakage-safe splits served from the MAINTAINED clusters index —
+    * the incremental twin of TextQueries.tSplitSafe: the batch query
+    * recomputes LSH pairs + components per run; a table service reads
+    * the labels [[clustersIngestBatch]] already maintains and applies
+    * the identical split hash (TextQueries.splitOf — one definition,
+    * so batch and incremental serving can never disagree on an
+    * unchanged label). `docs` supplies the corpus ids; documents the
+    * index has never seen in a pair label themselves, exactly as the
+    * batch query's singletons do. One broadcast-free equi-join on the
+    * uniform doc_id key + a narrow map — no pair or component work at
+    * serve time. */
+  def splitsOfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(readClusters(spark, indexPath), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", graft.queries.TextQueries.splitOf(col("cluster_id")))
+
+  /** Split-stability audit between two label snapshots — the
+    * retroactive-leakage check an incremental dedup forces: when a
+    * new pair MERGES two existing clusters, the surviving label
+    * changes for one side, and with it that side's hash-derived
+    * split; a document that already served as training data can land
+    * in an eval split after the fact. Input: two (doc_id, cluster_id)
+    * frames (e.g. [[readClusters]] before and after an ingest batch,
+    * or two stored snapshots). Output: one row per split transition —
+    * (from_split, to_split, n_docs) — plus null-sided rows for docs
+    * that appeared or disappeared between snapshots. Any row with
+    * to_split ∈ {val, test} and from_split = train is the leak.
+    *
+    * Audit, not policy: the remedy (pin moved docs to their old
+    * split, or drop them from eval) is a human decision — an
+    * automated relabel would silently change what a benchmark
+    * measures. Scale: one full outer join on the uniform doc_id key;
+    * the output is at most 4×4 transition rows. */
+  def splitDriftAudit(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("doc_id"),
+        graft.queries.TextQueries.splitOf(col("cluster_id")).as("from_split"))
+      .join(cur.select(col("doc_id"),
+          graft.queries.TextQueries.splitOf(col("cluster_id")).as("to_split")),
+        Seq("doc_id"), "full")
+      .filter(!(col("from_split") <=> col("to_split")))
+      .groupBy(col("from_split"), col("to_split"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Health row for the clusters index — the compact-WHEN signal:
     * `n_merge_rows` is the resolution backlog every ingest and read
     * pays one clustersOf over (the LSM read-amplification analogue),

@@ -2240,6 +2240,52 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("splitsOfIndex equals the batch tSplitSafe on the same pair set; " +
+      "splitDriftAudit flags exactly the retroactive train/eval moves") {
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.001"
+    // ---- serving parity: maintained index vs the batch query ----
+    val idx = java.nio.file.Files.createTempDirectory("split-idx").toString
+    val pairs = TextQueries.dedupMinhash(spark, dir)
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    pairs.zipWithIndex.groupBy(_._2 % 2).toSeq.sortBy(_._1).foreach {
+      case (i, c) => StreamOps.clustersIngestBatch(idx)(
+        c.map(_._1).toDF("a_id", "b_id"), i + 1L).count()
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows(StreamOps.splitsOfIndex(spark, idx, docs))
+      == rows(TextQueries.tSplitSafe(spark, dir)),
+      "index-served splits diverge from the batch assignment")
+
+    // ---- drift audit: merge two clusters whose roots hash to
+    //      DIFFERENT splits; only the losing side's docs move ----
+    val bySplit = spark.range(200)
+      .select(col("id"), TextQueries.splitOf(col("id")).as("s"))
+      .as[(Long, String)].collect()
+    val a = bySplit.filter(_._2 == "train").map(_._1).min
+    val c = bySplit.filter(p => p._2 == "test" && p._1 > a).map(_._1).min
+    val (b, d) = (1000L + a, 2000L + c)
+    val idx2 = java.nio.file.Files.createTempDirectory("split-drift").toString
+    StreamOps.clustersIngestBatch(idx2)(
+      Seq((a, b), (c, d)).toDF("a_id", "b_id"), 1L).count()
+    val prev = StreamOps.readClusters(spark, idx2).cache(); prev.count()
+    StreamOps.clustersIngestBatch(idx2)(
+      Seq((b, c)).toDF("a_id", "b_id"), 2L).count()
+    val cur = StreamOps.readClusters(spark, idx2)
+    val audit = StreamOps.splitDriftAudit(prev, cur)
+      .as[(String, String, Long)].collect().toSet
+    assert(audit == Set(("test", "train", 2L)),
+      s"expected exactly docs $c,$d to move test->train: $audit")
+    // a self-diff is empty: no move, no phantom rows
+    assert(StreamOps.splitDriftAudit(prev, prev).count() == 0L)
+    prev.unpersist()
+  }
+
   // ---- incremental weighted sample ----
 
   private def sampleRows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long)] =
