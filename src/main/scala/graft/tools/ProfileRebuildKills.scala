@@ -30,7 +30,13 @@ import graft.streaming.StreamOps
   *      land inside the trainer collects, the staged-table writes,
   *      the catch-up ingest, and the serves.
   *
-  * Pass = all four canonicals identical AND kills actually landed.
+  * Each pass additionally decays hll / sample / zorder roots and runs
+  * one acting `maintainAll` sweep, so the SWAP-BASED compaction
+  * remedies (LSM folds, OPTIMIZE) — a different write path than the
+  * staged rebuilds — prove attempt-deterministic too, through their
+  * served state.
+  *
+  * Pass = all seven canonicals identical AND kills actually landed.
   * The lease/fencing protocol is exercised incidentally (every
   * rebuild acquires and re-checks the lease); what this proves on top
   * of the fencing spec is that TASK-level replay inside a staging
@@ -121,11 +127,42 @@ object ProfileRebuildKills {
         .select(col("cell"), col("vec_id")))
       val ivfServe = Canon.of(VectorIndex.searchIvf(spark, vIdx, queries))
 
+      // ---- the COMPACTION remedies under kills: decay hll / sample /
+      //      zorder roots, run one acting maintainAll sweep, canonical
+      //      each family's served state (the swap-based folds are a
+      //      different write path than the staged rebuilds above) ----
+      val hIdx = java.nio.file.Files
+        .createTempDirectory("rebuildkills-hll").toString
+      val orders = graft.sources.Tables.orders(spark, sfDir)
+      (1 to 2).foreach(i =>
+        StreamOps.hllIngestBatch(hIdx, metricsEvery = 0)(orders, i.toLong))
+      val sIdx = java.nio.file.Files
+        .createTempDirectory("rebuildkills-sample").toString
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"), col("text"))
+      (1 to 2).foreach(i =>
+        StreamOps.sampleIngestBatch(sIdx, metricsEvery = 0)(docs, i.toLong))
+      val zTbl = java.nio.file.Files
+        .createTempDirectory("rebuildkills-zorder").toString
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      (1 to 3).foreach(i => StreamOps.zorderIngestBatch(zTbl, "l_partkey",
+        "l_suppkey", metricsEvery = 0)(li, i.toLong))
+      val reports = StreamOps.maintainAll(spark, Seq(hIdx, sIdx, zTbl),
+        Map(zTbl -> ("l_partkey", "l_suppkey")))
+      require(reports.forall(_.actions.nonEmpty),
+        s"sweep fixture did not decay every root: $reports")
+      val hllState = Canon.of(StreamOps.readHll(spark, hIdx))
+      val sampleState = Canon.of(StreamOps.readSample(spark, sIdx))
+      val zorderState = Canon.of(StreamOps.readZorder(spark, zTbl))
+
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       (Map("graph_state" -> graphState, "graph_serve" -> graphServe,
-        "ivf_state" -> ivfState, "ivf_serve" -> ivfServe),
+        "ivf_state" -> ivfState, "ivf_serve" -> ivfServe,
+        "hll_state" -> hllState, "sample_state" -> sampleState,
+        "zorder_state" -> zorderState),
         kills.get(), speculative.get())
     }
 
@@ -134,7 +171,8 @@ object ProfileRebuildKills {
 
     println(f"${"component"}%-14s ${"rows"}%8s  match")
     var failures = 0
-    Seq("graph_state", "graph_serve", "ivf_state", "ivf_serve").foreach { name =>
+    Seq("graph_state", "graph_serve", "ivf_state", "ivf_serve",
+        "hll_state", "sample_state", "zorder_state").foreach { name =>
       val (cn, ch) = clean(name)
       val (fn, fh) = faulted(name)
       val ok = cn == fn && ch == fh
@@ -151,6 +189,7 @@ object ProfileRebuildKills {
       sys.exit(1)
     }
     println("[rebuild-kills] PASS: staged rebuilds (staging + catch-up + " +
-      "commit) row-identical under task kills + speculation")
+      "commit) AND the swap-based compaction remedies row-identical under " +
+      "task kills + speculation")
   }
 }
