@@ -2564,7 +2564,16 @@ object StreamOps {
     * concurrent sweeps of the SAME root would just fence each other;
     * sweeping distinct roots from distinct schedulers is fine (leases
     * are per-root). Audits are metadata-sized, so a no-op sweep over
-    * hundreds of roots costs listings, not scans. */
+    * hundreds of roots costs listings, not scans.
+    *
+    * Fault isolation (the reference's fan-out discipline): a root
+    * whose remedy is FENCED mid-action by a newer maintenance writer
+    * ([[MaintenanceFencedException]]) reports `actions = ["fenced"]`
+    * with the fencing message as its audit and the sweep CONTINUES to
+    * the remaining roots — one contended index must not kill a
+    * hundred-root sweep. The fenced root is left exactly as the
+    * fencing guarantees (live tables untouched, staging inert), and
+    * the next sweep's fresh acquisition simply retries it. */
   def maintainAll(spark: org.apache.spark.sql.SparkSession,
       roots: Seq[String],
       zorderDims: Map[String, (String, String)] = Map.empty,
@@ -2580,36 +2589,51 @@ object StreamOps {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def has(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
-      if (has("graph") && has("cents")) MaintenanceReport(root, "graph",
-        maintainGraphIndex(spark, root, t.graphCompactAmp, t.targetPartitions),
-        render(graphIndexHealth(spark, root)))
-      else if (has("cells") && has("cents")) MaintenanceReport(root, "ivf",
-        maintainIvfIndex(spark, root, t.ivfFileFactor, t.targetPartitions),
-        render(graft.queries.VectorIndex.ivfStaleness(spark, root)))
-      else if (has("bands") && has("shingles")) MaintenanceReport(root,
-        "neardup",
-        maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
-          t.targetPartitions),
-        render(lshIndexHealth(spark, root)))
-      else if (has("labels")) MaintenanceReport(root, "clusters",
-        maintainClustersIndex(spark, root, t.clustersMaxShare,
-          t.targetPartitions),
-        render(clustersIndexHealth(spark, root)))
-      else if (has("cands")) MaintenanceReport(root, "sample",
-        maintainSampleIndex(spark, root, t.sampleK, t.sampleCompactAmp),
-        render(sampleIndexHealth(spark, root, t.sampleK)))
-      else if (has("regs")) MaintenanceReport(root, "hll",
-        maintainHllIndex(spark, root, t.hllCompactAmp),
-        render(hllIndexHealth(spark, root)))
-      else if (has("rows") && has("zstats")) zorderDims.get(root) match {
-        case Some((dx, dy)) => MaintenanceReport(root, "zorder",
-          maintainZorderTable(spark, root, dx, dy, t.zorderOverlapPerFile,
-            t.zorderMaxFiles, t.targetPartitions),
-          render(zorderHealth(spark, root, dx, dy)))
-        case None => MaintenanceReport(root, "zorder",
-          Seq("skipped:no-dims"), "")
+      val (family, act): (String, () => MaintenanceReport) =
+        if (has("graph") && has("cents")) ("graph", () =>
+          MaintenanceReport(root, "graph",
+            maintainGraphIndex(spark, root, t.graphCompactAmp,
+              t.targetPartitions),
+            render(graphIndexHealth(spark, root))))
+        else if (has("cells") && has("cents")) ("ivf", () =>
+          MaintenanceReport(root, "ivf",
+            maintainIvfIndex(spark, root, t.ivfFileFactor,
+              t.targetPartitions),
+            render(graft.queries.VectorIndex.ivfStaleness(spark, root))))
+        else if (has("bands") && has("shingles")) ("neardup", () =>
+          MaintenanceReport(root, "neardup",
+            maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
+              t.targetPartitions),
+            render(lshIndexHealth(spark, root))))
+        else if (has("labels")) ("clusters", () =>
+          MaintenanceReport(root, "clusters",
+            maintainClustersIndex(spark, root, t.clustersMaxShare,
+              t.targetPartitions),
+            render(clustersIndexHealth(spark, root))))
+        else if (has("cands")) ("sample", () =>
+          MaintenanceReport(root, "sample",
+            maintainSampleIndex(spark, root, t.sampleK, t.sampleCompactAmp),
+            render(sampleIndexHealth(spark, root, t.sampleK))))
+        else if (has("regs")) ("hll", () =>
+          MaintenanceReport(root, "hll",
+            maintainHllIndex(spark, root, t.hllCompactAmp),
+            render(hllIndexHealth(spark, root))))
+        else if (has("rows") && has("zstats")) ("zorder", () =>
+          zorderDims.get(root) match {
+            case Some((dx, dy)) => MaintenanceReport(root, "zorder",
+              maintainZorderTable(spark, root, dx, dy,
+                t.zorderOverlapPerFile, t.zorderMaxFiles,
+                t.targetPartitions),
+              render(zorderHealth(spark, root, dx, dy)))
+            case None => MaintenanceReport(root, "zorder",
+              Seq("skipped:no-dims"), "")
+          })
+        else ("unknown", () => MaintenanceReport(root, "unknown",
+          Seq.empty, ""))
+      try act() catch {
+        case e: MaintenanceFencedException =>
+          MaintenanceReport(root, family, Seq("fenced"), e.getMessage)
       }
-      else MaintenanceReport(root, "unknown", Seq.empty, "")
     }
   }
 

@@ -996,6 +996,56 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("maintainAll fault isolation: a root fenced mid-remedy reports " +
+      "'fenced' and the sweep continues to the remaining roots") {
+    val dir = "/root/testdata/sf0.01"
+    // contended root FIRST (a zorder OPTIMIZE slow enough to fence
+    // mid-rewrite), a decayed hll root AFTER it
+    val zTbl = java.nio.file.Files.createTempDirectory("iso-z").toString
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    (1 to 3).foreach(i => StreamOps.zorderIngestBatch(zTbl, "l_partkey",
+      "l_suppkey", metricsEvery = 0)(li, i.toLong))
+    val hIdx = java.nio.file.Files.createTempDirectory("iso-hll").toString
+    val ord = graft.sources.Tables.orders(spark, dir)
+    (1 to 2).foreach(i => StreamOps.hllIngestBatch(hIdx,
+      metricsEvery = 0)(ord.limit(100), i.toLong))
+    val fs = new org.apache.hadoop.fs.Path(zTbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def zRows() = spark.read.parquet(s"$zTbl/rows").count()
+    val rowsBefore = zRows()
+
+    // the contender: waits until the SWEEP's lease appears on the
+    // zorder root, then acquires its own (newer epoch) — exactly a
+    // second scheduler starting mid-OPTIMIZE
+    val leaseDir = new org.apache.hadoop.fs.Path(
+      s"$zTbl/${StreamOps.LeaseDirName}")
+    val contender = new Thread(() => {
+      while (!fs.exists(leaseDir) || fs.listStatus(leaseDir).isEmpty)
+        Thread.sleep(5)
+      StreamOps.acquireMaintenanceLease(fs, zTbl)
+    })
+    contender.start()
+    val dims = Map(zTbl -> ("l_partkey", "l_suppkey"))
+    val r1 = StreamOps.maintainAll(spark, Seq(zTbl, hIdx), dims)
+    contender.join()
+    assert(r1.map(_.family) == Seq("zorder", "hll"))
+    assert(r1.head.actions == Seq("fenced"),
+      s"contended OPTIMIZE should report fenced: ${r1.head}")
+    assert(r1.head.audit.contains("fenced"), "audit should carry the message")
+    assert(r1(1).actions == Seq("compact"),
+      s"the sweep must continue past the fenced root: ${r1(1)}")
+    // the fenced root's live table is untouched
+    assert(zRows() == rowsBefore, "fenced OPTIMIZE mutated the table")
+    // the next sweep acquires a fresh (newest) epoch and retries it
+    val r2 = StreamOps.maintainAll(spark, Seq(zTbl, hIdx), dims)
+    assert(r2.head.actions == Seq("compact"),
+      s"retry sweep should OPTIMIZE the previously fenced root: ${r2.head}")
+    assert(zRows() == rowsBefore, "OPTIMIZE changed the row multiset size")
+    assert(StreamOps.maintainAll(spark, Seq(zTbl, hIdx), dims)
+      .forall(_.actions.isEmpty), "third sweep should no-op")
+  }
+
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
       "state equals the current-layout twin") {
     import graft.queries.VectorIndex
