@@ -3002,14 +3002,32 @@ object StreamOps {
     * index has never seen in a pair label themselves, exactly as the
     * batch query's singletons do. One broadcast-free equi-join on the
     * uniform doc_id key + a narrow map — no pair or component work at
-    * serve time. */
+    * serve time.
+    *
+    * `pins` is the APPLY side of the [[splitDriftAudit]] loop: the
+    * audit detects retroactive moves, a human approves which docs to
+    * pin to their old split (doc_id, split), and the overlay applies
+    * it — a pinned doc keeps its pinned split regardless of what its
+    * current cluster label hashes to; unpinned docs follow the hash.
+    * Pins are doc-level and explicit by design: an automated relabel
+    * would silently change what a benchmark measures. */
   def splitsOfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
+      indexPath: String, docs: DataFrame,
+      pins: Option[DataFrame] = None): DataFrame = {
+    val hashed = docs.select(col("doc_id"))
       .join(readClusters(spark, indexPath), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("split", graft.queries.TextQueries.splitOf(col("cluster_id")))
+    pins match {
+      case None => hashed
+      case Some(p) => hashed
+        .join(p.select(col("doc_id"), col("split").as("pinned_split")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("pinned_split"), col("split")).as("split"))
+    }
+  }
 
   /** Split-stability audit between two label snapshots — the
     * retroactive-leakage check an incremental dedup forces: when a

@@ -2333,6 +2333,21 @@ class StreamOpsSpec extends SparkSpec {
       s"expected exactly docs $c,$d to move test->train: $audit")
     // a self-diff is empty: no move, no phantom rows
     assert(StreamOps.splitDriftAudit(prev, prev).count() == 0L)
+
+    // ---- the APPLY side: pin the moved docs to their old split ----
+    val ids = Seq(a, b, c, d).toDF("doc_id")
+    val pins = Seq((c, "test"), (d, "test")).toDF("doc_id", "split")
+    val served = StreamOps.splitsOfIndex(spark, idx2, ids, Some(pins))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(served(c) == "test" && served(d) == "test",
+      s"pinned docs must keep their old split: $served")
+    assert(served(a) == "train" && served(b) == "train",
+      s"unpinned docs follow the hash: $served")
+    // cluster labels stay the merged truth — pins change the SPLIT
+    // column only, never the dedup labeling
+    assert(StreamOps.splitsOfIndex(spark, idx2, ids, Some(pins))
+      .select("cluster_id").distinct.count() == 1L,
+      "pinning must not alter the merged cluster labels")
     prev.unpersist()
   }
 
