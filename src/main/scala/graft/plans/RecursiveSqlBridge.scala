@@ -64,7 +64,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * remains on the memo itself: the parked view's checkpoint blocks
   * live on this session's executors, so a memo hit assumes the
   * session that evaluated is the session serving — true by
-  * construction here (the memo key binds the session UUID and the
+  * construction here (the memo key binds the session identity and the
   * view existence check runs against the serving session's catalog). */
 object RecursiveSqlBridge {
 
@@ -80,24 +80,23 @@ object RecursiveSqlBridge {
   private[graft] val fixpointRuns =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Memo of evaluated recursions: statement digest → (session UUID,
+  /** Memo of evaluated recursions: (statement digest, session) →
     * input signature). A hit means the parked result view already
     * holds THIS statement's fixpoint over THESE input bytes for THIS
-    * session, so evaluate() just re-emits the rewritten text. Bounded,
-    * clear-on-overflow; entries are O(1) strings. */
+    * session, so evaluate() just re-emits the rewritten text. Keyed
+    * per (statement, session) so two sessions alternating the same
+    * statement each keep their own slot instead of thrashing one.
+    * Bounded, clear-on-overflow; entries are O(1) strings. */
   private val bridgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private val BridgeMemoMax = 256
   /** In-memory leaves larger than this are not worth hashing into the
     * signature — the statement stays exact (re-evaluates) instead. */
   private val MaxMemoLocalRows = 10000
   private[graft] def clearBridgeMemo(): Unit = bridgeMemo.clear()
 
-  private def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-  }
+  private def sha256Hex(s: String): String =
+    graft.queries.CoreQueries.sha256Hex(s)
 
   import AsofSqlRewrite.{Tok, tokenize}
 
@@ -309,19 +308,32 @@ object RecursiveSqlBridge {
       withCtes((before :+ s"$name AS (SELECT * FROM $resView)") ++ after) +
         finalText
 
-    // memo check: same statement, same session, same input bytes, and
-    // the parked view still exists → zero fixpoint jobs
-    // identity of the evaluating session (temp views are session
-    // scoped); identityHashCode is stable for the session's lifetime,
-    // and the catalog existence check below backstops any reuse
+    // memo check: same statement, same session (temp views are
+    // session-scoped — the session identity keys the slot), same
+    // input bytes, and the parked view still SERVES → zero fixpoint
+    // jobs. "Serves" is a count over the checkpointed legs, not just
+    // a catalog-existence check: on a cluster, localCheckpoint blocks
+    // die with their executor while the catalog entry survives, and a
+    // memo that kept hitting a dead view would turn a transient
+    // executor loss into a permanently failing statement. The count
+    // touches every leg partition (cheap columnar read, no shuffle);
+    // a failure drops the entry and falls through to a fresh fixpoint
+    // — the pre-memo self-healing, restored.
+    // (SparkSession exposes no public session UUID in this API line;
+    // identityHashCode is stable for the session's lifetime and the
+    // per-(statement, session) keying below is what prevents thrash)
     val sessionKey = System.identityHashCode(spark).toString
+    val memoKey = (stmtDigest, sessionKey)
     val sig = memoSignature(spark, name, cols, before, baseText, stepText,
       s"__graft_rec_probe_$slot")
     sig.foreach { s =>
-      val hit = bridgeMemo.get(stmtDigest)
-      if (hit != null && hit == ((sessionKey, s)) &&
-          spark.catalog.tableExists(resView))
-        return rewritten
+      if (s == bridgeMemo.get(memoKey) && spark.catalog.tableExists(resView)) {
+        val alive =
+          try { spark.table(resView).count(); true }
+          catch { case scala.util.control.NonFatal(_) =>
+            bridgeMemo.remove(memoKey); false }
+        if (alive) return rewritten
+      }
     }
     fixpointRuns.incrementAndGet()
 
@@ -374,7 +386,7 @@ object RecursiveSqlBridge {
     }
     sig.foreach { s =>
       if (bridgeMemo.size >= BridgeMemoMax) bridgeMemo.clear()
-      bridgeMemo.put(stmtDigest, (sessionKey, s))
+      bridgeMemo.put(memoKey, s)
     }
     // walk's replacement sits in walk's ORIGINAL slot so later CTEs
     // that reference it still resolve lexically (see `rewritten`)

@@ -360,7 +360,10 @@ object CoreQueries {
     (String, String, String), java.lang.Double]()
   private val SkewCacheMax = 1024
 
-  private def sha256Hex(s: String): String = {
+  /** One digest helper for every cache/memo key in the engine (the
+    * skew memo here, the recursion-bridge memo) — a single definition
+    * keeps the digest discipline from drifting. */
+  private[graft] def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -414,9 +417,16 @@ object CoreQueries {
     * sampling RNG) and the spec can pin it. */
   private[graft] def keySkewRatio(df: DataFrame, key: Column): Double = {
     val fileSig = inputSignature(df)
-    val sig = (fileSig,
-      sha256Hex(df.queryExecution.analyzed.canonicalized.toString),
-      key.toString)
+    // toJSON is full-fidelity; toString truncates argument lists at
+    // spark.sql.debug.maxToStringFields (default 25), so two plans
+    // differing only past the cutoff would alias into one slot. The
+    // toString fallback (some expression trees refuse JSON) keeps the
+    // digest total rather than failing the probe.
+    val plan = df.queryExecution.analyzed.canonicalized
+    val planText =
+      try plan.toJSON
+      catch { case scala.util.control.NonFatal(_) => plan.toString }
+    val sig = (fileSig, sha256Hex(planText), key.toString)
     if (fileSig.nonEmpty) {
       val hit = skewCache.get(sig)
       if (hit != null) return hit.doubleValue()

@@ -2526,12 +2526,19 @@ object TextQueries {
     // single-quoted literals, so it is only exact when NO corpus
     // word carries the separator, a quote, or a backslash (quote
     // escaping itself is dialect-divergent: '' concatenates adjacent
-    // literals in Spark, backslash is literal in DuckDB) — one tiny
-    // vocabulary-sized probe on the already-persisted word counts
-    // decides; an unsafe vocabulary falls back to the rows-only
-    // check instead of a subtly-wrong oracle
+    // literals in Spark, backslash is literal in DuckDB), and no word
+    // leaves the BMP: Bpe.symbols splits on UTF-16 chars, so a
+    // supplementary character (emoji) becomes two surrogate-half
+    // symbols while the SQL replay's substr/length split on code
+    // points — counts would diverge AND trained merges would embed
+    // lone surrogates (mangled by any UTF-8 writer) into the rendered
+    // literals. One tiny vocabulary-sized probe on the already-
+    // persisted word counts decides; an unsafe vocabulary falls back
+    // to the rows-only check instead of a subtly-wrong oracle
     val vocabUnsafe = wc
-      .filter(col("word").rlike("['\\\\\\u001f]")).limit(1).count() > 0
+      .filter(col("word").rlike("['\\\\\\u001f]") ||
+        col("word").rlike("[\\x{10000}-\\x{10FFFF}\\ud800-\\udfff]"))
+      .limit(1).count() > 0
     lastBpeMerges = if (merges.isEmpty || vocabUnsafe) None else Some(merges)
     val encoded = wc.select(col("word")).as[String]
       .mapPartitions(it => it.map(w => (w, Bpe.encode(w, bRanks.value).length.toLong)))

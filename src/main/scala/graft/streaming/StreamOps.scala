@@ -1894,11 +1894,12 @@ object StreamOps {
     new org.apache.hadoop.fs.Path(s"$indexPath/$LeaseDirName")
 
   /** Parse `e<19-digit epoch>_<token>` lease names; anything else in
-    * the directory is ignored (never aborts a writer). */
+    * the directory — including a 19-digit string past Long.MaxValue —
+    * is ignored (never aborts a writer). */
   private def leaseEpoch(name: String): Option[Long] =
     if (name.length > 21 && name.startsWith("e") && name.charAt(20) == '_' &&
         name.substring(1, 20).forall(_.isDigit))
-      Some(name.substring(1, 20).toLong)
+      name.substring(1, 20).toLongOption.filter(_ >= 0L)
     else None
 
   /** Acquire the maintenance lease on an index: create a lease file
@@ -2573,7 +2574,10 @@ object StreamOps {
     * the remaining roots — one contended index must not kill a
     * hundred-root sweep. The fenced root is left exactly as the
     * fencing guarantees (live tables untouched, staging inert), and
-    * the next sweep's fresh acquisition simply retries it. */
+    * the next sweep's fresh acquisition simply retries it. Every
+    * OTHER non-fatal per-root fault (corrupt footer, a table deleted
+    * between detection and remedy, transient FS error) reports
+    * `actions = ["failed"]` under the same blast-radius rule. */
   def maintainAll(spark: org.apache.spark.sql.SparkSession,
       roots: Seq[String],
       zorderDims: Map[String, (String, String)] = Map.empty,
@@ -2633,6 +2637,12 @@ object StreamOps {
       try act() catch {
         case e: MaintenanceFencedException =>
           MaintenanceReport(root, family, Seq("fenced"), e.getMessage)
+        case scala.util.control.NonFatal(e) =>
+          // same blast-radius rule for every other per-root fault
+          // (corrupt footer, a table deleted between detection and
+          // remedy, transient FS error): report it, sweep on
+          MaintenanceReport(root, family, Seq("failed"),
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
   }

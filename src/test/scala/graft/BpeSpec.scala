@@ -76,4 +76,24 @@ class BpeSpec extends SparkSpec {
     val b = TextQueries.tBpeOf(docs, 10, 100).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("oracle render guard: a non-BMP word (emoji) withholds the SQL " +
+      "replay instead of rendering a code-point/UTF-16 divergent oracle") {
+    import spark.implicits._
+    // Bpe.symbols splits on UTF-16 chars (an emoji = two surrogate
+    // halves) while the SQL replay's substr/length split on code
+    // points — counts would diverge and merges would embed lone
+    // surrogates into the rendered literals
+    val docs = Seq((1L, "plain words here"), (2L, "a😀b twice a😀b"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.tBpeOf(docs, 5, 100).count() == 2L,
+      "the query itself must still run on a non-BMP corpus")
+    assert(TextQueries.lastBpeMerges.isEmpty,
+      "non-BMP vocabulary must withhold the rendered oracle")
+    // and a clean corpus renders again
+    val clean = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    TextQueries.tBpeOf(clean, 5, 100).count()
+    assert(TextQueries.lastBpeMerges.nonEmpty,
+      "a safe vocabulary must render the oracle")
+  }
 }

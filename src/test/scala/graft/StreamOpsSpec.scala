@@ -799,11 +799,17 @@ class StreamOpsSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$idx/${StreamOps.LeaseDirName}"), true)
     intercept[StreamOps.MaintenanceFencedException](
       StreamOps.checkMaintenanceLease(fs, l2))
-    // stray non-lease files never abort a writer
+    // stray non-lease files never abort a writer — including a
+    // 19-digit name past Long.MaxValue (a naive toLong would throw)
     val l3 = StreamOps.acquireMaintenanceLease(fs, idx)
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$idx/${StreamOps.LeaseDirName}/not-a-lease"), false).close()
+    for (stray <- Seq("not-a-lease",
+        "e9999999999999999999_ffffffffffffffffffffffffffffffff"))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$idx/${StreamOps.LeaseDirName}/$stray"), false).close()
     StreamOps.checkMaintenanceLease(fs, l3)
+    val l4 = StreamOps.acquireMaintenanceLease(fs, idx)
+    assert(l4.epoch == l3.epoch + 1,
+      "an overflowing stray name must not hijack the epoch sequence")
   }
 
   test("cross-process fencing: a second maintenance writer starting " +
@@ -1044,6 +1050,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(zRows() == rowsBefore, "OPTIMIZE changed the row multiset size")
     assert(StreamOps.maintainAll(spark, Seq(zTbl, hIdx), dims)
       .forall(_.actions.isEmpty), "third sweep should no-op")
+
+    // ---- the same blast-radius rule for every other fault class: a
+    //      root whose remedy THROWS (regs is a garbage file, so the
+    //      hll audit's parquet read fails) reports 'failed' and the
+    //      sweep still reaches the root behind it ----
+    val broken = java.nio.file.Files.createTempDirectory("iso-broken").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$broken/regs"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$broken/regs/part-0.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    val ord2 = graft.sources.Tables.orders(spark, dir)
+    (1 to 2).foreach(i => StreamOps.hllIngestBatch(hIdx,
+      metricsEvery = 0)(ord2.limit(50), 100L + i))
+    val r3 = StreamOps.maintainAll(spark, Seq(broken, hIdx), dims)
+    assert(r3.head.family == "hll" && r3.head.actions == Seq("failed"),
+      s"corrupt root should report failed: ${r3.head}")
+    assert(r3.head.audit.nonEmpty, "failed report should carry the cause")
+    assert(r3(1).actions == Seq("compact"),
+      s"the sweep must continue past the failed root: ${r3(1)}")
   }
 
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
