@@ -55,9 +55,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query pays the walk once — the round-15 verdict item; see
   * [[memoSignature]] for what makes an input state provable).
   * `EXPLAIN [EXTENDED|CODEGEN|COST|FORMATTED] WITH RECURSIVE …` is
-  * bridged too: the stripped statement evaluates (memoized like any
-  * run) and the delegate explains the rewritten text — a plan comes
-  * back instead of a native-path failure. Parameterized statements
+  * bridged PLAN-ONLY: the recursion is replaced by an empty-shaped
+  * (limit 0) parked view and the delegate explains the rewritten
+  * text — a plan comes back instead of a native-path failure, and a
+  * cost-preview EXPLAIN never runs the fixpoint's jobs (base and
+  * step analyze only). Parameterized statements
   * (`spark.sql(text, args)`) never bridge — the internal round
   * statements are parameterless, so bindings could not be honored;
   * they reach Spark's native path and fail loudly there. One boundary
@@ -108,22 +110,32 @@ object RecursiveSqlBridge {
   /** Evaluate the recursion if `sql` matches the bridged shape; the
     * returned text is the equivalent NON-recursive statement over the
     * materialized view. None = not our shape, hand to the delegate. */
-  def maybeBridge(spark: SparkSession, sql: String): Option[String] = {
+  def maybeBridge(spark: SparkSession, sql: String): Option[String] =
+    maybeBridgeImpl(spark, sql, explainOnly = false)
+
+  private def maybeBridgeImpl(spark: SparkSession, sql: String,
+      explainOnly: Boolean): Option[String] = {
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("recursive"))
       return None
     val toks = tokenize(sql)
-    // EXPLAIN [mode] over a bridged statement: evaluate the stripped
-    // statement (memoized like any run — the price of explaining a
-    // driver-paced construct) and let the delegate explain the
-    // REWRITTEN text; without this the first token being EXPLAIN
-    // would route the recursion to the native path, which rejects it
+    // EXPLAIN [mode] over a bridged statement is PLAN-ONLY: the
+    // recursion's base parses with `name` bound to an empty-shaped
+    // (limit 0) parked view, so the delegate explains the rewritten
+    // text's plan shape without running a single fixpoint job — a
+    // user running EXPLAIN as a cost preview must never trigger the
+    // full recursion (the round-16 advice item). The plan shows the
+    // final statement over the parked relation; the per-round step
+    // plan is the step query's own (explainable separately). Without
+    // this branch the first token being EXPLAIN would route the
+    // recursion to the native path, which rejects it.
     if (toks.length >= 3 && toks(0).word && eqi(toks(0).s, "EXPLAIN")) {
       var j = 1
       if (j < toks.length && toks(j).word && Set("EXTENDED", "CODEGEN",
           "COST", "FORMATTED").contains(
           toks(j).s.toUpperCase(java.util.Locale.ROOT))) j += 1
       if (j < toks.length && toks(j).word && eqi(toks(j).s, "WITH"))
-        return maybeBridge(spark, sql.substring(toks(j).start))
+        return maybeBridgeImpl(spark, sql.substring(toks(j).start),
+          explainOnly = true)
           .map(sql.substring(0, toks(j).start) + _)
       return None
     }
@@ -214,7 +226,7 @@ object RecursiveSqlBridge {
     def raw(c: Cte) = sql.substring(c.defStart, c.defEnd)
 
     Some(evaluate(spark, sql, r.name, r.cols, before.map(raw),
-      after.map(raw), baseText, stepText, finalText))
+      after.map(raw), baseText, stepText, finalText, explainOnly))
   }
 
   /** Seminaive fixpoint: rounds of `step(frontier) \ acc`. The whole
@@ -297,13 +309,24 @@ object RecursiveSqlBridge {
 
   private def evaluate(spark: SparkSession, statement: String, name: String,
       cols: Seq[String], before: Seq[String], after: Seq[String],
-      baseText: String, stepText: String,
-      finalText: String): String = this.synchronized {
+      baseText: String, stepText: String, finalText: String,
+      explainOnly: Boolean = false): String = this.synchronized {
     def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val stmtDigest = sha256Hex(statement)
     val slot = stmtDigest.take(16)
     val workView = s"__graft_rec_work_$slot"
     val resView = s"__graft_rec_$slot"
+    // EXPLAIN: park an empty-shaped view in its OWN slot (never the
+    // result slot — a later real run must still evaluate) and return
+    // the rewritten text for the delegate to plan. Zero fixpoint jobs.
+    if (explainOnly) {
+      val planView = s"__graft_rec_plan_$slot"
+      spark.sql(withCtes(before) + baseText).toDF(cols: _*).limit(0)
+        .createOrReplaceTempView(planView)
+      return withCtes(
+        (before :+ s"$name AS (SELECT * FROM $planView)") ++ after) +
+        finalText
+    }
     val rewritten =
       withCtes((before :+ s"$name AS (SELECT * FROM $resView)") ++ after) +
         finalText

@@ -2535,8 +2535,12 @@ object TextQueries {
     // literals. One tiny vocabulary-sized probe on the already-
     // persisted word counts decides; an unsafe vocabulary falls back
     // to the rows-only check instead of a subtly-wrong oracle
+    // the unsafe class covers ALL C0 controls, not just the U+001F
+    // separator: any control char trained into a merge would embed
+    // raw into the rendered single-quoted literals, where it can
+    // break or subtly diverge the DuckDB replay
     val vocabUnsafe = wc
-      .filter(col("word").rlike("['\\\\\\u001f]") ||
+      .filter(col("word").rlike("['\\\\\\x00-\\x1f]") ||
         col("word").rlike("[\\x{10000}-\\x{10FFFF}\\ud800-\\udfff]"))
       .limit(1).count() > 0
     lastBpeMerges = if (merges.isEmpty || vocabUnsafe) None else Some(merges)

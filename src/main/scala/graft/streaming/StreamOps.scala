@@ -625,6 +625,30 @@ object StreamOps {
     }
   }
 
+  /** Per-acquisition-unique compaction staging path —
+    * `<sub>__compact_<lease name>` (epoch + token embedded), the
+    * compaction twin of the rebuilds' per-acquisition staging roots:
+    * with a FIXED tmp name, a fenced older compaction's long Spark
+    * write could commit its task files AFTER a newer winner staged
+    * the same tmp, and the winner's swap (its lease check passes —
+    * it IS newest) would rename a polluted copy over the live table.
+    * A fenced writer's late write lands in ITS uniquely-named tmp
+    * instead — inert (its own swap aborts at the lease check) and
+    * cleared here: any `<sub>__compact*` sibling left behind belongs
+    * to an older acquisition by lease monotonicity, so deleting it
+    * is safe (an in-flight recreate stays in that writer's own
+    * name). */
+  private def compactStaging(fs: org.apache.hadoop.fs.FileSystem,
+      parent: String, sub: String,
+      lease: MaintenanceLease): org.apache.hadoop.fs.Path = {
+    val pp = new org.apache.hadoop.fs.Path(parent)
+    if (fs.exists(pp))
+      fs.listStatus(pp).map(_.getPath)
+        .filter(_.getName.startsWith(s"${sub}__compact"))
+        .foreach(t => fs.delete(t, true))
+    new org.apache.hadoop.fs.Path(s"$parent/${sub}__compact_${lease.name}")
+  }
+
   /** Read one index table pruned to `bkts` — the `isin` over the
     * partition column becomes a static PartitionFilter at the scan,
     * so only those buckets' files are listed and read (pinned in
@@ -1397,8 +1421,7 @@ object StreamOps {
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, "blocks", lease)
       spark.read.parquet(p.toString)
         .distinct()
         .repartition(targetPartitions, col("bkt"))
@@ -1519,8 +1542,7 @@ object StreamOps {
       val fs = p.getFileSystem(hconf)
       recoverCompaction(fs, p) // heal a previously interrupted swap first
       if (fs.exists(p)) {
-        val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val tmp = compactStaging(fs, indexPath, sub, lease)
         val raw = spark.read.parquet(p.toString)
         // compaction doubles as the layout migration: bkt is ALWAYS
         // re-derived under the live IndexBuckets, which upgrades both
@@ -1580,8 +1602,7 @@ object StreamOps {
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cells__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, "cells", lease)
       spark.read.parquet(p.toString).distinct()
         .repartition(targetPartitions, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -1800,8 +1821,7 @@ object StreamOps {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       recoverCompaction(fs, p)
       if (!fs.exists(p)) return
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, sub, lease)
       write(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
       if (fs.exists(old)) fs.delete(old, true)
@@ -1836,13 +1856,53 @@ object StreamOps {
       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
   }
 
-  /** Staging root of the staged index rebuilds ([[rebuildGraphIndex]],
-    * [[rebuildIvfIndex]]) — a full index layout nested under the live
-    * one (underscore prefix: invisible to every parquet read of the
-    * real tables). One name serves every family: a root is only ever
-    * ONE kind of index, and the commit manifest carries the family's
-    * table list explicitly. */
+  /** Staging-root NAME PREFIX of the staged index rebuilds
+    * ([[rebuildGraphIndex]], [[rebuildIvfIndex]]) — a full index
+    * layout nested under the live one (underscore prefix: invisible
+    * to every parquet read of the real tables). One prefix serves
+    * every family: a root is only ever ONE kind of index, and the
+    * commit manifest carries the family's table list explicitly.
+    *
+    * Each acquisition stages into its OWN root
+    * (`_graft_rebuild_<lease name>` — the lease epoch + token embed
+    * in the name), never a shared fixed directory: with a fixed
+    * staging root, a fenced OLDER rebuild's long Spark stage writes
+    * could complete AFTER a newer winner deleted and re-staged the
+    * same directory, silently replacing the winner's staged tables —
+    * and the winner's commit-time lease check (it IS newest) would
+    * then rename a polluted manifest into place. With per-acquisition
+    * roots, a fenced writer's late writes land in ITS uniquely-named
+    * root, which stays inert (its commit's lease check aborts before
+    * any manifest appears) and is garbage-collected by the next
+    * rebuild. The heal discovers roots by prefix listing, so the
+    * legacy fixed name rolls forward identically. */
   private[graft] val GraphRebuildDir = "_graft_rebuild"
+
+  /** This acquisition's own staging root (see [[GraphRebuildDir]]). */
+  private def rebuildStagingRoot(indexPath: String,
+      lease: MaintenanceLease): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$indexPath/${GraphRebuildDir}_${lease.name}")
+
+  /** Epoch a staging-root name embeds (heal ordering: newest-epoch
+    * manifest rolls forward LAST, so of two committed roots — only
+    * reachable through the documented advisory check-to-rename
+    * window — the newest wins). Legacy fixed name = epoch 0. */
+  private def stagingEpoch(name: String): Long =
+    if (name == GraphRebuildDir) 0L
+    else leaseEpoch(name.stripPrefix(GraphRebuildDir + "_")).getOrElse(0L)
+
+  /** Every rebuild staging root currently under the index, heal
+    * order. Test-visible: specs locate abandoned/fenced stagings by
+    * prefix instead of assuming a fixed name. */
+  private[graft] def stagingRoots(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val ip = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(ip)) Seq.empty
+    else fs.listStatus(ip).map(_.getPath)
+      .filter(_.getName.startsWith(GraphRebuildDir))
+      .sortBy(p => (stagingEpoch(p.getName), p.getName)).toSeq
+  }
   /** Every table a graph rebuild can replace, in swap order. */
   private val GraphRebuildTables = Seq("supers", "cents", "graph",
     "entries", "members", "graph_delta", "entries_delta")
@@ -2016,37 +2076,44 @@ object StreamOps {
     * idempotent from any process. */
   private[graft] def recoverStagedRebuild(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Unit = graphRebuildLock(indexPath).synchronized {
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
-    if (!fs.exists(root)) return
-    val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
-    if (!fs.exists(committed)) return
-    val lines = {
-      val in = fs.open(committed)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-      new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    }
-    if (lines.isEmpty || !lines.forall(l =>
-        l.startsWith("swap:") || l.startsWith("drop:")))
-      throw new java.io.IOException(
-        s"staged-rebuild manifest $committed is empty or malformed — " +
-          "refusing to roll forward (expected swap:/drop: lines)")
-    lines.foreach { line =>
-      val t = line.substring(5)
-      val s = new org.apache.hadoop.fs.Path(root, t)
-      val real = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
-      if (line.startsWith("swap:")) {
-        if (fs.exists(s)) {
-          if (fs.exists(real)) fs.delete(real, true)
-          if (!fs.rename(s, real)) throw new java.io.IOException(
-            s"staged-rebuild roll-forward: could not move $s into $real")
+    // staging roots are per-acquisition-unique (prefix listing finds
+    // the legacy fixed name too); COMMITTED ones roll forward in
+    // epoch order so the newest wins, manifest-less ones are left
+    // alone (active mid-staging, or abandoned — the next rebuild's
+    // GC clears them)
+    stagingRoots(fs, indexPath).foreach { root =>
+      val committed = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+      if (fs.exists(committed)) {
+        val lines = {
+          val in = fs.open(committed)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+          new String(bytes, "UTF-8").split("\n").map(_.trim)
+            .filter(_.nonEmpty).toSeq
         }
-      } else if (fs.exists(real)) {
-        fs.delete(real, true)
+        if (lines.isEmpty || !lines.forall(l =>
+            l.startsWith("swap:") || l.startsWith("drop:")))
+          throw new java.io.IOException(
+            s"staged-rebuild manifest $committed is empty or malformed — " +
+              "refusing to roll forward (expected swap:/drop: lines)")
+        lines.foreach { line =>
+          val t = line.substring(5)
+          val s = new org.apache.hadoop.fs.Path(root, t)
+          val real = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
+          if (line.startsWith("swap:")) {
+            if (fs.exists(s)) {
+              if (fs.exists(real)) fs.delete(real, true)
+              if (!fs.rename(s, real)) throw new java.io.IOException(
+                s"staged-rebuild roll-forward: could not move $s into $real")
+            }
+          } else if (fs.exists(real)) {
+            fs.delete(real, true)
+          }
+        }
+        fs.delete(root, true)
+        graft.queries.VectorIndex.invalidateCentroids(indexPath)
       }
     }
-    fs.delete(root, true)
-    graft.queries.VectorIndex.invalidateCentroids(indexPath)
   }
 
   /** Commit a staged rebuild: write the action manifest atomically
@@ -2145,8 +2212,14 @@ object StreamOps {
     // finish any committed predecessor, clear any abandoned staging
     recoverStagedRebuild(fs, indexPath)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
-    if (fs.exists(root)) fs.delete(root, true)
+    // GC abandoned staging roots: every remaining one belongs to an
+    // older (now fenced) acquisition — committed ones were just
+    // rolled forward. A fenced writer's in-flight Spark write may
+    // recreate parts of ITS uniquely-named root afterwards; that
+    // garbage stays inert (its commit aborts at the lease check)
+    // until the next rebuild's GC. It can never pollute OUR root.
+    stagingRoots(fs, indexPath).foreach(r => fs.delete(r, true))
+    val root = rebuildStagingRoot(indexPath, lease)
     Seq("graph", "entries", "members").foreach(sub =>
       recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/$sub")))
 
@@ -2186,10 +2259,12 @@ object StreamOps {
       // a rebuild mid-staging), and a marker set that SHRANK (cur !=
       // seen with no new names) still loops correctly — fall back to
       // the newest parseable marker overall, then 0
-      def batchIds(names: Set[String]): Set[Long] = names.collect {
-        // ≤ 18 digits: parseable as Long without overflow-throwing
-        case n if n.length > 1 && n.length <= 19 && n.startsWith("b") &&
-          n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+      def batchIds(names: Set[String]): Set[Long] = names.flatMap { n =>
+        // ≤ 19 digits (the full Long range — leaseEpoch's width);
+        // toLongOption drops a 19-digit overflow instead of throwing
+        if (n.length > 1 && n.length <= 20 && n.startsWith("b") &&
+          n.drop(1).forall(_.isDigit)) n.drop(1).toLongOption
+        else None
       }
       val fresh = batchIds(cur -- seen)
       val ver =
@@ -2246,8 +2321,9 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStagedRebuild(fs, indexPath)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphRebuildDir")
-    if (fs.exists(root)) fs.delete(root, true)
+    // same per-acquisition staging + GC as the graph rebuild
+    stagingRoots(fs, indexPath).foreach(r => fs.delete(r, true))
+    val root = rebuildStagingRoot(indexPath, lease)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
 
     def markerSet(): Set[String] = {
@@ -2577,7 +2653,16 @@ object StreamOps {
     * the next sweep's fresh acquisition simply retries it. Every
     * OTHER non-fatal per-root fault (corrupt footer, a table deleted
     * between detection and remedy, transient FS error) reports
-    * `actions = ["failed"]` under the same blast-radius rule. */
+    * `actions = ["failed"]` under the same blast-radius rule —
+    * applied to the REMEDY only: a remedy that succeeded but whose
+    * post-action audit re-read throws keeps its real actions list and
+    * reports the audit fault in the audit field (`audit-failed: …`) —
+    * a state-changing action must never read as a failure just
+    * because its health row could not be rendered. A root whose
+    * layout matches MORE THAN ONE family probe (sibling subdirs from
+    * two families accumulated under one root) reports
+    * `actions = ["ambiguous"]` with the matched families, instead of
+    * silently maintaining whichever family probed first. */
   def maintainAll(spark: org.apache.spark.sql.SparkSession,
       roots: Seq[String],
       zorderDims: Map[String, (String, String)] = Map.empty,
@@ -2593,58 +2678,88 @@ object StreamOps {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def has(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
-      val (family, act): (String, () => MaintenanceReport) =
-        if (has("graph") && has("cents")) ("graph", () =>
-          MaintenanceReport(root, "graph",
-            maintainGraphIndex(spark, root, t.graphCompactAmp,
-              t.targetPartitions),
-            render(graphIndexHealth(spark, root))))
-        else if (has("cells") && has("cents")) ("ivf", () =>
-          MaintenanceReport(root, "ivf",
-            maintainIvfIndex(spark, root, t.ivfFileFactor,
-              t.targetPartitions),
-            render(graft.queries.VectorIndex.ivfStaleness(spark, root))))
-        else if (has("bands") && has("shingles")) ("neardup", () =>
-          MaintenanceReport(root, "neardup",
-            maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
-              t.targetPartitions),
-            render(lshIndexHealth(spark, root))))
-        else if (has("labels")) ("clusters", () =>
-          MaintenanceReport(root, "clusters",
-            maintainClustersIndex(spark, root, t.clustersMaxShare,
-              t.targetPartitions),
-            render(clustersIndexHealth(spark, root))))
-        else if (has("cands")) ("sample", () =>
-          MaintenanceReport(root, "sample",
-            maintainSampleIndex(spark, root, t.sampleK, t.sampleCompactAmp),
-            render(sampleIndexHealth(spark, root, t.sampleK))))
-        else if (has("regs")) ("hll", () =>
-          MaintenanceReport(root, "hll",
-            maintainHllIndex(spark, root, t.hllCompactAmp),
-            render(hllIndexHealth(spark, root))))
-        else if (has("rows") && has("zstats")) ("zorder", () =>
-          zorderDims.get(root) match {
-            case Some((dx, dy)) => MaintenanceReport(root, "zorder",
-              maintainZorderTable(spark, root, dx, dy,
-                t.zorderOverlapPerFile, t.zorderMaxFiles,
+      // every family probe evaluated independently — ambiguity is a
+      // report, not a first-match coin toss
+      val matched = Seq(
+        "graph" -> (has("graph") && has("cents")),
+        "ivf" -> (has("cells") && has("cents")),
+        "neardup" -> (has("bands") && has("shingles")),
+        "clusters" -> has("labels"),
+        "sample" -> has("cands"),
+        "hll" -> has("regs"),
+        "zorder" -> (has("rows") && has("zstats"))
+      ).collect { case (f, true) => f }
+      if (matched.size > 1)
+        MaintenanceReport(root, matched.mkString("+"), Seq("ambiguous"),
+          s"root matches multiple family layouts (${matched.mkString(", ")}) " +
+            "— split the tables into per-family roots before maintaining")
+      else {
+        val (family, remedy, audit): (String, () => Seq[String], () => String) =
+          matched.headOption.getOrElse("unknown") match {
+            case "graph" => ("graph",
+              () => maintainGraphIndex(spark, root, t.graphCompactAmp,
                 t.targetPartitions),
-              render(zorderHealth(spark, root, dx, dy)))
-            case None => MaintenanceReport(root, "zorder",
-              Seq("skipped:no-dims"), "")
-          })
-        else ("unknown", () => MaintenanceReport(root, "unknown",
-          Seq.empty, ""))
-      try act() catch {
-        case e: MaintenanceFencedException =>
-          MaintenanceReport(root, family, Seq("fenced"), e.getMessage)
-        case scala.util.control.NonFatal(e) =>
-          // same blast-radius rule for every other per-root fault
-          // (corrupt footer, a table deleted between detection and
-          // remedy, transient FS error): report it, sweep on
-          MaintenanceReport(root, family, Seq("failed"),
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              () => render(graphIndexHealth(spark, root)))
+            case "ivf" => ("ivf",
+              () => maintainIvfIndex(spark, root, t.ivfFileFactor,
+                t.targetPartitions),
+              () => render(graft.queries.VectorIndex.ivfStaleness(spark, root)))
+            case "neardup" => ("neardup",
+              () => maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
+                t.targetPartitions),
+              () => render(lshIndexHealth(spark, root)))
+            case "clusters" => ("clusters",
+              () => maintainClustersIndex(spark, root, t.clustersMaxShare,
+                t.targetPartitions),
+              () => render(clustersIndexHealth(spark, root)))
+            case "sample" => ("sample",
+              () => maintainSampleIndex(spark, root, t.sampleK,
+                t.sampleCompactAmp),
+              () => render(sampleIndexHealth(spark, root, t.sampleK)))
+            case "hll" => ("hll",
+              () => maintainHllIndex(spark, root, t.hllCompactAmp),
+              () => render(hllIndexHealth(spark, root)))
+            case "zorder" => zorderDims.get(root) match {
+              case Some((dx, dy)) => ("zorder",
+                () => maintainZorderTable(spark, root, dx, dy,
+                  t.zorderOverlapPerFile, t.zorderMaxFiles,
+                  t.targetPartitions),
+                () => render(zorderHealth(spark, root, dx, dy)))
+              case None => ("zorder",
+                () => Seq("skipped:no-dims"), () => "")
+            }
+            case _ => ("unknown", () => Seq.empty, () => "")
+          }
+        sweepReport(root, family, remedy, audit)
       }
     }
+  }
+
+  /** One swept root's fault handling — remedy and audit channels are
+    * SEPARATE: a fenced or failed remedy reports as such
+    * (blast-radius rule — report it, sweep on); a remedy that RAN
+    * keeps its real actions even when the post-action audit re-read
+    * throws (health frame empty, transient FS error during the
+    * render) — the audit fault rides the audit field as
+    * `audit-failed: …` instead of misclassifying a successful,
+    * state-changing action as a failure. Pure over its thunks, so
+    * the spec pins the isolation without fixture surgery. */
+  private[graft] def sweepReport(root: String, family: String,
+      remedy: () => Seq[String], audit: () => String): MaintenanceReport = {
+    val (actions, remedyErr) =
+      try (remedy(), None) catch {
+        case e: MaintenanceFencedException =>
+          (Seq("fenced"), Some(e.getMessage))
+        case scala.util.control.NonFatal(e) =>
+          (Seq("failed"),
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    val auditText = remedyErr.getOrElse(
+      try audit() catch {
+        case scala.util.control.NonFatal(e) =>
+          s"audit-failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      })
+    MaintenanceReport(root, family, actions, auditText)
   }
 
   /** Health row of the graph-ANN index — the audit the round-13
@@ -3101,8 +3216,7 @@ object StreamOps {
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/labels__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, "labels", lease)
       val resolved = readClusters(spark, indexPath)
         .select(col("doc_id"), col("cluster_id").as("lbl")).distinct()
         .withColumn("bkt", docBucket(col("doc_id")))
@@ -3233,8 +3347,7 @@ object StreamOps {
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/cands__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, "cands", lease)
       // distinct() drops the duplicate candidate rows a crash between
       // append and marker can leave on replay
       graft.queries.TextQueries
@@ -3532,8 +3645,7 @@ object StreamOps {
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
     val lease = acquireMaintenanceLease(fs, tablePath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/rows__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, tablePath, "rows", lease)
       graft.queries.LayoutQueries.zorderWrite(
         spark.read.parquet(p.toString), dimX, dimY, tmp.toString, nFiles)
       val old = new org.apache.hadoop.fs.Path(s"$tablePath/rows__old")
@@ -3556,8 +3668,7 @@ object StreamOps {
           col("lo"), col("hi"))
         .localCheckpoint(true)
       val zs = new org.apache.hadoop.fs.Path(s"$tablePath/zstats")
-      val ztmp = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__compact")
-      if (fs.exists(ztmp)) fs.delete(ztmp, true)
+      val ztmp = compactStaging(fs, tablePath, "zstats", lease)
       stats.coalesce(1).write.mode("overwrite").parquet(ztmp.toString)
       val zold = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__old")
       if (fs.exists(zold)) fs.delete(zold, true)
@@ -3685,8 +3796,7 @@ object StreamOps {
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/regs__compact")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = compactStaging(fs, indexPath, "regs", lease)
       spark.read.parquet(p.toString)
         .groupBy(col("col_name"), col("bucket")).agg(max(col("r")).as("r"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

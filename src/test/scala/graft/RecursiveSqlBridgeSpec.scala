@@ -180,7 +180,7 @@ class RecursiveSqlBridgeSpec extends SparkSpec {
   }
 
   test("EXPLAIN WITH RECURSIVE returns a plan instead of failing on " +
-      "the native path") {
+      "the native path — and is PLAN-ONLY (zero fixpoint jobs)") {
     import spark.implicits._
     Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
       .createOrReplaceTempView("expedges")
@@ -190,13 +190,21 @@ class RecursiveSqlBridgeSpec extends SparkSpec {
              UNION
              SELECT e.d FROM expedges e JOIN walk w ON e.s = w.id)
        SELECT * FROM walk"""
+    RecursiveSqlBridge.clearBridgeMemo()
+    val before = RecursiveSqlBridge.fixpointRuns.get()
     val plain = spark.sql(q("")).collect()(0).getString(0)
     assert(plain.contains("== Physical Plan =="), s"not a plan: $plain")
     val formatted = spark.sql(q("FORMATTED")).collect()(0).getString(0)
     assert(formatted.contains("== Physical Plan =="))
+    // a cost-preview EXPLAIN must not pay the recursion it previews
+    assert(RecursiveSqlBridge.fixpointRuns.get() == before,
+      "EXPLAIN over a bridged recursion ran the fixpoint")
     // and the explained statement still RUNS correctly afterwards
+    // (the plan-only parked view must not shadow the result slot)
     assert(rows(spark.sql(q("").stripPrefix("EXPLAIN "))) ==
       Set("1", "2", "3"))
+    assert(RecursiveSqlBridge.fixpointRuns.get() == before + 1,
+      "the real run after an EXPLAIN must still evaluate")
   }
 
   test("two statements colliding on String.hashCode keep separate " +

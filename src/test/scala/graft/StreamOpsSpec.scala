@@ -614,8 +614,8 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.ivfIngestBatch(idx)(late, 4L).count(); () })
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$idx/${StreamOps.GraphRebuildDir}")), "staging root survived the commit")
+    assert(StreamOps.stagingRoots(fs, idx).isEmpty,
+      "staging root survived the commit")
     val lateQ = late.filter(col("vec_id") === 30003L)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     // 30003 is a re-keyed COPY of vec_id 3, so both serve at 1.0 and
@@ -735,9 +735,12 @@ class StreamOpsSpec extends SparkSpec {
     intercept[RuntimeException] {
       StreamOps.rebuildGraphIndexStaged(spark, idx)(() =>
         throw new RuntimeException("boom")) }
-    val root = new org.apache.hadoop.fs.Path(
-      s"$idx/${StreamOps.GraphRebuildDir}")
-    assert(fs.exists(root) && !fs.exists(
+    // staging roots are per-acquisition-unique — discover by prefix
+    val roots0 = StreamOps.stagingRoots(fs, idx)
+    assert(roots0.size == 1,
+      s"expected exactly one abandoned staging root: $roots0")
+    val root = roots0.head
+    assert(!fs.exists(
       new org.apache.hadoop.fs.Path(root, "_COMMITTED")),
       "hook-killed rebuild should leave uncommitted staging behind")
     assert(state(idx) == stateBefore,
@@ -849,9 +852,9 @@ class StreamOpsSpec extends SparkSpec {
     assert(boom.getMessage.contains("fenced"), s"wrong abort: $boom")
     // losing epoch aborted PRE-commit: staging left inert (no
     // manifest), every live table byte-identical, serving unchanged
-    val root = new org.apache.hadoop.fs.Path(s"$idx/${StreamOps.GraphRebuildDir}")
-    assert(fs.exists(root) && !fs.exists(
-      new org.apache.hadoop.fs.Path(root, "_COMMITTED")),
+    val fencedRoots = StreamOps.stagingRoots(fs, idx)
+    assert(fencedRoots.nonEmpty && fencedRoots.forall(r => !fs.exists(
+      new org.apache.hadoop.fs.Path(r, "_COMMITTED"))),
       "fenced rebuild must leave an UNCOMMITTED staging root")
     assert(listing() == filesBefore,
       "fenced rebuild mutated live table files")
@@ -859,7 +862,9 @@ class StreamOpsSpec extends SparkSpec {
     // the winner (or any later sweeper) proceeds normally: a fresh
     // rebuild clears the abandoned staging and commits
     StreamOps.rebuildGraphIndex(spark, idx)
-    assert(!fs.exists(root), "successful rebuild should consume staging")
+    assert(StreamOps.stagingRoots(fs, idx).isEmpty,
+      "successful rebuild should consume staging (own root committed, " +
+        "the fenced one garbage-collected)")
     assert(state() == stateBefore,
       "no-new-data rebuild changed the resolved state")
 
@@ -875,8 +880,8 @@ class StreamOpsSpec extends SparkSpec {
         t.start(); t.join()
       })
     }
-    assert(!vfs.exists(new org.apache.hadoop.fs.Path(
-      s"$vdir/${StreamOps.GraphRebuildDir}/_COMMITTED")))
+    assert(StreamOps.stagingRoots(vfs, vdir).forall(r => !vfs.exists(
+      new org.apache.hadoop.fs.Path(r, "_COMMITTED"))))
     assert(canon(spark.read.parquet(s"$vdir/cells")) == cellsBefore,
       "fenced IVF rebuild touched the live cells")
   }
@@ -1069,6 +1074,81 @@ class StreamOpsSpec extends SparkSpec {
     assert(r3.head.audit.nonEmpty, "failed report should carry the cause")
     assert(r3(1).actions == Seq("compact"),
       s"the sweep must continue past the failed root: ${r3(1)}")
+  }
+
+  test("maintainAll: a root matching two family layouts reports " +
+      "'ambiguous' instead of silently maintaining the first-probed; " +
+      "audit faults never misclassify a completed remedy") {
+    // labels + cands siblings under ONE root: clusters AND sample
+    val amb = java.nio.file.Files.createTempDirectory("iso-amb").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$amb/labels"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$amb/cands"))
+    val r = StreamOps.maintainAll(spark, Seq(amb))
+    assert(r.head.family == "clusters+sample",
+      s"ambiguous families should be reported together: ${r.head}")
+    assert(r.head.actions == Seq("ambiguous"), s"wrong actions: ${r.head}")
+    assert(r.head.audit.contains("multiple family layouts"),
+      s"audit should name the problem: ${r.head}")
+
+    // the two fault channels, pinned on the pure seam: an audit
+    // re-read that throws AFTER a successful remedy keeps the real
+    // actions list and reports the audit fault in the audit field
+    val ok = StreamOps.sweepReport("r", "hll",
+      () => Seq("compact"),
+      () => throw new java.io.IOException("health frame empty"))
+    assert(ok.actions == Seq("compact"),
+      s"audit fault misclassified the remedy: $ok")
+    assert(ok.audit.startsWith("audit-failed:") &&
+      ok.audit.contains("health frame empty"), s"wrong audit: $ok")
+    // a fenced remedy still reports fenced (audit thunk never runs)
+    val fenced = StreamOps.sweepReport("r", "graph",
+      () => throw new StreamOps.MaintenanceFencedException("fenced by e9"),
+      () => fail("audit must not run after a fenced remedy"))
+    assert(fenced.actions == Seq("fenced") && fenced.audit == "fenced by e9")
+    // a failed remedy reports the cause, audit thunk never runs
+    val failed = StreamOps.sweepReport("r", "ivf",
+      () => throw new RuntimeException("corrupt footer"),
+      () => fail("audit must not run after a failed remedy"))
+    assert(failed.actions == Seq("failed") &&
+      failed.audit.contains("corrupt footer"))
+  }
+
+  test("two-sweeper staging isolation: a fenced writer's late stage " +
+      "write lands in its OWN uniquely-named root and cannot pollute " +
+      "the winner's staged tables") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graph-iso").toString
+    VectorIndex.buildGraph(spark, dir, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val stateBefore = canon(VectorIndex.resolvedGraph(spark, idx))
+    // the fenced OLDER writer's late Spark write, injected between
+    // the winner's staging and commit: under the old FIXED staging
+    // name this landed inside the winner's root and was swapped live
+    // by the winner's own commit; under per-acquisition roots it
+    // lands in the older writer's own name and stays inert
+    val olderRoot = new org.apache.hadoop.fs.Path(
+      s"$idx/${StreamOps.GraphRebuildDir}_e0000000000000000001_" +
+        "00000000000000000000000000000000")
+    StreamOps.rebuildGraphIndexStaged(spark, idx)(() => {
+      spark.range(3).selectExpr("id AS vec_id", "id AS cell")
+        .write.mode("overwrite").parquet(s"$olderRoot/graph")
+      ()
+    })
+    // winner committed its clean rebuild; the older root is inert
+    // manifest-less garbage, consumed by the next rebuild's GC
+    assert(canon(VectorIndex.resolvedGraph(spark, idx)) == stateBefore,
+      "the late foreign stage write polluted the committed index")
+    val leftover = StreamOps.stagingRoots(fs, idx)
+    assert(leftover.map(_.getName) == Seq(olderRoot.getName),
+      s"expected only the older writer's inert root: $leftover")
+    StreamOps.rebuildGraphIndex(spark, idx)
+    assert(StreamOps.stagingRoots(fs, idx).isEmpty,
+      "the next rebuild should garbage-collect the abandoned root")
+    assert(canon(VectorIndex.resolvedGraph(spark, idx)) == stateBefore)
   }
 
   test("graphIngestBatch heals a pre-supers (round-13) root: maintained " +
