@@ -136,6 +136,8 @@ object SparkEntry {
     "ann_graph_topk" -> (VectorIndex.annGraphStored _),
     "ann_graph_batch" -> (VectorIndex.annGraphBatch _),
     "ann_ivf_staleness" -> (VectorIndex.annIvfStaleness _),
+    "ann_ivf_del" -> (VectorIndex.annIvfDel _),
+    "ann_graph_del" -> (VectorIndex.annGraphDel _),
     "emb_near_dup" -> (VectorQueries.embNearDup _),
     "emb_near_dup_lsh" -> (VectorQueries.embNearDupLsh _),
     "emb_decontaminate" -> ((s: SparkSession, d: String) => VectorQueries.embDecontaminate(s, d)),
@@ -152,6 +154,7 @@ object SparkEntry {
     "g4_components" -> ((s: SparkSession, d: String) => GraphQueries.g4Components(s, d)),
     "g5_components_inc" -> ((s: SparkSession, d: String) => GraphQueries.g5ComponentsInc(s, d)),
     "g6_bfs_dists" -> ((s: SparkSession, d: String) => GraphQueries.g6BfsDists(s, d)),
+    "g7_components_del" -> ((s: SparkSession, d: String) => GraphQueries.g7ComponentsDel(s, d)),
   )
 
   /** Queries whose oracle SQL is rendered from a trained-model
@@ -164,6 +167,7 @@ object SparkEntry {
     "t_quality_classifier", "emb_kmeans", "emb_semdedup", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivf_stored", "ann_pq_stored", "ann_ivfpq_stored",
     "ann_ivf_staleness", "ann_graph_topk", "ann_graph_batch",
+    "ann_ivf_del", "ann_graph_del",
     "t_bpe_tokens")
 
   def oracleSql: Map[String, String] = Map(
@@ -886,8 +890,12 @@ object SparkEntry {
                list_transform(
                  list_filter(raw, l -> length(l) - length(replace(l, '<a ', '')) < 6),
                  l -> array_to_string(list_filter(
-                   string_split_regex(array_to_string(
-                     string_split_regex(l, '<[^>]*>'), ' '), '\s+'),
+                   string_split_regex(
+                     replace(replace(replace(replace(replace(replace(
+                       array_to_string(string_split_regex(l, '<[^>]*>'), ' '),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                     '\s+'),
                    w -> w <> ''), ' ')) AS norm FROM r),
          f AS (SELECT doc_id, raw,
                list_filter(norm, l -> length(l) > 0
@@ -1570,6 +1578,27 @@ object SparkEntry {
                UNION
                SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
          SELECT id AS part_key, min(lbl) AS component_id FROM walk GROUP BY id""",
+    // deletion fold + serve-time tombstone filter vs the SAME
+    // reachability walk with the deleted classes filtered from the
+    // OUTPUT ONLY: survivors keep their component_id (including ids
+    // that equal a deleted node — labels are identifiers, and
+    // connectivity through a deleted node was folded at ingest), so
+    // hash-equality proves the forget path relabels NOTHING it keeps
+    "g7_components_del" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p
+               UNION SELECT b_id, a_id FROM p),
+         walk(id, lbl) AS (
+               SELECT src, src FROM e
+               UNION
+               SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+         SELECT id AS part_key, min(lbl) AS component_id FROM walk
+         WHERE id % 10 NOT IN (3, 7) GROUP BY id""",
     // BFS distances: engine runs the early-exit frontier loop, oracle
     // re-derives min hop count via a depth-capped recursive walk —
     // exact integers, so the traversal is hash-provable. The cap (20)
@@ -1744,5 +1773,7 @@ object SparkEntry {
     graft.queries.VectorIndex.storedIvfPqOracleSql.map("ann_ivfpq_stored" -> _) ++
     graft.queries.VectorIndex.stalenessOracleSql.map("ann_ivf_staleness" -> _) ++
     graft.queries.VectorIndex.graphOracleSql.map("ann_graph_topk" -> _) ++
-    graft.queries.VectorIndex.graphBatchOracleSql.map("ann_graph_batch" -> _)
+    graft.queries.VectorIndex.graphBatchOracleSql.map("ann_graph_batch" -> _) ++
+    graft.queries.VectorIndex.storedIvfDelOracleSql.map("ann_ivf_del" -> _) ++
+    graft.queries.VectorIndex.graphDelOracleSql.map("ann_graph_del" -> _)
 }

@@ -518,4 +518,54 @@ object GraphQueries {
       .select(col("doc_id").as("part_key"),
         col("cluster_id").as("component_id"))
   }
+
+  /** g5's labeling with DELETIONS — the clusters-index forget path
+    * (StreamOps.deleteDocs) under the oracle gate: the same sliced
+    * ingest, then one residue class of the nodes deleted and FOLDED
+    * by compactClustersIndex (rows physically erased), a second class
+    * deleted LIVE (serve-time tombstone filter). The oracle is g5's
+    * recursive-reachability CTE with the deleted classes filtered
+    * from the OUTPUT ONLY: survivors keep their component_id
+    * unchanged — including components whose min-label id was itself
+    * deleted (the label is an identifier, not a membership claim),
+    * and connectivity that ran THROUGH a deleted node stays (its
+    * edges were folded into the labeling at ingest). That is the
+    * leakage-safety contract: a takedown must not silently relabel —
+    * and with it re-split — every surviving member of its cluster.
+    * Scale: deletion cost is one tiny append + the already-scheduled
+    * compaction; the serve pays one anti-join on the uniform id key. */
+  def g7ComponentsDel(spark: SparkSession, dir: String,
+      minSup: Int = 2, nBatches: Int = 4): DataFrame = {
+    val idx = VectorIndex.ensure(spark, dir, s"ccdel${minSup}b$nBatches",
+        srcTable = "lineitem.parquet", codeSig = ccCodeSig) { root =>
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = orderPairs(li)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= minSup)
+        .select(col("src").as("a_id"), col("dst").as("b_id"))
+        .withColumn("slice",
+          pmod(xxhash64(col("a_id"), col("b_id")), lit(nBatches)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (0 until nBatches).foreach { b =>
+        graft.streaming.StreamOps.clustersIngestBatch(root, metricsEvery = 0)(
+          edges.filter(col("slice") === b).select(col("a_id"), col("b_id")),
+          b.toLong)
+      }
+      val nodes = edges.select(col("a_id").as("id"))
+        .unionByName(edges.select(col("b_id").as("id"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // class 3: folded physically by the compaction
+      graft.streaming.StreamOps.deleteDocs(root,
+        nodes.filter(pmod(col("id"), lit(10)) === 3))
+      graft.streaming.StreamOps.compactClustersIndex(spark, root)
+      // class 7: live in the log — serve-time filtered
+      graft.streaming.StreamOps.deleteDocs(root,
+        nodes.filter(pmod(col("id"), lit(10)) === 7))
+      nodes.unpersist(); edges.unpersist()
+    }
+    graft.streaming.StreamOps.readClusters(spark, idx)
+      .select(col("doc_id").as("part_key"),
+        col("cluster_id").as("component_id"))
+  }
 }

@@ -2270,9 +2270,21 @@ object TextQueries {
     val raw = split(noScript, "</p>|</div>|</nav>|</li>|</h[1-6]>|</tr>")
     val noAnchor = filter(raw, l =>
       length(l) - length(replace(l, lit("<a "), lit(""))) < 6)
+    // entity decoding sits AFTER tag stripping (a decoded "&lt;" must
+    // read as literal text, never as a new tag) and BEFORE whitespace
+    // normalization (a "&nbsp;" between words must SEPARATE them for
+    // the ≥5-word rule, not fuse them). Literal global replace —
+    // identical semantics in Spark and DuckDB, unlike the divergent
+    // regexp_replace — keeps the oracle a full row-identity check;
+    // "&amp;" decodes LAST so "&amp;lt;" yields the text "&lt;", not
+    // a double-decoded "<".
+    def decodeEntities(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
     val norm = transform(noAnchor, l => array_join(
-      filter(split(array_join(split(l, "<[^>]*>"), " "), "\\s+"),
-        w => w =!= ""), " "))
+      filter(split(decodeEntities(array_join(split(l, "<[^>]*>"), " ")),
+        "\\s+"), w => w =!= ""), " "))
     val kept = filter(norm, l =>
       length(l) > 0 && substring(l, -1, 1).isin(".", "!", "?") &&
         size(split(l, " ")) >= 5 &&

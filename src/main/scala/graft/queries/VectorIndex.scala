@@ -180,7 +180,14 @@ object VectorIndex {
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = if (!fs.exists(mp)) "" else
       fs.listStatus(mp).map(_.getPath.getName).sorted.mkString(",")
-    centsSignature(spark, indexPath) + "|" + markers
+    // the tombstone log is part of the served state: a delete must
+    // move the signature (entry points re-resolve against survivors)
+    val tp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/${graft.streaming.StreamOps.TombstonesDir}")
+    val tombs = if (!fs.exists(tp)) "" else
+      fs.listStatus(tp).map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString(",")
+    centsSignature(spark, indexPath) + "|" + markers + "|" + tombs
   }
 
   /** Heal interrupted compaction swaps on every graph-index table the
@@ -224,7 +231,7 @@ object VectorIndex {
     val cols = Seq(col("vec_id"), col("cell"), col("emb"), col("nbrs"))
     val base = prune(spark.read.parquet(s"$indexPath/graph"))
       .select(cols :+ lit(-1L).as("ver"): _*)
-    loadDelta(spark, s"$indexPath/graph_delta") match {
+    val resolved = loadDelta(spark, s"$indexPath/graph_delta") match {
       case None => base.select(cols: _*)
       case Some(d) =>
         base.unionByName(prune(d).select(cols :+ col("ver"): _*))
@@ -232,6 +239,11 @@ object VectorIndex {
             Window.partitionBy(col("vec_id")).orderBy(col("ver").desc)))
           .filter(col("vrk") === 1).select(cols: _*)
     }
+    // tombstone resolution (StreamOps.deleteDocs): a deleted node's
+    // row never serves — the walk cannot score, return, or expand it
+    // (its id dangling in survivors' nbr lists fetches nothing).
+    // Physical erase rides compactGraphIndex/rebuildGraphIndex.
+    graft.streaming.StreamOps.minusTombstones(resolved, "vec_id", indexPath)
   }
 
   private[graft] def cachedEntries(spark: SparkSession,
@@ -248,13 +260,63 @@ object VectorIndex {
           case Some(d) =>
             base.unionByName(d.select(col("cell"), col("vec_id"), col("ver")))
         }
-        all.withColumn("vrk", row_number().over(
+        val resolved = all.withColumn("vrk", row_number().over(
             Window.partitionBy(col("cell")).orderBy(col("ver").desc)))
           .filter(col("vrk") === 1)
           .select(col("cell"), col("vec_id")).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        resolveEntryTombstones(spark, indexPath, resolved)
       }))._2
   }
+
+  /** Tombstone resolution of the entry map: a cell whose stored entry
+    * point was deleted re-resolves to the best SURVIVING primary
+    * member — the build's own rule (max dot to the cell centroid,
+    * ties to the smaller vec_id, exactly `writeGraphTables`' entries
+    * window over the survivors) recomputed from the members roster
+    * for the affected cells only; a cell with no surviving primary
+    * member drops its entry (seeding skips it). Cost: one
+    * entries×tombstones semi-join + a members read PRUNED to the
+    * affected cells — nothing corpus-sized. Cached upstream by the
+    * state signature (which folds in the tombstone listing). */
+  private def resolveEntryTombstones(spark: SparkSession, indexPath: String,
+      resolved: Map[Int, Long]): Map[Int, Long] =
+    graft.streaming.StreamOps.loadTombstones(spark, indexPath) match {
+      case None => resolved
+      case Some(ts) =>
+        import spark.implicits._
+        val deadCells = resolved.toSeq.toDF("cell", "vec_id")
+          .join(ts.select(col("tid").as("vec_id")), Seq("vec_id"))
+          .select(col("cell")).collect().map(_.getInt(0)).toSeq
+        if (deadCells.isEmpty) resolved
+        else {
+          graft.functions.GraftFunctions.ensureRegistered(spark)
+          val qz = cachedGraphQuantizer(spark, indexPath)
+          val centsDf = deadCells.map(c => (c, qz.cells(c)._2))
+            .toDF("cell", "cent")
+          val repl = spark.read.parquet(s"$indexPath/members")
+            .filter(col("cell").isin(deadCells: _*))
+            .filter(col("rk") === 1)
+            .join(ts.select(col("tid").as("vec_id")), Seq("vec_id"), "left_anti")
+            .join(broadcast(centsDf), Seq("cell"))
+            .withColumn("dp",
+              call_function("graft_dot", col("emb"), col("cent")))
+            .withColumn("erk", row_number().over(
+              Window.partitionBy(col("cell"))
+                .orderBy(col("dp").desc, col("vec_id"))))
+            .filter(col("erk") === 1)
+            .select(col("cell"), col("vec_id")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (resolved -- deadCells) ++ repl
+        }
+    }
+
+  /** Drop the cached entry map — compactGraphIndex calls it after
+    * folding deltas/tombstones into the entries base (the fold moves
+    * no signature component, by design: it writes what the cache
+    * already resolved). */
+  private[graft] def invalidateEntries(indexPath: String): Unit =
+    entriesCache.remove(indexPath)
 
   /** Monotone rebuild marker for the signature (see centroidCache
     * Scaladoc): a zero-byte file whose NAME is unique per build, so
@@ -323,6 +385,69 @@ object VectorIndex {
   private def corpusQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  /** Deletion predicate of the delete-bearing stored indexes
+    * ([[annIvfDel]], [[annGraphDel]]) — `$ID` substitutes the id
+    * column in the rendered oracle; the Spark side deletes the same
+    * two residue classes, one folded by compaction and one live in
+    * the tombstone log, so a single oracle row gates BOTH the
+    * physical-erase and the serve-time-filter paths. Class 3 includes
+    * query vector 3 — a deleted doc must stop serving even as its own
+    * query's best hit. */
+  private[graft] val DelPredSql = "($ID % 7 = 3 OR $ID % 7 = 5)"
+
+  /** Build-code identity of the delete-bearing indexes: their BUILD
+    * (delete → fold → delete) is the behavior the oracle gate proves,
+    * so a cached index must not outlive the deletion/compaction code
+    * that wrote it (the g5 ccCodeSig precedent). */
+  private lazy val delCodeSig: String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Seq(VectorIndex.getClass, graft.streaming.StreamOps.getClass).foreach { c =>
+      val path = "/" + c.getName.replace('.', '/') + ".class"
+      val in = c.getResourceAsStream(path)
+      try digest.update(in.readAllBytes()) finally in.close()
+    }
+    "|code:" + digest.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Driver query: the IVF index with DELETIONS — built once, two
+    * residue classes of the corpus deleted (the first physically
+    * folded by compactIvfIndex, the second live in the tombstone
+    * log), then the standard serving batch. The rendered oracle
+    * replays the probes over the corpus minus the deleted classes —
+    * hash-equality proves a deleted vector stops serving with NO
+    * rebuild, through both the folded and the filtered path. */
+  def annIvfDel(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensure(spark, dir, "ivfdel", codeSig = delCodeSig) { root =>
+      buildIvf(spark, dir, root)
+      val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+      graft.streaming.StreamOps.deleteDocs(root,
+        ids.filter(pmod(col("vec_id"), lit(7)) === 3))
+      graft.streaming.StreamOps.compactIvfIndex(spark, root)
+      graft.streaming.StreamOps.deleteDocs(root,
+        ids.filter(pmod(col("vec_id"), lit(7)) === 5))
+    }
+    lastStoredIvfDel = Some((cachedCentroids(spark, idx), 6))
+    searchIvf(spark, idx, corpusQueries(spark, dir))
+  }
+
+  /** The graph-ANN twin of [[annIvfDel]]: first class folded by
+    * compactGraphIndex (rows erased, entry points re-resolved among
+    * survivors), second class live in the log (row-filtered serve,
+    * entry resolution via cachedEntries' tombstone branch). */
+  def annGraphDel(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensure(spark, dir, "graphdel", codeSig = delCodeSig) { root =>
+      buildGraph(spark, dir, root)
+      val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+      graft.streaming.StreamOps.deleteDocs(root,
+        ids.filter(pmod(col("vec_id"), lit(7)) === 3))
+      graft.streaming.StreamOps.compactGraphIndex(spark, root)
+      graft.streaming.StreamOps.deleteDocs(root,
+        ids.filter(pmod(col("vec_id"), lit(7)) === 5))
+    }
+    lastStoredGraphDel = Some(cachedGraphQuantizer(spark, idx))
+    searchGraph(spark, idx, corpusQueries(spark, dir))
+  }
 
   /** Build-once root for a derived index under tmpdir, shared by the
     * stored-ANN queries here and the incremental-cluster query
@@ -482,7 +607,10 @@ object VectorIndex {
     val build = spark.read.parquet(s"$indexPath/stats")
       .select(col("n").as("n_build"), col("sumdot").as("sd_build"),
         col("max_cell_n").as("mx_build"))
-    val cur = cellStatsOf(spark.read.parquet(s"$indexPath/cells"), cents)
+    // current stats describe the LIVE corpus — tombstoned rows are
+    // already out of serving, so they must not count against quality
+    val cur = cellStatsOf(graft.streaming.StreamOps.minusTombstones(
+        spark.read.parquet(s"$indexPath/cells"), "vec_id", indexPath), cents)
       .select(col("n").as("n_total"), col("sumdot").as("sd_cur"),
         col("max_cell_n").as("mx_cur"))
     build.crossJoin(broadcast(cur)) // 1×1 summary rows
@@ -569,9 +697,11 @@ object VectorIndex {
         .map { case (kk, _) => (id, kk) }
     }
     val probedCells = probes.map(_._2).distinct
-    // isin on the partition column -> file-level pruning of the read
-    val probed = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probedCells: _*))
+    // isin on the partition column -> file-level pruning of the read;
+    // tombstoned vectors (StreamOps.deleteDocs) never serve
+    val probed = graft.streaming.StreamOps.minusTombstones(
+      spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(probedCells: _*)), "vec_id", indexPath)
     val qEmb = qVecs.toSeq.map { case (id, q) => (id, q) }.toDF("qid", "qemb")
     probed
       .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
@@ -658,8 +788,10 @@ object VectorIndex {
     val luts = qVecs.toSeq.map { case (id, q) =>
       (id, VectorQueries.pqLut(book, q)) }.toDF("qid", "lut")
 
-    val probed = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probes.map(_._2).distinct: _*))
+    val probed = graft.streaming.StreamOps.minusTombstones(
+      spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(probes.map(_._2).distinct: _*)),
+      "vec_id", indexPath)
     val candidates = probed
       .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
       .join(broadcast(luts), Seq("qid"))
@@ -717,7 +849,8 @@ object VectorIndex {
     val luts = qVecs.toSeq.map { case (id, q) =>
         (id, VectorQueries.pqLut(book, q)) }.toDF("qid", "lut")
 
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = graft.streaming.StreamOps.minusTombstones(
+      spark.read.parquet(s"$indexPath/codes"), "vec_id", indexPath)
     val candidates = codes.crossJoin(broadcast(luts))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorQueries.pqAdcExpr(m, k).as("adc_score"))
@@ -758,10 +891,16 @@ object VectorIndex {
   // vectors as the deterministic query set).
   @volatile private[graft] var lastStoredIvf: Option[(Seq[Seq[Double]], Int)] = None
   @volatile private[graft] var lastStoredPq: Option[(Seq[Seq[Seq[Double]]], Int)] = None
+  @volatile private[graft] var lastStoredIvfDel: Option[(Seq[Seq[Double]], Int)] = None
 
   private[graft] def storedIvfOracleSql: Option[String] =
     lastStoredIvf.map { case (cents, nprobe) =>
       VectorQueries.ivfOracleSqlOf(cents, nprobe, excludeSelf = false) }
+
+  private[graft] def storedIvfDelOracleSql: Option[String] =
+    lastStoredIvfDel.map { case (cents, nprobe) =>
+      VectorQueries.ivfOracleSqlOf(cents, nprobe, excludeSelf = false,
+        delPred = Some(DelPredSql)) }
 
   private[graft] def storedPqOracleSql: Option[String] =
     lastStoredPq.map { case (book, shortlist) =>
@@ -1494,6 +1633,13 @@ object VectorIndex {
     lastStoredGraph.map(
       graphOracleSqlOf(_, s"WHERE vec_id < ${VectorQueries.QueryK}"))
 
+  @volatile private[graft] var lastStoredGraphDel: Option[GraphQuantizer] = None
+
+  private[graft] def graphDelOracleSql: Option[String] =
+    lastStoredGraphDel.map(
+      graphOracleSqlOf(_, s"WHERE vec_id < ${VectorQueries.QueryK}",
+        delPred = Some(DelPredSql)))
+
   @volatile private[graft] var lastStoredGraphBatch: Option[GraphQuantizer] = None
 
   /** Oracle for `ann_graph_batch` — the SAME rendered-graph walk,
@@ -1514,7 +1660,20 @@ object VectorIndex {
 
   private[graft] def graphOracleSqlOf(qz: GraphQuantizer,
       queryFilter: String,
-      shardTarget: Int = GraphShardTarget): String = {
+      shardTarget: Int = GraphShardTarget,
+      delPred: Option[String] = None): String = {
+      // delPred: SQL boolean over the placeholder $ID — the deletion
+      // predicate of a delete-bearing index (StreamOps.deleteDocs).
+      // The index DERIVATION stays over the full corpus (adjacency
+      // ranks and shard splits were computed with the deleted nodes
+      // competing — the stored lists keep that ranking, minus the
+      // deleted rows), then the SERVED state filters: edges drop
+      // both-endpoint-deleted rows AFTER the degree rank (a pruned
+      // list is shorter, never re-ranked), and entry points re-rank
+      // among SURVIVING primary members (cachedEntries' tombstone
+      // resolution / the fold's rewrite — same rule either way).
+      def delOn(c: String) = delPred.map(p =>
+        " AND NOT (" + p.replace("$ID", c) + ")").getOrElse("")
       // rounds r = 1..GraphHops over ONE state relation s_r per hop:
       // (qid, nid, sim, ex) where ex marks ever-expanded pool rows —
       // pool and expanded-set fused so each hop references the
@@ -1594,10 +1753,11 @@ object VectorIndex {
             edges AS (SELECT src, nid FROM (
                   SELECT src, nid, row_number() OVER (PARTITION BY src
                     ORDER BY sim DESC, nid) AS rk FROM dir)
-                  WHERE rk <= $GraphDegree),
+                  WHERE rk <= $GraphDegree${delOn("src")}${delOn("nid")}),
             entries AS (SELECT cid, vec_id FROM (
                   SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
-                    ORDER BY dp DESC, vec_id) AS rk FROM prim)
+                    ORDER BY dp DESC, vec_id) AS rk FROM prim
+                  WHERE 1 = 1${delOn("vec_id")})
                   WHERE rk = 1),
             q AS (SELECT vec_id AS qid, emb AS qemb FROM e $queryFilter),
             qs2 AS (SELECT qid, sid FROM (

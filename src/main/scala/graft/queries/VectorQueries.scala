@@ -504,8 +504,15 @@ object VectorQueries {
     * stored serving path keeps them (its queries are external by
     * contract, so "self" has no special status). */
   private[queries] def ivfOracleSqlOf(cents: Seq[Seq[Double]], nprobe: Int,
-      excludeSelf: Boolean): String = {
-    val selfF = if (excludeSelf) "WHERE c.vec_id <> qc.qid" else ""
+      excludeSelf: Boolean, delPred: Option[String] = None): String = {
+    // delPred: SQL boolean over the placeholder $ID — the deletion
+    // predicate of a delete-bearing index (StreamOps.deleteDocs).
+    // Deleted vectors stay in the corpus CTE (the quantizer was
+    // trained with them and probe ranking only reads centroids) but
+    // never become candidates — exactly the serve's row-level filter.
+    val conds = (if (excludeSelf) Seq("c.vec_id <> qc.qid") else Seq.empty) ++
+      delPred.map(p => "NOT (" + p.replace("$ID", "c.vec_id") + ")").toSeq
+    val selfF = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
     s"""WITH $NormedCte,
           cents(cid, w, c2) AS (VALUES
          ${centroidValues(cents)}),

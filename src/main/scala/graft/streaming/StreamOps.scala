@@ -649,6 +649,110 @@ object StreamOps {
     new org.apache.hadoop.fs.Path(s"$parent/${sub}__compact_${lease.name}")
   }
 
+  // ------------------------------------------------------------------
+  // Deletion / tombstones (the forget path of the maintained indexes)
+  // ------------------------------------------------------------------
+
+  /** Tombstone log table under each index root — one `tid` (Long)
+    * column, append-only between folds. The deletion contract of the
+    * four maintained index families (text LSH near-dup, clusters,
+    * graph-ANN, IVF): [[deleteDocs]] appends ids here; every SERVING
+    * read resolves the log (a tombstoned doc stops being returned,
+    * paired, or traversed immediately — no rebuild); every family's
+    * existing compaction point FOLDS it (the rows are physically
+    * dropped and the folded tombstone files cleared, file-precisely,
+    * so a delete issued DURING a fold is never lost). Takedowns,
+    * opt-outs, and eval-contamination removals therefore cost one
+    * tiny append now and ride the next scheduled compaction for the
+    * physical erase — rebuild-to-forget retired.
+    *
+    * Semantics, pinned by spec and the delete-bearing oracle rows:
+    *  - serving filters are row-level on the id — a deleted doc never
+    *    appears in results or candidate sets, and derived STRUCTURE
+    *    for survivors is untouched (cluster labels keep their value
+    *    even when the label equals a deleted doc's id; graph
+    *    adjacency lists keep their stored ranking, minus the deleted
+    *    rows — exactly what the rendered oracles replay);
+    *  - re-ingesting a tombstoned id does NOT resurrect it while its
+    *    tombstone is unfolded (reads keep filtering); after the fold
+    *    physically erased it, a later re-ingest is a brand-new doc;
+    *  - duplicates in the log are harmless (reads dedup, folds
+    *    clear);
+    *  - the HLL profile index is the documented exception: register
+    *    max is irreversible, sketches cannot delete — forget there
+    *    means recomputing `CoreQueries.qHllDistinct` over the
+    *    post-delete corpus (see [[hllIngestBatch]]).
+    * Not underscore-prefixed: it is a real parquet table (read with
+    * spark.read), invisible to the other tables' readers because
+    * every reader targets its own subdirectory. */
+  private[graft] val TombstonesDir = "tombstones"
+
+  /** Append deletion tombstones to an index root. `ids`' FIRST column
+    * is the id (cast to long; nulls dropped). Returns the number of
+    * distinct ids appended. Cheap by design — one tiny append; the
+    * physical erase rides the family's next compaction/rebuild.
+    * Writer discipline: call it from the process that owns the
+    * index's maintenance schedule (the single-maintenance-writer
+    * contract); the folds' file-precise clearing additionally keeps a
+    * delete racing a fold from being lost. */
+  def deleteDocs(indexPath: String, ids: DataFrame): Long = {
+    val spark = ids.sparkSession
+    val ts = ids.select(col(ids.columns.head).cast("long").as("tid"))
+      .filter(col("tid").isNotNull).distinct()
+      // cut lineage: the ids may derive from the index's own tables
+      .localCheckpoint(true)
+    val n = ts.count()
+    if (n > 0)
+      ts.coalesce(1).write.mode("append")
+        .parquet(s"$indexPath/$TombstonesDir")
+    n
+  }
+
+  /** The resolved (distinct) tombstone ids, or None when the index
+    * has none — the zero-cost fast path every read takes on an index
+    * that never saw a delete. */
+  private[graft] def loadTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$TombstonesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(p.toString)
+      .select(col("tid")).distinct())
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Row-level tombstone resolution: `df` minus rows whose `idCol` is
+    * tombstoned under `indexPath`. One anti-join on the uniform id
+    * key (the log is tiny relative to the corpus — Spark broadcasts
+    * it under the threshold); identity when no log exists. */
+  private[graft] def minusTombstones(df: DataFrame, idCol: String,
+      indexPath: String): DataFrame =
+    loadTombstones(df.sparkSession, indexPath) match {
+      case None => df
+      case Some(ts) =>
+        df.join(ts.select(col("tid").as(idCol)), Seq(idCol), "left_anti")
+    }
+
+  /** The tombstone parquet files present NOW — a fold lists them
+    * BEFORE reading, folds exactly what it read, and clears exactly
+    * what it listed: a tombstone appended mid-fold keeps its file and
+    * keeps filtering until the next fold, instead of being cleared
+    * unfolded (lost). */
+  private[graft] def tombstoneParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$TombstonesDir")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  /** File-precise clear of folded tombstones (see
+    * [[tombstoneParquetFiles]]). A directory left without parquet
+    * files reads as "no tombstones" on the next load. */
+  private[graft] def clearTombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): Unit =
+    files.foreach(f => fs.delete(f, false))
+
   /** Read one index table pruned to `bkts` — the `isin` over the
     * partition column becomes a static PartitionFilter at the scan,
     * so only those buckets' files are listed and read (pinned in
@@ -720,7 +824,12 @@ object StreamOps {
     // These sets drive the partition pruning on both index reads.
     val bandBkts = bands.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idxBands = prunedIndex(spark, bandsLoaded, "bands", bands, bandBkts)
+    // tombstone resolution at the candidate source: a deleted doc's
+    // stored band/shingle rows stop matching immediately (physical
+    // erase rides compactNearDupIndex)
+    val idxBands = minusTombstones(
+      prunedIndex(spark, bandsLoaded, "bands", bands, bandBkts),
+      "doc_id", indexPath)
 
     def verified(cands: DataFrame, otherSh: DataFrame): DataFrame =
       broadcast(cands
@@ -758,7 +867,9 @@ object StreamOps {
       .distinct().persist()
     val oldBkts = candIdx.select(docBucket(col("old_id")).as("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idxSh = prunedIndex(spark, shLoaded, "shingles", sh, oldBkts)
+    val idxSh = minusTombstones(
+      prunedIndex(spark, shLoaded, "shingles", sh, oldBkts),
+      "doc_id", indexPath)
     val dupVsIndex = verified(candIdx, idxSh.drop("bkt"))
     // within the batch: drop the larger id of any matching pair
     val candIn = bands.as("l").join(bands.as("r"), Seq("band", "band_key"))
@@ -1535,15 +1646,19 @@ object StreamOps {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val lease = acquireMaintenanceLease(
-      new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf), indexPath)
+    val fsRoot = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    val lease = acquireMaintenanceLease(fsRoot, indexPath)
+    // fold deletions: listed before reading, cleared after both swaps
+    // (file-precise — a delete landing mid-fold keeps filtering)
+    val tsFiles = tombstoneParquetFiles(fsRoot, indexPath)
     for (sub <- Seq("bands", "shingles")) {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       val fs = p.getFileSystem(hconf)
       recoverCompaction(fs, p) // heal a previously interrupted swap first
       if (fs.exists(p)) {
         val tmp = compactStaging(fs, indexPath, sub, lease)
-        val raw = spark.read.parquet(p.toString)
+        val raw = minusTombstones(spark.read.parquet(p.toString),
+          "doc_id", indexPath)
         // compaction doubles as the layout migration: bkt is ALWAYS
         // re-derived under the live IndexBuckets, which upgrades both
         // a legacy (no-bkt) table and a table recorded under an older
@@ -1574,6 +1689,7 @@ object StreamOps {
         fs.delete(old, true)
       }
     }
+    clearTombstoneFiles(fsRoot, tsFiles)
   }
 
   /** Compaction + repair for the streaming IVF cells table — the
@@ -1601,9 +1717,12 @@ object StreamOps {
     recoverStagedRebuild(fs, indexPath)
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
+    // the rewrite doubles as the deletion fold (file-precise clear)
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = compactStaging(fs, indexPath, "cells", lease)
-      spark.read.parquet(p.toString).distinct()
+      minusTombstones(spark.read.parquet(p.toString), "vec_id", indexPath)
+        .distinct()
         .repartition(targetPartitions, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/cells__old")
@@ -1616,6 +1735,7 @@ object StreamOps {
         throw new java.io.IOException(s"could not move compacted $tmp into $p")
       }
       fs.delete(old, true)
+      clearTombstoneFiles(fs, tsFiles)
     }
   }
 
@@ -1834,26 +1954,40 @@ object StreamOps {
       }
       fs.delete(old, true)
     }
+    // fold deletions alongside the delta folds: resolvedGraph and
+    // cachedEntries are tombstone-resolved, so rewriting from them IS
+    // the fold — and with tombstones present the graph/entries swaps
+    // run even when no delta exists (a delete-only index still folds).
+    // Deleted ids linger in survivors' stored nbr lists (dangling —
+    // never fetched, so never scored; fully re-derived on the next
+    // rebuild), which keeps the fold O(rows), not O(pairs).
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
     val gd = new org.apache.hadoop.fs.Path(s"$indexPath/graph_delta")
-    if (fs.exists(gd)) {
+    if (fs.exists(gd) || tsFiles.nonEmpty) {
       val resolved = VI.resolvedGraph(spark, indexPath)
       swapIn("graph", tmp => resolved
         .repartition(targetPartitions, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp))
-      fs.delete(gd, true)
+      if (fs.exists(gd)) fs.delete(gd, true)
     }
     val ed = new org.apache.hadoop.fs.Path(s"$indexPath/entries_delta")
-    if (fs.exists(ed)) {
+    if (fs.exists(ed) || tsFiles.nonEmpty) {
       val resolvedEntries = VI.cachedEntries(spark, indexPath).toSeq
       import spark.implicits._
       swapIn("entries", tmp => resolvedEntries.toDF("cell", "vec_id")
         .coalesce(1).write.mode("overwrite").parquet(tmp))
-      fs.delete(ed, true)
+      if (fs.exists(ed)) fs.delete(ed, true)
     }
-    swapIn("members", tmp => spark.read.parquet(s"$indexPath/members")
+    swapIn("members", tmp => minusTombstones(
+        spark.read.parquet(s"$indexPath/members"), "vec_id", indexPath)
       .dropDuplicates("cell", "vec_id")
       .repartition(targetPartitions, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    clearTombstoneFiles(fs, tsFiles)
+    // the entries cache keys on (cents, markers, tombstones) — none
+    // of which the fold moves — so drop it explicitly: the folded
+    // base now carries what the cache resolved
+    VI.invalidateEntries(indexPath)
   }
 
   /** Staging-root NAME PREFIX of the staged index rebuilds
@@ -2229,7 +2363,11 @@ object StreamOps {
       if (!fs.exists(mp)) Set.empty
       else fs.listStatus(mp).map(_.getPath.getName).toSet
     }
-    def roster(): DataFrame = spark.read.parquet(s"$indexPath/members")
+    // tombstoned vectors are OUT of the retrain roster — the rebuild
+    // subsumes the deletion fold (files listed here clear post-commit)
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
+    def roster(): DataFrame = minusTombstones(
+      spark.read.parquet(s"$indexPath/members"), "vec_id", indexPath)
       .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
 
     // 1. STAGE
@@ -2279,6 +2417,7 @@ object StreamOps {
 
     // 3. COMMIT — the shared atomic manifest + idempotent heal
     commitStagedRebuild(fs, indexPath, root, GraphRebuildTables, lease)
+    clearTombstoneFiles(fs, tsFiles)
   }
 
   /** The IVF twin of [[rebuildGraphIndex]]: retrain the coarse
@@ -2332,8 +2471,12 @@ object StreamOps {
       else fs.listStatus(mp).map(_.getPath.getName).toSet
     }
     // crash-window replays can duplicate rows — the roster dedups by
-    // vec_id exactly as compaction would
-    def roster(): DataFrame = spark.read.parquet(s"$indexPath/cells")
+    // vec_id exactly as compaction would; tombstoned vectors are OUT
+    // of the roster (a rebuild subsumes the deletion fold — the
+    // files listed here clear after the commit)
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
+    def roster(): DataFrame = minusTombstones(
+      spark.read.parquet(s"$indexPath/cells"), "vec_id", indexPath)
       .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
 
     // 1. STAGE
@@ -2378,6 +2521,7 @@ object StreamOps {
 
     // 3. COMMIT
     commitStagedRebuild(fs, indexPath, root, IvfRebuildTables, lease)
+    clearTombstoneFiles(fs, tsFiles)
   }
 
   // ------------------------------------------------------------------
@@ -2802,7 +2946,13 @@ object StreamOps {
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     val splitAt = 2L * graft.queries.VectorIndex.GraphShardTarget
-    val (nNodes, nCells, maxCell, sharded) = existing("members") match {
+    // membership counts describe the LIVE corpus (tombstoned vectors
+    // excluded) — n_nodes feeds the rebuild decision's retrain
+    // target, which must size for what a rebuild would actually
+    // index; graph_rows/delta_rows stay raw storage counts (they
+    // price the reads, which still scan the unfolded rows)
+    val (nNodes, nCells, maxCell, sharded) = existing("members")
+        .map(minusTombstones(_, "vec_id", indexPath)) match {
       case None => (0L, 0L, 0L, 0L)
       case Some(m) =>
         val perCell = m.dropDuplicates("cell", "vec_id")
@@ -3100,7 +3250,17 @@ object StreamOps {
     * clustersOf over the full accumulated edge set (the spec pins
     * equality at every batch boundary). One full scan of `labels`
     * resolved through the merge log; the output is corpus-sized, so
-    * the scan is the floor, not overhead. */
+    * the scan is the floor, not overhead.
+    *
+    * Tombstone resolution ([[deleteDocs]]): deleted docs are dropped
+    * from the OUTPUT — surviving docs keep their cluster_id
+    * unchanged, even when that id equals a deleted doc's (the label
+    * is an identifier, not a membership claim), and connectivity the
+    * deleted doc contributed stays (its edges were already folded
+    * into the labeling at ingest). Splits derived from the labels are
+    * therefore stable for survivors — the leakage-safety property
+    * splitDriftAudit checks. Physical erase of the deleted rows rides
+    * [[compactClustersIndex]]. */
   def readClusters(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
     val labels = loadIndex(spark, s"$indexPath/labels") match {
@@ -3109,12 +3269,13 @@ object StreamOps {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("doc_id", "lbl")
     }
-    mergeResolution(spark, indexPath) match {
+    val resolved = mergeResolution(spark, indexPath) match {
       case None => labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       case Some(r) => labels.join(r, Seq("lbl"), "left")
         .select(col("doc_id"),
           coalesce(col("root"), col("lbl")).as("cluster_id"))
     }
+    minusTombstones(resolved, "doc_id", indexPath)
   }
 
   /** Leakage-safe splits served from the MAINTAINED clusters index —
@@ -3135,23 +3296,114 @@ object StreamOps {
     * it — a pinned doc keeps its pinned split regardless of what its
     * current cluster label hashes to; unpinned docs follow the hash.
     * Pins are doc-level and explicit by design: an automated relabel
-    * would silently change what a benchmark measures. */
+    * would silently change what a benchmark measures.
+    *
+    * The overlay defaults to the pins STORED in the index
+    * ([[pinSplits]] → `<root>/pins`), so every serving process of one
+    * index applies ONE overlay — two services disagreeing on what a
+    * benchmark measures was exactly the round-16 caller-supplied
+    * hazard. Passing `pins` explicitly overrides the stored set (a
+    * what-if, or a test). Either overlay is rejected loudly when it
+    * carries more than one row for a doc_id: a duplicate pin would
+    * silently fan the serving frame out into duplicate split rows. */
   def splitsOfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docs: DataFrame,
       pins: Option[DataFrame] = None): DataFrame = {
-    val hashed = docs.select(col("doc_id"))
+    // a tombstoned doc gets NO split (it is out of the corpus) —
+    // without this filter a deleted doc supplied in `docs` would
+    // quietly re-enter as a self-labeled singleton
+    val hashed = minusTombstones(docs.select(col("doc_id")),
+        "doc_id", indexPath)
       .join(readClusters(spark, indexPath), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("split", graft.queries.TextQueries.splitOf(col("cluster_id")))
-    pins match {
+    pins.orElse(storedPins(spark, indexPath)) match {
       case None => hashed
-      case Some(p) => hashed
-        .join(p.select(col("doc_id"), col("split").as("pinned_split")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id"),
-          coalesce(col("pinned_split"), col("split")).as("split"))
+      case Some(p) =>
+        val dup = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"splitsOfIndex: the pin overlay carries ${dup(0).getLong(1)} rows " +
+            s"for doc_id ${dup(0).getLong(0)} — one pin per doc; a duplicate " +
+            "would fan the serving frame out into duplicate split rows")
+        hashed
+          .join(p.select(col("doc_id"), col("split").as("pinned_split")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster_id"),
+            coalesce(col("pinned_split"), col("split")).as("split"))
     }
+  }
+
+  /** The pin overlay stored in the clusters index, or None when no
+    * pin was ever applied. One row per doc_id by [[pinSplits]]'
+    * construction; heal-first like every swapped table. */
+  private[graft] def storedPins(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/pins")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(p.toString)
+      .select(col("doc_id"), col("split")))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Persist split pins INTO the clusters index — the durable APPLY
+    * side of the [[splitDriftAudit]] loop: the overlay every
+    * [[splitsOfIndex]] serve applies by default, so pinning once (in
+    * any process) governs every serving process of this index.
+    * `pins` is (doc_id, split); a re-pinned doc_id replaces its
+    * stored pin (correcting a pin is as human-explicit as placing
+    * it). Rejected loudly: a split outside train/val/test, and an
+    * input carrying CONFLICTING rows for one doc_id — first-wins or
+    * last-wins would silently decide what a benchmark measures.
+    * Stored via the same lease-fenced tmp+swap as every maintained
+    * table (readers heal interrupted swaps). Returns the stored
+    * overlay's row count. */
+  def pinSplits(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, pins: DataFrame): Long = {
+    val fresh = pins
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("split").cast("string").as("split"))
+      .filter(col("doc_id").isNotNull).distinct()
+      .localCheckpoint(true)
+    val badSplit = fresh.filter(!col("split").isin("train", "val", "test"))
+      .limit(1).collect()
+    if (badSplit.nonEmpty) throw new IllegalArgumentException(
+      s"pinSplits: split '${badSplit(0).getString(1)}' (doc_id " +
+        s"${badSplit(0).getLong(0)}) is not one of train/val/test")
+    val conflict = fresh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (conflict.nonEmpty) throw new IllegalArgumentException(
+      s"pinSplits: conflicting pins for doc_id ${conflict(0).getLong(0)} — " +
+        "a doc pins to exactly one split; resolve the conflict and re-apply")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquireMaintenanceLease(fs, indexPath)
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/pins")
+    recoverCompaction(fs, p)
+    // merge: stored pins survive unless re-pinned; materialized
+    // BEFORE the swap invalidates the stored read
+    val merged = (storedPins(spark, indexPath) match {
+      case None => fresh
+      case Some(st) => fresh.unionByName(
+        st.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }).localCheckpoint(true)
+    val n = merged.count()
+    val tmp = compactStaging(fs, indexPath, "pins", lease)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/pins__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    checkMaintenanceLease(fs, lease)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not move $p aside to $old")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(old)) fs.rename(old, p)
+      throw new java.io.IOException(s"could not move pinned $tmp into $p")
+    }
+    fs.delete(old, true)
+    n
   }
 
   /** Split-stability audit between two label snapshots — the
@@ -3215,6 +3467,9 @@ object StreamOps {
     val fs = p.getFileSystem(hconf)
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
+    // readClusters below is tombstone-resolved, so the rewrite IS the
+    // deletion fold; the folded log files clear after the swap
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = compactStaging(fs, indexPath, "labels", lease)
       val resolved = readClusters(spark, indexPath)
@@ -3235,6 +3490,7 @@ object StreamOps {
       fs.delete(old, true)
       val merges = new org.apache.hadoop.fs.Path(s"$indexPath/merges")
       if (fs.exists(merges)) fs.delete(merges, true)
+      clearTombstoneFiles(fs, tsFiles)
     }
   }
 
@@ -3705,7 +3961,16 @@ object StreamOps {
     * resolved registers via the checked tmp+swap. Batch cost is the
     * batch scan + a ≤ m-rows-per-column shuffle — NEVER the corpus:
     * exactly how a 100 TB profile stays current under continuous
-    * ingest without rescanning anything. */
+    * ingest without rescanning anything.
+    *
+    * DELETION EXCEPTION (the one index family [[deleteDocs]] cannot
+    * serve): register max is irreversible — a sketch cannot subtract
+    * a member, by construction. Forgetting a doc here means
+    * recomputing the profile over the post-delete corpus
+    * (CoreQueries.qHllDistinct batch-rebuild) and replacing `regs`;
+    * there is no cheaper exact answer, and pretending otherwise with
+    * a tombstone filter would leave the deleted doc's bits inside
+    * every register it ever maxed. */
   def hllIngestBatch(indexPath: String,
       cols: Seq[String] = graft.queries.CoreQueries.HllCols,
       metricsEvery: Int = DefaultMetricsEvery)(

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *   sweep_noop    — two more sweeps over the settled set: the cost
   *                   a scheduler pays per idle cycle (audits only —
   *                   listings and metadata-sized reads, no swaps)
+  *   sweep@100roots — the table-service scale rehearsal: one hundred
+  *                   HLL roots (10 decayed, 90 settled) swept once
+  *                   mixed (~10 acting) and twice noop, with the
+  *                   per-root audit cost printed — the number behind
+  *                   the "audits are metadata-sized" claim
   *
   * Usage: runMain graft.tools.ColdMaint [sfDir]
   */
@@ -119,6 +124,30 @@ object ColdMaint {
         println(s"[coldmaint]   WARN not settled: " +
           acted.map(r => s"${r.family}=${r.actions.mkString(",")}").mkString(" "))
     }
+
+    // ---- sweep scale: 100 roots, the table-service shape — 90
+    //      settled (one applied batch: read amplification 1, no
+    //      action) + 10 decayed (two batches: amplification 2 →
+    //      compact). Per-root audit cost is the claim under test. ----
+    val tinyOrders = orders.limit(50).cache(); tinyOrders.count()
+    val many = (1 to 100).map { i =>
+      val r = tmp(f"hll$i%03d")
+      val reps = if (i <= 10) 2 else 1
+      (1 to reps).foreach(b =>
+        StreamOps.hllIngestBatch(r, metricsEvery = 0)(tinyOrders, b.toLong))
+      r
+    }
+    val tMixed = timed { reports = StreamOps.maintainAll(spark, many) }
+    println(f"[coldmaint] sweep_mixed@100roots run1 $tMixed%.2fs " +
+      f"(${reports.count(_.actions.nonEmpty)} acted, " +
+      f"${tMixed * 10}%.0f ms/root)")
+    for (i <- 2 to 3) {
+      val t = timed { reports = StreamOps.maintainAll(spark, many) }
+      val acted = reports.count(_.actions.nonEmpty)
+      println(f"[coldmaint] sweep_noop@100roots run$i $t%.2fs " +
+        f"($acted acted, ${t * 10}%.0f ms/root)")
+    }
+    tinyOrders.unpersist()
     spark.stop()
   }
 }

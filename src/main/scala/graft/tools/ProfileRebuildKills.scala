@@ -103,29 +103,69 @@ object ProfileRebuildKills {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
 
-      // ---- graph: build → delta ingest → staged rebuild with a
-      //      catch-up batch landing mid-staging ----
+      // ---- graph: build → delta ingest → DELETE a residue class →
+      //      staged rebuild with a catch-up batch landing mid-staging
+      //      (the rebuild folds the tombstones: roster excludes them,
+      //      the committed index must not carry them) ----
       val gIdx = java.nio.file.Files
         .createTempDirectory("rebuildkills-graph").toString
       VectorIndex.buildGraph(spark, sfDir, gIdx)
       StreamOps.graphIngestBatch(gIdx, metricsEvery = 0)(
         delta(1000000L, 200), 1L).count()
+      StreamOps.deleteDocs(gIdx,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
       StreamOps.rebuildGraphIndexStaged(spark, gIdx)(() =>
         StreamOps.graphIngestBatch(gIdx, metricsEvery = 0)(
           delta(2000000L, 150), 2L).count(): Unit)
       val graphState = Canon.of(VectorIndex.resolvedGraph(spark, gIdx))
       val graphServe = Canon.of(VectorIndex.searchGraph(spark, gIdx, queries))
 
-      // ---- IVF twin ----
+      // ---- IVF twin (delete folded by the rebuild, like the graph) ----
       val vIdx = java.nio.file.Files
         .createTempDirectory("rebuildkills-ivf").toString
       VectorIndex.buildIvf(spark, sfDir, vIdx)
       StreamOps.ivfIngestBatch(vIdx)(delta(1000000L, 200), 1L).count()
+      StreamOps.deleteDocs(vIdx,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
       StreamOps.rebuildIvfIndexStaged(spark, vIdx)(() =>
         StreamOps.ivfIngestBatch(vIdx)(delta(2000000L, 150), 2L).count(): Unit)
       val ivfState = Canon.of(spark.read.parquet(s"$vIdx/cells")
         .select(col("cell"), col("vec_id")))
       val ivfServe = Canon.of(VectorIndex.searchIvf(spark, vIdx, queries))
+
+      // ---- the DELETE → COMPACT path under kills: tombstones
+      //      appended, folded by the family compactions (labels
+      //      rewrite / bands+shingles rewrite), log cleared — the
+      //      round-17 forget path through its own swap writes ----
+      val cIdx = java.nio.file.Files
+        .createTempDirectory("rebuildkills-cc").toString
+      val chain = spark.range(0, 300)
+        .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+      (0 to 1).foreach(i =>
+        StreamOps.clustersIngestBatch(cIdx, metricsEvery = 0)(
+          chain.filter(pmod(col("a_id"), lit(2)) === i), i.toLong).count())
+      StreamOps.deleteDocs(cIdx, spark.range(0, 301)
+        .filter(pmod(col("id"), lit(10)) === 3).select(col("id")))
+      StreamOps.compactClustersIndex(spark, cIdx)
+      val ccState = Canon.of(StreamOps.readClusters(spark, cIdx))
+
+      val nIdx = java.nio.file.Files
+        .createTempDirectory("rebuildkills-nd").toString + "/index"
+      val ndDocs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      (0 to 1).foreach(i =>
+        StreamOps.nearDupIngestBatch(nIdx)(
+          ndDocs.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong).count())
+      StreamOps.deleteDocs(nIdx, ndDocs
+        .filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")))
+      StreamOps.compactNearDupIndex(spark, nIdx)
+      // post-fold probe: copies of the corpus re-offered — survivors
+      // are exactly the docs whose original was deleted (plus novel)
+      val probe = ndDocs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val ndServe = Canon.of(StreamOps.nearDupIngestBatch(nIdx)(probe, 9L))
+      val ndState = Canon.of(spark.read.parquet(s"$nIdx/shingles")
+        .select(col("doc_id")))
 
       // ---- the COMPACTION remedies under kills: decay hll / sample /
       //      zorder roots, run one acting maintainAll sweep, canonical
@@ -161,6 +201,7 @@ object ProfileRebuildKills {
       SparkSession.clearDefaultSession()
       (Map("graph_state" -> graphState, "graph_serve" -> graphServe,
         "ivf_state" -> ivfState, "ivf_serve" -> ivfServe,
+        "cc_state" -> ccState, "nd_serve" -> ndServe, "nd_state" -> ndState,
         "hll_state" -> hllState, "sample_state" -> sampleState,
         "zorder_state" -> zorderState),
         kills.get(), speculative.get())
@@ -172,6 +213,7 @@ object ProfileRebuildKills {
     println(f"${"component"}%-14s ${"rows"}%8s  match")
     var failures = 0
     Seq("graph_state", "graph_serve", "ivf_state", "ivf_serve",
+        "cc_state", "nd_serve", "nd_state",
         "hll_state", "sample_state", "zorder_state").foreach { name =>
       val (cn, ch) = clean(name)
       val (fn, fh) = faulted(name)
@@ -189,7 +231,8 @@ object ProfileRebuildKills {
       sys.exit(1)
     }
     println("[rebuild-kills] PASS: staged rebuilds (staging + catch-up + " +
-      "commit) AND the swap-based compaction remedies row-identical under " +
-      "task kills + speculation")
+      "commit), the swap-based compaction remedies, AND the " +
+      "delete→fold/rebuild forget path row-identical under task kills + " +
+      "speculation")
   }
 }

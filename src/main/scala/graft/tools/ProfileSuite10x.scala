@@ -143,7 +143,23 @@ object ProfileSuite10x {
     // grows) and the Morton key projection (pure map + one narrow
     // shift for the bucket — no shuffle at all)
     "q_hll_distinct" -> LinearBound,
-    "q_zorder_key" -> LinearBound)
+    "q_zorder_key" -> LinearBound,
+    // round-17: leakage-safe splits — the serve is one equi-join +
+    // narrow map, but the pair/component COST IS dedup_clusters_lsh's
+    // (the near-dup tag keeps cross-replica Jaccard ≈ 0.97, so the
+    // pair frame is output-quadratic under replication by the same
+    // contract) — report-only, like its parent
+    "t_split_safe" -> 0.0,
+    // round-17: boilerplate extraction — a pure per-row builtin
+    // pipeline (no shuffle, no state): the strictest linear claim
+    "t_html_extract" -> LinearBound,
+    // round-17 deletion operators: each is its parent's build+serve
+    // plus a tombstone append, a fold (one table rewrite — linear),
+    // and an anti-join on the uniform id key; builds amortize into
+    // the first best-of run via the ensure() cache like the parents
+    "g7_components_del" -> LinearBound,
+    "ann_ivf_del" -> LinearBound,
+    "ann_graph_del" -> LinearBound)
 
   private val KeyOffset = 100000000L
 

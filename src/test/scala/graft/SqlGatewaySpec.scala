@@ -152,7 +152,11 @@ class SqlGatewaySpec extends SparkSpec {
     // structurally-non-portable construct. The portable set is now
     // the WHOLE oracle inventory.
     "dedup_clusters", "dedup_clusters_lsh", "emb_dedup_clusters",
-    "g4_components", "g5_components_inc", "g6_bfs_dists")
+    "g4_components", "g5_components_inc", "g6_bfs_dists",
+    // round-17 deletion operators, portable from birth (g7 reuses
+    // g5's bridged recursion text; the ann dels reuse their parents'
+    // rendered-model texts with a residue-class candidate filter)
+    "g7_components_del", "ann_ivf_del", "ann_graph_del")
 
   // Runs in BOTH dialects but means something different — empty since
   // the round-12 rewrites; the assertion keeps it so (a new oracle

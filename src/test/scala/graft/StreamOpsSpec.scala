@@ -2456,6 +2456,208 @@ class StreamOpsSpec extends SparkSpec {
     prev.unpersist()
   }
 
+  test("pinSplits persists the overlay in the index: a fresh session " +
+      "serves the pinned split by default; conflicting, duplicate, or " +
+      "out-of-domain pins fail loudly") {
+    import spark.implicits._
+    import StreamOps._
+    val idx = java.nio.file.Files.createTempDirectory("pins-idx").toString
+    clustersIngestBatch(idx, metricsEvery = 0)(
+      Seq((1L, 2L)).toDF("a_id", "b_id"), 1L).count()
+    val ids = Seq(1L, 2L, 5L).toDF("doc_id")
+    def servedBy(s: org.apache.spark.sql.SparkSession): Map[Long, String] =
+      splitsOfIndex(s, idx, ids).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hash = servedBy(spark)
+    // pin doc 2 AWAY from its hash split
+    val target = if (hash(2L) == "test") "train" else "test"
+    assert(pinSplits(spark, idx, Seq((2L, target)).toDF("doc_id", "split")) == 1L)
+    // a FRESH session (what a second serving process sees) applies
+    // the STORED overlay with no pins argument
+    val s2 = spark.newSession()
+    val served2 = servedBy(s2)
+    assert(served2(2L) == target, s"stored pin not served: $served2")
+    assert(served2(1L) == hash(1L) && served2(5L) == hash(5L),
+      "unpinned docs must keep following the hash")
+    // re-pinning replaces; other pins survive the merge
+    pinSplits(spark, idx, Seq((5L, "val")).toDF("doc_id", "split"))
+    pinSplits(spark, idx, Seq((2L, "val")).toDF("doc_id", "split"))
+    val served3 = servedBy(spark)
+    assert(served3(2L) == "val" && served3(5L) == "val", s"re-pin: $served3")
+    // conflicting pins in ONE input: rejected with the doc named
+    val conflict = intercept[IllegalArgumentException](pinSplits(spark, idx,
+      Seq((3L, "train"), (3L, "test")).toDF("doc_id", "split")))
+    assert(conflict.getMessage.contains("conflicting pins for doc_id 3"))
+    // out-of-domain split: rejected
+    assert(intercept[IllegalArgumentException](pinSplits(spark, idx,
+      Seq((3L, "dev")).toDF("doc_id", "split")))
+      .getMessage.contains("not one of train/val/test"))
+    // a duplicate-carrying overlay passed EXPLICITLY is rejected at
+    // serve (it would fan the serving frame out)
+    assert(intercept[IllegalArgumentException](splitsOfIndex(spark, idx, ids,
+      Some(Seq((2L, "train"), (2L, "test")).toDF("doc_id", "split"))))
+      .getMessage.contains("one pin per doc"))
+    // failed applications left the stored overlay intact
+    assert(servedBy(spark) == served3)
+  }
+
+  // ---- deletion / tombstones (the forget path) ----
+
+  test("deleteDocs on the near-dup index: a deleted doc stops pairing " +
+      "immediately, the fold erases its rows, and a post-fold re-ingest " +
+      "is a brand-new doc") {
+    import spark.implicits._
+    import StreamOps._
+    val idx = java.nio.file.Files.createTempDirectory("del-nd").toString + "/index"
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    nearDupIngestBatch(idx)(Seq(
+      (1L, base),
+      (2L, "unrelated words about columnar shuffles and broadcast joins today")
+    ).toDF("doc_id", "text"), 0L).count()
+    // near-copy pairs against the indexed doc 1 and drops
+    assert(nearDupIngestBatch(idx)(
+      Seq((10L, base + " tail")).toDF("doc_id", "text"), 1L).count() == 0)
+    // delete doc 1: the SAME near-copy shape now survives — the
+    // tombstone filters doc 1's band/shingle rows out of the
+    // candidate join with no compaction having run
+    assert(deleteDocs(idx, Seq(1L).toDF("doc_id")) == 1L)
+    val s2 = nearDupIngestBatch(idx)(
+      Seq((11L, base + " tail two")).toDF("doc_id", "text"), 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(11L), s"deleted doc still pairing: survivors $s2")
+    // fold: physical erase + file-precise tombstone clear
+    compactNearDupIndex(spark, idx, targetPartitions = 1)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 11L),
+      "fold did not erase the deleted doc's rows")
+    assert(tombstoneParquetFiles(fs, idx).isEmpty,
+      "fold did not clear the folded tombstone files")
+    // post-fold, the id is fully forgotten: re-ingesting it is a
+    // brand-new doc (indexed again, pairing again)
+    val s3 = nearDupIngestBatch(idx)(Seq(
+      (1L, "entirely fresh content reusing the retired identifier today")
+    ).toDF("doc_id", "text"), 3L).select("doc_id").as[Long].collect().toSet
+    assert(s3 == Set(1L))
+    assert(spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
+  test("deleteDocs on the clusters index: survivors keep their labels " +
+      "(drift audit shows disappearances only), deleted docs drop from " +
+      "reads and splits, the fold erases and re-folding is a no-op") {
+    import spark.implicits._
+    import StreamOps._
+    val idx = java.nio.file.Files.createTempDirectory("del-cc").toString
+    clustersIngestBatch(idx, metricsEvery = 0)(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"), 1L).count()
+    // materialize to LOCAL frames (a .cache() here would be replayed
+    // by plan-match into post-delete reads and mask the filter)
+    val before = readClusters(spark, idx).as[(Long, Long)].collect()
+      .toSeq.toDF("doc_id", "cluster_id")
+    // delete the MIN-LABEL doc of {1,2,3} and one side of {10,11}
+    assert(deleteDocs(idx, Seq(1L, 10L).toDF("doc_id")) == 2L)
+    val afterRows = readClusters(spark, idx).as[(Long, Long)].collect().toSet
+    val after = afterRows.toSeq.toDF("doc_id", "cluster_id")
+    // survivors keep their cluster ids — including cluster_id 1,
+    // whose eponymous doc is deleted (labels are identifiers)
+    assert(afterRows == Set((2L, 1L), (3L, 1L), (11L, 10L)),
+      "deletion relabeled survivors")
+    // drift audit: ONLY disappearance rows (to_split null) — no
+    // surviving doc moved split
+    val drift = splitDriftAudit(before, after).collect()
+    assert(drift.forall(r => r.isNullAt(1)),
+      s"a survivor moved split on deletion: ${drift.mkString(", ")}")
+    assert(drift.map(_.getLong(2)).sum == 2L)
+    // splits: deleted docs get NO split; unknown doc 99 still labels
+    // itself a singleton
+    val splits = splitsOfIndex(spark, idx,
+      Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(splits == Set(2L, 3L, 11L, 99L), s"splits served: $splits")
+    // fold: labels physically erased, log cleared, reads unchanged
+    compactClustersIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(s"$idx/labels")
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 11L))
+    assert(tombstoneParquetFiles(fs, idx).isEmpty)
+    assert(readClusters(spark, idx).as[(Long, Long)].collect().toSet ==
+      Set((2L, 1L), (3L, 1L), (11L, 10L)))
+    // crash-window idempotency (kill between swap and clear leaves
+    // folded labels + a live log): re-appending the same tombstones
+    // changes nothing, and the next fold clears them again
+    assert(deleteDocs(idx, Seq(1L, 10L).toDF("doc_id")) == 2L)
+    assert(readClusters(spark, idx).as[(Long, Long)].collect().toSet ==
+      Set((2L, 1L), (3L, 1L), (11L, 10L)),
+      "re-applied tombstones over folded state changed the read")
+    compactClustersIndex(spark, idx)
+    assert(tombstoneParquetFiles(fs, idx).isEmpty)
+  }
+
+  test("deleteDocs on the graph and IVF indexes: deleted vectors stop " +
+      "serving, a deleted entry point re-resolves to the best survivor, " +
+      "fold and rebuild erase and clear the log") {
+    import graft.queries.VectorIndex
+    import StreamOps._
+    val dir = "/root/testdata/sf0.001"
+    // ---- graph ----
+    val gIdx = java.nio.file.Files.createTempDirectory("del-graph").toString
+    VectorIndex.buildGraph(spark, dir, gIdx)
+    val gfs = new org.apache.hadoop.fs.Path(gIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete one stored ENTRY point (the hardest case: seeding must
+    // re-resolve) plus one ordinary vector
+    val entryVec = VectorIndex.cachedEntries(spark, gIdx).values.min
+    val otherVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") =!= entryVec)
+      .select(max(col("vec_id"))).collect()(0).getLong(0)
+    import spark.implicits._
+    assert(deleteDocs(gIdx, Seq(entryVec, otherVec).toDF("vec_id")) == 2L)
+    assert(!VectorIndex.cachedEntries(spark, gIdx).values.toSet
+      .exists(Set(entryVec, otherVec)),
+      "a deleted vector still seeds as an entry point")
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(entryVec, otherVec, 0L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def served(): Seq[(Long, Long, Long)] =
+      VectorIndex.searchGraph(spark, gIdx, queries)
+        .select("qid", "rank", "nid").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+    val preFold = served()
+    assert(preFold.nonEmpty &&
+      !preFold.exists(r => r._3 == entryVec || r._3 == otherVec),
+      "a deleted vector still serves from the graph index")
+    // fold: physical erase, serve identical before/after
+    compactGraphIndex(spark, gIdx, targetPartitions = 4)
+    assert(spark.read.parquet(s"$gIdx/graph")
+      .filter(col("vec_id").isin(entryVec, otherVec)).count() == 0)
+    assert(tombstoneParquetFiles(gfs, gIdx).isEmpty)
+    assert(served() == preFold, "the fold changed graph serving")
+    // ---- IVF ----
+    val vIdx = java.nio.file.Files.createTempDirectory("del-ivf").toString
+    VectorIndex.buildIvf(spark, dir, vIdx)
+    val vfs = new org.apache.hadoop.fs.Path(vIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(deleteDocs(vIdx, Seq(3L).toDF("vec_id")) == 1L)
+    val selfQ = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val hits = VectorIndex.searchIvf(spark, vIdx, selfQ)
+      .select("nid").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(3L),
+      s"deleted vector serves its own query: $hits")
+    // the rebuild subsumes the fold: roster excludes the tombstoned
+    // vector, the committed index has no row for it, the log clears
+    rebuildIvfIndex(spark, vIdx)
+    assert(spark.read.parquet(s"$vIdx/cells")
+      .filter(col("vec_id") === 3L).count() == 0)
+    assert(tombstoneParquetFiles(vfs, vIdx).isEmpty)
+    assert(!VectorIndex.searchIvf(spark, vIdx, selfQ)
+      .select("nid").as[Long].collect().contains(3L))
+  }
+
   // ---- incremental weighted sample ----
 
   private def sampleRows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long)] =

@@ -140,6 +140,80 @@ class TextQueriesSpec extends SparkSpec {
         "Is this the final content line we keep?", s"clean_text: $out")
   }
 
+  test("htmlCleanOf: adversarial corpus — pathological pages with " +
+      "hand-computed goldens (unclosed tags, attribute '>', mixed-case " +
+      "tags, nested anchors, tables, entities, pseudo-closers)") {
+    import spark.implicits._
+    // each golden is computed BY HAND under the documented rules; any
+    // rule change that shifts one fails here with the page name
+    val cases = Seq(
+      ("unclosed_tag",
+        "<p>An unclosed paragraph stays on one line.",
+        (1L, 1L, 1.0, "An unclosed paragraph stays on one line.")),
+      // the '>' inside a quoted attribute ends the tag for the regex
+      // stripper — the residue b"> survives as text. Documented
+      // limitation, PINNED so it can only change deliberately.
+      ("attr_gt_in_quotes",
+        "<p data-x=\"a>b\">An attribute closer splits naive strippers badly here.</p>",
+        (2L, 1L, 0.5,
+          "b\">An attribute closer splits naive strippers badly here.")),
+      // block SPLIT is case-sensitive (</P> does not delimit), tag
+      // STRIP is case-blind — the two paragraphs fuse into one line
+      ("mixed_case_tags",
+        "<P>Mixed case closers do not delimit lines here sadly.</P>" +
+          "<p>The lowercase paragraph closer still works fine.</p>",
+        (2L, 1L, 0.5,
+          "Mixed case closers do not delimit lines here sadly. " +
+            "The lowercase paragraph closer still works fine.")),
+      ("nested_anchors",
+        "<div><a href=\"/x\">Outer <a href=\"/y\">inner</a> anchor</a> " +
+          "menu of links</div>",
+        (2L, 0L, 0.0, "")),
+      ("deep_table",
+        "<table><tr><td>Row one carries enough words to pass muster.</td></tr>" +
+          "<tr><td>Row two is here with plenty of words too.</td></tr></table>",
+        (3L, 2L, 0.6667,
+          "Row one carries enough words to pass muster.\n" +
+            "Row two is here with plenty of words too.")),
+      // &nbsp; must SEPARATE words for the ≥5-word rule (undecoded it
+      // is one giant token and the line would drop)
+      ("nbsp_word_fuse",
+        "<p>Tiny&nbsp;words&nbsp;joined&nbsp;by&nbsp;spaces&nbsp;now&nbsp;" +
+          "count&nbsp;properly.</p>",
+        (2L, 1L, 0.5, "Tiny words joined by spaces now count properly.")),
+      ("entity_decode",
+        "<p>Safety &amp; quality &#39;filters&#39; decode &lt;markup&gt; " +
+          "cleanly today.</p>",
+        (2L, 1L, 0.5,
+          "Safety & quality 'filters' decode <markup> cleanly today.")),
+      // &amp;lt; decodes exactly once (to the TEXT "&lt;"), never
+      // twice (to "<") — the decode-order pin
+      ("no_double_decode",
+        "<p>The text &amp;lt; stays encoded once decoded just one time.</p>",
+        (2L, 1L, 0.5,
+          "The text &lt; stays encoded once decoded just one time.")),
+      ("style_block",
+        "<style>p { color: red }</style>" +
+          "<p>Styles vanish before any line rule ever runs.</p>",
+        (2L, 1L, 0.5, "Styles vanish before any line rule ever runs.")),
+      // a block-closer INSIDE a script string is consumed with the
+      // script (strip runs before the line split) and never delimits
+      ("script_pseudo_closer",
+        "<script>var s = \"</p>\";</script>" +
+          "<p>Script bodies never leak pseudo closers into lines.</p>",
+        (2L, 1L, 0.5,
+          "Script bodies never leak pseudo closers into lines.")))
+    val out = TextQueries.htmlCleanOf(
+      cases.zipWithIndex.map { case ((_, html, _), i) => (i.toLong, html) }
+        .toDF("doc_id", "html"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    cases.zipWithIndex.foreach { case ((name, _, golden), i) =>
+      assert(out(i.toLong) == golden,
+        s"$name: got ${out(i.toLong)}, want $golden")
+    }
+  }
+
   test("tHtmlExtract: every rendered page has the fixed 7-line shape " +
       "and keeps at least the first content line") {
     val out = TextQueries.tHtmlExtract(spark, sf01).collect()
