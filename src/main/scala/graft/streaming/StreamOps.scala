@@ -655,8 +655,9 @@ object StreamOps {
 
   /** Tombstone log table under each index root — one `tid` (Long)
     * column, append-only between folds. The deletion contract of the
-    * four maintained index families (text LSH near-dup, clusters,
-    * graph-ANN, IVF): [[deleteDocs]] appends ids here; every SERVING
+    * six maintained index families (text LSH near-dup, phash media
+    * near-dup, clusters, graph-ANN, IVF, weighted sample):
+    * [[deleteDocs]] appends ids here; every SERVING
     * read resolves the log (a tombstoned doc stops being returned,
     * paired, or traversed immediately — no rebuild); every family's
     * existing compaction point FOLDS it (the rows are physically
@@ -1501,14 +1502,19 @@ object StreamOps {
     * the partition column becomes a static PartitionFilter at the
     * scan (pinned in PlanSpec, same mechanism as the text index). An
     * absent table reads as empty (batch 0); an interrupted
-    * compaction swap is healed first. */
+    * compaction swap is healed first. Tombstoned media
+    * ([[deleteDocs]] on media_id) never pair — a taken-down image
+    * stops matching immediately, physical erase rides
+    * [[compactPhashIndex]]. */
   def readPhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, bkts: Seq[Int]): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, hp)
     if (fs.exists(hp))
-      spark.read.parquet(hp.toString).filter(col("bkt").isin(bkts: _*))
+      minusTombstones(
+        spark.read.parquet(hp.toString).filter(col("bkt").isin(bkts: _*)),
+        "media_id", indexPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -1531,9 +1537,11 @@ object StreamOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
+    // the rewrite doubles as the deletion fold (file-precise clear)
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = compactStaging(fs, indexPath, "blocks", lease)
-      spark.read.parquet(p.toString)
+      minusTombstones(spark.read.parquet(p.toString), "media_id", indexPath)
         .distinct()
         .repartition(targetPartitions, col("bkt"))
         .write.partitionBy("bkt").parquet(tmp.toString)
@@ -1545,6 +1553,7 @@ object StreamOps {
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"compaction: could not swap $tmp into $p")
       fs.delete(old, true)
+      clearTombstoneFiles(fs, tsFiles)
     }
   }
 
@@ -3552,14 +3561,21 @@ object StreamOps {
 
   /** The maintained sample: identical shape (and rows — spec-pinned
     * per boundary) to TextQueries.tWeightedSample over every
-    * document any applied batch has seen. */
+    * document any applied batch has seen. Tombstoned docs
+    * ([[deleteDocs]]) drop BEFORE the rank, so the training mix never
+    * serves a taken-down doc and the next-best surviving candidate
+    * fills its rank — which is why the index keeps top-k CANDIDATES
+    * per batch rather than one winner: deletion (like a later
+    * higher-priority arrival) just re-ranks. Physical erase rides
+    * [[compactSampleIndex]]. */
   def readSample(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, k: Int = 10): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
     val cands =
-      if (fs.exists(p)) spark.read.parquet(p.toString)
+      if (fs.exists(p)) minusTombstones(
+        spark.read.parquet(p.toString), "doc_id", indexPath)
       else {
         import spark.implicits._
         Seq.empty[(String, Long, Long, Long)]
@@ -3602,12 +3618,15 @@ object StreamOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
+    // the rewrite doubles as the deletion fold (file-precise clear)
+    val tsFiles = tombstoneParquetFiles(fs, indexPath)
     if (fs.exists(p)) {
       val tmp = compactStaging(fs, indexPath, "cands", lease)
       // distinct() drops the duplicate candidate rows a crash between
       // append and marker can leave on replay
       graft.queries.TextQueries
-        .rankSample(spark.read.parquet(p.toString).distinct(), k)
+        .rankSample(minusTombstones(spark.read.parquet(p.toString),
+          "doc_id", indexPath).distinct(), k)
         .drop("rk")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val old = new org.apache.hadoop.fs.Path(s"$indexPath/cands__old")
@@ -3620,6 +3639,7 @@ object StreamOps {
         throw new java.io.IOException(s"could not move compacted $tmp into $p")
       }
       fs.delete(old, true)
+      clearTombstoneFiles(fs, tsFiles)
     }
   }
 

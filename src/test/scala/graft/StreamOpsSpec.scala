@@ -2596,6 +2596,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(tombstoneParquetFiles(fs, idx).isEmpty)
   }
 
+  test("deleteDocs on the phash and sample indexes: deleted media stop " +
+      "pairing, deleted docs leave the training mix (the next-best stored " +
+      "candidate fills the rank), folds erase and clear the log") {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.MediaOps
+    import StreamOps._
+    import spark.implicits._
+    // ---- phash media near-dup ----
+    val idx = java.nio.file.Files.createTempDirectory("del-phash").toString
+    val w = 16; val h = 16
+    def texture(a: Int, b: Int, c: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h)(i =>
+        (((i % w) * a + (i / w) * b + c) % 180 + 10).toByte)
+    def png(pix: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def mediaDf(rows: (Long, Array[Byte])*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        Row(id, "image", s"mem://$id", b, Row(w, h, null, "png"))
+      }), MediaOps.mediaSchema)
+    val texA = texture(31, 17, 0); val texB = texture(53, 29, 7)
+    assert(imageIngestBatch(idx)(
+      mediaDf(1L -> png(texA), 5L -> png(texB)), 1L).count() == 2)
+    // a copy of indexed media 1 drops...
+    assert(imageIngestBatch(idx)(
+      mediaDf(7L -> png(texA.clone())), 2L).count() == 0)
+    // ...until media 1 is deleted: the same copy then survives
+    assert(deleteDocs(idx, Seq(1L).toDF("media_id")) == 1L)
+    val s3 = imageIngestBatch(idx)(mediaDf(9L -> png(texA.clone())), 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 == Set(9L), s"deleted media still pairing: $s3")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    compactPhashIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/blocks")
+      .select("media_id").distinct().as[Long].collect().toSet == Set(5L, 9L),
+      "fold did not erase the deleted media's block rows")
+    assert(tombstoneParquetFiles(fs, idx).isEmpty)
+
+    // ---- weighted sample (training mix) ----
+    val sIdx = java.nio.file.Files.createTempDirectory("del-sample").toString
+    val docs = Seq(
+      ("s", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("s", 2L, "eta theta iota kappa lambda mu"),
+      ("s", 3L, "nu xi omicron pi rho sigma"),
+      ("s", 4L, "tau upsilon phi chi psi omega")).toDF("source", "doc_id", "text")
+    // ingest keeps top-3 CANDIDATES, serving reads top-2 — the stored
+    // headroom is what lets a deletion re-rank instead of come up short
+    sampleIngestBatch(sIdx, k = 3, metricsEvery = 0)(docs, 1L)
+    def top2(): Seq[Long] = readSample(spark, sIdx, 2)
+      .orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    val before = top2()
+    assert(before.size == 2)
+    val victim = before.head
+    assert(deleteDocs(sIdx, Seq(victim).toDF("doc_id")) == 1L)
+    val after = top2()
+    assert(after.size == 2 && !after.contains(victim),
+      s"deleted doc still serves in the training mix: $after")
+    assert(after.head == before(1),
+      "the surviving rank-2 doc must move up to rank 1")
+    compactSampleIndex(spark, sIdx, k = 3)
+    assert(spark.read.parquet(s"$sIdx/cands")
+      .filter(col("doc_id") === victim).count() == 0,
+      "fold did not erase the deleted doc's candidate rows")
+    assert(tombstoneParquetFiles(fs, sIdx).isEmpty)
+    assert(top2() == after, "the fold changed the served mix")
+  }
+
   test("deleteDocs on the graph and IVF indexes: deleted vectors stop " +
       "serving, a deleted entry point re-resolves to the best survivor, " +
       "fold and rebuild erase and clear the log") {
