@@ -224,6 +224,16 @@ object VectorIndex {
       cellsOf: Option[Seq[Int]] = None,
       idsOf: Option[Seq[Long]] = None): DataFrame = {
     healGraph(spark, indexPath)
+    // a graph table absent AFTER a build existed = a delete-everything
+    // fold erased it (foldPartitioned deletes rather than swapping in
+    // a schema-less dir): serve as empty, like every batch-0 read
+    val gp = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    if (!gp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(gp))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, cell INT, emb ARRAY<DOUBLE>, " +
+            "nbrs ARRAY<STRUCT<nid: BIGINT, cell: INT>>"))
     def prune(df: DataFrame): DataFrame = {
       val a = cellsOf.map(cs => df.filter(col("cell").isin(cs: _*))).getOrElse(df)
       idsOf.map(ids => a.filter(col("vec_id").isin(ids: _*))).getOrElse(a)
@@ -365,6 +375,11 @@ object VectorIndex {
     * VectorIndexSpec (recall ≥ 0.9, self at rank 1, pruned probes). */
   def annIvfStored(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensure(spark, dir, "ivf")(buildIvf(spark, dir, _))
+    // the oracle register lives at the DRIVER-QUERY level (the graph
+    // pattern): a register inside searchIvf would let whichever
+    // stored-IVF variant ran LAST (e.g. the deletion index) silently
+    // re-render this query's oracle from its own quantizer
+    lastStoredIvf = Some((cachedCentroids(spark, idx), DefaultNprobe))
     searchIvf(spark, idx, corpusQueries(spark, dir))
   }
 
@@ -385,6 +400,11 @@ object VectorIndex {
   private def corpusQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  /** The serving default probe width — ONE constant shared by
+    * searchIvf's signature and the oracle registers, so a render can
+    * never assume a different nprobe than the serve used. */
+  private[graft] val DefaultNprobe = 6
 
   /** Deletion predicate of the delete-bearing stored indexes
     * ([[annIvfDel]], [[annGraphDel]]) — `$ID` substitutes the id
@@ -427,7 +447,7 @@ object VectorIndex {
       graft.streaming.StreamOps.deleteDocs(root,
         ids.filter(pmod(col("vec_id"), lit(7)) === 5))
     }
-    lastStoredIvfDel = Some((cachedCentroids(spark, idx), 6))
+    lastStoredIvfDel = Some((cachedCentroids(spark, idx), DefaultNprobe))
     searchIvf(spark, idx, corpusQueries(spark, dir))
   }
 
@@ -671,13 +691,13 @@ object VectorIndex {
     * against the tiny centroid table; the probe list prunes the
     * index read to `nprobe` cells per query. */
   def searchIvf(spark: SparkSession, indexPath: String, queries: DataFrame,
-      kNN: Int = 5, nprobe: Int = 6, maxQueryBatch: Int = 8192): DataFrame = {
+      kNN: Int = 5, nprobe: Int = DefaultNprobe,
+      maxQueryBatch: Int = 8192): DataFrame = {
     import spark.implicits._
     // self-contained path: nothing upstream registers the native dot
     graft.functions.GraftFunctions.ensureRegistered(spark)
     healCells(spark, indexPath)
     val cents = cachedCentroids(spark, indexPath)
-    lastStoredIvf = Some((cents, nprobe))
     val qVecs = queries
       .select(col("qid").cast("long"),
         col("qemb").cast("array<double>").as("qemb"))
@@ -697,6 +717,13 @@ object VectorIndex {
         .map { case (kk, _) => (id, kk) }
     }
     val probedCells = probes.map(_._2).distinct
+    // cells absent = a delete-everything fold erased the table: serve
+    // the well-formed empty result instead of a read failure
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    if (!cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(cellsPath))
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "rank", "nid", "sim")
     // isin on the partition column -> file-level pruning of the read;
     // tombstoned vectors (StreamOps.deleteDocs) never serve
     val probed = graft.streaming.StreamOps.minusTombstones(

@@ -634,19 +634,84 @@ object StreamOps {
     * it IS newest) would rename a polluted copy over the live table.
     * A fenced writer's late write lands in ITS uniquely-named tmp
     * instead — inert (its own swap aborts at the lease check) and
-    * cleared here: any `<sub>__compact*` sibling left behind belongs
-    * to an older acquisition by lease monotonicity, so deleting it
-    * is safe (an in-flight recreate stays in that writer's own
-    * name). */
+    * garbage-collected here — STRICTLY OLDER EPOCHS ONLY: the GC
+    * itself must be epoch-fenced, or an older writer waking between
+    * its acquire and this listing could delete a NEWER winner's
+    * in-flight tmp (the reverse of the pollution it closes). The
+    * epoch rides in the name, so the fence is a name parse; the
+    * legacy suffix-less fixed name reads as epoch 0 (always
+    * collected). */
   private def compactStaging(fs: org.apache.hadoop.fs.FileSystem,
       parent: String, sub: String,
       lease: MaintenanceLease): org.apache.hadoop.fs.Path = {
+    val prefix = s"${sub}__compact"
+    def tmpEpoch(name: String): Long =
+      leaseEpoch(name.stripPrefix(prefix + "_")).getOrElse(0L)
     val pp = new org.apache.hadoop.fs.Path(parent)
     if (fs.exists(pp))
       fs.listStatus(pp).map(_.getPath)
-        .filter(_.getName.startsWith(s"${sub}__compact"))
+        .filter(t => t.getName.startsWith(prefix) &&
+          tmpEpoch(t.getName) < lease.epoch)
         .foreach(t => fs.delete(t, true))
-    new org.apache.hadoop.fs.Path(s"$parent/${sub}__compact_${lease.name}")
+    new org.apache.hadoop.fs.Path(s"$parent/${prefix}_${lease.name}")
+  }
+
+  /** THE checked tmp+swap every maintained-table rewrite uses — one
+    * copy of the protocol instead of one per family (heal first,
+    * stage into the per-acquisition tmp, re-check the lease at the
+    * point of no return, rename-pair with rollback, drop the aside
+    * copy): a protocol change lands once, not eight times. `write`
+    * stages the new table contents into the tmp path it receives.
+    * Returns false (nothing written, nothing swapped) for an absent
+    * table unless `createIfAbsent` — compactions rewrite what exists;
+    * first-write surfaces (the pins overlay, a fresh stats ledger)
+    * create. */
+  private def swapInTable(fs: org.apache.hadoop.fs.FileSystem,
+      parent: String, sub: String, lease: MaintenanceLease,
+      createIfAbsent: Boolean = false)(write: String => Unit): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$parent/$sub")
+    recoverCompaction(fs, p)
+    if (!createIfAbsent && !fs.exists(p)) return false
+    val tmp = compactStaging(fs, parent, sub, lease)
+    write(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$parent/${sub}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    checkMaintenanceLease(fs, lease)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"could not move $p aside to $old")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(old)) fs.rename(old, p)
+      throw new java.io.IOException(s"could not move compacted $tmp into $p")
+    }
+    fs.delete(old, true)
+    true
+  }
+
+  /** Fold rewrite of a PARTITIONED table: zero surviving rows DELETES
+    * the table — a partitionBy write of an empty frame emits only
+    * `_SUCCESS` (no part files, hence no schema), which every later
+    * read would throw on, and exactly that state is reachable when
+    * deletion tombstones cover the whole table. Absence is the one
+    * empty state every reader already handles (batch-0 semantics),
+    * and the next ingest append recreates the partitioned layout.
+    * Nonzero rows take the normal [[swapInTable]] path. */
+  private def foldPartitioned(fs: org.apache.hadoop.fs.FileSystem,
+      parent: String, sub: String, lease: MaintenanceLease,
+      dfOf: => DataFrame, partCol: String, nParts: Int,
+      writeMeta: Option[org.apache.hadoop.fs.Path => Unit] = None): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$parent/$sub")
+    recoverCompaction(fs, p)
+    if (!fs.exists(p)) return false
+    val df = dfOf
+    if (df.isEmpty) {
+      checkMaintenanceLease(fs, lease)
+      fs.delete(p, true)
+      true
+    } else swapInTable(fs, parent, sub, lease) { tmp =>
+      df.repartition(nParts, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+      writeMeta.foreach(_(new org.apache.hadoop.fs.Path(tmp)))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -1511,11 +1576,7 @@ object StreamOps {
     val hp = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, hp)
-    if (fs.exists(hp))
-      minusTombstones(
-        spark.read.parquet(hp.toString).filter(col("bkt").isin(bkts: _*)),
-        "media_id", indexPath)
-    else spark.createDataFrame(
+    def emptyBlocks = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
@@ -1523,6 +1584,15 @@ object StreamOps {
         org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("qkey", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType))))
+    if (fs.exists(hp))
+      // the AnalysisException fallback mirrors loadIndex: a schema-
+      // less directory (e.g. a pre-fix crash artifact) reads as "no
+      // index yet", never as a poisoned table
+      try minusTombstones(
+        spark.read.parquet(hp.toString).filter(col("bkt").isin(bkts: _*)),
+        "media_id", indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyBlocks }
+    else emptyBlocks
   }
 
   /** Compact the phash block index — same small-files rationale and
@@ -1535,26 +1605,14 @@ object StreamOps {
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     // the rewrite doubles as the deletion fold (file-precise clear)
     val tsFiles = tombstoneParquetFiles(fs, indexPath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, indexPath, "blocks", lease)
+    val swapped = foldPartitioned(fs, indexPath, "blocks", lease,
       minusTombstones(spark.read.parquet(p.toString), "media_id", indexPath)
-        .distinct()
-        .repartition(targetPartitions, col("bkt"))
-        .write.partitionBy("bkt").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/blocks__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"compaction: could not stage $p aside")
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"compaction: could not swap $tmp into $p")
-      fs.delete(old, true)
-      clearTombstoneFiles(fs, tsFiles)
-    }
+        .distinct(),
+      "bkt", targetPartitions)
+    if (swapped) clearTombstoneFiles(fs, tsFiles)
   }
 
   /** Streaming similarity serving: each micro-batch of query
@@ -1660,45 +1718,29 @@ object StreamOps {
     // fold deletions: listed before reading, cleared after both swaps
     // (file-precise — a delete landing mid-fold keeps filtering)
     val tsFiles = tombstoneParquetFiles(fsRoot, indexPath)
+    var swapped = false
     for (sub <- Seq("bands", "shingles")) {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
       val fs = p.getFileSystem(hconf)
-      recoverCompaction(fs, p) // heal a previously interrupted swap first
-      if (fs.exists(p)) {
-        val tmp = compactStaging(fs, indexPath, sub, lease)
-        val raw = minusTombstones(spark.read.parquet(p.toString),
-          "doc_id", indexPath)
-        // compaction doubles as the layout migration: bkt is ALWAYS
-        // re-derived under the live IndexBuckets, which upgrades both
-        // a legacy (no-bkt) table and a table recorded under an older
-        // bucket count — keeping stale bkt values while stamping the
-        // new meta would make pruning silently lossy. distinct()
-        // additionally drops the duplicate rows a crash between the
-        // shingles and bands appends can leave behind on replay (the
-        // batch-marker guard documents that window): duplicates are
-        // harmless for correctness (candidates are deduped) but
-        // inflate every later batch's join input until removed here.
-        val t = raw.drop("bkt").distinct().withColumn("bkt",
-          if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
-        t.repartition(targetPartitions, col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
-        writeBucketMeta(fs, tmp, IndexBuckets)
-        // rename results are CHECKED (Hadoop reports most failures as
-        // `false`, not an exception); a failed move-in restores the
-        // old table so the index is never left absent
-        val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
-        if (fs.exists(old)) fs.delete(old, true)
-        checkMaintenanceLease(fs, lease)
-        if (!fs.rename(p, old))
-          throw new java.io.IOException(s"could not move $p aside to $old")
-        if (!fs.rename(tmp, p)) {
-          fs.rename(old, p) // restore before failing
-          throw new java.io.IOException(s"could not move compacted $tmp into $p")
-        }
-        fs.delete(old, true)
-      }
+      // compaction doubles as the layout migration: bkt is ALWAYS
+      // re-derived under the live IndexBuckets, which upgrades both
+      // a legacy (no-bkt) table and a table recorded under an older
+      // bucket count — keeping stale bkt values while stamping the
+      // new meta would make pruning silently lossy. distinct()
+      // additionally drops the duplicate rows a crash between the
+      // shingles and bands appends can leave behind on replay (the
+      // batch-marker guard documents that window): duplicates are
+      // harmless for correctness (candidates are deduped) but
+      // inflate every later batch's join input until removed here.
+      swapped |= foldPartitioned(fs, indexPath, sub, lease,
+        minusTombstones(spark.read.parquet(p.toString), "doc_id", indexPath)
+          .drop("bkt").distinct().withColumn("bkt",
+            if (sub == "bands") bandBucket(col("band_key"))
+            else docBucket(col("doc_id"))),
+        "bkt", targetPartitions,
+        writeMeta = Some(tmp => writeBucketMeta(fs, tmp, IndexBuckets)))
     }
-    clearTombstoneFiles(fsRoot, tsFiles)
+    if (swapped) clearTombstoneFiles(fsRoot, tsFiles)
   }
 
   /** Compaction + repair for the streaming IVF cells table — the
@@ -1724,28 +1766,14 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
     val fs = p.getFileSystem(hconf)
     recoverStagedRebuild(fs, indexPath)
-    recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     // the rewrite doubles as the deletion fold (file-precise clear)
     val tsFiles = tombstoneParquetFiles(fs, indexPath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, indexPath, "cells", lease)
+    val swapped = foldPartitioned(fs, indexPath, "cells", lease,
       minusTombstones(spark.read.parquet(p.toString), "vec_id", indexPath)
-        .distinct()
-        .repartition(targetPartitions, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/cells__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
-      clearTombstoneFiles(fs, tsFiles)
-    }
+        .distinct(),
+      "cell", targetPartitions)
+    if (swapped) clearTombstoneFiles(fs, tsFiles)
   }
 
   // ------------------------------------------------------------------
@@ -1946,23 +1974,8 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
     recoverStagedRebuild(fs, indexPath)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    def swapIn(sub: String, write: String => Unit): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-      recoverCompaction(fs, p)
-      if (!fs.exists(p)) return
-      val tmp = compactStaging(fs, indexPath, sub, lease)
-      write(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
-    }
+    def swapIn(sub: String, write: String => Unit): Unit =
+      swapInTable(fs, indexPath, sub, lease)(write): Unit
     // fold deletions alongside the delta folds: resolvedGraph and
     // cachedEntries are tombstone-resolved, so rewriting from them IS
     // the fold — and with tombstones present the graph/entries swaps
@@ -1973,10 +1986,8 @@ object StreamOps {
     val tsFiles = tombstoneParquetFiles(fs, indexPath)
     val gd = new org.apache.hadoop.fs.Path(s"$indexPath/graph_delta")
     if (fs.exists(gd) || tsFiles.nonEmpty) {
-      val resolved = VI.resolvedGraph(spark, indexPath)
-      swapIn("graph", tmp => resolved
-        .repartition(targetPartitions, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+      foldPartitioned(fs, indexPath, "graph", lease,
+        VI.resolvedGraph(spark, indexPath), "cell", targetPartitions)
       if (fs.exists(gd)) fs.delete(gd, true)
     }
     val ed = new org.apache.hadoop.fs.Path(s"$indexPath/entries_delta")
@@ -1987,11 +1998,11 @@ object StreamOps {
         .coalesce(1).write.mode("overwrite").parquet(tmp))
       if (fs.exists(ed)) fs.delete(ed, true)
     }
-    swapIn("members", tmp => minusTombstones(
+    foldPartitioned(fs, indexPath, "members", lease,
+      minusTombstones(
         spark.read.parquet(s"$indexPath/members"), "vec_id", indexPath)
-      .dropDuplicates("cell", "vec_id")
-      .repartition(targetPartitions, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+        .dropDuplicates("cell", "vec_id"),
+      "cell", targetPartitions)
     clearTombstoneFiles(fs, tsFiles)
     // the entries cache keys on (cents, markers, tombstones) — none
     // of which the fold moves — so drop it explicitly: the folded
@@ -2355,13 +2366,18 @@ object StreamOps {
     // finish any committed predecessor, clear any abandoned staging
     recoverStagedRebuild(fs, indexPath)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    // GC abandoned staging roots: every remaining one belongs to an
-    // older (now fenced) acquisition — committed ones were just
-    // rolled forward. A fenced writer's in-flight Spark write may
-    // recreate parts of ITS uniquely-named root afterwards; that
-    // garbage stays inert (its commit aborts at the lease check)
-    // until the next rebuild's GC. It can never pollute OUR root.
-    stagingRoots(fs, indexPath).foreach(r => fs.delete(r, true))
+    // GC abandoned staging roots with STRICTLY OLDER epochs: those
+    // acquisitions are fenced by ours — committed ones were just
+    // rolled forward, and a fenced writer's in-flight Spark write may
+    // recreate parts of ITS uniquely-named root afterwards (inert —
+    // its commit aborts at the lease check — until the next GC). A
+    // NEWER-epoch root is left alone: it belongs to a writer that has
+    // already fenced US, and deleting it here (an old writer waking
+    // late) could destroy a winner's staging or a freshly committed
+    // manifest mid-heal.
+    stagingRoots(fs, indexPath)
+      .filter(r => stagingEpoch(r.getName) < lease.epoch)
+      .foreach(r => fs.delete(r, true))
     val root = rebuildStagingRoot(indexPath, lease)
     Seq("graph", "entries", "members").foreach(sub =>
       recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/$sub")))
@@ -2469,8 +2485,11 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStagedRebuild(fs, indexPath)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    // same per-acquisition staging + GC as the graph rebuild
-    stagingRoots(fs, indexPath).foreach(r => fs.delete(r, true))
+    // same per-acquisition staging + strictly-older-epoch GC as the
+    // graph rebuild
+    stagingRoots(fs, indexPath)
+      .filter(r => stagingEpoch(r.getName) < lease.epoch)
+      .foreach(r => fs.delete(r, true))
     val root = rebuildStagingRoot(indexPath, lease)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
 
@@ -2588,12 +2607,29 @@ object StreamOps {
     * [[compactGraphIndex]]). Returns the actions taken, so the
     * caller's log shows WHY the index changed. Same
     * single-maintenance-writer discipline as the actions themselves. */
+  /** A pending tombstone log is itself a compact trigger: deletion's
+    * "physical erase rides the next scheduled compaction" contract
+    * must fire on a SETTLED index too — without this, an index whose
+    * amplification/file-pressure signals never trip would keep a
+    * taken-down doc's bytes on disk forever behind the serve-time
+    * filter. Applied uniformly by every maintain* policy below (both
+    * remedies fold the log, so any already-decided action suffices). */
+  private def withTombstoneFold(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, actions: Seq[String]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (actions.isEmpty && tombstoneParquetFiles(fs, indexPath).nonEmpty)
+      Seq("compact")
+    else actions
+  }
+
   def maintainGraphIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, compactAmp: Double = 2.0,
       targetPartitions: Int = 32): Seq[String] = {
     val h = graphIndexHealth(spark, indexPath).collect()(0)
-    val actions = graphMaintenanceActions(h.getLong(0), h.getLong(1),
-      h.getLong(3), h.getDouble(6), compactAmp)
+    val actions = withTombstoneFold(spark, indexPath,
+      graphMaintenanceActions(h.getLong(0), h.getLong(1),
+        h.getLong(3), h.getDouble(6), compactAmp))
     actions.foreach {
       case "rebuild" => rebuildGraphIndex(spark, indexPath)
       case "compact" => compactGraphIndex(spark, indexPath, targetPartitions)
@@ -2693,7 +2729,8 @@ object StreamOps {
       indexPath: String, maxShare: Double = 0.5,
       targetPartitions: Int = 32): Seq[String] = {
     val h = clustersIndexHealth(spark, indexPath).collect()(0)
-    val actions = clustersMaintenanceActions(h.getDouble(2), maxShare)
+    val actions = withTombstoneFold(spark, indexPath,
+      clustersMaintenanceActions(h.getDouble(2), maxShare))
     actions.foreach { case "compact" =>
       compactClustersIndex(spark, indexPath, targetPartitions) }
     actions
@@ -2704,7 +2741,8 @@ object StreamOps {
       indexPath: String, k: Int = 10,
       compactAmp: Double = 2.0): Seq[String] = {
     val h = sampleIndexHealth(spark, indexPath, k).collect()(0)
-    val actions = sampleMaintenanceActions(h.getDouble(2), compactAmp)
+    val actions = withTombstoneFold(spark, indexPath,
+      sampleMaintenanceActions(h.getDouble(2), compactAmp))
     actions.foreach { case "compact" => compactSampleIndex(spark, indexPath, k) }
     actions
   }
@@ -2718,9 +2756,50 @@ object StreamOps {
     val files =
       countParquetFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/bands")) +
       countParquetFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/shingles"))
-    val actions = nearDupMaintenanceActions(files, maxFiles)
+    val actions = withTombstoneFold(spark, indexPath,
+      nearDupMaintenanceActions(files, maxFiles))
     actions.foreach { case "compact" =>
       compactNearDupIndex(spark, indexPath, targetPartitions) }
+    actions
+  }
+
+  /** Health row for the phash media near-dup index: live media count
+    * (tombstone-resolved — what serves), raw stored block rows, the
+    * parquet file count (the compact-WHEN pressure signal), and the
+    * pending tombstone files awaiting their fold. */
+  def phashIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/blocks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val (nMedia, nRows) =
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val r = minusTombstones(spark.read.parquet(p.toString),
+            "media_id", indexPath)
+          .agg(countDistinct(col("media_id")), count(lit(1))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    import spark.implicits._
+    Seq((nMedia, nRows, countParquetFiles(fs, p),
+        tombstoneParquetFiles(fs, indexPath).size.toLong))
+      .toDF("n_media", "n_block_rows", "n_files", "tombstones_pending")
+  }
+
+  /** Poll-and-act for the phash media near-dup index — the same
+    * small-file compact rule as the text LSH twin, plus the uniform
+    * tombstone-fold trigger. */
+  def maintainPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxFiles: Long = 256,
+      targetPartitions: Int = 32): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = countParquetFiles(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/blocks"))
+    val actions = withTombstoneFold(spark, indexPath,
+      nearDupMaintenanceActions(files, maxFiles))
+    actions.foreach { case "compact" =>
+      compactPhashIndex(spark, indexPath, targetPartitions) }
     actions
   }
 
@@ -2737,9 +2816,10 @@ object StreamOps {
     if (!fs.exists(cellsPath)) return Seq.empty
     val flagged = VI.ivfStaleness(spark, indexPath)
       .collect()(0).getAs[Boolean]("rebuild")
-    val actions = ivfMaintenanceActions(flagged,
-      countParquetFiles(fs, cellsPath),
-      VI.cachedCentroids(spark, indexPath).length, fileFactor)
+    val actions = withTombstoneFold(spark, indexPath,
+      ivfMaintenanceActions(flagged,
+        countParquetFiles(fs, cellsPath),
+        VI.cachedCentroids(spark, indexPath).length, fileFactor))
     actions.foreach {
       case "rebuild" => rebuildIvfIndex(spark, indexPath)
       case "compact" => compactIvfIndex(spark, indexPath, targetPartitions)
@@ -2767,6 +2847,7 @@ object StreamOps {
     sampleK: Int = 10,
     sampleCompactAmp: Double = 2.0,
     nearDupMaxFiles: Long = 256,
+    phashMaxFiles: Long = 256,
     ivfFileFactor: Int = 8,
     targetPartitions: Int = 32)
 
@@ -2776,8 +2857,9 @@ object StreamOps {
     * table service had to know which was which). Each root's family
     * is detected from its on-disk layout (each family's table set is
     * disjoint: graph = graph+cents, IVF = cells+cents, text LSH =
-    * bands+shingles, clusters = labels, sample = cands, HLL = regs,
-    * Z-order = rows+zstats), its family policy runs (audit → pure
+    * bands+shingles, phash = blocks, clusters = labels, sample =
+    * cands, HLL = regs, Z-order = rows+zstats), its family policy
+    * runs (audit → pure
     * decision table → act, exactly the single-family entry points —
     * this adds DISPATCH, not new policy), and the family audit is
     * re-read so the report shows the settled state. Unknown layouts
@@ -2837,6 +2919,7 @@ object StreamOps {
         "graph" -> (has("graph") && has("cents")),
         "ivf" -> (has("cells") && has("cents")),
         "neardup" -> (has("bands") && has("shingles")),
+        "phash" -> has("blocks"),
         "clusters" -> has("labels"),
         "sample" -> has("cands"),
         "hll" -> has("regs"),
@@ -2861,6 +2944,10 @@ object StreamOps {
               () => maintainNearDupIndex(spark, root, t.nearDupMaxFiles,
                 t.targetPartitions),
               () => render(lshIndexHealth(spark, root)))
+            case "phash" => ("phash",
+              () => maintainPhashIndex(spark, root, t.phashMaxFiles,
+                t.targetPartitions),
+              () => render(phashIndexHealth(spark, root)))
             case "clusters" => ("clusters",
               () => maintainClustersIndex(spark, root, t.clustersMaxShare,
                 t.targetPartitions),
@@ -3327,8 +3414,16 @@ object StreamOps {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("split", graft.queries.TextQueries.splitOf(col("cluster_id")))
-    pins.orElse(storedPins(spark, indexPath)) match {
-      case None => hashed
+    def applyOverlay(p: DataFrame): DataFrame = hashed
+      .join(p.select(col("doc_id"), col("split").as("pinned_split")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("pinned_split"), col("split")).as("split"))
+    pins match {
+      // a CALLER-supplied overlay is unvetted — guard the one-row-per-
+      // doc invariant here; the stored overlay already carries it by
+      // pinSplits' construction (distinct + conflict check + full
+      // rewrite), so the default serve pays no extra job
       case Some(p) =>
         val dup = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).limit(1).collect()
@@ -3336,11 +3431,11 @@ object StreamOps {
           s"splitsOfIndex: the pin overlay carries ${dup(0).getLong(1)} rows " +
             s"for doc_id ${dup(0).getLong(0)} — one pin per doc; a duplicate " +
             "would fan the serving frame out into duplicate split rows")
-        hashed
-          .join(p.select(col("doc_id"), col("split").as("pinned_split")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster_id"),
-            coalesce(col("pinned_split"), col("split")).as("split"))
+        applyOverlay(p)
+      case None => storedPins(spark, indexPath) match {
+        case None => hashed
+        case Some(p) => applyOverlay(p)
+      }
     }
   }
 
@@ -3377,7 +3472,11 @@ object StreamOps {
         col("split").cast("string").as("split"))
       .filter(col("doc_id").isNotNull).distinct()
       .localCheckpoint(true)
-    val badSplit = fresh.filter(!col("split").isin("train", "val", "test"))
+    // isNull spelled out: a null split would three-value its way PAST
+    // the negated isin and store a pin that silently falls back to
+    // the hash at serve time — the opposite of "pinned"
+    val badSplit = fresh.filter(col("split").isNull ||
+        !col("split").isin("train", "val", "test"))
       .limit(1).collect()
     if (badSplit.nonEmpty) throw new IllegalArgumentException(
       s"pinSplits: split '${badSplit(0).getString(1)}' (doc_id " +
@@ -3390,8 +3489,6 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/pins")
-    recoverCompaction(fs, p)
     // merge: stored pins survive unless re-pinned; materialized
     // BEFORE the swap invalidates the stored read
     val merged = (storedPins(spark, indexPath) match {
@@ -3400,18 +3497,8 @@ object StreamOps {
         st.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     }).localCheckpoint(true)
     val n = merged.count()
-    val tmp = compactStaging(fs, indexPath, "pins", lease)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$indexPath/pins__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    checkMaintenanceLease(fs, lease)
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"could not move $p aside to $old")
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(old)) fs.rename(old, p)
-      throw new java.io.IOException(s"could not move pinned $tmp into $p")
-    }
-    fs.delete(old, true)
+    swapInTable(fs, indexPath, "pins", lease, createIfAbsent = true)(tmp =>
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)): Unit
     n
   }
 
@@ -3472,31 +3559,18 @@ object StreamOps {
   def compactClustersIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetPartitions: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/labels")
-    val fs = p.getFileSystem(hconf)
-    recoverCompaction(fs, p)
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
     val lease = acquireMaintenanceLease(fs, indexPath)
     // readClusters below is tombstone-resolved, so the rewrite IS the
     // deletion fold; the folded log files clear after the swap
     val tsFiles = tombstoneParquetFiles(fs, indexPath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, indexPath, "labels", lease)
-      val resolved = readClusters(spark, indexPath)
+    val swapped = foldPartitioned(fs, indexPath, "labels", lease,
+      readClusters(spark, indexPath)
         .select(col("doc_id"), col("cluster_id").as("lbl")).distinct()
-        .withColumn("bkt", docBucket(col("doc_id")))
-      resolved.repartition(targetPartitions, col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
-      writeBucketMeta(fs, tmp, IndexBuckets)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/labels__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
+        .withColumn("bkt", docBucket(col("doc_id"))),
+      "bkt", targetPartitions,
+      writeMeta = Some(tmp => writeBucketMeta(fs, tmp, IndexBuckets)))
+    if (swapped) {
       val merges = new org.apache.hadoop.fs.Path(s"$indexPath/merges")
       if (fs.exists(merges)) fs.delete(merges, true)
       clearTombstoneFiles(fs, tsFiles)
@@ -3616,31 +3690,18 @@ object StreamOps {
       indexPath: String, k: Int = 10): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/cands")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
     // the rewrite doubles as the deletion fold (file-precise clear)
     val tsFiles = tombstoneParquetFiles(fs, indexPath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, indexPath, "cands", lease)
-      // distinct() drops the duplicate candidate rows a crash between
-      // append and marker can leave on replay
+    // distinct() drops the duplicate candidate rows a crash between
+    // append and marker can leave on replay
+    val swapped = swapInTable(fs, indexPath, "cands", lease)(tmp =>
       graft.queries.TextQueries
         .rankSample(minusTombstones(spark.read.parquet(p.toString),
           "doc_id", indexPath).distinct(), k)
         .drop("rk")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/cands__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
-      clearTombstoneFiles(fs, tsFiles)
-    }
+        .coalesce(1).write.mode("overwrite").parquet(tmp))
+    if (swapped) clearTombstoneFiles(fs, tsFiles)
   }
 
   // ------------------------------------------------------------------
@@ -3917,24 +3978,14 @@ object StreamOps {
       tablePath: String, dimX: String, dimY: String, nFiles: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$tablePath/rows")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, p)
     recoverCompaction(fs, new org.apache.hadoop.fs.Path(s"$tablePath/zstats"))
     val lease = acquireMaintenanceLease(fs, tablePath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, tablePath, "rows", lease)
+    val swapped = swapInTable(fs, tablePath, "rows", lease)(tmp =>
       graft.queries.LayoutQueries.zorderWrite(
-        spark.read.parquet(p.toString), dimX, dimY, tmp.toString, nFiles)
-      val old = new org.apache.hadoop.fs.Path(s"$tablePath/rows__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
+        spark.read.parquet(p.toString), dimX, dimY, tmp, nFiles))
+    if (swapped) {
       // ledger rewrite from the compacted files via the same tmp+swap
+      // (created if absent — a pre-ledger table gains one here)
       val z = graft.queries.LayoutQueries.zKey(col(dimX), col(dimY))
       val stats = spark.read.parquet(p.toString)
         .select(input_file_name().as("ff"), z.as("zkey"))
@@ -3943,18 +3994,8 @@ object StreamOps {
         .select(element_at(split(col("ff"), "/"), -1).as("f"),
           col("lo"), col("hi"))
         .localCheckpoint(true)
-      val zs = new org.apache.hadoop.fs.Path(s"$tablePath/zstats")
-      val ztmp = compactStaging(fs, tablePath, "zstats", lease)
-      stats.coalesce(1).write.mode("overwrite").parquet(ztmp.toString)
-      val zold = new org.apache.hadoop.fs.Path(s"$tablePath/zstats__old")
-      if (fs.exists(zold)) fs.delete(zold, true)
-      if (fs.exists(zs) && !fs.rename(zs, zold))
-        throw new java.io.IOException(s"could not move $zs aside to $zold")
-      if (!fs.rename(ztmp, zs)) {
-        if (fs.exists(zold)) fs.rename(zold, zs)
-        throw new java.io.IOException(s"could not move compacted $ztmp into $zs")
-      }
-      fs.delete(zold, true)
+      swapInTable(fs, tablePath, "zstats", lease, createIfAbsent = true)(
+        ztmp => stats.coalesce(1).write.mode("overwrite").parquet(ztmp)): Unit
     }
   }
 
@@ -4078,24 +4119,11 @@ object StreamOps {
       indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/regs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, p)
     val lease = acquireMaintenanceLease(fs, indexPath)
-    if (fs.exists(p)) {
-      val tmp = compactStaging(fs, indexPath, "regs", lease)
+    swapInTable(fs, indexPath, "regs", lease)(tmp =>
       spark.read.parquet(p.toString)
         .groupBy(col("col_name"), col("bucket")).agg(max(col("r")).as("r"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$indexPath/regs__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      checkMaintenanceLease(fs, lease)
-      if (!fs.rename(p, old))
-        throw new java.io.IOException(s"could not move $p aside to $old")
-      if (!fs.rename(tmp, p)) {
-        fs.rename(old, p)
-        throw new java.io.IOException(s"could not move compacted $tmp into $p")
-      }
-      fs.delete(old, true)
-    }
+        .coalesce(1).write.mode("overwrite").parquet(tmp)): Unit
   }
 
   /** Streaming ingestion of vendor-item micro-batches into the keyed

@@ -2492,6 +2492,12 @@ class StreamOpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](pinSplits(spark, idx,
       Seq((3L, "dev")).toDF("doc_id", "split")))
       .getMessage.contains("not one of train/val/test"))
+    // a NULL split must reject too (three-valued logic would slip it
+    // past a bare negated isin and store a pin that silently falls
+    // back to the hash)
+    assert(intercept[IllegalArgumentException](pinSplits(spark, idx,
+      Seq((3L, null: String)).toDF("doc_id", "split")))
+      .getMessage.contains("not one of train/val/test"))
     // a duplicate-carrying overlay passed EXPLICITLY is rejected at
     // serve (it would fan the serving frame out)
     assert(intercept[IllegalArgumentException](splitsOfIndex(spark, idx, ids,
@@ -2499,6 +2505,96 @@ class StreamOpsSpec extends SparkSpec {
       .getMessage.contains("one pin per doc"))
     // failed applications left the stored overlay intact
     assert(servedBy(spark) == served3)
+  }
+
+  test("maintainAll folds pending tombstones on SETTLED roots (the " +
+      "physical-erase contract fires without any decay signal) and " +
+      "detects the phash family") {
+    import spark.implicits._
+    import StreamOps._
+    // settled sample root (read amplification 1.0 — no decay signal)
+    // with one deleted doc
+    val sIdx = java.nio.file.Files.createTempDirectory("fold-sample").toString
+    val docs = Seq(
+      ("s", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("s", 2L, "eta theta iota kappa lambda mu"),
+      ("s", 3L, "nu xi omicron pi rho sigma")).toDF("source", "doc_id", "text")
+    sampleIngestBatch(sIdx, k = 3, metricsEvery = 0)(docs, 1L)
+    deleteDocs(sIdx, Seq(2L).toDF("doc_id"))
+    // settled phash root with one deleted media
+    val pIdx = java.nio.file.Files.createTempDirectory("fold-phash").toString
+    val w = 16; val h = 16
+    // the two textures must be DISTINCT under dHash (the proven
+    // (31,17,0)/(53,29,7) pair from the ingest spec) — similar
+    // gradients near-dup each other and collapse the fixture
+    def png(a: Int, b: Int, c: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, Array.tabulate[Byte](w * h)(
+        i => (((i % w) * a + (i / w) * b + c) % 180 + 10).toByte))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val pix = Map(1L -> png(31, 17, 0), 2L -> png(53, 29, 7))
+    val kept = imageIngestBatch(pIdx)(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(1L, 2L).map(id =>
+        org.apache.spark.sql.Row(id, "image", s"mem://$id", pix(id),
+          org.apache.spark.sql.Row(w, h, null, "png")))),
+      graft.multimodal.MediaOps.mediaSchema), 1L).count()
+    assert(kept == 2L, "fixture textures must be distinct under dHash")
+    deleteDocs(pIdx, Seq(1L).toDF("media_id"))
+
+    val r1 = StreamOps.maintainAll(spark, Seq(sIdx, pIdx))
+    assert(r1.map(_.family) == Seq("sample", "phash"),
+      s"family detection: $r1")
+    assert(r1.forall(_.actions == Seq("compact")),
+      s"pending tombstones must trigger the fold on a settled root: $r1")
+    val fs = new org.apache.hadoop.fs.Path(sIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(tombstoneParquetFiles(fs, sIdx).isEmpty &&
+      tombstoneParquetFiles(fs, pIdx).isEmpty, "folds must clear the logs")
+    assert(spark.read.parquet(s"$sIdx/cands")
+      .filter(col("doc_id") === 2L).count() == 0)
+    assert(spark.read.parquet(s"$pIdx/blocks")
+      .filter(col("media_id") === 1L).count() == 0)
+    assert(r1(1).audit.contains("n_media=1"),
+      s"phash audit should settle in the report: ${r1(1).audit}")
+    // second sweep: settled again
+    assert(StreamOps.maintainAll(spark, Seq(sIdx, pIdx))
+      .forall(_.actions.isEmpty), "second sweep should no-op")
+  }
+
+  test("staging GC is epoch-fenced: an old writer's sweep never deletes " +
+      "a NEWER acquisition's staging root or compaction tmp") {
+    import graft.queries.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("gc-fence").toString
+    VectorIndex.buildIvf(spark, dir, idx, k = 4)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a staging root and a compaction tmp from a (simulated)
+    // FUTURE acquisition — epoch far above anything this test reaches
+    val tok = "e9000000000000000000_00000000000000000000000000000000"
+    val newerRoot = new org.apache.hadoop.fs.Path(
+      s"$idx/${StreamOps.GraphRebuildDir}_$tok")
+    val newerTmp = new org.apache.hadoop.fs.Path(s"$idx/cells__compact_$tok")
+    fs.mkdirs(newerRoot); fs.mkdirs(newerTmp)
+    // an older (lower-epoch) rebuild and compaction must leave both
+    // alone — deleting a newer writer's in-flight staging would be
+    // the pollution hazard reopened in reverse
+    StreamOps.rebuildIvfIndex(spark, idx)
+    assert(fs.exists(newerRoot),
+      "older rebuild GC'd a newer acquisition's staging root")
+    StreamOps.compactIvfIndex(spark, idx)
+    assert(fs.exists(newerTmp),
+      "older compaction deleted a newer acquisition's staging tmp")
+    // and a LEGACY fixed-name tmp (epoch 0) is still collected
+    val legacy = new org.apache.hadoop.fs.Path(s"$idx/cells__compact")
+    fs.mkdirs(legacy)
+    StreamOps.compactIvfIndex(spark, idx)
+    assert(!fs.exists(legacy), "legacy fixed-name tmp must still be GC'd")
+    fs.delete(newerRoot, true); fs.delete(newerTmp, true)
   }
 
   // ---- deletion / tombstones (the forget path) ----
@@ -2639,6 +2735,21 @@ class StreamOpsSpec extends SparkSpec {
       .select("media_id").distinct().as[Long].collect().toSet == Set(5L, 9L),
       "fold did not erase the deleted media's block rows")
     assert(tombstoneParquetFiles(fs, idx).isEmpty)
+    // delete-EVERYTHING edge: the fold must leave a READABLE index
+    // (a partitionBy write of zero rows is schema-less — the fold
+    // deletes the table instead; absent reads as batch-0 empty) and
+    // a later ingest revives it
+    deleteDocs(idx, Seq(5L, 9L).toDF("media_id"))
+    compactPhashIndex(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/blocks")),
+      "delete-everything fold should remove the table, not leave a " +
+        "schema-less directory")
+    assert(tombstoneParquetFiles(fs, idx).isEmpty)
+    val revived = imageIngestBatch(idx)(
+      mediaDf(30L -> png(texA.clone()), 31L -> png(texB.clone())), 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(revived == Set(30L, 31L),
+      s"re-ingest after a delete-everything fold must revive: $revived")
 
     // ---- weighted sample (training mix) ----
     val sIdx = java.nio.file.Files.createTempDirectory("del-sample").toString
