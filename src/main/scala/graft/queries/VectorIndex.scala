@@ -1520,6 +1520,118 @@ object VectorIndex {
     * loop, graft_vec_div ≡ the driver normalize, round(.,4) ≡
     * BigDecimal HALF_UP. */
   def searchGraphBatch(spark: SparkSession, indexPath: String, queries: DataFrame,
+      beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5,
+      broadcastMaxBytes: Long = -1L): DataFrame = {
+    val budget =
+      if (broadcastMaxBytes >= 0) broadcastMaxBytes
+      else spark.conf.getOption("spark.graft.graphBatchBroadcastMaxBytes")
+        .map(_.toLong).getOrElse(GraphBatchBroadcastMaxBytes)
+    // Size probe on the RESOLVED graph (tombstones/deltas applied):
+    // one metadata-cheap agg over the persisted index frame decides
+    // the route. The estimate is the broadcast payload itself
+    // (embedding doubles + neighbor ids + per-node map overhead), so
+    // it scales with the INDEX, never the query batch.
+    val lvl0 = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g0 = resolvedGraph(spark, indexPath)
+      .select(col("vec_id").as("nid"), col("emb"), col("nbrs"))
+      .persist(lvl0)
+    val st = g0.agg(count(lit(1)),
+      coalesce(sum(size(col("emb"))), lit(0L)),
+      coalesce(sum(size(col("nbrs"))), lit(0L))).head
+    val (n, embDoubles, nbrIds) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val estBytes = embDoubles * 8L + nbrIds * 16L + n * 64L
+    val out =
+      if (estBytes <= budget)
+        searchGraphBatchBroadcast(spark, indexPath, queries, g0, beam, hops, k)
+      else searchGraphBatchJoins(spark, indexPath, queries, g0, beam, hops, k)
+    g0.unpersist(false)
+    out
+  }
+
+  /** Broadcast ceiling for the one-shot batch walk (overridable via
+    * `spark.graft.graphBatchBroadcastMaxBytes`): when the resolved
+    * graph index — embeddings + adjacency, the MODEL, never the query
+    * batch — fits this budget, the whole fixed-round walk runs as ONE
+    * narrow pass over the query frame against a broadcast of the
+    * graph, replacing `hops` rounds of frontier windows + shuffle
+    * joins (≈ 2 eager jobs and 4+ exchanges per hop) with zero
+    * exchanges. Past the budget the join-based walk runs unchanged —
+    * the LocalModelNodes degrade-don't-break pattern applied to the
+    * serving batch. 256 MB ≈ 400k nodes at dim 64 / degree 8; size to
+    * executor memory in production. */
+  private[graft] val GraphBatchBroadcastMaxBytes: Long = 256L << 20
+
+  /** The one-broadcast form of the batch walk: the EXACT searchGraph
+    * driver-walk semantics (same seeding, scoring, tie-breaks,
+    * rounding — the code is the driver walk's, applied per query in a
+    * distributed map), with the graph shipped once. Row-identical to
+    * the join form (VectorIndexSpec pins it; the ann_graph_batch
+    * DuckDB oracle gates both). */
+  private def searchGraphBatchBroadcast(spark: SparkSession, indexPath: String,
+      queries: DataFrame, g: DataFrame, beam: Int, hops: Int, k: Int): DataFrame = {
+    val qz = cachedGraphQuantizer(spark, indexPath)
+    val entries = cachedEntries(spark, indexPath)
+    val adj = new java.util.HashMap[Long, (Array[Double], Array[Long])]()
+    g.select(col("nid"), col("emb"), col("nbrs")).collect().foreach { r =>
+      adj.put(r.getLong(0), (r.getSeq[Double](1).toArray,
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toArray))
+    }
+    val supersA = qz.supers.map(_.toArray).toArray
+    val cellsA = qz.cells.map { case (sid, c) => (sid, c.toArray) }.toArray
+    val bc = spark.sparkContext.broadcast((supersA, cellsA, entries, adj))
+    val seedCellCount = GraphSeedCells
+    import spark.implicits._
+    queries
+      .select(col("qid").cast("long"), col("qemb").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, q0) =>
+        val (supers, cells, entryOf, graph) = bc.value
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        def r4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val v0 = q0.toArray
+        val nrm = math.sqrt(v0.map(x => x * x).sum)
+        val qv = if (nrm > 0) v0.map(_ / nrm) else v0
+        // seeding: top-2 supers by dot, then the best seed cells among
+        // those supers' cells — searchGraph.seedCellsOf verbatim
+        val topSup = supers.indices
+          .map(s => (dot(qv, supers(s)), s))
+          .sortBy { case (d, s) => (-d, s) }.take(2).map(_._2).toSet
+        val seedCells = cells.zipWithIndex
+          .filter { case ((sid, _), _) => topSup(sid) }
+          .map { case ((_, c), kk) => (dot(qv, c), kk) }
+          .sortBy { case (d, kk) => (-d, kk) }.take(seedCellCount).map(_._2)
+        val pool = scala.collection.mutable.Map.empty[Long, Double]
+        val expanded = scala.collection.mutable.Set.empty[Long]
+        var toScore: Seq[Long] =
+          seedCells.flatMap(c => entryOf.get(c)).distinct
+        var hop = 0
+        while (hop <= hops) {
+          for (nid <- toScore; row <- Option(graph.get(nid)))
+            pool.getOrElseUpdate(nid, r4(dot(qv, row._1)))
+          val frontier = pool.toSeq
+            .filterNot { case (nid, _) => expanded.contains(nid) }
+            .sortBy { case (nid, sim) => (-sim, nid) }.take(beam).map(_._1)
+          expanded ++= frontier
+          toScore = frontier.flatMap(n => Option(graph.get(n))).flatMap(_._2)
+            .filterNot(pool.contains).distinct
+          hop += 1
+        }
+        pool.toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(k)
+          .zipWithIndex.map { case ((nid, sim), i) =>
+            (qid, (i + 1).toLong, nid, sim) }
+      }.toDF("qid", "rank", "nid", "sim")
+  }
+
+  /** The qid-keyed distributed walk — the past-the-broadcast-budget
+    * route of [[searchGraphBatch]] (unchanged semantics; see the
+    * Scaladoc above it). `g` is the persisted resolved graph frame. */
+  private[graft] def searchGraphBatchJoins(spark: SparkSession, indexPath: String,
+      queries: DataFrame, g: DataFrame,
       beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -1539,9 +1651,6 @@ object VectorIndex {
           .otherwise(col("q0")).as("qemb"))
       .persist(lvl)
 
-    val g = resolvedGraph(spark, indexPath)
-      .select(col("vec_id").as("nid"), col("emb"), col("nbrs"))
-      .persist(lvl)
     val edges = g.select(col("nid").as("src"),
         explode(expr("transform(nbrs, e -> e.nid)")).as("enid"))
       .persist(lvl)
@@ -1615,7 +1724,7 @@ object VectorIndex {
       pool = pool.unionByName(ckpt(score(cand)))
       r += 1
     }
-    qn.unpersist(false); g.unpersist(false); edges.unpersist(false)
+    qn.unpersist(false); edges.unpersist(false)
     pool.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
       .filter(col("rank") <= k)

@@ -856,6 +856,21 @@ object StreamOps {
       if (sub == "bands") bandBucket(col("band_key")) else docBucket(col("doc_id")))
   }
 
+  /** Eager localCheckpoint + constraint-free re-wrap (the
+    * searchGraphBatch ckpt pattern): materializes `df` NOW and
+    * returns a LogicalRDD-leaf frame with fresh attributes. Used by
+    * the ingest paths on every reused batch-proportional frame — a
+    * persisted frame's plan subtree still prints (and re-optimizes)
+    * in full at every re-reference, and an ingest's ~15 actions paid
+    * minutes of driver CPU in `explainString` over those duplicated
+    * trees (round-17 measurement; guide §7.3). The frames cut here
+    * are batch-sized, so the eager materialization is the work the
+    * first downstream action did anyway. */
+  private def cutLineage(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
   def nearDupIngestBatch(indexPath: String, threshold: Double = 0.7,
       maxBandBucket: Int = graft.queries.TextQueries.MaxBandBucket,
       metricsEvery: Int = DefaultMetricsEvery)(
@@ -3210,18 +3225,27 @@ object StreamOps {
       metricsEvery: Int = DefaultMetricsEvery)(
       batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val edges = batch
+    // Every reused batch frame below is EAGERLY CHECKPOINTED (cut to
+    // a LogicalRDD leaf), not persisted: a persisted frame's plan
+    // subtree still prints in full at every re-reference, and this
+    // method runs ~15 actions whose physical trees re-embedded the
+    // whole edges→touched→known→cur→delta lineage once per reference
+    // — at sf0.01 the driver spent MINUTES per batch inside
+    // QueryExecution.explainString rendering those trees (thread-dump
+    // evidence in OPTIMIZATION_r17.md; the guide §7.3 "driver busy,
+    // zero tasks" signature). Frames here are batch-proportional by
+    // construction, so the eager materialization is the same work the
+    // first action did anyway — only the plan trees shrink.
+    val edges = cutLineage(batch
       .select(col("a_id").cast("long").as("a_id"),
         col("b_id").cast("long").as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = edges.select(col("a_id").as("doc_id"))
+      .distinct())
+    val touched = cutLineage(edges.select(col("a_id").as("doc_id"))
       .unionByName(edges.select(col("b_id").as("doc_id")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val tb = touched.select(docBucket(col("doc_id")).as("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
@@ -3231,10 +3255,10 @@ object StreamOps {
     val labelsSchema = touched
       .select(col("doc_id"), col("doc_id").as("lbl"),
         docBucket(col("doc_id")).as("bkt")).limit(0)
-    val known = prunedIndex(spark, labelsLoaded, "labels", labelsSchema, tb)
-      .join(broadcast(touched), Seq("doc_id"))
-      .select(col("doc_id"), col("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val known = cutLineage(
+      prunedIndex(spark, labelsLoaded, "labels", labelsSchema, tb)
+        .join(broadcast(touched), Seq("doc_id"))
+        .select(col("doc_id"), col("lbl")))
 
     // current label = stored label resolved through the merge log
     // (the log is compaction-bounded — typically broadcast-sized; no
@@ -3246,12 +3270,10 @@ object StreamOps {
       case Some(r) => known.join(r, Seq("lbl"), "left")
         .select(col("doc_id"), coalesce(col("root"), col("lbl")).as("cur"))
     }
-    val newNodes = touched.join(known.select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cur = curKnown
-      .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("cur")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newNodes = cutLineage(touched.join(known.select(col("doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val cur = cutLineage(curKnown
+      .unionByName(newNodes.select(col("doc_id"), col("doc_id").as("cur"))))
 
     // label-space delta: batch edges projected onto current labels —
     // already-connected endpoints collapse (la == lb) and drop, so
@@ -3264,9 +3286,8 @@ object StreamOps {
       .select(least(col("la"), col("lb")).as("a_id"),
         greatest(col("la"), col("lb")).as("b_id"))
       .distinct()
-    val deltaLabels = graft.queries.TextQueries.clustersOf(delta)
-      .select(col("doc_id").as("cur"), col("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaLabels = cutLineage(graft.queries.TextQueries.clustersOf(delta)
+      .select(col("doc_id").as("cur"), col("cluster_id")))
 
     // post-batch label of every touched node; eagerly checkpointed so
     // its lineage leaves the index parquet reads BEFORE the appends
@@ -3336,8 +3357,6 @@ object StreamOps {
     if (!alreadyApplied && metricsEvery > 0 && batchId % metricsEvery == 0)
       emitMetrics(indexPath, batchId, clustersIndexHealth(spark, indexPath))
     if (!alreadyApplied) fsRoot.create(marker, true).close()
-    edges.unpersist(); touched.unpersist(); known.unpersist()
-    newNodes.unpersist(); cur.unpersist(); deltaLabels.unpersist()
     fin
   }
 

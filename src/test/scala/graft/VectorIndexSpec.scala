@@ -272,9 +272,16 @@ class VectorIndexSpec extends SparkSpec {
     // same seeds, same fixed-round frontier arithmetic, same rounding
     val all = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    assert(canon(VectorIndex.searchGraphBatch(spark, idx, all)) ==
-      canon(VectorIndex.searchGraph(spark, idx, all)),
+    val driverAll = canon(VectorIndex.searchGraph(spark, idx, all))
+    assert(canon(VectorIndex.searchGraphBatch(spark, idx, all)) == driverAll,
       "corpus-sized batch diverges from the driver walk")
+    // BOTH routes of the batch walk: the broadcast form (default at
+    // this index size) above, and the join form forced by a zero
+    // broadcast budget — the past-the-budget fallback must stay
+    // row-identical even while the default route no longer runs it
+    assert(canon(VectorIndex.searchGraphBatch(spark, idx, all,
+        broadcastMaxBytes = 0L)) == driverAll,
+      "forced-join batch walk diverges from the driver walk")
     assert(canon(VectorIndex.searchGraphBatch(spark, idx, corpusQueries(10))) ==
       canon(VectorIndex.searchGraph(spark, idx, corpusQueries(10))),
       "serving-sized batch diverges from the driver walk")
