@@ -782,30 +782,41 @@ object CoreQueries {
     * (products.js:329-332 `reduce((s,o) => s+o.stock, 0)`) as the
     * builtin `aggregate` higher-order function. */
   def a3SumReduce(spark: SparkSession, dir: String): DataFrame =
+    // The reference reduce((s,o) => s+o.stock, 0) as the map-side-
+    // combinable builtin sum (guide §2.3 — aggregate before the
+    // shuffle): long addition is associative/commutative, so this is
+    // bit-identical to collecting the per-order array and folding it
+    // (the round-17 rewrite; the earlier collect_list + aggregate HOF
+    // form shipped every row's quantity through the exchange and held
+    // whole-group arrays in the agg buffer — O(group) state the
+    // 100 TB hot-key case cannot afford, for an 8-byte answer).
     Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(collect_list(col("l_quantity").cast("long")).as("qs"))
-      .select(col("l_orderkey"),
-        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
 
   /** P10: zero-stock group skip (products.js:276-281) — groups whose
     * option array is empty or all-zero are dropped via
     * size/exists on the collected structs. Zeros are synthesized
     * deterministically (line 3,6 of each order). */
   def p10ZeroStockSkip(spark: SparkSession, dir: String): DataFrame =
+    // The skip rule on scalar aggregates instead of a collected
+    // struct array (guide §2.3): stocks are non-negative by
+    // construction (l_quantity ≥ 1, zeros synthesized), so
+    // exists(stock > 0) ⟺ max(stock) > 0 — exactly the oracle's
+    // HAVING — and the group's sum/count/max partial-aggregate
+    // map-side where the collected array shipped every row and
+    // re-folded per group. size(...) > 0 was vacuous (groups are
+    // non-empty). Bit-identical: integer sum/max/count.
     Tables.lineitem(spark, dir)
       .withColumn("stock",
         when(col("l_linenumber") % 3 === 0, lit(0))
           .otherwise(col("l_quantity").cast("int")))
       .groupBy(col("l_partkey"))
-      .agg(collect_list(struct(col("stock"))).as("selectedOptions"),
-        count(lit(1)).as("n"))
-      .filter(size(col("selectedOptions")) > 0 &&
-        exists(col("selectedOptions"), o => o.getField("stock") > 0))
-      .select(col("l_partkey"),
-        aggregate(col("selectedOptions"), lit(0L),
-          (acc, o) => acc + o.getField("stock")).as("total_stock"),
-        col("n"))
+      .agg(sum(col("stock")).as("total_stock"),
+        count(lit(1)).as("n"),
+        max(col("stock")).as("max_stock"))
+      .filter(col("max_stock") > 0)
+      .select(col("l_partkey"), col("total_stock"), col("n"))
 
   /** K2: default-value backfill (products.js:370-380
     * `database ||= "wholecell"`): nulls synthesized from key

@@ -89,21 +89,25 @@ object GraphQueries {
     * each other and a driver recompute in GraphQueriesSpec.
     */
   def g1PageRank(spark: SparkSession, dir: String, iters: Int = 5,
-      localModelMax: Long = LocalModelNodes): DataFrame =
+      localModelMax: Long = LocalModelNodes,
+      localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame =
     g1PageRankOf(spark, Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")), iters, localModelMax)
+      .select(col("l_orderkey"), col("l_partkey")), iters, localModelMax,
+      localFinishEdges)
 
   /** Input-injectable form (ProfileScale-style rehearsals feed a
     * replicated basket frame). */
   private[graft] def g1PageRankOf(spark: SparkSession, li: DataFrame,
-      iters: Int, localModelMax: Long): DataFrame = {
+      iters: Int, localModelMax: Long,
+      localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame = {
     val canon = orderPairs(li).distinct()
     val nodes = li.select(col("l_partkey").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = nodes.count()
 
     val out =
-      if (nNodes <= localModelMax) localSupersteps(spark, canon, nodes, iters)
+      if (nNodes <= localModelMax)
+        localSupersteps(spark, canon, nodes, iters, localFinishEdges)
       else distributedSupersteps(spark, canon, nodes, iters)
     nodes.unpersist()
     out
@@ -114,7 +118,8 @@ object GraphQueries {
     * the rank/degree model broadcast, merged by addition on the
     * driver. */
   private def localSupersteps(spark: SparkSession, canon: DataFrame,
-      nodes: DataFrame, iters: Int): DataFrame = {
+      nodes: DataFrame, iters: Int,
+      localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame = {
     import scala.collection.mutable
     val sc = spark.sparkContext
     // materialize the edge build through the DataFrame path (AQE
@@ -122,46 +127,74 @@ object GraphQueries {
     // cache — executing the build via .rdd would compile the whole
     // plan non-adaptively (measured 3× slower at 10× volume)
     val canonDf = canon.persist(StorageLevel.MEMORY_AND_DISK)
-    canonDf.count()
-    val pairs = canonDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val nEdges = canonDf.count()
     val allNodes = nodes.collect().map(_.getLong(0))
 
+    // FULL-LOCAL FINISH (round-17): the model (ranks/degrees) already
+    // lives on the driver on this path — when the EDGE list also fits
+    // the BroadcastClosingEdges envelope (4M edges ≈ 64 MB, the same
+    // driver-object budget g3's broadcast adjacency rides), the per-
+    // iteration cluster round-trip (broadcast + one job + partial-map
+    // collect, ×iters) costs more than iterating over the collected
+    // pairs directly — iters × 2 integer ops per edge, ≤ 40M ops at
+    // the bound. Bit-identical: the same integer recurrence over the
+    // same pairs — addition order is immaterial. Past the bound, the
+    // RDD superstep loop below runs unchanged (and past
+    // LocalModelNodes the fully distributed form, as before).
     def merged(partials: Array[mutable.LongMap[Long]]): mutable.LongMap[Long] = {
       val m = mutable.LongMap.empty[Long]
       for (p <- partials; (k, v) <- p) m(k) = m.getOrElse(k, 0L) + v
       m
     }
-    val deg = merged(pairs.mapPartitions { it =>
+    def degOf(it: Iterator[(Long, Long)]): mutable.LongMap[Long] = {
       val m = mutable.LongMap.empty[Long]
       for ((a, b) <- it) {
         m(a) = m.getOrElse(a, 0L) + 1L
         m(b) = m.getOrElse(b, 0L) + 1L
       }
-      Iterator.single(m)
-    }.collect())
-
-    var rank = mutable.LongMap.empty[Long]
-    for (n <- allNodes) rank(n) = 1000000L
-    for (_ <- 1 to iters) {
-      val bc = sc.broadcast((rank, deg))
-      val contrib = merged(pairs.mapPartitions { it =>
-        val (r, d) = bc.value
-        val m = mutable.LongMap.empty[Long]
-        // both directions inline — the canonical frame is the only
-        // data that moves or is stored
-        for ((a, b) <- it) {
-          m(b) = m.getOrElse(b, 0L) + r(a) / d(a)
-          m(a) = m.getOrElse(a, 0L) + r(b) / d(b)
-        }
-        Iterator.single(m)
-      }.collect())
-      bc.destroy()
+      m
+    }
+    def contribOf(it: Iterator[(Long, Long)], r: mutable.LongMap[Long],
+        d: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+      val m = mutable.LongMap.empty[Long]
+      // both directions inline — the canonical frame is the only
+      // data that moves or is stored
+      for ((a, b) <- it) {
+        m(b) = m.getOrElse(b, 0L) + r(a) / d(a)
+        m(a) = m.getOrElse(a, 0L) + r(b) / d(b)
+      }
+      m
+    }
+    def teleport(contrib: mutable.LongMap[Long]): mutable.LongMap[Long] = {
       val next = mutable.LongMap.empty[Long]
       for (n <- allNodes)
         next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
-      rank = next
+      next
     }
-    canonDf.unpersist()
+
+    var rank = mutable.LongMap.empty[Long]
+    for (n <- allNodes) rank(n) = 1000000L
+    if (nEdges <= localFinishEdges) {
+      val pairsA = canonDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      canonDf.unpersist()
+      val deg = degOf(pairsA.iterator)
+      for (_ <- 1 to iters)
+        rank = teleport(contribOf(pairsA.iterator, rank, deg))
+    } else {
+      val pairs = canonDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      val deg = merged(pairs.mapPartitions(it =>
+        Iterator.single(degOf(it))).collect())
+      for (_ <- 1 to iters) {
+        val bc = sc.broadcast((rank, deg))
+        val contrib = merged(pairs.mapPartitions { it =>
+          val (r, d) = bc.value
+          Iterator.single(contribOf(it, r, d))
+        }.collect())
+        bc.destroy()
+        rank = teleport(contrib)
+      }
+      canonDf.unpersist()
+    }
     import spark.implicits._
     spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
       .toDF("part_key", "rank_micros")
@@ -214,10 +247,56 @@ object GraphQueries {
   val BroadcastClosingEdges: Long = 4000000L
 
   private[graft] def g3TrianglesOf(spark: SparkSession, li: DataFrame,
-      broadcastEdgeMax: Long = BroadcastClosingEdges): DataFrame = {
+      broadcastEdgeMax: Long = BroadcastClosingEdges,
+      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
     val canon = orderPairs(li).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = canon.count()
+    // LOCAL FINISH (round-17): under the LocalFinishEdges envelope
+    // the whole oriented-intersection computation — degree agg, two
+    // broadcast joins, adjacency collect_list, per-edge intersect
+    // explode, final sum — collapses to one collect + driver loop
+    // over the SAME degree-ordered orientation (identical integer
+    // counts; the spec's brute-force 3-way ground truth and the
+    // DuckDB oracle gate both still apply). Past the bound, the
+    // broadcast-adjacency path and its wedge-join fallback run
+    // unchanged.
+    if (nEdges <= localFinish) {
+      import scala.collection.mutable
+      val pairsA = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      canon.unpersist()
+      val deg = mutable.LongMap.empty[Long]
+      for ((a, b) <- pairsA) {
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      val oriented = pairsA.map { case (a, b) =>
+        val fwd = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+        val (u, v) = if (fwd) (a, b) else (b, a)
+        adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty[Long]) += v
+        (u, v)
+      }
+      adj.foreach { case (_, nb) => nb.sortInPlace() }
+      val cnt = mutable.LongMap.empty[Long]
+      def bump(n: Long, c: Long): Unit = cnt(n) = cnt.getOrElse(n, 0L) + c
+      val empty = mutable.ArrayBuffer.empty[Long]
+      for ((u, v) <- oriented) {
+        val nu = adj.getOrElse(u, empty); val nv = adj.getOrElse(v, empty)
+        var i = 0; var j = 0; var w = 0L
+        while (i < nu.length && j < nv.length) {
+          if (nu(i) == nv(j)) { bump(nu(i), 1L); w += 1; i += 1; j += 1 }
+          else if (nu(i) < nv(j)) i += 1
+          else j += 1
+        }
+        bump(u, w); bump(v, w)
+      }
+      import spark.implicits._
+      val cntDf = spark.createDataset(cnt.toSeq).toDF("part_key", "c")
+      val nodesL = li.select(col("l_partkey").as("part_key")).distinct()
+      return nodesL.join(broadcast(cntDf), Seq("part_key"), "left_outer")
+        .select(col("part_key"), coalesce(col("c"), lit(0L)).as("n_triangles"))
+    }
     val deg = canon.select(col("src").as("n"))
       .union(canon.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -412,13 +491,50 @@ object GraphQueries {
     * the oracle's depth cap. Unreachable nodes are absent from the
     * output, exactly like the oracle's walk. */
   def g6BfsDists(spark: SparkSession, dir: String,
-      minSup: Int = 2, maxHops: Int = 20): DataFrame = {
+      minSup: Int = 2, maxHops: Int = 20,
+      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // canonical thresholded edges persisted ONCE: the local-finish
+    // collect and the distributed loop's symmetrization both read
+    // this cache (collecting the un-persisted parent re-ran the whole
+    // pair build — measured as g6's entire cost at sf0.1)
     val sup = orderPairs(li)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSup)
       .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOCAL FINISH (the unionFindLocal/LocalFinishEdges pattern): the
+    // support-thresholded graph is vocabulary-sized, and the frontier
+    // loop below costs ~4 driver-synchronized actions (join, distinct,
+    // anti-join, checkpoint) PER HOP — diameter × 4 job launches to
+    // traverse a graph whose edge list is a few MB. Under the bound,
+    // collect the canonical edges once and run the identical
+    // level-order BFS on the driver (exact integers, same root rule,
+    // same maxHops cap — spec-pinned equal to the loop); past it, the
+    // distributed loop runs unchanged.
+    val nCanon = sup.count()
+    if (nCanon > 0 && nCanon <= localFinish) {
+      val canon = sup.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sup.unpersist()
+      import scala.collection.mutable
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      def nb(x: Long) = adj.getOrElseUpdate(x, mutable.ArrayBuffer.empty[Long])
+      canon.foreach { case (a, b) => nb(a) += b; nb(b) += a }
+      val root = adj.keys.min
+      val dist = mutable.LongMap.empty[Long]
+      dist(root) = 0L
+      var frontier = Seq(root)
+      var hop = 1L
+      while (frontier.nonEmpty && hop <= maxHops) {
+        frontier = frontier.flatMap(adj(_))
+          .filterNot(dist.contains).distinct
+        frontier.foreach(dist(_) = hop)
+        hop += 1
+      }
+      import spark.implicits._
+      return spark.createDataset(dist.toSeq).toDF("part_key", "dist")
+    }
     // symmetrize once; both directions persisted for the hop joins
     val edges = sup
       .unionByName(sup.select(col("dst").as("src"), col("src").as("dst")))
@@ -446,7 +562,7 @@ object GraphQueries {
         hop += 1
       }
     }
-    edges.unpersist()
+    edges.unpersist(); sup.unpersist()
     dist.select(col("id").as("part_key"), col("dist"))
   }
 

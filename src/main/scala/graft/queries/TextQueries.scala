@@ -368,7 +368,22 @@ object TextQueries {
     // (measured 4.2 s → 1.7 s on dedup_clusters_lsh at sf0.1)
     val p = pairs.select(col("a_id"), col("b_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    val nPairs = p.count()
+    // EARLY LOCAL FINISH (round-17): when the whole pair set is
+    // already under the driver bound, the contraction machinery below
+    // (symmetrizing union, neighborhood-min agg, two label joins, an
+    // eager checkpoint, a count — ~5 driver-synchronized jobs) costs
+    // more than it saves: collect the pairs and union-find directly.
+    // Same labeling by the unionFindLocal invariant (root = component
+    // min); the contraction path is unchanged past the bound — it
+    // exists exactly so web-scale clique-heavy graphs shrink BEFORE
+    // any collect, and a ≤ localFinish pair set is within the same
+    // driver envelope the contracted remainder was always allowed.
+    if (nPairs <= localFinish) {
+      val out = unionFindLocal(p)
+      p.unpersist()
+      return out
+    }
     val edges = p
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -2063,7 +2078,13 @@ object TextQueries {
     // the >= 2 filter appears once per purpose: bigramsOf applies it
     // for the pair explode; this one scopes the REFERENCE unigrams to
     // the oracle's d2 domain (docs that contribute bigrams)
+    // ONE tokenize pass: the token frame is read by three legs (the
+    // reference bigram counts, the reference unigram counts, and the
+    // corpus-wide scoring stream) — unpersisted, the documents scan +
+    // tokenizer re-ran per leg (the dedupMinhash shingle-table
+    // rationale; ~50 longs/doc, a written intermediate at 100 TB)
     val all = docToks(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = all.filter(col("n") >= 2)
     val bigrams = bigramsOf(all)
     val refBig = bigrams.filter(col("doc_id") % 2 === 0)
@@ -2074,14 +2095,14 @@ object TextQueries {
     val vocab = broadcast(refUni.agg(count(lit(1)).as("v")))
     val nll = -log((coalesce(col("cb"), lit(0L)) + lit(1.0d)) /
       (coalesce(col("cu"), lit(0L)) + col("v")))
-    bigrams
+    CacheScope.owned(bigrams
       .join(refBig, Seq("w1", "w2"), "left")
       .join(refUni, Seq("w1"), "left")
       .crossJoin(vocab)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(nll) / count(lit(1)), 4).as("avg_nll"),
-        round(exp(sum(nll) / count(lit(1))), 2).as("ppl"))
+        round(exp(sum(nll) / count(lit(1))), 2).as("ppl")), all)
   }
 
   /** PMI collocations — the classic association-mining pass a corpus
@@ -2108,7 +2129,10 @@ object TextQueries {
     * window assigned after the limit (tHeavyHitters pattern). */
   def tCollocations(spark: SparkSession, dir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
+    // one tokenize pass for the unigram and bigram counts (the
+    // tLmScore persist rationale)
     val toks = docToks(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2136,7 +2160,7 @@ object TextQueries {
       top.withColumn("rk", row_number().over(
         Window.orderBy(col("pmi").desc, col("cb").desc,
           col("w1").asc, col("w2").asc)).cast("long")),
-      uni, bigrams)
+      uni, bigrams, toks)
   }
 
   /** Composite quality gate — the Gopher/RedPajama-style rule bundle

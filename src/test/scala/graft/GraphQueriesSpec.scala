@@ -18,8 +18,12 @@ class GraphQueriesSpec extends SparkSpec {
   test("g1PageRank equals a driver-side integer recompute on sf0.001 — both paths") {
     val out = GraphQueries.g1PageRank(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // past-the-bound fallback: the distributed join+agg superstep
-    // loop must compute the identical integers
+    // past-the-bound fallbacks: the RDD superstep loop (edges past
+    // LocalFinishEdges, model still local) and the fully distributed
+    // join+agg loop must both compute the identical integers
+    val outRdd = GraphQueries.g1PageRank(spark, sf001, localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outRdd == out, "RDD superstep path diverges from full-local path")
     val outDist = GraphQueries.g1PageRank(spark, sf001, localModelMax = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(outDist == out, "distributed superstep path diverges from bounded-model path")
@@ -87,7 +91,13 @@ class GraphQueriesSpec extends SparkSpec {
     val liDf = graft.sources.Tables.lineitem(spark, sf001)
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
         org.apache.spark.sql.functions.col("l_partkey"))
-    val outShuffle = GraphQueries.g3TrianglesOf(spark, liDf, broadcastEdgeMax = 0)
+    // broadcast-intersection route (past the local bound, inside the
+    // broadcast bound), then the wedge shuffle-join route (past both)
+    val outBcast = GraphQueries.g3TrianglesOf(spark, liDf, localFinish = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outBcast == out, "broadcast-intersection path diverges from local path")
+    val outShuffle = GraphQueries.g3TrianglesOf(spark, liDf,
+        broadcastEdgeMax = 0, localFinish = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(outShuffle == out, "shuffle-join closing path diverges from broadcast path")
 
@@ -194,7 +204,13 @@ class GraphQueriesSpec extends SparkSpec {
     }
     val got = GraphQueries.g6BfsDists(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == want.toMap, "frontier loop diverged from driver BFS")
+    assert(got == want.toMap, "local-finish path diverged from driver BFS")
+    // the past-the-bound route (forced by a zero local-finish bound)
+    // must walk to the identical distances — the degrade-don't-break
+    // pin for the distributed frontier loop
+    val gotDist = GraphQueries.g6BfsDists(spark, sf001, localFinish = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want.toMap, "frontier loop diverged from driver BFS")
 
     // hand-built: chain 1-2-3-4 (orders repeated twice to pass the
     // support cut), a branch 2-9, and a pair below support (5-6, one
