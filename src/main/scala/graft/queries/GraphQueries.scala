@@ -46,6 +46,64 @@ object GraphQueries {
 
   private def orderPairs(li: DataFrame): DataFrame = pairsOf(orderSets(li))
 
+  /** Element budget for the collected basket model (round-17): the
+    * per-order part sets total ≤ 8M longs ≈ 64 MB — the same
+    * driver-object envelope as [[BroadcastClosingEdges]]. Under it
+    * (AND under the caller's pair budget) the pair explode, dedup
+    * exchange, and downstream kernel all run as driver loops; past
+    * it the distributed builds run unchanged. */
+  private[graft] val BasketModelMaxElems: Long = 8000000L
+
+  /** Collect the per-order part sets when both budgets hold —
+    * decided by ONE tiny agg over the persisted sets frame (element
+    * count and exact canonical-pair-occurrence count), so the
+    * decision itself never collects. None past either budget. */
+  private def basketModelOf(sets: DataFrame, maxPairs: Long,
+      maxElems: Long = BasketModelMaxElems): Option[Array[Array[Long]]] = {
+    if (maxPairs <= 0) return None
+    val st = sets.agg(
+      coalesce(sum(size(col("ps")).cast("long")), lit(0L)),
+      coalesce(sum(expr(
+        "CAST(size(ps) AS BIGINT) * (size(ps) - 1) div 2")), lit(0L))).head
+    if (st.getLong(0) > maxElems || st.getLong(1) > maxPairs) None
+    else Some(sets.select(col("ps")).collect()
+      .map(_.getSeq[Long](0).toArray))
+  }
+
+  /** Distinct canonical (a < b) edges of a collected basket model,
+    * PACKED as (a << 31 | b) in one sorted primitive array — the
+    * driver twin of `orderPairs(li).distinct()`, boxing-free so the
+    * graph kernels iterate at memory speed. None when any id is
+    * outside [0, 2^31): that vocabulary scale is the distributed
+    * regime anyway (the basket-local paths decline and fall through). */
+  private def packedCanonEdges(sets: Array[Array[Long]]): Option[Array[Long]] = {
+    if (!sets.forall(_.forall(id => id >= 0 && id < (1L << 31)))) return None
+    var n = 0
+    sets.foreach { ps => n += ps.length * (ps.length - 1) / 2 }
+    val packed = new Array[Long](n)
+    var k = 0
+    sets.foreach { ps =>
+      var i = 0
+      while (i < ps.length) {
+        var j = i + 1
+        while (j < ps.length) {
+          val a = math.min(ps(i), ps(j)); val b = math.max(ps(i), ps(j))
+          packed(k) = (a << 31) | b; k += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(packed)
+    var w = 0
+    var i = 0
+    while (i < packed.length) {
+      if (i == 0 || packed(i) != packed(i - 1)) { packed(w) = packed(i); w += 1 }
+      i += 1
+    }
+    Some(java.util.Arrays.copyOf(packed, w))
+  }
+
   /** Integer-exact PageRank over the part co-purchase graph (parts
     * sharing an order are linked — the item-importance signal a
     * marketplace curation pipeline derives from baskets).
@@ -100,7 +158,56 @@ object GraphQueries {
   private[graft] def g1PageRankOf(spark: SparkSession, li: DataFrame,
       iters: Int, localModelMax: Long,
       localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame = {
-    val canon = orderPairs(li).distinct()
+    // BASKET-MODEL PATH (round-17): the distributed build's only job
+    // is expanding baskets into deduped pairs — two corpus exchanges
+    // (order sets, pair dedup) plus a nodes distinct, all to feed a
+    // model that already lives on the driver on the bounded path.
+    // When the collected sets fit the BasketModelMaxElems/pair
+    // budgets AND the node count fits localModelMax, everything after
+    // the one sets shuffle is driver arithmetic — the same integer
+    // recurrence over the same deduped edges (order-free addition).
+    val sets = orderSets(li).persist(StorageLevel.MEMORY_AND_DISK)
+    val model = if (localModelMax > 0)
+      basketModelOf(sets, maxPairs = localFinishEdges.toLong) else None
+    val localOut: Option[DataFrame] = model.flatMap { psArr =>
+      import scala.collection.mutable
+      val nodeSet = mutable.LongMap.empty[Unit]
+      psArr.foreach(_.foreach(nodeSet(_) = ()))
+      if (nodeSet.size > localModelMax) None
+      else packedCanonEdges(psArr).map { edges =>
+        val mask = (1L << 31) - 1
+        val allNodes = nodeSet.keys.toArray
+        val deg = mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < edges.length) {
+          val a = edges(i) >>> 31; val b = edges(i) & mask
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+          i += 1
+        }
+        var rank = mutable.LongMap.empty[Long]
+        for (n <- allNodes) rank(n) = 1000000L
+        for (_ <- 1 to iters) {
+          val contrib = mutable.LongMap.empty[Long]
+          i = 0
+          while (i < edges.length) {
+            val a = edges(i) >>> 31; val b = edges(i) & mask
+            contrib(b) = contrib.getOrElse(b, 0L) + rank(a) / deg(a)
+            contrib(a) = contrib.getOrElse(a, 0L) + rank(b) / deg(b)
+            i += 1
+          }
+          val next = mutable.LongMap.empty[Long]
+          for (n <- allNodes)
+            next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
+          rank = next
+        }
+        import spark.implicits._
+        spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
+          .toDF("part_key", "rank_micros")
+      }
+    }
+    if (localOut.isDefined) { sets.unpersist(); return localOut.get }
+    val canon = pairsOf(sets).distinct()
     val nodes = li.select(col("l_partkey").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = nodes.count()
@@ -109,7 +216,7 @@ object GraphQueries {
       if (nNodes <= localModelMax)
         localSupersteps(spark, canon, nodes, iters, localFinishEdges)
       else distributedSupersteps(spark, canon, nodes, iters)
-    nodes.unpersist()
+    nodes.unpersist(); sets.unpersist()
     out
   }
 
@@ -246,57 +353,107 @@ object GraphQueries {
     * 64 MB, the same order as g2's item-support broadcast. */
   val BroadcastClosingEdges: Long = 4000000L
 
+  /** Intersection-work ceiling for the driver triangle kernel:
+    * Σ over oriented edges of (outdeg(u) + outdeg(v)) — the EXACT
+    * two-pointer comparison count, computed from the already-built
+    * degree table before any intersection runs. ~2e9 long compares
+    * ≈ a few seconds single-threaded; adversarial graphs past it
+    * (the m^1.5 worst case) stay on the distributed intersection,
+    * which spreads the same work across the cluster. */
+  private[graft] val LocalWedgeWorkMax: Long = 2000000000L
+
   private[graft] def g3TrianglesOf(spark: SparkSession, li: DataFrame,
       broadcastEdgeMax: Long = BroadcastClosingEdges,
-      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
-    val canon = orderPairs(li).distinct()
+      localFinish: Int = BroadcastClosingEdges.toInt): DataFrame = {
+    // BASKET-MODEL PATH (round-17): under the collected-sets budget
+    // the whole computation — pair explode, dedup exchange, degree
+    // agg, two broadcast joins, adjacency collect_list, per-edge
+    // intersect explode, final sum, nodes distinct — collapses to one
+    // sets shuffle + one collect + a driver loop over the SAME
+    // degree-ordered orientation (identical integer counts; the
+    // spec's brute-force 3-way ground truth and the DuckDB oracle
+    // gate both still apply). A work-based gate (LocalWedgeWorkMax,
+    // the exact comparison count) sends adversarial degree profiles
+    // to the distributed intersection even when the edge list fits.
+    val sets = orderSets(li).persist(StorageLevel.MEMORY_AND_DISK)
+    val localOut: Option[DataFrame] =
+      basketModelOf(sets, maxPairs = localFinish.toLong).flatMap { psArr =>
+        import scala.collection.mutable
+        packedCanonEdges(psArr).flatMap { canonP =>
+          val mask = (1L << 31) - 1
+          val deg = mutable.LongMap.empty[Long]
+          var ci = 0
+          while (ci < canonP.length) {
+            val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
+            deg(a) = deg.getOrElse(a, 0L) + 1L
+            deg(b) = deg.getOrElse(b, 0L) + 1L
+            ci += 1
+          }
+          // degree-ordered orientation, PACKED (u << 31 | v) and
+          // sorted: the adjacency is then contiguous primitive runs
+          // (v ascending within each u) — no boxed collections in the
+          // O(Σ(d⁺u + d⁺v)) intersect loop
+          val packed = new Array[Long](canonP.length)
+          var k = 0
+          ci = 0
+          while (ci < canonP.length) {
+            val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
+            val fwd = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+            packed(k) = if (fwd) (a << 31) | b else (b << 31) | a
+            k += 1; ci += 1
+          }
+          java.util.Arrays.sort(packed)
+          val startOf = mutable.LongMap.empty[Int]
+          val lenOf = mutable.LongMap.empty[Int]
+          var i = 0
+          while (i < packed.length) {
+            val u = packed(i) >>> 31
+            var j = i
+            while (j < packed.length && (packed(j) >>> 31) == u) j += 1
+            startOf(u) = i; lenOf(u) = j - i
+            i = j
+          }
+          var work = 0L
+          i = 0
+          while (i < packed.length) {
+            work += lenOf.getOrElse(packed(i) >>> 31, 0) +
+              lenOf.getOrElse(packed(i) & mask, 0)
+            i += 1
+          }
+          if (work > LocalWedgeWorkMax) None
+          else {
+            val cnt = mutable.LongMap.empty[Long]
+            psArr.foreach(_.foreach(n => cnt.getOrElseUpdate(n, 0L)))
+            def bump(n: Long, c: Long): Unit =
+              cnt(n) = cnt.getOrElse(n, 0L) + c
+            var e = 0
+            while (e < packed.length) {
+              val u = packed(e) >>> 31; val v = packed(e) & mask
+              var iu = startOf.getOrElse(u, 0)
+              val eu = iu + lenOf.getOrElse(u, 0)
+              var iv = startOf.getOrElse(v, 0)
+              val ev = iv + lenOf.getOrElse(v, 0)
+              var w = 0L
+              while (iu < eu && iv < ev) {
+                val xu = packed(iu) & mask; val xv = packed(iv) & mask
+                if (xu == xv) { bump(xu, 1L); w += 1; iu += 1; iv += 1 }
+                else if (xu < xv) iu += 1
+                else iv += 1
+              }
+              bump(u, w); bump(v, w)
+              e += 1
+            }
+            import spark.implicits._
+            Some(spark.createDataset(cnt.toSeq)
+              .toDF("part_key", "n_triangles"))
+          }
+        }
+      }
+    if (localOut.isDefined) { sets.unpersist(); return localOut.get }
+    val canon = pairsOf(sets).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = canon.count()
-    // LOCAL FINISH (round-17): under the LocalFinishEdges envelope
-    // the whole oriented-intersection computation — degree agg, two
-    // broadcast joins, adjacency collect_list, per-edge intersect
-    // explode, final sum — collapses to one collect + driver loop
-    // over the SAME degree-ordered orientation (identical integer
-    // counts; the spec's brute-force 3-way ground truth and the
-    // DuckDB oracle gate both still apply). Past the bound, the
-    // broadcast-adjacency path and its wedge-join fallback run
-    // unchanged.
-    if (nEdges <= localFinish) {
-      import scala.collection.mutable
-      val pairsA = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
-      canon.unpersist()
-      val deg = mutable.LongMap.empty[Long]
-      for ((a, b) <- pairsA) {
-        deg(a) = deg.getOrElse(a, 0L) + 1L
-        deg(b) = deg.getOrElse(b, 0L) + 1L
-      }
-      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-      val oriented = pairsA.map { case (a, b) =>
-        val fwd = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
-        val (u, v) = if (fwd) (a, b) else (b, a)
-        adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty[Long]) += v
-        (u, v)
-      }
-      adj.foreach { case (_, nb) => nb.sortInPlace() }
-      val cnt = mutable.LongMap.empty[Long]
-      def bump(n: Long, c: Long): Unit = cnt(n) = cnt.getOrElse(n, 0L) + c
-      val empty = mutable.ArrayBuffer.empty[Long]
-      for ((u, v) <- oriented) {
-        val nu = adj.getOrElse(u, empty); val nv = adj.getOrElse(v, empty)
-        var i = 0; var j = 0; var w = 0L
-        while (i < nu.length && j < nv.length) {
-          if (nu(i) == nv(j)) { bump(nu(i), 1L); w += 1; i += 1; j += 1 }
-          else if (nu(i) < nv(j)) i += 1
-          else j += 1
-        }
-        bump(u, w); bump(v, w)
-      }
-      import spark.implicits._
-      val cntDf = spark.createDataset(cnt.toSeq).toDF("part_key", "c")
-      val nodesL = li.select(col("l_partkey").as("part_key")).distinct()
-      return nodesL.join(broadcast(cntDf), Seq("part_key"), "left_outer")
-        .select(col("part_key"), coalesce(col("c"), lit(0L)).as("n_triangles"))
-    }
+    sets.unpersist()
     val deg = canon.select(col("src").as("n"))
       .union(canon.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
