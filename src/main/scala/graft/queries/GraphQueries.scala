@@ -70,6 +70,91 @@ object GraphQueries {
       .map(_.getSeq[Long](0).toArray))
   }
 
+  /** Raw-row budget for the no-exchange basket collect: when the
+    * (orderkey, partkey) input itself is ≤ this many rows, the
+    * per-order sets are grouped on the driver from ONE scan-collect —
+    * no order-sets exchange, no budget agg, no second collect (the
+    * three jobs the sets-first decision costs). 8M narrow rows is the
+    * same driver-envelope class as [[BasketModelMaxElems]]; the
+    * grouped sets must then pass the EXACT SAME elems/pairs budgets
+    * before any kernel runs. Past any budget the distributed sets
+    * build runs unchanged. */
+  private[graft] val RawCollectMaxRows: Long = 8000000L
+
+  /** Group raw (orderkey, partkey) rows into per-order DISTINCT,
+    * sorted part sets — `collect_set`'s semantics (null parts
+    * skipped, a null order key is its own group) replayed on the
+    * driver. One cheap count gates the collect; the collected model
+    * is re-checked against the same elems/pairs budgets as
+    * [[basketModelOf]]. None past any budget — callers fall through
+    * to the distributed sets build unchanged. */
+  private def basketSetsRaw(li: DataFrame, maxPairs: Long,
+      maxElems: Long = BasketModelMaxElems,
+      maxRows: Long = RawCollectMaxRows): Option[Array[Array[Long]]] = {
+    if (maxPairs <= 0 || maxRows <= 0) return None
+    if (li.count() > maxRows) return None
+    import scala.collection.mutable
+    val byOrder = mutable.HashMap.empty[java.lang.Long, mutable.ArrayBuffer[Long]]
+    li.collect().foreach { r =>
+      val key: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+      val buf = byOrder.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Long])
+      if (!r.isNullAt(1)) buf += r.getLong(1)
+    }
+    var elems = 0L
+    var pairs = 0L
+    val sets = byOrder.valuesIterator.map { b =>
+      val a = b.toArray
+      java.util.Arrays.sort(a)
+      var w = 0
+      var i = 0
+      while (i < a.length) {
+        if (i == 0 || a(i) != a(i - 1)) { a(w) = a(i); w += 1 }
+        i += 1
+      }
+      elems += w
+      pairs += w.toLong * (w - 1) / 2
+      java.util.Arrays.copyOf(a, w)
+    }.toArray
+    if (elems > maxElems || pairs > maxPairs) None else Some(sets)
+  }
+
+  /** Canonical (a < b) support-thresholded edges of a collected
+    * basket model: pair OCCURRENCES packed and sorted, then
+    * run-length counted — the driver twin of
+    * `orderPairs.groupBy.count.filter(sup >= minSup)`. None when an
+    * id is outside the packed range (the distributed regime). */
+  private def supportEdgesLocal(sets: Array[Array[Long]],
+      minSup: Int): Option[Array[(Long, Long)]] = {
+    if (!sets.forall(_.forall(id => id >= 0 && id < (1L << 31)))) return None
+    var n = 0
+    sets.foreach { ps => n += ps.length * (ps.length - 1) / 2 }
+    val packed = new Array[Long](n)
+    var k = 0
+    sets.foreach { ps =>
+      var i = 0
+      while (i < ps.length) {
+        var j = i + 1
+        while (j < ps.length) {
+          val a = math.min(ps(i), ps(j)); val b = math.max(ps(i), ps(j))
+          packed(k) = (a << 31) | b; k += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(packed)
+    val mask = (1L << 31) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < packed.length) {
+      var j = i
+      while (j < packed.length && packed(j) == packed(i)) j += 1
+      if (j - i >= minSup) out += ((packed(i) >>> 31, packed(i) & mask))
+      i = j
+    }
+    Some(out.toArray)
+  }
+
   /** Distinct canonical (a < b) edges of a collected basket model,
     * PACKED as (a << 31 | b) in one sorted primitive array — the
     * driver twin of `orderPairs(li).distinct()`, boxing-free so the
@@ -148,16 +233,28 @@ object GraphQueries {
     */
   def g1PageRank(spark: SparkSession, dir: String, iters: Int = 5,
       localModelMax: Long = LocalModelNodes,
-      localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame =
+      localFinishEdges: Int = BroadcastClosingEdges.toInt,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame =
     g1PageRankOf(spark, Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")), iters, localModelMax,
-      localFinishEdges)
+      localFinishEdges, rawCollectMax)
 
   /** Input-injectable form (ProfileScale-style rehearsals feed a
     * replicated basket frame). */
   private[graft] def g1PageRankOf(spark: SparkSession, li: DataFrame,
       iters: Int, localModelMax: Long,
-      localFinishEdges: Int = BroadcastClosingEdges.toInt): DataFrame = {
+      localFinishEdges: Int = BroadcastClosingEdges.toInt,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame = {
+    // RAW-COLLECT PATH (round-17, second pass): under the raw-row
+    // budget even the order-sets exchange disappears — one gated
+    // count and one no-shuffle scan collect feed the same kernel.
+    val raw = if (localModelMax > 0)
+      basketSetsRaw(li, maxPairs = localFinishEdges.toLong,
+        maxRows = rawCollectMax) else None
+    raw.flatMap(g1Kernel(spark, _, iters, localModelMax)) match {
+      case Some(out) => return out
+      case None => ()
+    }
     // BASKET-MODEL PATH (round-17): the distributed build's only job
     // is expanding baskets into deduped pairs — two corpus exchanges
     // (order sets, pair dedup) plus a nodes distinct, all to feed a
@@ -167,45 +264,12 @@ object GraphQueries {
     // the one sets shuffle is driver arithmetic — the same integer
     // recurrence over the same deduped edges (order-free addition).
     val sets = orderSets(li).persist(StorageLevel.MEMORY_AND_DISK)
-    val model = if (localModelMax > 0)
+    // a raw model that collected but whose kernel declined (ids past
+    // the packed range / nodes past the model bound) would decline
+    // identically from basketModelOf — skip the re-collect
+    val model = if (localModelMax > 0 && raw.isEmpty)
       basketModelOf(sets, maxPairs = localFinishEdges.toLong) else None
-    val localOut: Option[DataFrame] = model.flatMap { psArr =>
-      import scala.collection.mutable
-      val nodeSet = mutable.LongMap.empty[Unit]
-      psArr.foreach(_.foreach(nodeSet(_) = ()))
-      if (nodeSet.size > localModelMax) None
-      else packedCanonEdges(psArr).map { edges =>
-        val mask = (1L << 31) - 1
-        val allNodes = nodeSet.keys.toArray
-        val deg = mutable.LongMap.empty[Long]
-        var i = 0
-        while (i < edges.length) {
-          val a = edges(i) >>> 31; val b = edges(i) & mask
-          deg(a) = deg.getOrElse(a, 0L) + 1L
-          deg(b) = deg.getOrElse(b, 0L) + 1L
-          i += 1
-        }
-        var rank = mutable.LongMap.empty[Long]
-        for (n <- allNodes) rank(n) = 1000000L
-        for (_ <- 1 to iters) {
-          val contrib = mutable.LongMap.empty[Long]
-          i = 0
-          while (i < edges.length) {
-            val a = edges(i) >>> 31; val b = edges(i) & mask
-            contrib(b) = contrib.getOrElse(b, 0L) + rank(a) / deg(a)
-            contrib(a) = contrib.getOrElse(a, 0L) + rank(b) / deg(b)
-            i += 1
-          }
-          val next = mutable.LongMap.empty[Long]
-          for (n <- allNodes)
-            next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
-          rank = next
-        }
-        import spark.implicits._
-        spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
-          .toDF("part_key", "rank_micros")
-      }
-    }
+    val localOut = model.flatMap(g1Kernel(spark, _, iters, localModelMax))
     if (localOut.isDefined) { sets.unpersist(); return localOut.get }
     val canon = pairsOf(sets).distinct()
     val nodes = li.select(col("l_partkey").as("node")).distinct()
@@ -218,6 +282,51 @@ object GraphQueries {
       else distributedSupersteps(spark, canon, nodes, iters)
     nodes.unpersist(); sets.unpersist()
     out
+  }
+
+  /** Driver PageRank kernel over a collected basket model — the
+    * identical integer recurrence as the superstep engines (addition
+    * is order-free, so all routes compute the same longs). None when
+    * the node count exceeds `localModelMax` or an id falls outside
+    * the packed range — callers fall through to the distributed
+    * builds. */
+  private def g1Kernel(spark: SparkSession, psArr: Array[Array[Long]],
+      iters: Int, localModelMax: Long): Option[DataFrame] = {
+    import scala.collection.mutable
+    val nodeSet = mutable.LongMap.empty[Unit]
+    psArr.foreach(_.foreach(nodeSet(_) = ()))
+    if (nodeSet.size > localModelMax) None
+    else packedCanonEdges(psArr).map { edges =>
+      val mask = (1L << 31) - 1
+      val allNodes = nodeSet.keys.toArray
+      val deg = mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < edges.length) {
+        val a = edges(i) >>> 31; val b = edges(i) & mask
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+        i += 1
+      }
+      var rank = mutable.LongMap.empty[Long]
+      for (n <- allNodes) rank(n) = 1000000L
+      for (_ <- 1 to iters) {
+        val contrib = mutable.LongMap.empty[Long]
+        i = 0
+        while (i < edges.length) {
+          val a = edges(i) >>> 31; val b = edges(i) & mask
+          contrib(b) = contrib.getOrElse(b, 0L) + rank(a) / deg(a)
+          contrib(a) = contrib.getOrElse(a, 0L) + rank(b) / deg(b)
+          i += 1
+        }
+        val next = mutable.LongMap.empty[Long]
+        for (n <- allNodes)
+          next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
+        rank = next
+      }
+      import spark.implicits._
+      spark.createDataset(allNodes.map(n => (n, rank(n))).toSeq)
+        .toDF("part_key", "rank_micros")
+    }
   }
 
   /** Bounded-model path: primitive pair RDD persisted once; each
@@ -362,9 +471,100 @@ object GraphQueries {
     * which spreads the same work across the cluster. */
   private[graft] val LocalWedgeWorkMax: Long = 2000000000L
 
+  /** Driver triangle kernel over a collected basket model: the same
+    * degree-ordered orientation as the distributed routes, walked
+    * over contiguous primitive adjacency runs. None when an id falls
+    * outside the packed range or the EXACT intersection-work count
+    * exceeds [[LocalWedgeWorkMax]] — callers fall through to the
+    * distributed intersection. */
+  private def g3Kernel(spark: SparkSession,
+      psArr: Array[Array[Long]]): Option[DataFrame] = {
+    import scala.collection.mutable
+    packedCanonEdges(psArr).flatMap { canonP =>
+      val mask = (1L << 31) - 1
+      val deg = mutable.LongMap.empty[Long]
+      var ci = 0
+      while (ci < canonP.length) {
+        val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+        ci += 1
+      }
+      // degree-ordered orientation, PACKED (u << 31 | v) and
+      // sorted: the adjacency is then contiguous primitive runs
+      // (v ascending within each u) — no boxed collections in the
+      // O(Σ(d⁺u + d⁺v)) intersect loop
+      val packed = new Array[Long](canonP.length)
+      var k = 0
+      ci = 0
+      while (ci < canonP.length) {
+        val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
+        val fwd = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+        packed(k) = if (fwd) (a << 31) | b else (b << 31) | a
+        k += 1; ci += 1
+      }
+      java.util.Arrays.sort(packed)
+      val startOf = mutable.LongMap.empty[Int]
+      val lenOf = mutable.LongMap.empty[Int]
+      var i = 0
+      while (i < packed.length) {
+        val u = packed(i) >>> 31
+        var j = i
+        while (j < packed.length && (packed(j) >>> 31) == u) j += 1
+        startOf(u) = i; lenOf(u) = j - i
+        i = j
+      }
+      var work = 0L
+      i = 0
+      while (i < packed.length) {
+        work += lenOf.getOrElse(packed(i) >>> 31, 0) +
+          lenOf.getOrElse(packed(i) & mask, 0)
+        i += 1
+      }
+      if (work > LocalWedgeWorkMax) None
+      else {
+        val cnt = mutable.LongMap.empty[Long]
+        psArr.foreach(_.foreach(n => cnt.getOrElseUpdate(n, 0L)))
+        def bump(n: Long, c: Long): Unit =
+          cnt(n) = cnt.getOrElse(n, 0L) + c
+        var e = 0
+        while (e < packed.length) {
+          val u = packed(e) >>> 31; val v = packed(e) & mask
+          var iu = startOf.getOrElse(u, 0)
+          val eu = iu + lenOf.getOrElse(u, 0)
+          var iv = startOf.getOrElse(v, 0)
+          val ev = iv + lenOf.getOrElse(v, 0)
+          var w = 0L
+          while (iu < eu && iv < ev) {
+            val xu = packed(iu) & mask; val xv = packed(iv) & mask
+            if (xu == xv) { bump(xu, 1L); w += 1; iu += 1; iv += 1 }
+            else if (xu < xv) iu += 1
+            else iv += 1
+          }
+          bump(u, w); bump(v, w)
+          e += 1
+        }
+        import spark.implicits._
+        Some(spark.createDataset(cnt.toSeq)
+          .toDF("part_key", "n_triangles"))
+      }
+    }
+  }
+
   private[graft] def g3TrianglesOf(spark: SparkSession, li: DataFrame,
       broadcastEdgeMax: Long = BroadcastClosingEdges,
-      localFinish: Int = BroadcastClosingEdges.toInt): DataFrame = {
+      localFinish: Int = BroadcastClosingEdges.toInt,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame = {
+    // RAW-COLLECT PATH (round-17, second pass): under the raw-row
+    // budget even the order-sets exchange disappears — one gated
+    // count and one no-shuffle scan collect feed the same kernel.
+    val raw = if (localFinish > 0)
+      basketSetsRaw(li, maxPairs = localFinish.toLong,
+        maxRows = rawCollectMax) else None
+    raw.flatMap(g3Kernel(spark, _)) match {
+      case Some(out) => return out
+      case None => ()
+    }
     // BASKET-MODEL PATH (round-17): under the collected-sets budget
     // the whole computation — pair explode, dedup exchange, degree
     // agg, two broadcast joins, adjacency collect_list, per-edge
@@ -376,79 +576,11 @@ object GraphQueries {
     // the exact comparison count) sends adversarial degree profiles
     // to the distributed intersection even when the edge list fits.
     val sets = orderSets(li).persist(StorageLevel.MEMORY_AND_DISK)
-    val localOut: Option[DataFrame] =
-      basketModelOf(sets, maxPairs = localFinish.toLong).flatMap { psArr =>
-        import scala.collection.mutable
-        packedCanonEdges(psArr).flatMap { canonP =>
-          val mask = (1L << 31) - 1
-          val deg = mutable.LongMap.empty[Long]
-          var ci = 0
-          while (ci < canonP.length) {
-            val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
-            deg(a) = deg.getOrElse(a, 0L) + 1L
-            deg(b) = deg.getOrElse(b, 0L) + 1L
-            ci += 1
-          }
-          // degree-ordered orientation, PACKED (u << 31 | v) and
-          // sorted: the adjacency is then contiguous primitive runs
-          // (v ascending within each u) — no boxed collections in the
-          // O(Σ(d⁺u + d⁺v)) intersect loop
-          val packed = new Array[Long](canonP.length)
-          var k = 0
-          ci = 0
-          while (ci < canonP.length) {
-            val a = canonP(ci) >>> 31; val b = canonP(ci) & mask
-            val fwd = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
-            packed(k) = if (fwd) (a << 31) | b else (b << 31) | a
-            k += 1; ci += 1
-          }
-          java.util.Arrays.sort(packed)
-          val startOf = mutable.LongMap.empty[Int]
-          val lenOf = mutable.LongMap.empty[Int]
-          var i = 0
-          while (i < packed.length) {
-            val u = packed(i) >>> 31
-            var j = i
-            while (j < packed.length && (packed(j) >>> 31) == u) j += 1
-            startOf(u) = i; lenOf(u) = j - i
-            i = j
-          }
-          var work = 0L
-          i = 0
-          while (i < packed.length) {
-            work += lenOf.getOrElse(packed(i) >>> 31, 0) +
-              lenOf.getOrElse(packed(i) & mask, 0)
-            i += 1
-          }
-          if (work > LocalWedgeWorkMax) None
-          else {
-            val cnt = mutable.LongMap.empty[Long]
-            psArr.foreach(_.foreach(n => cnt.getOrElseUpdate(n, 0L)))
-            def bump(n: Long, c: Long): Unit =
-              cnt(n) = cnt.getOrElse(n, 0L) + c
-            var e = 0
-            while (e < packed.length) {
-              val u = packed(e) >>> 31; val v = packed(e) & mask
-              var iu = startOf.getOrElse(u, 0)
-              val eu = iu + lenOf.getOrElse(u, 0)
-              var iv = startOf.getOrElse(v, 0)
-              val ev = iv + lenOf.getOrElse(v, 0)
-              var w = 0L
-              while (iu < eu && iv < ev) {
-                val xu = packed(iu) & mask; val xv = packed(iv) & mask
-                if (xu == xv) { bump(xu, 1L); w += 1; iu += 1; iv += 1 }
-                else if (xu < xv) iu += 1
-                else iv += 1
-              }
-              bump(u, w); bump(v, w)
-              e += 1
-            }
-            import spark.implicits._
-            Some(spark.createDataset(cnt.toSeq)
-              .toDF("part_key", "n_triangles"))
-          }
-        }
-      }
+    // a raw model that collected but whose kernel declined would
+    // decline identically from basketModelOf — skip the re-collect
+    val localOut: Option[DataFrame] = if (raw.isDefined) None
+      else basketModelOf(sets, maxPairs = localFinish.toLong)
+        .flatMap(g3Kernel(spark, _))
     if (localOut.isDefined) { sets.unpersist(); return localOut.get }
     val canon = pairsOf(sets).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -533,9 +665,26 @@ object GraphQueries {
     * divisions — one IEEE division each, rounded, so the oracle
     * hashes bit-identically (the e8_spike argument). */
   def g2CopurchaseLift(spark: SparkSession, dir: String,
-      minSup: Int = 2): DataFrame = {
+      minSup: Int = 2,
+      localFinish: Int = BroadcastClosingEdges.toInt,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // RAW-COLLECT PATH (round-17, second pass): support counts, item
+    // supports and the order total are all functions of the collected
+    // basket model — a run-length pass over the packed pair
+    // occurrences and one LongMap over the sets. Only the INTEGER
+    // columns are computed on the driver; the confidence/lift
+    // divisions stay the SAME Spark projection (below) over those
+    // integers, so the scored rows are bit-identical by construction.
+    if (localFinish > 0) {
+      basketSetsRaw(li, maxPairs = localFinish.toLong,
+          maxRows = rawCollectMax)
+        .flatMap(g2Kernel(spark, _, minSup)) match {
+        case Some(ints) => return g2Score(ints._1, ints._2)
+        case None => ()
+      }
+    }
     // ONE corpus shuffle total: the per-order set build. The order
     // count, item supports (explode of the already-order-distinct
     // sets), and pair explode are all narrow reads of this cache
@@ -549,17 +698,71 @@ object GraphQueries {
     val nAb = pairsOf(sets)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSup)
-    val out = nAb
+    val ints = nAb
       .join(broadcast(item.select(col("l_partkey").as("src"),
         col("n_item").as("n_a"))), Seq("src"))
       .join(broadcast(item.select(col("l_partkey").as("dst"),
         col("n_item").as("n_b"))), Seq("dst"))
       .select(col("src").as("part_a"), col("dst").as("part_b"),
-        col("n_ab"), col("n_a"), col("n_b"),
-        round(col("n_ab").cast("double") * lit(nOrders) /
-          (col("n_a") * col("n_b")), 4).as("lift"),
-        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"))
-    graft.ops.CacheScope.owned(out, sets)
+        col("n_ab"), col("n_a"), col("n_b"))
+    graft.ops.CacheScope.owned(g2Score(ints, nOrders), sets)
+  }
+
+  /** The ONE scoring projection both g2 routes share: identical
+    * expression trees over identical integer columns ⇒ identical
+    * IEEE divisions and rounding on either route. */
+  private def g2Score(ints: DataFrame, nOrders: Long): DataFrame =
+    ints.select(col("part_a"), col("part_b"),
+      col("n_ab"), col("n_a"), col("n_b"),
+      round(col("n_ab").cast("double") * lit(nOrders) /
+        (col("n_a") * col("n_b")), 4).as("lift"),
+      round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"))
+
+  /** Driver kernel for g2's integer counts over a collected basket
+    * model: (part_a, part_b, n_ab, n_a, n_b) rows with support ≥
+    * minSup, plus the order total. None when an id falls outside the
+    * packed range. */
+  private def g2Kernel(spark: SparkSession, psArr: Array[Array[Long]],
+      minSup: Int): Option[(DataFrame, Long)] = {
+    if (!psArr.forall(_.forall(id => id >= 0 && id < (1L << 31)))) return None
+    import scala.collection.mutable
+    val nOrders = psArr.length.toLong
+    // item supports: set elements are order-distinct, so each set
+    // contributes one count per element — exactly the explode+groupBy
+    val nItem = mutable.LongMap.empty[Long]
+    psArr.foreach(_.foreach(p => nItem(p) = nItem.getOrElse(p, 0L) + 1L))
+    var n = 0
+    psArr.foreach { ps => n += ps.length * (ps.length - 1) / 2 }
+    val packed = new Array[Long](n)
+    var k = 0
+    psArr.foreach { ps =>
+      var i = 0
+      while (i < ps.length) {
+        var j = i + 1
+        while (j < ps.length) {
+          val a = math.min(ps(i), ps(j)); val b = math.max(ps(i), ps(j))
+          packed(k) = (a << 31) | b; k += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(packed)
+    val mask = (1L << 31) - 1
+    val rows = mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var i = 0
+    while (i < packed.length) {
+      var j = i
+      while (j < packed.length && packed(j) == packed(i)) j += 1
+      if (j - i >= minSup) {
+        val a = packed(i) >>> 31; val b = packed(i) & mask
+        rows += ((a, b, (j - i).toLong, nItem(a), nItem(b)))
+      }
+      i = j
+    }
+    import spark.implicits._
+    Some((spark.createDataset(rows.toSeq)
+      .toDF("part_a", "part_b", "n_ab", "n_a", "n_b"), nOrders))
   }
 
   /** Distributed path: degree-attached symmetric edge frame persisted
@@ -615,9 +818,28 @@ object GraphQueries {
     * recursive reachability CTE. */
   def g4Components(spark: SparkSession, dir: String,
       minSup: Int = 2,
-      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
+      localFinish: Int = TextQueries.LocalFinishEdges,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // RAW-COLLECT PATH (round-17, second pass): the support-filtered
+    // edge set comes from one run-length pass over the collected
+    // basket model instead of the pair-explode + count exchange; the
+    // clustering itself stays the SAME clustersOf engine (its label
+    // fixpoint is a function of the edge SET alone — route-pinned in
+    // its spec), fed a driver-local pair frame.
+    basketSetsRaw(li, maxPairs = BroadcastClosingEdges,
+        maxRows = rawCollectMax)
+      .flatMap(supportEdgesLocal(_, minSup)) match {
+      case Some(edges) =>
+        import spark.implicits._
+        return TextQueries.clustersOf(
+            spark.createDataset(edges.toSeq).toDF("a_id", "b_id"),
+            localFinish = localFinish)
+          .select(col("doc_id").as("part_key"),
+            col("cluster_id").as("component_id"))
+      case None => ()
+    }
     val sup = orderPairs(li)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSup)
@@ -649,9 +871,24 @@ object GraphQueries {
     * output, exactly like the oracle's walk. */
   def g6BfsDists(spark: SparkSession, dir: String,
       minSup: Int = 2, maxHops: Int = 20,
-      localFinish: Int = TextQueries.LocalFinishEdges): DataFrame = {
+      localFinish: Int = TextQueries.LocalFinishEdges,
+      rawCollectMax: Long = RawCollectMaxRows): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // RAW-COLLECT PATH (round-17, second pass): support edges from
+    // one run-length pass over the collected basket model, then the
+    // identical driver BFS — no pair-explode exchange, no support
+    // persist/count/collect jobs. Engages only inside the SAME
+    // (0, localFinish] window as the collect below, so the empty and
+    // past-the-bound behaviors stay byte-for-byte the existing
+    // routes'.
+    basketSetsRaw(li, maxPairs = BroadcastClosingEdges,
+        maxRows = rawCollectMax)
+      .flatMap(supportEdgesLocal(_, minSup)) match {
+      case Some(canon) if canon.nonEmpty && canon.length <= localFinish =>
+        return bfsLocal(spark, canon, maxHops)
+      case _ => ()
+    }
     // canonical thresholded edges persisted ONCE: the local-finish
     // collect and the distributed loop's symmetrization both read
     // this cache (collecting the un-persisted parent re-ran the whole
@@ -674,23 +911,7 @@ object GraphQueries {
     if (nCanon > 0 && nCanon <= localFinish) {
       val canon = sup.collect().map(r => (r.getLong(0), r.getLong(1)))
       sup.unpersist()
-      import scala.collection.mutable
-      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-      def nb(x: Long) = adj.getOrElseUpdate(x, mutable.ArrayBuffer.empty[Long])
-      canon.foreach { case (a, b) => nb(a) += b; nb(b) += a }
-      val root = adj.keys.min
-      val dist = mutable.LongMap.empty[Long]
-      dist(root) = 0L
-      var frontier = Seq(root)
-      var hop = 1L
-      while (frontier.nonEmpty && hop <= maxHops) {
-        frontier = frontier.flatMap(adj(_))
-          .filterNot(dist.contains).distinct
-        frontier.foreach(dist(_) = hop)
-        hop += 1
-      }
-      import spark.implicits._
-      return spark.createDataset(dist.toSeq).toDF("part_key", "dist")
+      return bfsLocal(spark, canon, maxHops)
     }
     // symmetrize once; both directions persisted for the hop joins
     val edges = sup
@@ -721,6 +942,30 @@ object GraphQueries {
     }
     edges.unpersist(); sup.unpersist()
     dist.select(col("id").as("part_key"), col("dist"))
+  }
+
+  /** The driver level-order BFS both bounded g6 routes share: exact
+    * integers, root = minimum node id, same maxHops cap — pinned
+    * equal to the distributed frontier loop in the spec. */
+  private def bfsLocal(spark: SparkSession, canon: Array[(Long, Long)],
+      maxHops: Int): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    def nb(x: Long) = adj.getOrElseUpdate(x, mutable.ArrayBuffer.empty[Long])
+    canon.foreach { case (a, b) => nb(a) += b; nb(b) += a }
+    val root = adj.keys.min
+    val dist = mutable.LongMap.empty[Long]
+    dist(root) = 0L
+    var frontier = Seq(root)
+    var hop = 1L
+    while (frontier.nonEmpty && hop <= maxHops) {
+      frontier = frontier.flatMap(adj(_))
+        .filterNot(dist.contains).distinct
+      frontier.foreach(dist(_) = hop)
+      hop += 1
+    }
+    import spark.implicits._
+    spark.createDataset(dist.toSeq).toDF("part_key", "dist")
   }
 
   /** MD5 over the classfile bytes of every class the g5 build path

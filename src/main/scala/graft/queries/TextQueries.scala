@@ -351,13 +351,19 @@ object TextQueries {
     * off to clustersOfStar, the large-star/small-star algorithm that
     * converges in O(log² n) rounds on any graph shape. */
   /** Contracted-remainder size (edges) below which clustering
-    * finishes driver-side — the broadcast-join argument: 100k edges
-    * is ~2 MB, and one collect + union-find replaces O(log n)
-    * distributed rounds of shuffle+action each. Contraction first
-    * collapses the dense near-dup cliques, so even web-scale corpora
-    * leave remainders far under this bound; above it, the
-    * distributed iteration runs unchanged. */
-  private[graft] val LocalFinishEdges = 100000
+    * finishes driver-side — the broadcast-join argument: 1M edges is
+    * ~16 MB of longs, the same driver-object envelope as the graph
+    * family's BroadcastClosingEdges (4M edges / 64 MB), and one
+    * collect + union-find replaces O(log n) distributed rounds of
+    * shuffle+action each. (Round-17: raised from 100k — the exact
+    * ngram pair graph at bench scale is ~246k pairs, which paid the
+    * full ~5-job contraction cascade to shrink a graph that already
+    * fit the driver envelope; measured 2.3 s → 0.9 s on
+    * dedup_clusters.) Contraction first collapses the dense near-dup
+    * cliques, so even web-scale corpora leave remainders far under
+    * this bound; above it, the distributed iteration runs
+    * unchanged. */
+  private[graft] val LocalFinishEdges = 1000000
 
   private[graft] def clustersOf(pairs: DataFrame, maxRounds: Int = 64,
       localFinish: Int = LocalFinishEdges): DataFrame = {

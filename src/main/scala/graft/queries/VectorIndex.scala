@@ -167,6 +167,48 @@ object VectorIndex {
   private val entriesCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Map[Int, Long])]()
 
+  /** Tombstone-count bound for the driver-cached tombstone set (4M
+    * longs ≈ 32 MB — the BroadcastClosingEdges envelope class). Under
+    * it the walk's per-hop fetches pre-filter their WANTED ids against
+    * a sorted driver array instead of paying a tombstone-parquet read
+    * + distinct + anti-join PER FETCH (hops+1 times per serve —
+    * measured as most of ann_graph_del's serve-time overhead vs the
+    * log-free ann_graph_topk). Past the bound, the per-fetch
+    * anti-join runs unchanged. */
+  private[graft] val TombstoneLocalMax: Int = 4000000
+
+  private val tombstoneSetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Option[Array[Long]])]()
+
+  /** The tombstone log as a SORTED driver array when it fits
+    * `maxIds` — keyed by the log's file listing (names + lengths), so
+    * a delete (new file) or a fold (file removal) moves the key, the
+    * cachedEntries discipline. Some(ids) ⇒ exact pre-filtering is
+    * safe (a tombstoned id's row never serves — dropping it from the
+    * fetch set is the same statement); None ⇒ the log outgrew the
+    * bound, keep the distributed anti-join. */
+  private[graft] def cachedTombstoneSet(spark: SparkSession, indexPath: String,
+      maxIds: Int = TombstoneLocalMax): Option[Array[Long]] = {
+    if (maxIds <= 0) return None
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexPath/${graft.streaming.StreamOps.TombstonesDir}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Some(Array.emptyLongArray)
+    val sig = fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted.mkString(",")
+    // the bound is part of the key: a spec-forced small bound must
+    // not park a None over the default bound's slot (or vice versa)
+    tombstoneSetCache.compute(s"$indexPath#$maxIds", (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, graft.streaming.StreamOps.loadTombstones(spark, indexPath) match {
+        case None => Some(Array.emptyLongArray)
+        case Some(ts) =>
+          val ids = ts.limit(maxIds + 1).collect().map(_.getLong(0))
+          if (ids.length > maxIds) None
+          else { java.util.Arrays.sort(ids); Some(ids) }
+      }))._2
+  }
+
   /** Marker ledger of the graph index's streaming maintainer — also
     * the freshness component of the entries-cache signature: every
     * applied ingest batch adds a marker, so the cache invalidates
@@ -222,7 +264,8 @@ object VectorIndex {
     * delta present. */
   private[graft] def resolvedGraph(spark: SparkSession, indexPath: String,
       cellsOf: Option[Seq[Int]] = None,
-      idsOf: Option[Seq[Long]] = None): DataFrame = {
+      idsOf: Option[Seq[Long]] = None,
+      skipTombstones: Boolean = false): DataFrame = {
     healGraph(spark, indexPath)
     // a graph table absent AFTER a build existed = a delete-everything
     // fold erased it (foldPartitioned deletes rather than swapping in
@@ -253,7 +296,11 @@ object VectorIndex {
     // row never serves — the walk cannot score, return, or expand it
     // (its id dangling in survivors' nbr lists fetches nothing).
     // Physical erase rides compactGraphIndex/rebuildGraphIndex.
-    graft.streaming.StreamOps.minusTombstones(resolved, "vec_id", indexPath)
+    // skipTombstones: the caller already dropped tombstoned ids from
+    // an idsOf-pruned fetch set (readGraphRows' cached-set path) —
+    // the anti-join would be an identity.
+    if (skipTombstones) resolved
+    else graft.streaming.StreamOps.minusTombstones(resolved, "vec_id", indexPath)
   }
 
   private[graft] def cachedEntries(spark: SparkSession,
@@ -1348,11 +1395,24 @@ object VectorIndex {
     * old node whose neighborhood an ingest rewrote, serves its latest
     * adjacency). */
   private def readGraphRows(spark: SparkSession, indexPath: String,
-      wanted: Map[Long, Int]): Map[Long, (Array[Double], Array[(Long, Int)])] = {
+      wanted: Map[Long, Int],
+      tombstoneLocalMax: Int = TombstoneLocalMax): Map[Long, (Array[Double], Array[(Long, Int)])] = {
     if (wanted.isEmpty) return Map.empty
-    val cellSet = wanted.values.toSeq.distinct
+    // pre-filter tombstoned ids on the driver when the log fits the
+    // cached-set bound: a tombstoned row never serves, so dropping
+    // its id from the walk-sized fetch set is the same statement as
+    // the per-fetch anti-join it replaces (route-pinned in the spec)
+    val ts = cachedTombstoneSet(spark, indexPath, tombstoneLocalMax)
+    val live = ts match {
+      case Some(ids) if ids.nonEmpty => wanted.filterNot { case (id, _) =>
+        java.util.Arrays.binarySearch(ids, id) >= 0 }
+      case _ => wanted
+    }
+    if (live.isEmpty) return Map.empty
+    val cellSet = live.values.toSeq.distinct
     resolvedGraph(spark, indexPath,
-        cellsOf = Some(cellSet), idsOf = Some(wanted.keys.toSeq))
+        cellsOf = Some(cellSet), idsOf = Some(live.keys.toSeq),
+        skipTombstones = ts.isDefined)
       .select(col("vec_id"), col("emb"), col("nbrs"))
       .collect()
       .map { r =>
@@ -1368,7 +1428,8 @@ object VectorIndex {
     * included, sim = 4dp-rounded cosine, ties by nid. */
   def searchGraph(spark: SparkSession, indexPath: String, queries: DataFrame,
       beam: Int = GraphBeam, hops: Int = GraphHops, k: Int = 5,
-      maxQueryBatch: Int = 8192): DataFrame = {
+      maxQueryBatch: Int = 8192,
+      tombstoneLocalMax: Int = TombstoneLocalMax): DataFrame = {
     val qs: Array[(Long, Array[Double])] = queries
       .select(col("qid"), col("qemb").cast("array<double>"))
       .limit(maxQueryBatch + 1).collect()
@@ -1402,7 +1463,7 @@ object VectorIndex {
         lastFetchCells = lastFetchCells :+ missing.values.toSet
         lastFetchNodes = lastFetchNodes :+ missing.size
       }
-      fetched ++= readGraphRows(spark, indexPath, missing)
+      fetched ++= readGraphRows(spark, indexPath, missing, tombstoneLocalMax)
     }
 
     // seed each query from its GraphSeedCells nearest cells' entry

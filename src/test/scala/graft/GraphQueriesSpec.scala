@@ -229,6 +229,34 @@ class GraphQueriesSpec extends SparkSpec {
     assert(hand == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> 2L))
   }
 
+  test("raw-collect basket route equals the sets route on every g-query " +
+      "(forced rawCollectMax = 0)") {
+    // the raw path groups collect_set's semantics on the driver from
+    // one scan collect; forcing rawCollectMax = 0 re-runs each query
+    // through the order-sets exchange it replaces — every row must be
+    // identical (same longs, same IEEE doubles)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val liDf = graft.sources.Tables.lineitem(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    assert(rows(GraphQueries.g1PageRank(spark, sf001)) ==
+      rows(GraphQueries.g1PageRank(spark, sf001, rawCollectMax = 0)),
+      "g1 raw route diverges from sets route")
+    assert(rows(GraphQueries.g2CopurchaseLift(spark, sf001)) ==
+      rows(GraphQueries.g2CopurchaseLift(spark, sf001, rawCollectMax = 0)),
+      "g2 raw route diverges from sets route")
+    assert(rows(GraphQueries.g3TrianglesOf(spark, liDf)) ==
+      rows(GraphQueries.g3TrianglesOf(spark, liDf, rawCollectMax = 0)),
+      "g3 raw route diverges from sets route")
+    assert(rows(GraphQueries.g4Components(spark, sf001)) ==
+      rows(GraphQueries.g4Components(spark, sf001, rawCollectMax = 0)),
+      "g4 raw route diverges from sets route")
+    assert(rows(GraphQueries.g6BfsDists(spark, sf001)) ==
+      rows(GraphQueries.g6BfsDists(spark, sf001, rawCollectMax = 0)),
+      "g6 raw route diverges from sets route")
+  }
+
   test("g5ComponentsInc equals the one-shot g4 labeling, invariant to the " +
       "batch split, idempotent on re-read") {
     def labeling(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

@@ -2813,6 +2813,15 @@ class StreamOpsSpec extends SparkSpec {
     assert(preFold.nonEmpty &&
       !preFold.exists(r => r._3 == entryVec || r._3 == otherVec),
       "a deleted vector still serves from the graph index")
+    // route pin: the driver-cached tombstone pre-filter (the default
+    // serve with a live log) must return the identical rows as the
+    // per-fetch anti-join it replaces (forced by a zero cache bound)
+    val viaAntiJoin = VectorIndex.searchGraph(spark, gIdx, queries,
+        tombstoneLocalMax = 0)
+      .select("qid", "rank", "nid").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(viaAntiJoin == preFold,
+      "cached-tombstone route diverges from the anti-join route")
     // fold: physical erase, serve identical before/after
     compactGraphIndex(spark, gIdx, targetPartitions = 4)
     assert(spark.read.parquet(s"$gIdx/graph")
