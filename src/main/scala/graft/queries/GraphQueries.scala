@@ -93,16 +93,46 @@ object GraphQueries {
       maxRows: Long = RawCollectMaxRows): Option[Array[Array[Long]]] = {
     if (maxPairs <= 0 || maxRows <= 0) return None
     if (li.count() > maxRows) return None
+    // executor-parallel packing: each scan partition ships primitive
+    // long arrays instead of boxed Rows (the driver's single-threaded
+    // Row decode was most of this path's cost — the scan itself is
+    // exchange-free, so .rdd costs no adaptivity). Null semantics are
+    // collect_set's: a null part is skipped but its order still
+    // groups; a null order key is its own group.
+    val blobs = li.rdd.mapPartitions { it =>
+      val pairs = new scala.collection.mutable.ArrayBuilder.ofLong
+      val nullPartOrders = new scala.collection.mutable.ArrayBuilder.ofLong
+      val nullOrderParts = new scala.collection.mutable.ArrayBuilder.ofLong
+      var nullOrderRows = 0L
+      it.foreach { r =>
+        val no = r.isNullAt(0); val np = r.isNullAt(1)
+        if (!no && !np) { pairs += r.getLong(0); pairs += r.getLong(1) }
+        else if (!no) nullPartOrders += r.getLong(0)
+        else { nullOrderRows += 1L; if (!np) nullOrderParts += r.getLong(1) }
+      }
+      Iterator.single((pairs.result(), nullPartOrders.result(),
+        nullOrderParts.result(), nullOrderRows))
+    }.collect()
     import scala.collection.mutable
-    val byOrder = mutable.HashMap.empty[java.lang.Long, mutable.ArrayBuffer[Long]]
-    li.collect().foreach { r =>
-      val key: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
-      val buf = byOrder.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Long])
-      if (!r.isNullAt(1)) buf += r.getLong(1)
+    val byOrder = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val nullOrderSet = mutable.ArrayBuffer.empty[Long]
+    var nullOrderGroup = false
+    blobs.foreach { case (pairs, nullPartOrders, nullOrderParts, nullOrderRows) =>
+      var i = 0
+      while (i < pairs.length) {
+        byOrder.getOrElseUpdate(pairs(i),
+          mutable.ArrayBuffer.empty[Long]) += pairs(i + 1)
+        i += 2
+      }
+      nullPartOrders.foreach(o =>
+        byOrder.getOrElseUpdate(o, mutable.ArrayBuffer.empty[Long]))
+      if (nullOrderRows > 0) { nullOrderGroup = true; nullOrderSet ++= nullOrderParts }
     }
     var elems = 0L
     var pairs = 0L
-    val sets = byOrder.valuesIterator.map { b =>
+    val groups = byOrder.valuesIterator ++
+      (if (nullOrderGroup) Iterator.single(nullOrderSet) else Iterator.empty)
+    val sets = groups.map { b =>
       val a = b.toArray
       java.util.Arrays.sort(a)
       var w = 0
@@ -525,25 +555,42 @@ object GraphQueries {
       else {
         val cnt = mutable.LongMap.empty[Long]
         psArr.foreach(_.foreach(n => cnt.getOrElseUpdate(n, 0L)))
-        def bump(n: Long, c: Long): Unit =
-          cnt(n) = cnt.getOrElse(n, 0L) + c
-        var e = 0
-        while (e < packed.length) {
-          val u = packed(e) >>> 31; val v = packed(e) & mask
-          var iu = startOf.getOrElse(u, 0)
-          val eu = iu + lenOf.getOrElse(u, 0)
-          var iv = startOf.getOrElse(v, 0)
-          val ev = iv + lenOf.getOrElse(v, 0)
-          var w = 0L
-          while (iu < eu && iv < ev) {
-            val xu = packed(iu) & mask; val xv = packed(iv) & mask
-            if (xu == xv) { bump(xu, 1L); w += 1; iu += 1; iv += 1 }
-            else if (xu < xv) iu += 1
-            else iv += 1
-          }
-          bump(u, w); bump(v, w)
-          e += 1
+        // the intersect loop parallelizes over disjoint edge ranges:
+        // workers only READ the immutable packed/startOf/lenOf index
+        // and accumulate into their own LongMap, merged by addition —
+        // integer sums are order-free, so the counts are exactly the
+        // single-thread loop's (pinned by the brute-force spec)
+        val nT = math.max(1,
+          math.min(Runtime.getRuntime.availableProcessors(), 16))
+        val partials = Array.fill(nT)(mutable.LongMap.empty[Long])
+        val threads = (0 until nT).map { t =>
+          new Thread(() => {
+            val m = partials(t)
+            def bump(n: Long, c: Long): Unit =
+              m(n) = m.getOrElse(n, 0L) + c
+            var e = (packed.length.toLong * t / nT).toInt
+            val hi = (packed.length.toLong * (t + 1) / nT).toInt
+            while (e < hi) {
+              val u = packed(e) >>> 31; val v = packed(e) & mask
+              var iu = startOf.getOrElse(u, 0)
+              val eu = iu + lenOf.getOrElse(u, 0)
+              var iv = startOf.getOrElse(v, 0)
+              val ev = iv + lenOf.getOrElse(v, 0)
+              var w = 0L
+              while (iu < eu && iv < ev) {
+                val xu = packed(iu) & mask; val xv = packed(iv) & mask
+                if (xu == xv) { bump(xu, 1L); w += 1; iu += 1; iv += 1 }
+                else if (xu < xv) iu += 1
+                else iv += 1
+              }
+              bump(u, w); bump(v, w)
+              e += 1
+            }
+          })
         }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        partials.foreach(_.foreach { case (k, v) =>
+          cnt(k) = cnt.getOrElse(k, 0L) + v })
         import spark.implicits._
         Some(spark.createDataset(cnt.toSeq)
           .toDF("part_key", "n_triangles"))
