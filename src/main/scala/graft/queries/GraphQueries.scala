@@ -339,15 +339,33 @@ object GraphQueries {
       }
       var rank = mutable.LongMap.empty[Long]
       for (n <- allNodes) rank(n) = 1000000L
+      // each iteration's contribution pass parallelizes over disjoint
+      // edge ranges — workers READ the frozen rank/deg maps and
+      // accumulate into their own LongMap, merged by addition
+      // (order-free integer sums: identical to the sequential loop,
+      // pinned by the three-route spec and the driver recompute)
+      val nT = math.max(1,
+        math.min(Runtime.getRuntime.availableProcessors(), 16))
       for (_ <- 1 to iters) {
-        val contrib = mutable.LongMap.empty[Long]
-        i = 0
-        while (i < edges.length) {
-          val a = edges(i) >>> 31; val b = edges(i) & mask
-          contrib(b) = contrib.getOrElse(b, 0L) + rank(a) / deg(a)
-          contrib(a) = contrib.getOrElse(a, 0L) + rank(b) / deg(b)
-          i += 1
+        val frozen = rank
+        val partials = Array.fill(nT)(mutable.LongMap.empty[Long])
+        val threads = (0 until nT).map { t =>
+          new Thread(() => {
+            val m = partials(t)
+            var e = (edges.length.toLong * t / nT).toInt
+            val hi = (edges.length.toLong * (t + 1) / nT).toInt
+            while (e < hi) {
+              val a = edges(e) >>> 31; val b = edges(e) & mask
+              m(b) = m.getOrElse(b, 0L) + frozen(a) / deg(a)
+              m(a) = m.getOrElse(a, 0L) + frozen(b) / deg(b)
+              e += 1
+            }
+          })
         }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val contrib = mutable.LongMap.empty[Long]
+        partials.foreach(_.foreach { case (k, v) =>
+          contrib(k) = contrib.getOrElse(k, 0L) + v })
         val next = mutable.LongMap.empty[Long]
         for (n <- allNodes)
           next(n) = 150000L + 85L * contrib.getOrElse(n, 0L) / 100L
